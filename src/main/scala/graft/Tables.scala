@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table catalog: the driver-generated TPC-H-ish parquet tables plus the
+  * engine's domain tables (`issues`, `links`) derived deterministically from
+  * them so every JQL / domain query is oracle-checkable in DuckDB with
+  * equivalent SQL (see [[Oracle]] for the DuckDB-dialect derivation).
+  *
+  * Scale note: all derivations are narrow (projection-only) except `links`,
+  * which is one equi-join lineitem⨝orders on the orderkey — broadcastable at
+  * small SF, shuffle-hash/sort-merge on co-partitioned keys at 100 TB.
+  */
+object Tables {
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table ships TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long and truncate to micros (matches DuckDB's
+    * `CAST(ts AS TIMESTAMP)` truncation).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Domain `issues` table derived from `orders` (narrow projection, no
+    * shuffle). Key format `P{custkey%7}-{orderkey}` matches the reference's
+    * issue-key regex (reference: internal/cli/sync.go:335). Values are chosen
+    * so every JQL-dialect predicate (SURVEY.md §2.2-P1) has selective,
+    * non-degenerate data to bite on.
+    */
+  def issues(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val proj = concat(lit("P"), (col("o_custkey") % 7).cast("string"))
+    val key = concat(proj, lit("-"), col("o_orderkey").cast("string"))
+    o.select(
+      key.as("key"),
+      proj.as("project_key"),
+      concat(lit("Issue "), col("o_orderkey").cast("string"), lit(" "),
+        col("o_orderpriority")).as("summary"),
+      concat(lit("Synced order "), col("o_orderstatus")).as("description"),
+      when(col("o_orderstatus") === "F", "Done")
+        .when(col("o_orderstatus") === "O", "In Progress")
+        .otherwise("To Do").as("status_name"),
+      when(col("o_orderstatus") === "F", "done")
+        .when(col("o_orderstatus") === "O", "indeterminate")
+        .otherwise("new").as("status_category"),
+      concat(lit("user"), (col("o_custkey") % 20).cast("string")).as("assignee_name"),
+      concat(lit("user"), (col("o_custkey") % 20).cast("string"),
+        lit("@example.com")).as("assignee_email"),
+      concat(lit("rep"), (col("o_custkey") % 13).cast("string")).as("reporter_name"),
+      concat(lit("rep"), (col("o_custkey") % 13).cast("string"),
+        lit("@example.com")).as("reporter_email"),
+      col("o_orderdate").as("created"),
+      expr("timestampadd(DAY, cast(o_orderkey % 30 as int), o_orderdate)")
+        .as("updated"),
+      when(substring(col("o_orderpriority"), 1, 1) === "1", "Highest")
+        .when(substring(col("o_orderpriority"), 1, 1) === "2", "High")
+        .when(substring(col("o_orderpriority"), 1, 1) === "3", "Medium")
+        .when(substring(col("o_orderpriority"), 1, 1) === "4", "Low")
+        .otherwise("Lowest").as("priority"),
+      when(col("o_orderkey") % 5 === 0, "Epic")
+        .when(col("o_orderkey") % 5 === 1, "Story")
+        .when(col("o_orderkey") % 5 === 2, "Bug")
+        .when(col("o_orderkey") % 5 === 3, "Task")
+        .otherwise("Sub-task").as("issuetype"),
+      concat(lit("Sprint "), (col("o_orderkey") % 10).cast("string")).as("sprint"),
+      when(col("o_orderkey") % 5 =!= 0,
+        concat(lit("E-"), (col("o_orderkey") % 50).cast("string")))
+        .as("epic_link"),
+      when(col("o_orderkey") % 5 === 4,
+        concat(proj, lit("-"), (col("o_orderkey") - 1).cast("string")))
+        .as("parent_issue"))
+  }
+
+  /** Domain `links` edge table derived from lineitem⨝orders: each lineitem
+    * becomes one typed, directed edge from its order's issue. Replaces the
+    * reference's symlink edges (reference: pkg/links/links.go:31-95).
+    */
+  def links(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val o = t(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val proj = concat(lit("P"), (col("o_custkey") % 7).cast("string"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(proj, lit("-"), col("l_orderkey").cast("string")).as("src"),
+        when(col("l_linenumber") % 3 === 0, "blocks")
+          .when(col("l_linenumber") % 3 === 1, "clones")
+          .otherwise("documents").as("link_type"),
+        when(col("l_linenumber") % 2 === 0, "outward")
+          .otherwise("inward").as("direction"),
+        concat(lit("P"), (col("l_suppkey") % 7).cast("string"), lit("-"),
+          col("l_partkey").cast("string")).as("dst"),
+        proj.as("project_key"))
+  }
+}
+
+/** DuckDB-dialect equivalents of [[Tables]]' derivations, prepended as CTEs
+  * to every oracle SQL that touches the domain tables. Values must match the
+  * Spark derivation EXACTLY (the driver hash-compares outputs).
+  */
+object Oracle {
+  val issuesCte: String =
+    """issues AS (
+      |  SELECT
+      |    'P' || CAST(o_custkey % 7 AS STRING) || '-' || CAST(o_orderkey AS STRING) AS key,
+      |    'P' || CAST(o_custkey % 7 AS STRING) AS project_key,
+      |    'Issue ' || CAST(o_orderkey AS STRING) || ' ' || o_orderpriority AS summary,
+      |    'Synced order ' || o_orderstatus AS description,
+      |    CASE o_orderstatus WHEN 'F' THEN 'Done' WHEN 'O' THEN 'In Progress' ELSE 'To Do' END AS status_name,
+      |    CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'indeterminate' ELSE 'new' END AS status_category,
+      |    'user' || CAST(o_custkey % 20 AS STRING) AS assignee_name,
+      |    'user' || CAST(o_custkey % 20 AS STRING) || '@example.com' AS assignee_email,
+      |    'rep' || CAST(o_custkey % 13 AS STRING) AS reporter_name,
+      |    'rep' || CAST(o_custkey % 13 AS STRING) || '@example.com' AS reporter_email,
+      |    o_orderdate AS created,
+      |    o_orderdate + CAST(o_orderkey % 30 AS INT) * INTERVAL 1 DAY AS updated,
+      |    CASE substring(o_orderpriority, 1, 1)
+      |      WHEN '1' THEN 'Highest' WHEN '2' THEN 'High' WHEN '3' THEN 'Medium'
+      |      WHEN '4' THEN 'Low' ELSE 'Lowest' END AS priority,
+      |    CASE CAST(o_orderkey % 5 AS INT)
+      |      WHEN 0 THEN 'Epic' WHEN 1 THEN 'Story' WHEN 2 THEN 'Bug'
+      |      WHEN 3 THEN 'Task' ELSE 'Sub-task' END AS issuetype,
+      |    'Sprint ' || CAST(o_orderkey % 10 AS STRING) AS sprint,
+      |    CASE WHEN o_orderkey % 5 <> 0
+      |      THEN 'E-' || CAST(o_orderkey % 50 AS STRING) END AS epic_link,
+      |    CASE WHEN o_orderkey % 5 = 4
+      |      THEN 'P' || CAST(o_custkey % 7 AS STRING) || '-' || CAST(o_orderkey - 1 AS STRING) END AS parent_issue
+      |  FROM orders
+      |)""".stripMargin
+
+  val linksCte: String =
+    """links AS (
+      |  SELECT
+      |    'P' || CAST(o_custkey % 7 AS STRING) || '-' || CAST(l_orderkey AS STRING) AS src,
+      |    CASE CAST(l_linenumber % 3 AS INT)
+      |      WHEN 0 THEN 'blocks' WHEN 1 THEN 'clones' ELSE 'documents' END AS link_type,
+      |    CASE WHEN l_linenumber % 2 = 0 THEN 'outward' ELSE 'inward' END AS direction,
+      |    'P' || CAST(l_suppkey % 7 AS STRING) || '-' || CAST(l_partkey AS STRING) AS dst,
+      |    'P' || CAST(o_custkey % 7 AS STRING) AS project_key
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)""".stripMargin
+
+  /** `WITH issues AS (...) <sql>` helper. */
+  def withIssues(sql: String): String = s"WITH $issuesCte\n$sql"
+  def withLinks(sql: String): String = s"WITH $linksCte\n$sql"
+  def withIssuesAndLinks(sql: String): String =
+    s"WITH $issuesCte,\n$linksCte\n$sql"
+}
