@@ -1,0 +1,174 @@
+package graft.jql
+
+import Lexer._
+
+/** Recursive-descent JQL parser.
+  *
+  * Grammar (keywords case-insensitive):
+  * {{{
+  * query     := orExpr? (ORDER BY orderItem (',' orderItem)*)?
+  * orExpr    := andExpr (OR andExpr)*
+  * andExpr   := notExpr (AND notExpr)*
+  * notExpr   := NOT notExpr | primary
+  * primary   := '(' orExpr ')' | fieldExpr
+  * fieldExpr := field op value
+  *            | field [NOT] IN '(' value (',' value)* ')'
+  *            | field IS [NOT] (EMPTY | NULL)
+  * field     := WORD | QUOTED | 'cf' '[' NUM ']'
+  * value     := QUOTED | WORD | WORD '(' [arg (',' arg)*] ')'
+  * }}}
+  */
+final class Parser(tokens: Vector[Tok]) {
+  private var pos = 0
+  private def peek: Tok = tokens(pos)
+  private def advance(): Tok = { val t = tokens(pos); pos += 1; t }
+
+  private def isKw(t: Tok, kw: String): Boolean = t match {
+    case TWord(s, _) => s.equalsIgnoreCase(kw)
+    case _ => false
+  }
+  private def expectKw(kw: String): Unit =
+    if (isKw(peek, kw)) { advance(); () }
+    else throw JqlParseException(s"expected $kw", peek.pos)
+
+  def parseQuery(): JqlQuery = {
+    val where =
+      if (peek.isInstanceOf[TEof] || isKw(peek, "order")) None
+      else Some(parseOr())
+    val order =
+      if (isKw(peek, "order")) { advance(); expectKw("by"); parseOrderItems() }
+      else Seq.empty
+    peek match {
+      case TEof(_) => JqlQuery(where, order)
+      case t => throw JqlParseException("trailing input", t.pos)
+    }
+  }
+
+  private def parseOrderItems(): Seq[(JqlField, Boolean)] = {
+    val items = Seq.newBuilder[(JqlField, Boolean)]
+    var more = true
+    while (more) {
+      val f = parseField()
+      val asc =
+        if (isKw(peek, "asc")) { advance(); true }
+        else if (isKw(peek, "desc")) { advance(); false }
+        else true
+      items += ((f, asc))
+      peek match {
+        case TPunct(",", _) => advance()
+        case _ => more = false
+      }
+    }
+    items.result()
+  }
+
+  private def parseOr(): JqlExpr = {
+    var left = parseAnd()
+    while (isKw(peek, "or")) { advance(); left = JOr(left, parseAnd()) }
+    left
+  }
+
+  private def parseAnd(): JqlExpr = {
+    var left = parseNot()
+    while (isKw(peek, "and")) { advance(); left = JAnd(left, parseNot()) }
+    left
+  }
+
+  private def parseNot(): JqlExpr =
+    if (isKw(peek, "not")) { advance(); JNot(parseNot()) }
+    else parsePrimary()
+
+  private def parsePrimary(): JqlExpr = peek match {
+    case TPunct("(", _) =>
+      advance()
+      val e = parseOr()
+      peek match {
+        case TPunct(")", _) => advance(); e
+        case t => throw JqlParseException("expected ')'", t.pos)
+      }
+    case _ => parseFieldExpr()
+  }
+
+  private def parseField(): JqlField = peek match {
+    case TStr(s, _) => advance(); JqlField(s)
+    case TWord(s, _) if s.equalsIgnoreCase("cf") &&
+        pos + 1 < tokens.length && tokens(pos + 1) == TPunct("[", tokens(pos + 1).pos) =>
+      advance(); advance() // cf [
+      val num = peek match {
+        case TWord(v, _) => advance(); v
+        case t => throw JqlParseException("expected custom field id", t.pos)
+      }
+      peek match {
+        case TPunct("]", _) => advance()
+        case t => throw JqlParseException("expected ']'", t.pos)
+      }
+      JqlField(s"cf[$num]")
+    case TWord(s, _) => advance(); JqlField(s)
+    case t => throw JqlParseException("expected field", t.pos)
+  }
+
+  private def parseFieldExpr(): JqlExpr = {
+    val field = parseField()
+    peek match {
+      case TOp(op, _) =>
+        advance()
+        JCmp(field, op, parseValue())
+      case t if isKw(t, "in") =>
+        advance(); JIn(field, parseValueList(), negated = false)
+      case t if isKw(t, "not") =>
+        advance(); expectKw("in")
+        JIn(field, parseValueList(), negated = true)
+      case t if isKw(t, "is") =>
+        advance()
+        val neg = if (isKw(peek, "not")) { advance(); true } else false
+        if (isKw(peek, "empty") || isKw(peek, "null")) { advance(); JEmpty(field, neg) }
+        else throw JqlParseException("expected EMPTY or NULL", peek.pos)
+      case t => throw JqlParseException("expected operator", t.pos)
+    }
+  }
+
+  private def parseValueList(): Seq[JqlValue] = {
+    peek match {
+      case TPunct("(", _) => advance()
+      case t => throw JqlParseException("expected '('", t.pos)
+    }
+    val vals = Seq.newBuilder[JqlValue]
+    var more = true
+    while (more) {
+      vals += parseValue()
+      peek match {
+        case TPunct(",", _) => advance()
+        case TPunct(")", _) => advance(); more = false
+        case t => throw JqlParseException("expected ',' or ')'", t.pos)
+      }
+    }
+    vals.result()
+  }
+
+  private def parseValue(): JqlValue = peek match {
+    case TStr(s, _) => advance(); JStr(s)
+    case TWord(s, _) =>
+      advance()
+      peek match {
+        case TPunct("(", _) => // function call: currentUser(), issuesInEpic("K")
+          advance()
+          val args = Seq.newBuilder[String]
+          var more = true
+          while (more) peek match {
+            case TPunct(")", _) => advance(); more = false
+            case TPunct(",", _) => advance()
+            case TStr(a, _) => advance(); args += a
+            case TWord(a, _) => advance(); args += a
+            case t => throw JqlParseException("bad function argument", t.pos)
+          }
+          JFunc(s, args.result())
+        case _ =>
+          if (s.matches("^-?\\d+(\\.\\d+)?$")) JNum(BigDecimal(s)) else JWord(s)
+      }
+    case t => throw JqlParseException("expected value", t.pos)
+  }
+}
+
+object Parser {
+  def parse(jql: String): JqlQuery = new Parser(Lexer.tokenize(jql)).parseQuery()
+}
