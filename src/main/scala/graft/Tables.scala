@@ -19,13 +19,13 @@ object Tables {
 
   /** The events table ships TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; read nanos as long and truncate to micros (matches DuckDB's
-    * `CAST(ts AS TIMESTAMP)` truncation).
+    * `CAST(ts AS TIMESTAMP)` truncation). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set once at session build
+    * (Verify/Bench/TestSpark) — never mutated per-call here.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** Domain `issues` table derived from `orders` (narrow projection, no
     * shuffle). Key format `P{custkey%7}-{orderkey}` matches the reference's

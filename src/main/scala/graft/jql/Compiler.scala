@@ -23,16 +23,29 @@ final case class JqlContext(
   * The reference never evaluates JQL locally — it ships the string to the
   * JIRA server (reference: pkg/client/client.go:170). This compiler is the
   * local evaluator: AST → Catalyst `Column` predicates, with the JQL functions
-  * `issuesInEpic` / `linkedIssues` lowered to broadcast semi-join markers
+  * `issuesInEpic` / `linkedIssues` lowered to left-join membership markers
   * (SURVEY.md §2.9) so membership composes under OR/NOT. Catalyst then gets a
   * fully declarative plan: predicate pushdown, OptimizeIn, join reorder all
-  * apply for free (SURVEY.md §4.1).
+  * apply for free (SURVEY.md §4.1). The membership join is NOT force-broadcast:
+  * an epic's member set is unbounded at 100 TB, so AQE picks the strategy
+  * (broadcast when small, shuffle otherwise).
   *
-  * Determinism parity: like the reference's optimizer, the compiled query
-  * always ends with `key ASC` as the final sort tiebreak
-  * (reference: pkg/jql/jira_builder.go:222-225).
+  * Null semantics: JIRA excludes EMPTY fields from negated clauses
+  * (`status != X`, `NOT status = X`, `status NOT IN (...)` all drop rows where
+  * status is EMPTY unless `IS EMPTY` is used). We get this uniformly from SQL
+  * three-valued logic: predicates over null evaluate to null, negation keeps
+  * null, and `filter` drops non-true — so plain `!` is exactly JIRA's rule.
+  *
+  * Determinism parity: when `deterministic` is set (the oracle harness), the
+  * compiled query ends with `key ASC` as the final sort tiebreak
+  * (reference: pkg/jql/jira_builder.go:222-225). At production scale a total
+  * sort on every query is a full range shuffle, so it is opt-in.
   */
-final class JqlCompiler(issues: DataFrame, links: => DataFrame, ctx: JqlContext) {
+final class JqlCompiler(
+    issues: DataFrame,
+    links: => DataFrame,
+    ctx: JqlContext,
+    deterministic: Boolean = true) {
 
   /** Pending membership joins: (marker column, field column, key set). */
   private val pending = ArrayBuffer.empty[(String, Column, DataFrame)]
@@ -46,18 +59,25 @@ final class JqlCompiler(issues: DataFrame, links: => DataFrame, ctx: JqlContext)
     val pred = q.where.map(compileExpr)
     val withMarkers = pending.foldLeft(issues) { case (df, (marker, fieldCol, keys)) =>
       val keyCol = s"${marker}_k"
+      // Function-sourced membership must match the case-insensitive literal
+      // path, so lower() both sides of the marker join.
       df.join(
-        broadcast(keys.distinct().withColumnRenamed("__k", keyCol)
-          .withColumn(marker, lit(true))),
-        fieldCol === col(keyCol), "left")
+        keys.distinct().withColumnRenamed("__k", keyCol)
+          .withColumn(marker, lit(true)),
+        lower(fieldCol) === lower(col(keyCol)), "left")
         .drop(keyCol)
     }
     val filtered = pred.map(withMarkers.filter).getOrElse(withMarkers)
-    val sortCols = q.orderBy.map { case (f, asc) =>
+    val explicitSort = q.orderBy.map { case (f, asc) =>
       val c = fieldCol(f)
       if (asc) c.asc_nulls_last else c.desc_nulls_first
-    } :+ col("key").asc // reference appends `ORDER BY key ASC` for determinism
-    filtered.orderBy(sortCols: _*).select(outCols.map(col): _*)
+    }
+    val sortCols =
+      if (deterministic) explicitSort :+ col("key").asc
+      else explicitSort
+    val sorted =
+      if (sortCols.nonEmpty) filtered.orderBy(sortCols: _*) else filtered
+    sorted.select(outCols.map(col): _*)
   }
 
   // ---- field catalog ------------------------------------------------------
@@ -87,12 +107,16 @@ final class JqlCompiler(issues: DataFrame, links: => DataFrame, ctx: JqlContext)
 
   private def isDateField(f: JqlField): Boolean = dateFields(f.normalized)
 
+  private def isPersonField(f: JqlField): Boolean =
+    f.normalized == "assignee" || f.normalized == "reporter"
+
   // ---- expression compilation --------------------------------------------
 
   private def compileExpr(e: JqlExpr): Column = e match {
     case JAnd(l, r) => compileExpr(l) && compileExpr(r)
     case JOr(l, r) => compileExpr(l) || compileExpr(r)
-    case JNot(x) => !coalesce(compileExpr(x), lit(false))
+    // Three-valued NOT: null stays null → filter drops it (JIRA's EMPTY rule).
+    case JNot(x) => !compileExpr(x)
     case JEmpty(f, neg) =>
       if (neg) fieldCol(f).isNotNull else fieldCol(f).isNull
     case JCmp(f, op, v) => compileCmp(f, op, v)
@@ -108,19 +132,23 @@ final class JqlCompiler(issues: DataFrame, links: => DataFrame, ctx: JqlContext)
 
   private def compileCmp(f: JqlField, op: String, v: JqlValue): Column = {
     val value: Any = v match {
-      case JFunc(name, args) => evalScalarFunc(f, name, args)
+      case JFunc(name, args) => evalScalarFunc(name, args)
       case JStr(s) => s
       case JWord(s) => s
       case JNum(n) => n
     }
-    val isPerson = f.normalized == "assignee" || f.normalized == "reporter"
-    if (isPerson && (op == "=" || op == "!=")) {
+    if (isPersonField(f) && (op == "=" || op == "!=")) {
       val eq = personEq(f.normalized, value.toString)
       return if (op == "=") eq else !eq
     }
     val c = fieldCol(f)
     if (isDateField(f)) {
-      val ts = lit(parseDateValue(value.toString))
+      // Scalar functions (now(), startOfDay()) already evaluated to Timestamp;
+      // only string literals go through the relative/absolute date parser.
+      val ts = lit(value match {
+        case t: Timestamp => t
+        case s => parseDateValue(s.toString)
+      })
       op match {
         case "=" => c === ts
         case "!=" => c =!= ts
@@ -167,6 +195,7 @@ final class JqlCompiler(issues: DataFrame, links: => DataFrame, ctx: JqlContext)
       case JNum(n) => literals += n.toString
       case JFunc(name, args) => name.toLowerCase match {
         case "opensprints" => literals ++= ctx.openSprints
+        case "currentuser" => literals += ctx.currentUser
         case "issuesinepic" =>
           subqueries += issues
             .filter(lower(col("epic_link")) === args.head.toLowerCase)
@@ -178,26 +207,32 @@ final class JqlCompiler(issues: DataFrame, links: => DataFrame, ctx: JqlContext)
         case other => throw JqlParseException(s"unknown JQL function '$other'", 0)
       }
     }
-    val c = fieldCol(f)
     val parts = ArrayBuffer.empty[Column]
     if (literals.nonEmpty) {
-      if (isDateField(f)) parts += c.isin(literals.map(parseDateValue): _*)
-      else parts += lower(c).isin(literals.map(_.toLowerCase): _*)
+      if (isPersonField(f))
+        // person IN matches name-or-email per value, same as person equality
+        parts += literals.map(v => personEq(f.normalized, v)).reduce(_ || _)
+      else if (isDateField(f))
+        parts += fieldCol(f).isin(literals.map(parseDateValue).toSeq: _*)
+      else
+        parts += lower(fieldCol(f)).isin(literals.map(_.toLowerCase).toSeq: _*)
     }
     subqueries.foreach { sub =>
       markerId += 1
       val marker = s"__jql_m$markerId"
-      pending += ((marker, c, sub))
+      pending += ((marker, fieldCol(f), sub))
       parts += coalesce(col(marker), lit(false))
     }
-    val combined = parts.reduce(_ || _)
-    if (neg) !coalesce(combined, lit(false)) else combined
+    // Empty membership set (e.g. `sprint in (openSprints())` with no open
+    // sprints) compiles to FALSE — TRUE under negation.
+    val combined = parts.reduceOption(_ || _).getOrElse(lit(false))
+    if (neg) !combined else combined
   }
 
-  private def evalScalarFunc(f: JqlField, name: String, args: Seq[String]): Any =
+  private def evalScalarFunc(name: String, args: Seq[String]): Any =
     name.toLowerCase match {
       case "currentuser" => ctx.currentUser
-      case "now" => ctx.now.toString
+      case "now" => ctx.now
       case "startofday" => // midnight of ctx.now
         Timestamp.valueOf(ctx.now.toLocalDateTime.toLocalDate.atStartOfDay)
       case other => throw JqlParseException(s"unknown JQL function '$other'", 0)

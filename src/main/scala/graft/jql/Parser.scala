@@ -130,6 +130,15 @@ final class Parser(tokens: Vector[Tok]) {
   private def parseValueList(): Seq[JqlValue] = {
     peek match {
       case TPunct("(", _) => advance()
+      // Bare function after IN without an outer paren list — the form the
+      // reference's templates emit: `sprint in openSprints()`,
+      // `key in issuesInEpic("K")` (reference: pkg/jql/builder.go:195).
+      case TWord(_, _) if pos + 1 < tokens.length &&
+          (tokens(pos + 1) match {
+            case TPunct("(", _) => true
+            case _ => false
+          }) =>
+        return Seq(parseValue())
       case t => throw JqlParseException("expected '('", t.pos)
     }
     val vals = Seq.newBuilder[JqlValue]

@@ -1,0 +1,115 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{Oracle, Tables}
+import graft.jql.{JqlCompiler, JqlContext}
+
+/** Registered JQL queries — the compiler exercised end-to-end against DuckDB
+  * oracles (SURVEY.md §2.2-P1, §2.3-J1/J2, §2.7-F4). Each query string is in
+  * the dialect the reference's templates emit
+  * (reference: pkg/jql/builder.go:126-246, pkg/epic/jira_analyzer.go:160-181)
+  * and compiles to a declarative Catalyst plan over the derived `issues` /
+  * `links` tables.
+  *
+  * `ctx` is pinned so relative dates (`-30d`), `now()`, `currentUser()` and
+  * `openSprints()` are deterministic and expressible as DuckDB literals.
+  */
+object Jql {
+
+  val ctx: JqlContext = JqlContext(
+    now = Timestamp.valueOf("1998-08-01 00:00:00"),
+    currentUser = "user5",
+    openSprints = Seq("Sprint 1", "Sprint 2"))
+
+  def run(spark: SparkSession, sfDir: String, jql: String): DataFrame =
+    new JqlCompiler(
+      Tables.issues(spark, sfDir),
+      Tables.links(spark, sfDir),
+      ctx).compile(jql)
+
+  /** JQL query whose oracle is `SELECT * FROM issues WHERE <where>`. */
+  private def jq(name: String, jql: String, oracleWhere: String,
+      withLinks: Boolean = false): GQuery = {
+    val sql = s"SELECT * FROM issues WHERE $oracleWhere ORDER BY key"
+    q(name, if (withLinks) Oracle.withIssuesAndLinks(sql) else Oracle.withIssues(sql)) {
+      (s, dir) => run(s, dir, jql)
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    // P1: equality + IN + ORDER BY updated DESC (O2) — the primary template
+    // shape (reference: pkg/jql/builder.go:126-160)
+    jq("jql_eq_and_in",
+      """project = P1 AND status IN ("To Do", "In Progress") ORDER BY updated DESC""",
+      "lower(project_key) = 'p1' AND lower(status_name) IN ('to do', 'in progress')"),
+
+    // J1: epic membership via issuesInEpic subquery → semi-join lowering
+    jq("jql_epic_members",
+      """key in (issuesInEpic("E-7"))""",
+      "lower(key) IN (SELECT lower(key) FROM issues WHERE lower(epic_link) = 'e-7')"),
+
+    // U1: the reference's epic OR-union shape
+    // (reference: pkg/jql/jira_builder.go:61-76)
+    jq("jql_epic_union",
+      """"Epic Link" = E-7 OR parent in (issuesInEpic("E-7")) ORDER BY key ASC""",
+      """lower(epic_link) = 'e-7' OR
+        | lower(parent_issue) IN (SELECT lower(key) FROM issues WHERE lower(epic_link) = 'e-7')""".stripMargin),
+
+    // J2: linkedIssues as a bare function after IN (parser: no outer parens)
+    jq("jql_linked",
+      """issue in linkedIssues(P0-20)""",
+      """lower(key) IN (SELECT lower(dst) FROM links WHERE src = 'P0-20'
+        |  UNION SELECT lower(src) FROM links WHERE dst = 'P0-20')""".stripMargin,
+      withLinks = true),
+
+    // F4: relative date literal + now() scalar function, pinned ctx.now
+    jq("jql_relative_date",
+      """updated >= -30d AND created < now()""",
+      """updated >= TIMESTAMP '1998-07-02 00:00:00'
+        | AND created < TIMESTAMP '1998-08-01 00:00:00'""".stripMargin),
+
+    // Null semantics: != on a nullable field excludes EMPTY rows (JIRA rule)
+    jq("jql_negation",
+      """parent != P0-4 AND type != Epic""",
+      """parent_issue IS NOT NULL AND lower(parent_issue) <> 'p0-4'
+        | AND lower(issuetype) <> 'epic'""".stripMargin),
+
+    // Negated function membership (NOT IN issuesInEpic)
+    jq("jql_not_in_epic",
+      """project = P1 AND key not in (issuesInEpic("E-7"))""",
+      """lower(project_key) = 'p1' AND lower(key) NOT IN
+        | (SELECT lower(key) FROM issues WHERE lower(epic_link) = 'e-7')""".stripMargin),
+
+    // Person fields: currentUser() and IN match name-or-email, case-insensitive
+    jq("jql_person",
+      """assignee = currentUser() OR reporter in (rep3, "rep5@example.com")""",
+      """(lower(assignee_name) = 'user5' OR lower(assignee_email) = 'user5')
+        | OR (lower(reporter_name) = 'rep3' OR lower(reporter_email) = 'rep3')
+        | OR (lower(reporter_name) = 'rep5@example.com' OR lower(reporter_email) = 'rep5@example.com')""".stripMargin),
+
+    // openSprints() session binding (reference: pkg/jql/builder.go:195)
+    jq("jql_sprint",
+      """sprint in openSprints() AND status != Done""",
+      """lower(sprint) IN ('sprint 1', 'sprint 2')
+        | AND lower(status_name) <> 'done'""".stripMargin),
+
+    // ~ contains operator on text
+    jq("jql_contains",
+      """summary ~ "1-URGENT" AND type = Story""",
+      "contains(lower(summary), '1-urgent') AND lower(issuetype) = 'story'"),
+
+    // cf[NNNNN] custom-field spelling of Epic Link + IS EMPTY
+    jq("jql_cf_empty",
+      """cf[12311140] = E-7 OR "Epic Link" IS EMPTY""",
+      "lower(epic_link) = 'e-7' OR epic_link IS NULL"),
+
+    // multi-key ORDER BY (O6) over an IN filter
+    jq("jql_order_multi",
+      """project in (P2, P3) ORDER BY priority ASC, updated DESC""",
+      "lower(project_key) IN ('p2', 'p3')")
+  )
+}

@@ -216,7 +216,7 @@ object Relational {
       graft.Oracle.withIssues(
         """SELECT key,
           |  regexp_extract(key, '^(.*)-[0-9]+$', 1) AS proj,
-          |  md5(summary) AS checksum,
+          |  sha256(summary) AS checksum,
           |  length(summary) AS n_chars,
           |  upper(status_name) AS status_uc,
           |  len(string_split(summary, ' ')) AS n_tokens,
@@ -227,7 +227,7 @@ object Relational {
         .filter(col("issuetype") === "Story")
         .select(col("key"),
           regexp_extract(col("key"), "^(.*)-[0-9]+$", 1).as("proj"),
-          md5(col("summary")).as("checksum"),
+          sha2(col("summary"), 256).as("checksum"),
           length(col("summary")).as("n_chars"),
           upper(col("status_name")).as("status_uc"),
           size(split(col("summary"), " ")).as("n_tokens"),

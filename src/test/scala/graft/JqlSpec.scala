@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jql._
+import graft.queries.Jql
+
+class JqlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(jql: String) = Jql.run(spark, sf, jql)
+
+  test("every registered jql query runs and matches its hand-built filter") {
+    queries.Jql.all.foreach { case queries.GQuery(name, fn, _) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed to run")
+    }
+  }
+
+  test("equality is case-insensitive (JIRA semantics)") {
+    val a = run("""status = "done"""").count()
+    val b = run("""status = "Done"""").count()
+    assert(a == b && a > 0)
+  }
+
+  test("IN literal matches the union of equalities") {
+    val in = run("""status in ("To Do", "Done")""").count()
+    val or = run("""status = "To Do" OR status = "Done"""").count()
+    assert(in == or)
+  }
+
+  test("negation excludes EMPTY rows — both != and NOT forms agree") {
+    val neq = run("""parent != P0-4""").count()
+    val notForm = run("""NOT parent = P0-4""").count()
+    val withParent = Tables.issues(spark, sf)
+      .filter(col("parent_issue").isNotNull && lower(col("parent_issue")) =!= "p0-4")
+      .count()
+    assert(neq == withParent)
+    assert(notForm == withParent)
+  }
+
+  test("NOT IN excludes EMPTY rows like JIRA") {
+    val notIn = run("""sprint not in ("Sprint 1")""").count()
+    val expect = Tables.issues(spark, sf)
+      .filter(lower(col("sprint")) =!= "sprint 1").count()
+    assert(notIn == expect)
+  }
+
+  test("issuesInEpic lowers to a membership join matching a manual semi-join") {
+    val viaJql = run("""key in (issuesInEpic("E-7"))""").count()
+    val manual = Tables.issues(spark, sf)
+      .filter(lower(col("epic_link")) === "e-7").count()
+    assert(viaJql == manual && viaJql > 0)
+  }
+
+  test("bare function after IN parses (sprint in openSprints())") {
+    val n = run("""sprint in openSprints()""").count()
+    val expect = Tables.issues(spark, sf)
+      .filter(lower(col("sprint")).isin("sprint 1", "sprint 2")).count()
+    assert(n == expect && n > 0)
+  }
+
+  test("empty openSprints compiles to FALSE (TRUE when negated)") {
+    val emptyCtx = JqlContext(Jql.ctx.now, "u", Seq.empty)
+    val c = new JqlCompiler(Tables.issues(spark, sf), Tables.links(spark, sf), emptyCtx)
+    assert(c.compile("""sprint in (openSprints())""").count() == 0)
+    val total = Tables.issues(spark, sf).count()
+    assert(c.compile("""sprint not in (openSprints())""").count() == total)
+  }
+
+  test("now() and startOfDay() work on date fields") {
+    val n = run("""created <= now()""").count()
+    val expect = Tables.issues(spark, sf)
+      .filter(col("created") <= lit("1998-08-01 00:00:00").cast("timestamp")).count()
+    assert(n == expect && n > 0)
+    val m = run("""created <= startOfDay()""").count()
+    assert(m == n) // ctx.now is already midnight
+  }
+
+  test("relative dates resolve against pinned now") {
+    val n = run("""updated >= -30d""").count()
+    val expect = Tables.issues(spark, sf)
+      .filter(col("updated") >= lit("1998-07-02 00:00:00").cast("timestamp")).count()
+    assert(n == expect)
+  }
+
+  test("person equality matches name or email, IN consistent with =") {
+    val byName = run("""assignee = user5""").count()
+    val byEmail = run("""assignee = "user5@example.com"""").count()
+    assert(byName == byEmail && byName > 0)
+    val byIn = run("""assignee in (user5)""").count()
+    assert(byIn == byName) // IN routed through same person semantics
+  }
+
+  test("ORDER BY updated DESC returns newest first") {
+    val rows = run("""project = P1 ORDER BY updated DESC""")
+      .select(col("updated").cast("string")).limit(2).collect()
+    if (rows.length == 2)
+      assert(rows(0).getString(0) >= rows(1).getString(0))
+  }
+
+  test("validator flags bad queries and passes good ones") {
+    assert(Validator.validate("""project = P1 AND status = "Done"""").valid)
+    assert(!Validator.validate("""project = P1 AND""").valid)
+    assert(!Validator.validate("""project = "unclosed""").valid)
+    assert(!Validator.validate("""(project = P1""").valid)
+    val sug = Validator.validate("""a = 1 OR a = 2 OR a = 3 OR a = 4""")
+    assert(sug.suggestions.exists(_.contains("IN")))
+  }
+
+  test("linkedIssues membership composes under OR with a second marker") {
+    val n = run("""issue in linkedIssues(P0-20) OR key in (issuesInEpic("E-7"))""").count()
+    val a = run("""issue in linkedIssues(P0-20)""").count()
+    val b = run("""key in (issuesInEpic("E-7"))""").count()
+    assert(n <= a + b && n >= math.max(a, b))
+  }
+}
