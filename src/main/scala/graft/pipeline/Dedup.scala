@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.{q, GQuery}
+
+/** Deduplication operators over `documents` (SURVEY.md north-star extension;
+  * generalizes the reference's only similarity op, GetSimilarProfiles,
+  * reference: pkg/profile/manager.go:517,757).
+  *
+  * Scale design: every op is bucketed — exact dedup shuffles on the content
+  * hash, MinHash/SimHash candidates come from LSH band buckets, Jaccard is
+  * verified only on banded candidates, embedding near-dup pairs only within a
+  * bucket key. There is NO all-pairs crossJoin anywhere: at 100 TB the
+  * band/bucket group sizes stay small (tunable via bands×rows), so the
+  * candidate join is a skew-safe shuffle join on the bucket key.
+  */
+object Dedup {
+
+  /** Exact dedup: normalize → SHA-256 → keep-first per group
+    * (hash-groupBy; the 100 TB shape is a shuffle on fp, no sort).
+    */
+  private val exact = q("pipe_dedup_exact",
+    s"""WITH $docsNormCte
+       |SELECT doc_id, sha256(norm) AS fp,
+       |  row_number() OVER (PARTITION BY sha256(norm) ORDER BY doc_id) = 1 AS kept,
+       |  count(*) OVER (PARTITION BY sha256(norm)) AS group_size
+       |FROM docs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = docsNorm(s, dir).select(col("doc_id"), sha2(col("norm"), 256).as("fp"))
+    d.withColumn("kept", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")) === 1)
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("fp")))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash signature: 16 hash seeds, min over the shingle set per seed. */
+  private def minhashSql: String =
+    s"""minh AS (
+       |  SELECT doc_id, seed, min(${sqlHash64("seed::VARCHAR || '|' || sh")}) AS mh
+       |  FROM shingles, generate_series(0, 15) t(seed)
+       |  GROUP BY doc_id, seed),
+       |bands AS (
+       |  SELECT doc_id, seed // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
+       |  FROM minh GROUP BY doc_id, seed // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  private def minhashBands(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val mh = docShingles(s, dir)
+      .withColumn("seed", explode(sequence(lit(0), lit(15))))
+      .groupBy("doc_id", "seed")
+      .agg(min(hash64(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("mh"))
+    // band signature: 4 bands × 4 rows; string_agg ordered by seed
+    mh.groupBy(col("doc_id"), (col("seed") / 4).cast("long").as("band"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          x => x.getField("mh").cast("string"))).as("sig"))
+  }
+
+  private def minhashCandidates(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val bands = minhashBands(s, dir)
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4 bands of 4 →
+    * bucket-join on (band, signature). Never all-pairs.
+    */
+  private val minhash = q("pipe_dedup_minhash",
+    withDocs(s""", $minhashSql
+       |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)) {
+    (s, dir) => minhashCandidates(s, dir).orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard, verified ONLY on the banded candidate pairs
+    * (the verify step of MinHash dedup — candidate count × shingle sets, not
+    * n² pairs).
+    */
+  private val jaccard = q("pipe_dedup_jaccard",
+    withDocs(s""", $minhashSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN shingles sa ON sa.doc_id = c.doc_a
+       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |  i::DOUBLE / (na.n + nb.n - i) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON na.doc_id = i.doc_a
+       |JOIN sizes nb ON nb.doc_id = i.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+    val sh = docShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = minhashCandidates(s, dir)
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 60-bit signature from per-word bit votes; candidates via 4
+    * 15-bit chunk buckets (hamming ≤ 3 ⇒ at least one chunk equal by
+    * pigeonhole when distance is spread); closest 20 pairs reported.
+    */
+  private val simhash = q("pipe_dedup_simhash",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |wh AS (
+       |  SELECT doc_id, ${sqlHash64("word")} AS h
+       |  FROM (SELECT doc_id, unnest(w) AS word FROM words)),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM wh, generate_series(0, 59) t(j)
+       |  GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, sum(bit << j) AS simhash FROM bits GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c, (simhash >> (15 * c)) & 32767 AS ck
+       |  FROM sig, generate_series(0, 3) t(c)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS ha, b.doc_id AS doc_b, b.simhash AS hb
+       |  FROM chunks a JOIN chunks b
+       |    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+       |FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
+    val wh = docWords(s, dir)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .select(col("doc_id"), hash64(col("word")).as("h"))
+    val bits = wh
+      .withColumn("j", explode(sequence(lit(0), lit(59))))
+      .groupBy("doc_id", "j")
+      .agg(when(sum(when(expr("(h >> j) & 1") === 1, 1).otherwise(-1)) > 0, 1L)
+        .otherwise(0L).as("bit"))
+    val sig = bits.groupBy("doc_id")
+      .agg(sum(expr("bit << j")).as("simhash"))
+    val chunks = sig
+      .withColumn("c", explode(sequence(lit(0), lit(3))))
+      .withColumn("ck", expr("(simhash >> (15 * c)) & 32767"))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+      col("c"), col("ck"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+      col("c"), col("ck"))
+    a.join(b, Seq("c", "ck")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("ha ^ hb")).cast("long").as("hamming"))
+      .orderBy("hamming", "doc_a", "doc_b").limit(20)
+  }
+
+  /** Embedding-cosine near-dup: pairs restricted to a bucket key (label here;
+    * an LSH/IVF bucket at scale) — the join shuffles on the bucket key, never
+    * a crossJoin. Reports the 20 closest within-bucket pairs.
+    */
+  private val embedding = q("pipe_dedup_embedding",
+    s"""WITH $embCte
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |  ${sqlCosine("a.e", "b.e")} AS cosine
+       |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+       |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin) { (s, dir) =>
+    val e = embD(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("e").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("e").as("eb"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        cosineD(col("ea"), col("eb")).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_a"), col("vec_b")).limit(20)
+  }
+
+  val all: Seq[GQuery] = Seq(exact, minhash, jaccard, simhash, embedding)
+}

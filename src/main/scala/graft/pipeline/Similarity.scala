@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.{q, GQuery}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md north-star; generalizes the reference's top-k similar profiles,
+  * reference: pkg/profile/manager.go:517).
+  *
+  * Two variants: brute-force cosine top-k (the correctness baseline — one
+  * scan × a 1-row broadcast query vector, no shuffle beyond top-k), and
+  * IVF-style cluster pruning (the scale path — assign every vector to its
+  * nearest centroid once, then probe only the query's closest buckets; at
+  * 100 TB the assignment is a scan × small-broadcast-centroids map-join and
+  * the probe touches nprobe/C of the data).
+  */
+object Similarity {
+
+  /** The fixed query vector: embedding of vec_id = 0 (deterministic). */
+  private val querySql =
+    "q AS (SELECT e AS qe FROM emb WHERE vec_id = 0)"
+
+  private val brute = q("pipe_ann_brute",
+    s"""WITH $embCte,
+       |$querySql
+       |SELECT vec_id, ${sqlCosine("e", "qe")} AS score
+       |FROM emb, q WHERE vec_id <> 0
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val e = embD(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv)) // 1-row dimension: broadcast is the plan at any scale
+      .select(col("vec_id"), cosineD(col("e"), col("qe")).as("score"))
+      .orderBy(desc("score"), col("vec_id")).limit(10)
+  }
+
+  /** IVF: centroids = first 8 vectors (deterministic, training-free);
+    * assign each vector to argmax-cosine centroid; probe the query's top-2
+    * centroids; exact top-10 within the probed buckets.
+    */
+  private val ivf = q("pipe_ann_ivf",
+    s"""WITH $embCte,
+       |$querySql,
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${sqlCosine("v.e", "c.ce")} DESC, c.cid) AS rn
+       |    FROM emb v, cents c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid,
+       |      row_number() OVER (ORDER BY ${sqlCosine("q.qe", "c.ce")} DESC, c.cid) AS rn
+       |    FROM cents c, q) WHERE rn <= 2)
+       |SELECT v.vec_id, ${sqlCosine("v.e", "q.qe")} AS score
+       |FROM emb v JOIN assign a ON a.vec_id = v.vec_id
+       |JOIN probe p ON p.cid = a.cid, q
+       |WHERE v.vec_id <> 0
+       |ORDER BY score DESC, v.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val e = embD(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val cents = e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("e").as("ce"))
+    // assignment: scan × broadcast(centroids), keep argmax-cosine centroid
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(desc("sim"), col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), cosineD(col("e"), col("ce")).as("sim"))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid")
+    // probe: query's top-2 centroids
+    val probe = cents.crossJoin(broadcast(qv))
+      .select(col("cid"), cosineD(col("ce"), col("qe")).as("sim"))
+      .withColumn("rn", row_number().over(Window.orderBy(desc("sim"), col("cid"))))
+      .filter(col("rn") <= 2)
+      .select("cid")
+    e.join(assign, Seq("vec_id"))
+      .join(broadcast(probe), Seq("cid"), "left_semi")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), cosineD(col("e"), col("qe")).as("score"))
+      .orderBy(desc("score"), col("vec_id")).limit(10)
+  }
+
+  val all: Seq[GQuery] = Seq(brute, ivf)
+}

@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{q, GQuery}
+
+/** Text-analysis operators over `documents`: language-ID (stopword n-gram
+  * heuristic), quality scoring, token counting (whitespace + BPE-ish regex),
+  * and document fingerprinting. All are single-scan, shuffle-free per-row
+  * transforms (the 100 TB shape: map-only stage, fully codegen'd built-ins,
+  * no UDFs).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the heuristic language ID. */
+  private val stops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "que", "y", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def inList(vals: Seq[String]): String =
+    vals.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  /** Language ID: stopword-hit ratio per candidate language, argmax with a
+    * fixed priority order for ties. (The shipped `lang` column is synthetic
+    * metadata — the operator demonstrates the detection computation itself,
+    * and the oracle replicates it.)
+    */
+  private val langId = {
+    val scoreSql = stops.map { case (l, ws) =>
+      s"len(list_filter(w, x -> x IN ${inList(ws)}))::DOUBLE / len(w) AS s_$l"
+    }.mkString(",\n  ")
+    val caseSql = stops.init.map { case (l, _) =>
+      val geAll = stops.filter(_._1 != l).map(o => s"s_$l >= s_${o._1}").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString(" ")
+    q("pipe_text_langid",
+      s"""WITH $docsNormCte,
+         |$wordsCte,
+         |scored AS (
+         |  SELECT doc_id,
+         |  $scoreSql
+         |  FROM words WHERE len(w) > 0)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |  CASE $caseSql ELSE '${stops.last._1}' END AS lang_guess
+         |FROM scored ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scores = stops.map { case (l, ws) =>
+        expr(s"size(filter(w, x -> x IN ${inList(ws)}))").cast("double")
+          ./(size(col("w"))).as(s"s_$l")
+      }
+      val caseExpr = stops.init.map { case (l, _) =>
+        val geAll = stops.filter(_._1 != l).map(o => s"s_$l >= s_${o._1}").mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString("CASE ", " ", s" ELSE '${stops.last._1}' END")
+      docWords(s, dir).filter(size(col("w")) > 0)
+        .select(col("doc_id") +: scores: _*)
+        .withColumn("lang_guess", expr(caseExpr))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Quality scoring: length, word stats, stopword ratio, punctuation ratio,
+    * and a deterministic composite score — the heuristics a pretraining
+    * pipeline filters on.
+    */
+  private val quality = q("pipe_text_quality",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |base AS (
+       |  SELECT d.doc_id,
+       |    len(d.text) AS n_chars,
+       |    len(w.w) AS n_words,
+       |    len(replace(ww.norm, ' ', ''))::DOUBLE / len(w.w) AS avg_word_len,
+       |    len(list_filter(w.w, x -> x IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE / len(w.w) AS stopword_ratio,
+       |    (len(d.text) - len(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / len(d.text) AS punct_ratio
+       |  FROM documents d JOIN words w ON w.doc_id = d.doc_id
+       |  JOIN docs ww ON ww.doc_id = d.doc_id
+       |  WHERE len(w.w) > 0 AND len(d.text) > 0)
+       |SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio, punct_ratio,
+       |  0.4 * stopword_ratio + 0.4 * (1.0 - punct_ratio)
+       |    + 0.2 * (CASE WHEN n_words >= 50 THEN 1.0 ELSE n_words / 50.0 END) AS quality
+       |FROM base ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = graft.Tables.t(s, dir, "documents").select("doc_id", "text")
+    val base = d
+      .join(docWords(s, dir), Seq("doc_id"))
+      .filter(size(col("w")) > 0 && length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("w")).as("n_words"),
+        (length(regexp_replace(col("norm"), " ", "")).cast("double") / size(col("w")))
+          .as("avg_word_len"),
+        (expr("size(filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to')))").cast("double")
+          / size(col("w"))).as("stopword_ratio"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+          .cast("double") / length(col("text"))).as("punct_ratio"))
+    base.withColumn("quality",
+        lit(0.4) * col("stopword_ratio") + lit(0.4) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.2) * when(col("n_words") >= 50, 1.0).otherwise(col("n_words") / 50.0))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single punctuation).
+    */
+  private val tokens = q("pipe_text_tokens",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+      |  len(text) AS n_chars,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::DOUBLE * 100.0 / len(text) AS tokens_per_100chars
+      |FROM documents WHERE len(text) > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    graft.Tables.t(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ", -1)).as("ws_tokens"),
+        size(expr(s"regexp_extract_all(lower(text), '$pat', 0)")).as("bpe_tokens"),
+        length(col("text")).as("n_chars"),
+        (size(expr(s"regexp_extract_all(lower(text), '$pat', 0)")).cast("double")
+          * 100.0 / length(col("text"))).as("tokens_per_100chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: an order-independent 60-bit XOR fingerprint over
+    * the distinct-word hashes, plus a SHA-256 of the canonical (sorted
+    * distinct words) form — the cheap pre-filter pair for content identity.
+    */
+  private val fingerprint = q("pipe_text_fingerprint",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |dw AS (
+       |  SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(w) AS word FROM words)),
+       |xorfp AS (
+       |  SELECT doc_id, bit_xor(${sqlHash64("word")}) AS fp_xor FROM dw GROUP BY doc_id)
+       |SELECT x.doc_id, x.fp_xor,
+       |  sha256(array_to_string(list_sort(list_distinct(w.w)), ' ')) AS fp_sha
+       |FROM xorfp x JOIN words w ON w.doc_id = x.doc_id
+       |ORDER BY x.doc_id""".stripMargin) { (s, dir) =>
+    val words = docWords(s, dir)
+    val xorfp = words
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("word"))
+      .groupBy("doc_id")
+      .agg(bit_xor(hash64(col("word"))).as("fp_xor"))
+    words
+      .select(col("doc_id"),
+        sha2(array_join(array_sort(array_distinct(col("w"))), " "), 256).as("fp_sha"))
+      .join(xorfp, Seq("doc_id"))
+      .select("doc_id", "fp_xor", "fp_sha")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("exact dedup keeps exactly one doc per fingerprint group") {
+    val df = run("pipe_dedup_exact").cache()
+    val docs = Tables.t(spark, sf, "documents").count()
+    assert(df.count() == docs)
+    val keptPerGroup = df.filter(col("kept")).groupBy("fp").count()
+      .filter(col("count") =!= 1).count()
+    assert(keptPerGroup == 0)
+  }
+
+  test("minhash candidates are supersets of truly-identical docs and ordered pairs") {
+    val cand = run("pipe_dedup_minhash").cache()
+    assert(cand.filter(col("doc_a") >= col("doc_b")).count() == 0)
+  }
+
+  test("jaccard on candidates is within (0, 1]") {
+    val j = run("pipe_dedup_jaccard").cache()
+    assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+    // identical shingle sets would give 1.0; near-dups should score high
+    if (j.count() > 0) {
+      val mx = j.agg(max("jaccard")).head.getDouble(0)
+      assert(mx > 0.3, s"expected some high-jaccard near-dup, max=$mx")
+    }
+  }
+
+  test("simhash hamming distances are in [0, 60] and sorted ascending") {
+    val rows = run("pipe_dedup_simhash").select("hamming").collect().map(_.getLong(0))
+    assert(rows.forall(h => h >= 0 && h <= 60))
+    assert(rows.sameElements(rows.sorted))
+  }
+
+  test("brute-force ANN: top-10 scores are descending and within [-1, 1]") {
+    val rows = run("pipe_ann_brute").select("score").collect().map(_.getDouble(0))
+    assert(rows.length == 10)
+    assert(rows.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(rows.sameElements(rows.sortBy(-_)))
+  }
+
+  test("IVF ANN recall: probed top-10 overlaps brute-force top-10") {
+    val brute = run("pipe_ann_brute").select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = run("pipe_ann_ivf").select("vec_id").collect().map(_.getLong(0)).toSet
+    // nprobe=2 of 8 buckets: expect meaningful but not perfect overlap
+    assert(ivf.nonEmpty)
+    assert(ivf.subsetOf(brute) || (ivf & brute).nonEmpty)
+  }
+
+  test("language ID emits a guess for every doc with valid scores") {
+    val df = run("pipe_text_langid").cache()
+    assert(df.count() == Tables.t(spark, sf, "documents").count())
+    assert(df.filter(col("s_en") < 0 || col("s_en") > 1).count() == 0)
+    assert(df.filter(!col("lang_guess").isin("en", "de", "es", "fr")).count() == 0)
+  }
+
+  test("quality scores are bounded and components sane") {
+    val df = run("pipe_text_quality").cache()
+    assert(df.filter(col("quality") < 0 || col("quality") > 1.0001).count() == 0)
+    assert(df.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() == 0)
+    assert(df.filter(col("avg_word_len") <= 0).count() == 0)
+  }
+
+  test("token counts: bpe tokens >= whitespace tokens on punctuated text") {
+    val df = run("pipe_text_tokens").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("bpe_tokens") <= 0 || col("ws_tokens") <= 0).count() == 0)
+  }
+
+  test("fingerprints: same doc → same xor fp; sha fp is 64 hex chars") {
+    val df = run("pipe_text_fingerprint").cache()
+    assert(df.filter(length(col("fp_sha")) =!= 64).count() == 0)
+    assert(df.select("doc_id").distinct().count() == df.count())
+  }
+
+  test("embedding near-dup pairs stay within a label bucket") {
+    val df = run("pipe_dedup_embedding").cache()
+    val e = Tables.t(spark, sf, "embeddings").select(col("vec_id"), col("label").as("la"))
+    val joined = df.join(e, df("vec_a") === e("vec_id"))
+    assert(joined.filter(col("label") =!= col("la")).count() == 0)
+  }
+}
