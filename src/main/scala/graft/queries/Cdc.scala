@@ -1,0 +1,157 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{Oracle, Tables}
+import graft.state.StateStore
+
+/** CDC / incremental-sync operators, oracle-checked (SURVEY.md §2.8 C1/C2/C4,
+  * §2.2 P3/P4, §2.4 A3). The scenario replicates the reference's two-run
+  * incremental test (reference: test/incremental_sync_test.go:20): a first
+  * sync at watermark W captures per-issue state; a simulated server-side edit
+  * bumps `updated` on a deterministic subset; the second run must pick up
+  * exactly the new+modified set, merge it upsert-on-newer, and report stats.
+  *
+  * All three phases are joins/aggregations — fully SQL-expressible, so DuckDB
+  * replays them on the same derived tables.
+  */
+object Cdc {
+
+  /** First-sync watermark. */
+  private val W = Timestamp.valueOf("1998-01-01 00:00:00")
+  /** Second-run sync instant. */
+  private val W2 = Timestamp.valueOf("1998-06-01 00:00:00")
+
+  /** `incoming`: the current issue table with simulated post-first-sync edits —
+    * issues whose key-suffix % 11 == 0 got `updated` bumped by 5 days.
+    */
+  private def incoming(s: SparkSession, dir: String): DataFrame =
+    Tables.issues(s, dir).withColumn("updated",
+      when(expr("cast(element_at(split(key, '-'), 2) as int) % 11 = 0"),
+        expr("timestampadd(DAY, 5, updated)")).otherwise(col("updated")))
+
+  private val incomingCte: String =
+    """incoming AS (
+      |  SELECT * REPLACE (
+      |    CASE WHEN string_split(key, '-')[2]::INT % 11 = 0
+      |      THEN updated + INTERVAL 5 DAY ELSE updated END AS updated)
+      |  FROM issues)""".stripMargin
+
+  /** SQL mirror of [[StateStore.fromIssues]] over a source CTE. */
+  private def stateSql(src: String, syncedAt: Timestamp): String =
+    s"""SELECT key, project_key, TIMESTAMP '$syncedAt' AS last_synced,
+       |  updated AS last_updated,
+       |  'projects/' || project_key || '/issues/' || key || '.yaml' AS file_path,
+       |  sha256(key || '|' || summary || '|' || updated::VARCHAR) AS checksum,
+       |  'synced' AS sync_status, 1 AS sync_count
+       |FROM $src""".stripMargin
+
+  /** P3/P4/C1: the incremental candidate set — new issues plus issues whose
+    * `updated` moved past their per-key last_synced.
+    */
+  private val changed = q("cdc_changed_issues",
+    Oracle.withIssues(
+      s""", $incomingCte,
+         |state AS (
+         |  SELECT key, updated AS last_synced FROM issues
+         |  WHERE updated <= TIMESTAMP '$W')
+         |SELECT i.key, i.project_key, i.updated,
+         |  CASE WHEN s.key IS NULL THEN 'new' ELSE 'modified' END AS change_type
+         |FROM incoming i LEFT JOIN state s ON s.key = i.key
+         |WHERE s.key IS NULL OR i.updated > s.last_synced
+         |ORDER BY i.key""".stripMargin)) { (s, dir) =>
+    val issues = Tables.issues(s, dir)
+    val state = issues.filter(col("updated") <= lit(W))
+      .select(col("key"), col("project_key"), col("updated").as("last_synced"),
+        col("updated").as("last_updated"), lit(null).cast("string").as("file_path"),
+        lit(null).cast("long").as("file_size"), lit(null).cast("string").as("checksum"),
+        lit("synced").as("sync_status"), lit(1).as("sync_count"))
+    StateStore.changedIssues(incoming(s, dir), state)
+      .select("key", "project_key", "updated", "change_type")
+      .orderBy("key")
+  }
+
+  /** C2: upsert-on-newer merge of the second run's batch into first-run
+    * state. Exercises all three merge branches: batch-newer (edited rows →
+    * sync_count bumps), idempotent re-sync (equal timestamps → state kept),
+    * and brand-new keys.
+    */
+  private val upsert = q("cdc_upsert_merge",
+    Oracle.withIssues(
+      s""", $incomingCte,
+         |state AS (${stateSql(s"issues WHERE updated <= TIMESTAMP '$W'", W)}),
+         |batch AS (${stateSql("incoming", W2)}),
+         |merged AS (
+         |  SELECT coalesce(b.key, s.key) AS key,
+         |    CASE WHEN s.key IS NULL OR (b.key IS NOT NULL AND b.last_updated > s.last_updated)
+         |      THEN b.project_key ELSE s.project_key END AS project_key,
+         |    CASE WHEN s.key IS NULL OR (b.key IS NOT NULL AND b.last_updated > s.last_updated)
+         |      THEN b.last_synced ELSE s.last_synced END AS last_synced,
+         |    CASE WHEN s.key IS NULL OR (b.key IS NOT NULL AND b.last_updated > s.last_updated)
+         |      THEN b.last_updated ELSE s.last_updated END AS last_updated,
+         |    CASE WHEN s.key IS NULL OR (b.key IS NOT NULL AND b.last_updated > s.last_updated)
+         |      THEN b.checksum ELSE s.checksum END AS checksum,
+         |    CASE WHEN s.key IS NULL THEN 1
+         |         WHEN b.key IS NOT NULL AND b.last_updated > s.last_updated
+         |           THEN s.sync_count + 1 ELSE s.sync_count END AS sync_count
+         |  FROM state s FULL JOIN batch b ON s.key = b.key)
+         |SELECT key, project_key, last_synced, last_updated, checksum, sync_count
+         |FROM merged ORDER BY key""".stripMargin)) { (s, dir) =>
+    val issues = Tables.issues(s, dir)
+    val state = StateStore.fromIssues(issues.filter(col("updated") <= lit(W)), W)
+    val batch = StateStore.fromIssues(incoming(s, dir), W2)
+    StateStore.merge(state, batch)
+      .select("key", "project_key", "last_synced", "last_updated", "checksum",
+        "sync_count")
+      .orderBy("key")
+  }
+
+  /** A3: aggregate sync statistics over the merged state. */
+  private val stats = q("cdc_sync_stats",
+    Oracle.withIssues(
+      s""", $incomingCte,
+         |state AS (${stateSql(s"issues WHERE updated <= TIMESTAMP '$W'", W)}),
+         |batch AS (${stateSql("incoming", W2)}),
+         |merged AS (
+         |  SELECT coalesce(b.key, s.key) AS key,
+         |    CASE WHEN s.key IS NULL OR (b.key IS NOT NULL AND b.last_updated > s.last_updated)
+         |      THEN b.project_key ELSE s.project_key END AS project_key,
+         |    CASE WHEN s.key IS NULL OR (b.key IS NOT NULL AND b.last_updated > s.last_updated)
+         |      THEN b.last_synced ELSE s.last_synced END AS last_synced,
+         |    CASE WHEN s.key IS NULL THEN 1
+         |         WHEN s.key IS NOT NULL AND b.key IS NOT NULL AND b.last_updated > s.last_updated
+         |           THEN s.sync_count + 1 ELSE s.sync_count END AS sync_count
+         |  FROM state s FULL JOIN batch b ON s.key = b.key)
+         |SELECT count(*) AS total_issues,
+         |  count(*) AS synced, 0 AS failed,
+         |  max(last_synced) AS last_sync_time,
+         |  round(avg(sync_count), 4) AS avg_sync_count,
+         |  array_to_string(list_sort(list(DISTINCT project_key)), ',') AS projects
+         |FROM merged""".stripMargin)) { (s, dir) =>
+    val issues = Tables.issues(s, dir)
+    val state = StateStore.fromIssues(issues.filter(col("updated") <= lit(W)), W)
+    val batch = StateStore.fromIssues(incoming(s, dir), W2)
+    StateStore.stats(StateStore.merge(state, batch))
+  }
+
+  /** C4/O5: operation-journal tail — newest 50 entries, bounded history
+    * (reference: pkg/state/manager.go:149-152,636-644). The events table
+    * stands in for the journal.
+    */
+  private val history = q("cdc_history_tail",
+    """SELECT event_id, event_type,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s, value
+      |FROM events
+      |ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .orderBy(desc("ts"), col("event_id"))
+      .select(col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("value"))
+      .limit(50)
+  }
+
+  val all: Seq[GQuery] = Seq(changed, upsert, stats, history)
+}

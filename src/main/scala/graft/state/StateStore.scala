@@ -1,0 +1,177 @@
+package graft.state
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The CDC ledger: a per-issue state table with atomic save and
+  * upsert-on-newer merge (reference: pkg/state/manager.go:99-182 load/save,
+  * :329-371 UpdateIssueState, :386-454 GetChangedIssues/ShouldSyncIssue,
+  * :457-470 GetLastSyncTime).
+  *
+  * The reference keeps a driver-side `map[issueKey]IssueState` serialized to
+  * one YAML file — the anti-pattern to avoid at scale (SURVEY.md §7.4). Here
+  * state is a parquet table partitioned like the issues table (shuffle on
+  * `key` only at merge time, co-partitionable with the issue source), and the
+  * save is the reference's tmp-file-then-rename commit re-expressed with the
+  * Hadoop FS API.
+  */
+object StateStore {
+
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("project_key", StringType, nullable = false),
+    StructField("last_synced", TimestampType, nullable = false),
+    StructField("last_updated", TimestampType, nullable = false),
+    StructField("file_path", StringType, nullable = true),
+    StructField("file_size", LongType, nullable = true),
+    StructField("checksum", StringType, nullable = true),
+    StructField("sync_status", StringType, nullable = false),
+    StructField("sync_count", IntegerType, nullable = false)))
+
+  def empty(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Load the state table, or an empty one on first run
+    * (reference: pkg/state/manager.go:99-136 returns fresh state when the
+    * file is absent).
+    */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path) else empty(spark)
+  }
+
+  /** Atomic overwrite: write to `<path>__tmp`, then swap — the reference's
+    * temp-file-then-rename commit (pkg/state/manager.go:165-179). The old
+    * state is kept at `<path>__bak` until the next save (BackupState,
+    * pkg/state/manager.go:210-237).
+    */
+  def save(state: DataFrame, path: String): Unit = {
+    val spark = state.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__tmp")
+    val bak = new Path(path + "__bak")
+    val dst = new Path(path)
+    state.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"atomic state rename failed: $tmp -> $dst")
+  }
+
+  /** Build state rows from a batch of synced issues. `syncedAt` is the run's
+    * logical sync time; checksum is SHA-256 of the record content
+    * (reference: pkg/state/manager.go:649-662).
+    */
+  def fromIssues(batch: DataFrame, syncedAt: java.sql.Timestamp): DataFrame =
+    batch.select(
+      col("key"),
+      col("project_key"),
+      lit(syncedAt).as("last_synced"),
+      col("updated").as("last_updated"),
+      concat(lit("projects/"), col("project_key"), lit("/issues/"), col("key"),
+        lit(".yaml")).as("file_path"),
+      lit(null).cast(LongType).as("file_size"),
+      sha2(concat_ws("|", col("key"), col("summary"), col("updated").cast("string")), 256)
+        .as("checksum"),
+      lit("synced").as("sync_status"),
+      lit(1).as("sync_count"))
+
+  /** Upsert-on-newer merge (C2): one batch of freshly-synced issue state into
+    * the existing table. Keyed full-outer join on `key`; the batch side wins
+    * only when `last_updated` is strictly newer (idempotent re-runs are
+    * no-ops and do not bump sync_count), matching ShouldSyncIssue
+    * (reference: pkg/state/manager.go:445-454).
+    */
+  def merge(state: DataFrame, batch: DataFrame): DataFrame = {
+    val s = state.select(schema.fieldNames.map(f => col(f).as(s"s_$f")).toSeq: _*)
+    val b = batch.select(schema.fieldNames.map(f => col(f).as(s"b_$f")).toSeq: _*)
+    val takeBatch = col("s_key").isNull ||
+      (col("b_key").isNotNull && col("b_last_updated") > col("s_last_updated"))
+    s.join(b, col("s_key") === col("b_key"), "full_outer")
+      .select(
+        coalesce(col("b_key"), col("s_key")).as("key"),
+        when(takeBatch, col("b_project_key")).otherwise(col("s_project_key")).as("project_key"),
+        when(takeBatch, col("b_last_synced")).otherwise(col("s_last_synced")).as("last_synced"),
+        when(takeBatch, col("b_last_updated")).otherwise(col("s_last_updated")).as("last_updated"),
+        when(takeBatch, col("b_file_path")).otherwise(col("s_file_path")).as("file_path"),
+        when(takeBatch, col("b_file_size")).otherwise(col("s_file_size")).as("file_size"),
+        when(takeBatch, col("b_checksum")).otherwise(col("s_checksum")).as("checksum"),
+        when(takeBatch, col("b_sync_status")).otherwise(col("s_sync_status")).as("sync_status"),
+        when(col("s_key").isNull, lit(1))
+          .when(takeBatch, col("s_sync_count") + 1)
+          .otherwise(col("s_sync_count")).as("sync_count"))
+  }
+
+  /** The incremental candidate filter (P3/C1): keep issues that are new
+    * (absent from state) or modified (updated strictly after last_synced),
+    * with the reference's options — project allow-list, `since` lower bound,
+    * `force` bypass (reference: internal/sync/incremental.go:298-363,
+    * pkg/state/manager.go:386-442).
+    */
+  def changedIssues(
+      issues: DataFrame,
+      state: DataFrame,
+      includeNew: Boolean = true,
+      includeModified: Boolean = true,
+      projects: Seq[String] = Nil,
+      since: Option[java.sql.Timestamp] = None,
+      force: Boolean = false): DataFrame = {
+    val scoped0 =
+      if (projects.nonEmpty) issues.filter(col("project_key").isin(projects: _*))
+      else issues
+    val scoped = since.fold(scoped0)(t => scoped0.filter(col("updated") >= lit(t)))
+    if (force) scoped.withColumn("change_type", lit("forced"))
+    else {
+      val st = state.select(col("key").as("s_key"), col("last_synced"))
+      val joined = scoped.join(st, col("key") === col("s_key"), "left")
+      val isNew = col("s_key").isNull
+      val isMod = col("s_key").isNotNull && col("updated") > col("last_synced")
+      val keep = (if (includeNew) isNew else lit(false)) ||
+        (if (includeModified) isMod else lit(false))
+      joined.filter(keep)
+        .withColumn("change_type", when(isNew, "new").otherwise("modified"))
+        .drop("s_key", "last_synced")
+    }
+  }
+
+  /** High-water-mark: the latest successful sync instant
+    * (reference: pkg/state/manager.go:457-470).
+    */
+  def highWaterMark(state: DataFrame): Option[java.sql.Timestamp] =
+    state.agg(max("last_synced")).head.get(0) match {
+      case t: java.sql.Timestamp => Some(t)
+      case ldt: java.time.LocalDateTime => Some(java.sql.Timestamp.valueOf(ldt))
+      case _ => None
+    }
+
+  /** Aggregate sync statistics (A3, reference: pkg/state/manager.go:599-633). */
+  def stats(state: DataFrame): DataFrame =
+    state.agg(
+      count(lit(1)).as("total_issues"),
+      sum(when(col("sync_status") === "synced", 1).otherwise(0)).as("synced"),
+      sum(when(col("sync_status") =!= "synced", 1).otherwise(0)).as("failed"),
+      max(col("last_synced")).as("last_sync_time"),
+      round(avg(col("sync_count")), 4).as("avg_sync_count"),
+      array_join(sort_array(collect_set(col("project_key"))), ",").as("projects"))
+
+  /** State-vs-files reconciliation (J6): anti-joins both ways plus checksum
+    * drift (reference: pkg/state/manager.go:473-550). `files` must carry
+    * (file_path, checksum).
+    */
+  def validate(state: DataFrame, files: DataFrame): DataFrame = {
+    val f = files.select(col("file_path").as("f_path"), col("checksum").as("f_checksum"))
+    val missing = state.join(f, col("file_path") === col("f_path"), "left_anti")
+      .select(col("key"), col("file_path"), lit("missing_file").as("issue"))
+    val orphaned = f.join(state, col("f_path") === col("file_path"), "left_anti")
+      .select(lit(null).cast(StringType).as("key"), col("f_path").as("file_path"),
+        lit("orphaned_file").as("issue"))
+    val drift = state.join(f, col("file_path") === col("f_path"))
+      .filter(col("checksum") =!= col("f_checksum"))
+      .select(col("key"), col("file_path"), lit("checksum_mismatch").as("issue"))
+    missing.unionByName(orphaned).unionByName(drift)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.state.StateStore
+
+class StateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def batchDf(rows: Seq[(String, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("key", "project_key", "summary", "u")
+      .withColumn("updated", col("u").cast("timestamp")).drop("u")
+  }
+
+  test("save is atomic: tmp+rename with backup, load round-trips") {
+    val dir = Files.createTempDirectory("graft-state").toString
+    val path = s"$dir/state"
+    val s1 = StateStore.fromIssues(
+      batchDf(Seq(("P1-1", "P1", "a", "2024-01-01 00:00:00"))), ts("2024-01-02 00:00:00"))
+    StateStore.save(s1, path)
+    assert(StateStore.load(spark, path).count() == 1)
+    val s2 = StateStore.fromIssues(
+      batchDf(Seq(("P1-2", "P1", "b", "2024-01-03 00:00:00"))), ts("2024-01-04 00:00:00"))
+    StateStore.save(StateStore.merge(StateStore.load(spark, path), s2), path)
+    val loaded = StateStore.load(spark, path)
+    assert(loaded.count() == 2)
+    assert(new java.io.File(path + "__bak").exists()) // previous state retained
+  }
+
+  test("merge: newer wins, idempotent re-sync keeps state, new keys insert") {
+    val state = StateStore.fromIssues(
+      batchDf(Seq(
+        ("P1-1", "P1", "one", "2024-01-01 00:00:00"),
+        ("P1-2", "P1", "two", "2024-01-01 00:00:00"))), ts("2024-01-02 00:00:00"))
+    val batch = StateStore.fromIssues(
+      batchDf(Seq(
+        ("P1-1", "P1", "one-edited", "2024-02-01 00:00:00"), // newer → wins
+        ("P1-2", "P1", "two", "2024-01-01 00:00:00"),        // same → idempotent
+        ("P1-3", "P1", "three", "2024-02-01 00:00:00"))),    // new → insert
+      ts("2024-02-02 00:00:00"))
+    val m = StateStore.merge(state, batch).cache()
+    assert(m.count() == 3)
+    val byKey = m.collect().map(r => r.getAs[String]("key") -> r.getAs[Int]("sync_count")).toMap
+    assert(byKey("P1-1") == 2) // bumped
+    assert(byKey("P1-2") == 1) // unchanged
+    assert(byKey("P1-3") == 1) // fresh
+    val p12 = m.filter(col("key") === "P1-2").head
+    assert(p12.getAs[Timestamp]("last_synced") == ts("2024-01-02 00:00:00")) // state kept
+    val p11 = m.filter(col("key") === "P1-1").head
+    assert(p11.getAs[Timestamp]("last_synced") == ts("2024-02-02 00:00:00")) // batch took over
+  }
+
+  test("changedIssues: new + modified only; force bypasses; project scoping") {
+    val issues = batchDf(Seq(
+      ("P1-1", "P1", "a", "2024-01-05 00:00:00"), // modified (state older)
+      ("P1-2", "P1", "b", "2024-01-01 00:00:00"), // unchanged
+      ("P2-1", "P2", "c", "2024-01-05 00:00:00"))) // new
+    val state = StateStore.fromIssues(
+      batchDf(Seq(
+        ("P1-1", "P1", "a", "2024-01-01 00:00:00"),
+        ("P1-2", "P1", "b", "2024-01-01 00:00:00"))), ts("2024-01-02 00:00:00"))
+    val changed = StateStore.changedIssues(issues, state).cache()
+    val types = changed.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("change_type")).toMap
+    assert(types == Map("P1-1" -> "modified", "P2-1" -> "new"))
+    assert(StateStore.changedIssues(issues, state, force = true).count() == 3)
+    assert(StateStore.changedIssues(issues, state, projects = Seq("P2")).count() == 1)
+    assert(StateStore.changedIssues(issues, state, includeModified = false).count() == 1)
+  }
+
+  test("high-water-mark and stats") {
+    val state = StateStore.fromIssues(
+      batchDf(Seq(("P1-1", "P1", "a", "2024-01-01 00:00:00"),
+        ("P2-9", "P2", "b", "2024-01-03 00:00:00"))), ts("2024-01-04 00:00:00"))
+    assert(StateStore.highWaterMark(state).contains(ts("2024-01-04 00:00:00")))
+    assert(StateStore.highWaterMark(StateStore.empty(spark)).isEmpty)
+    val st = StateStore.stats(state).head
+    assert(st.getAs[Long]("total_issues") == 2)
+    assert(st.getAs[String]("projects") == "P1,P2")
+  }
+
+  test("validate: missing files, orphans, checksum drift via anti-joins") {
+    val state = StateStore.fromIssues(
+      batchDf(Seq(("P1-1", "P1", "a", "2024-01-01 00:00:00"),
+        ("P1-2", "P1", "b", "2024-01-01 00:00:00"))), ts("2024-01-02 00:00:00"))
+    // files: P1-1 present with drifted checksum; P1-2 missing; one orphan
+    val files = spark.createDataFrame(Seq(
+      ("projects/P1/issues/P1-1.yaml", "deadbeef"),
+      ("projects/P1/issues/ZZZ-1.yaml", "cafe"))).toDF("file_path", "checksum")
+    val issues = StateStore.validate(state, files).collect()
+      .map(r => (r.getAs[String]("issue"), Option(r.getAs[String]("key")))).toSet
+    assert(issues == Set(
+      ("missing_file", Some("P1-2")),
+      ("orphaned_file", None),
+      ("checksum_mismatch", Some("P1-1"))))
+  }
+
+  test("streaming CDC: foreachBatch merge over MemoryStream reaches correct state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-state").toString
+    val path = s"$dir/state"
+    val mem = MemoryStream[(String, String, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("key", "project_key", "summary", "updated")
+    val query = df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val syncedAt = ts(s"2024-03-0${id + 1} 00:00:00")
+        val merged = StateStore.merge(
+          StateStore.load(spark, path),
+          StateStore.fromIssues(batch, syncedAt))
+        StateStore.save(merged, path)
+      }
+      .start()
+    try {
+      mem.addData(("P1-1", "P1", "v1", ts("2024-01-01 00:00:00")),
+        ("P1-2", "P1", "v1", ts("2024-01-01 00:00:00")))
+      query.processAllAvailable()
+      mem.addData(("P1-1", "P1", "v2", ts("2024-02-01 00:00:00"))) // late edit
+      query.processAllAvailable()
+    } finally query.stop()
+    val state = StateStore.load(spark, path).cache()
+    assert(state.count() == 2)
+    val p11 = state.filter(col("key") === "P1-1").head
+    assert(p11.getAs[Int]("sync_count") == 2)
+    assert(p11.getAs[Timestamp]("last_updated") == ts("2024-02-01 00:00:00"))
+  }
+}
