@@ -10,7 +10,7 @@ object SparkEntry {
 
   /** All registered queries, one per implemented operator (SURVEY.md §2). */
   private lazy val registry: Seq[GQuery] =
-    Relational.all ++ Jql.all ++ Cdc.all ++
+    Relational.all ++ Jql.all ++ Cdc.all ++ Epic.all ++ Sink.all ++
       pipeline.Dedup.all ++ pipeline.Similarity.all ++ pipeline.TextAnalysis.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,44 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{Oracle, Tables}
+import graft.sink.Yaml
+
+/** Sink round-trip operator (SURVEY.md §2.1 S6/S7): a bounded, deterministic
+  * slice of the issues table is written out as one YAML file per issue and
+  * read back through the YAML source; the oracle checks the surviving
+  * projection against the original rows. The slice is capped by key suffix so
+  * file count stays constant across scale factors.
+  */
+object Sink {
+
+  private val roundtrip = q("sink_yaml_roundtrip",
+    Oracle.withIssues(
+      """SELECT key, project_key, summary, status_name, priority, issuetype,
+        |  strftime(created, '%Y-%m-%d %H:%M:%S') AS created_s,
+        |  strftime(updated, '%Y-%m-%d %H:%M:%S') AS updated_s,
+        |  coalesce(epic_link, '') AS epic_link,
+        |  coalesce(parent_issue, '') AS parent_issue
+        |FROM issues
+        |WHERE project_key = 'P1' AND string_split(key, '-')[2]::INT < 2000
+        |ORDER BY key""".stripMargin)) { (s, dir) =>
+    val slice = Tables.issues(s, dir)
+      .filter(col("project_key") === "P1" &&
+        expr("cast(element_at(split(key, '-'), 2) as int) < 2000"))
+    val repo = Files.createTempDirectory("graft-yaml-rt").toString
+    Yaml.writeIssues(slice, repo)
+    Yaml.readIssues(s, repo)
+      .select(col("key"), col("project_key"), col("summary"), col("status_name"),
+        col("priority"), col("issuetype"),
+        date_format(col("created"), "yyyy-MM-dd HH:mm:ss").as("created_s"),
+        date_format(col("updated"), "yyyy-MM-dd HH:mm:ss").as("updated_s"),
+        coalesce(col("epic_link"), lit("")).as("epic_link"),
+        coalesce(col("parent_issue"), lit("")).as("parent_issue"))
+      .orderBy("key")
+  }
+
+  val all: Seq[GQuery] = Seq(roundtrip)
+}

@@ -1,0 +1,83 @@
+package graft.sink
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+
+import scala.sys.process._
+
+/** Git commit sink (SURVEY.md §2.1 S9/S10): repo init/validate plus one
+  * commit per micro-batch — the scalable re-design of the reference's
+  * commit-per-issue loop (reference: pkg/git/git.go:61-119 init/validate,
+  * :214-287 CommitIssueFile; per-batch rationale SURVEY.md §4.2).
+  *
+  * Driver-side by design: a git repository is a single serialized resource,
+  * so the sink runs in `foreachBatch` after the distributed file write —
+  * executors write YAML in parallel, the driver commits once. Identity is
+  * passed per-invocation with `-c` flags; no global git config is touched.
+  */
+object GitRepo {
+
+  private def run(dir: File, args: String*): (Int, String) = {
+    val out = new StringBuilder
+    val logger = ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n'))
+    val code = Process("git" +: args.toSeq, dir).!(logger)
+    (code, out.result())
+  }
+
+  /** Initialize the repo if absent (reference: pkg/git/git.go:61-95). */
+  def init(repoDir: String): Unit = {
+    val dir = new File(repoDir)
+    dir.mkdirs()
+    if (!new File(dir, ".git").exists()) {
+      val (code, out) = run(dir, "init", "-q")
+      require(code == 0, s"git init failed: $out")
+    }
+  }
+
+  /** A clean worktree has no pending changes
+    * (reference: pkg/git/git.go:104-119 ValidateWorkingTree).
+    */
+  def isClean(repoDir: String): Boolean = {
+    val (code, out) = run(new File(repoDir), "status", "--porcelain")
+    code == 0 && out.trim.isEmpty
+  }
+
+  /** Repo status introspection (reference: pkg/git/git.go:149-211). */
+  def status(repoDir: String): Map[String, String] = {
+    val (_, branch) = run(new File(repoDir), "rev-parse", "--abbrev-ref", "HEAD")
+    val (_, porcelain) = run(new File(repoDir), "status", "--porcelain")
+    Map("branch" -> branch.trim, "dirty" -> porcelain.trim.nonEmpty.toString)
+  }
+
+  /** Stage `pathspec` and commit with `message`. One commit per batch.
+    * Returns the new commit hash, or None when there was nothing to commit
+    * (idempotent re-runs).
+    */
+  def commitBatch(repoDir: String, message: String,
+      pathspec: String = "projects"): Option[String] = {
+    val dir = new File(repoDir)
+    val (addCode, addOut) = run(dir, "add", "-A", "--", pathspec)
+    require(addCode == 0, s"git add failed: $addOut")
+    val (diffCode, _) = run(dir, "diff", "--cached", "--quiet")
+    if (diffCode == 0) None // nothing staged
+    else {
+      val msgFile = File.createTempFile("graft-commit", ".txt")
+      try {
+        java.nio.file.Files.write(msgFile.toPath,
+          message.getBytes(StandardCharsets.UTF_8))
+        val (code, out) = run(dir,
+          "-c", "user.name=graft-sync", "-c", "user.email=graft-sync@localhost",
+          "commit", "-q", "-F", msgFile.getAbsolutePath)
+        require(code == 0, s"git commit failed: $out")
+        val (_, hash) = run(dir, "rev-parse", "HEAD")
+        Some(hash.trim)
+      } finally msgFile.delete()
+    }
+  }
+
+  /** Commit subjects, newest first. */
+  def log(repoDir: String, n: Int = 50): Seq[String] = {
+    val (_, out) = run(new File(repoDir), "log", s"-$n", "--pretty=%s")
+    out.linesIterator.filter(_.nonEmpty).toSeq
+  }
+}

@@ -1,0 +1,157 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+
+/** YAML record sink + source (SURVEY.md §2.1 S6/S7/S8): one issue = one YAML
+  * file at `projects/{project}/issues/{key}.yaml`, the reference's on-disk
+  * contract (reference: pkg/schema/yaml.go:30-84, path rule :118-122).
+  *
+  * The write is `foreachPartition` — each task writes its partition's files
+  * directly (no driver collect), so the sink parallelizes with the data; the
+  * directory layout does the job of `partitionBy`. The read is
+  * `spark.read.text(wholetext)` + a per-partition snakeyaml parse back into
+  * the flat issue schema.
+  */
+object Yaml {
+
+  /** Issue columns persisted to YAML (the flat schema of Tables.issues). */
+  val columns: Seq[String] = Seq(
+    "key", "project_key", "summary", "description", "status_name",
+    "status_category", "assignee_name", "assignee_email", "reporter_name",
+    "reporter_email", "created", "updated", "priority", "issuetype", "sprint",
+    "epic_link", "parent_issue")
+
+  private def esc(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private val wire = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+  private def fmtTs(r: Row, field: String): String = r.get(r.fieldIndex(field)) match {
+    case t: java.sql.Timestamp => t.toLocalDateTime.format(wire)
+    case ldt: java.time.LocalDateTime => ldt.format(wire)
+    case null => ""
+    case other => other.toString
+  }
+
+  /** Serialize one flat issue row to the reference's YAML document layout
+    * (nested status/assignee/reporter/relationships blocks;
+    * reference: pkg/schema/yaml.go:137-155 ToYAML).
+    */
+  def toYamlString(r: Row): String = {
+    def s(f: String): String = Option(r.getAs[String](f)).getOrElse("")
+    val sb = new StringBuilder
+    sb ++= s"key: ${esc(s("key"))}\n"
+    sb ++= s"project: ${esc(s("project_key"))}\n"
+    sb ++= s"summary: ${esc(s("summary"))}\n"
+    sb ++= s"description: ${esc(s("description"))}\n"
+    sb ++= "status:\n"
+    sb ++= s"  name: ${esc(s("status_name"))}\n"
+    sb ++= s"  category: ${esc(s("status_category"))}\n"
+    sb ++= "assignee:\n"
+    sb ++= s"  name: ${esc(s("assignee_name"))}\n"
+    sb ++= s"  email: ${esc(s("assignee_email"))}\n"
+    sb ++= "reporter:\n"
+    sb ++= s"  name: ${esc(s("reporter_name"))}\n"
+    sb ++= s"  email: ${esc(s("reporter_email"))}\n"
+    sb ++= s"created: ${esc(fmtTs(r, "created"))}\n"
+    sb ++= s"updated: ${esc(fmtTs(r, "updated"))}\n"
+    sb ++= s"priority: ${esc(s("priority"))}\n"
+    sb ++= s"issuetype: ${esc(s("issuetype"))}\n"
+    sb ++= s"sprint: ${esc(s("sprint"))}\n"
+    val hasRel = s("epic_link").nonEmpty || s("parent_issue").nonEmpty
+    if (hasRel) {
+      sb ++= "relationships:\n"
+      if (s("epic_link").nonEmpty) sb ++= s"  epic_link: ${esc(s("epic_link"))}\n"
+      if (s("parent_issue").nonEmpty) sb ++= s"  parent_issue: ${esc(s("parent_issue"))}\n"
+    }
+    sb.result()
+  }
+
+  /** S6/S8: write one YAML file per issue under
+    * `repoDir/projects/{project}/issues/`, creating the directory tree
+    * (reference: pkg/schema/yaml.go:88-116 CreateDirectoryStructure).
+    * Returns the written count.
+    */
+  def writeIssues(issues: DataFrame, repoDir: String): Long = {
+    val counter = issues.sparkSession.sparkContext.longAccumulator("yaml_written")
+    issues.select(columns.map(col): _*).foreachPartition { rows: Iterator[Row] =>
+      rows.foreach { r =>
+        val proj = r.getAs[String]("project_key")
+        val key = r.getAs[String]("key")
+        val dir = Paths.get(repoDir, "projects", proj, "issues")
+        Files.createDirectories(dir)
+        Files.write(dir.resolve(s"$key.yaml"),
+          toYamlString(r).getBytes(StandardCharsets.UTF_8))
+        counter.add(1)
+      }
+    }
+    counter.value
+  }
+
+  /** Flat issue record parsed back from YAML (timestamps re-parsed from the
+    * wire format — F3's chain applies on read).
+    */
+  final case class YamlIssue(
+      key: String, project_key: String, summary: String, description: String,
+      status_name: String, status_category: String,
+      assignee_name: String, assignee_email: String,
+      reporter_name: String, reporter_email: String,
+      created: java.sql.Timestamp, updated: java.sql.Timestamp,
+      priority: String, issuetype: String, sprint: Option[String],
+      epic_link: Option[String], parent_issue: Option[String])
+
+  /** S7: read the YAML tree back into the flat issue schema. */
+  def readIssues(spark: SparkSession, repoDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.option("wholetext", "true")
+      .text(s"$repoDir/projects/*/issues/*.yaml")
+      .as[String]
+    raw.mapPartitions { docs =>
+      val yaml = new org.yaml.snakeyaml.Yaml()
+      val parseTs = (s: String) =>
+        java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.parse(s,
+            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")))
+      docs.map { doc =>
+        val m = yaml.load[java.util.Map[String, Object]](doc).asScala
+        def str(k: String): String = Option(m.get(k).orNull).map(_.toString).getOrElse("")
+        def nested(k: String, f: String): String = m.get(k) match {
+          case Some(sub: java.util.Map[_, _]) =>
+            Option(sub.asInstanceOf[java.util.Map[String, Object]].get(f))
+              .map(_.toString).getOrElse("")
+          case _ => ""
+        }
+        def opt(s: String): Option[String] = if (s.isEmpty) None else Some(s)
+        YamlIssue(
+          str("key"), str("project"), str("summary"), str("description"),
+          nested("status", "name"), nested("status", "category"),
+          nested("assignee", "name"), nested("assignee", "email"),
+          nested("reporter", "name"), nested("reporter", "email"),
+          parseTs(str("created")), parseTs(str("updated")),
+          str("priority"), str("issuetype"), opt(str("sprint")),
+          opt(nested("relationships", "epic_link")),
+          opt(nested("relationships", "parent_issue")))
+      }
+    }.toDF()
+  }
+
+  /** F9: conventional-commit message column — `{type}({project}): {action}
+    * issue {key}` with the reference's issue-type → commit-type mapping
+    * (reference: pkg/git/git.go:293-327 message format, :343-358 Bug→fix etc.).
+    */
+  def commitMessage(issuetype: Column, project: Column, key: Column,
+      action: Column): Column = {
+    val ctype = when(lower(issuetype) === "bug", "fix")
+      .when(lower(issuetype).isin("story", "epic"), "feat")
+      .when(lower(issuetype).isin("task", "sub-task", "subtask"), "chore")
+      .otherwise("feat")
+    concat(ctype, lit("("), project, lit("): "), action, lit(" issue "), key)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.{GitRepo, Yaml}
+
+class SinkSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("YAML write → read round-trips every field") {
+    val repo = Files.createTempDirectory("graft-rt").toString
+    val slice = Tables.issues(spark, sf)
+      .filter(col("project_key") === "P2")
+      .limit(200).cache()
+    val n = Yaml.writeIssues(slice, repo)
+    assert(n == slice.count())
+    val back = Yaml.readIssues(spark, repo).cache()
+    assert(back.count() == n)
+    // cast timestamps to strings: source is TIMESTAMP_NTZ, round-trip is
+    // TIMESTAMP — same instants, different Row rendering
+    val cols = Yaml.columns.map {
+      case c @ ("created" | "updated") => date_format(col(c), "yyyy-MM-dd HH:mm:ss").as(c)
+      case c => col(c)
+    }
+    val orig = slice.select(cols: _*).orderBy("key").collect()
+    val rt = back.select(cols: _*).orderBy("key").collect()
+    orig.zip(rt).foreach { case (a, b) =>
+      assert(a.toString == b.toString, s"row mismatch: $a vs $b")
+    }
+  }
+
+  test("YAML escaping survives quotes and backslashes") {
+    import spark.implicits._
+    val repo = Files.createTempDirectory("graft-esc").toString
+    val tricky = Seq(
+      ("PX-1", "PX", """He said "hi" \ bye""", "d", "To Do", "new", "u", "u@e",
+        "r", "r@e", "2024-01-01 00:00:00", "2024-01-02 00:00:00", "High",
+        "Bug", null, null, null))
+      .toDF("key", "project_key", "summary", "description", "status_name",
+        "status_category", "assignee_name", "assignee_email", "reporter_name",
+        "reporter_email", "c", "u2", "priority", "issuetype", "sprint",
+        "epic_link", "parent_issue")
+      .withColumn("created", col("c").cast("timestamp"))
+      .withColumn("updated", col("u2").cast("timestamp"))
+      .drop("c", "u2")
+    Yaml.writeIssues(tricky, repo)
+    val back = Yaml.readIssues(spark, repo).head
+    assert(back.getAs[String]("summary") == """He said "hi" \ bye""")
+  }
+
+  test("git sink: init, batch commits, clean worktree, conventional messages") {
+    val repo = Files.createTempDirectory("graft-git").toString
+    GitRepo.init(repo)
+    assert(GitRepo.isClean(repo))
+
+    // batch 1: two issues
+    val b1 = Tables.issues(spark, sf).filter(col("project_key") === "P3").limit(2)
+    Yaml.writeIssues(b1, repo)
+    val h1 = GitRepo.commitBatch(repo, "feat(sync): sync batch 1 (2 issues)")
+    assert(h1.isDefined)
+    assert(GitRepo.isClean(repo))
+
+    // idempotent re-run: same content → nothing to commit
+    Yaml.writeIssues(b1, repo)
+    assert(GitRepo.commitBatch(repo, "feat(sync): rerun").isEmpty)
+
+    // batch 2: more issues → second commit
+    val b2 = Tables.issues(spark, sf).filter(col("project_key") === "P4").limit(2)
+    Yaml.writeIssues(b2, repo)
+    val h2 = GitRepo.commitBatch(repo, "feat(sync): sync batch 2 (2 issues)")
+    assert(h2.isDefined && h2 != h1)
+
+    val log = GitRepo.log(repo)
+    assert(log == Seq("feat(sync): sync batch 2 (2 issues)",
+      "feat(sync): sync batch 1 (2 issues)"))
+    assert(GitRepo.status(repo)("dirty") == "false")
+  }
+
+  test("commit message column maps issue types to conventional types") {
+    import spark.implicits._
+    val df = Seq(("Bug", "P1", "P1-1"), ("Story", "P1", "P1-2"),
+      ("Task", "P2", "P2-3"), ("Epic", "P2", "P2-4"))
+      .toDF("issuetype", "project", "key")
+      .select(Yaml.commitMessage(col("issuetype"), col("project"), col("key"),
+        lit("add")).as("msg"))
+    val msgs = df.collect().map(_.getString(0)).toSeq
+    assert(msgs == Seq(
+      "fix(P1): add issue P1-1", "feat(P1): add issue P1-2",
+      "chore(P2): add issue P2-3", "feat(P2): add issue P2-4"))
+  }
+
+  test("streaming CDC writes YAML + commits per micro-batch (the full sink path)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val repo = Files.createTempDirectory("graft-stream-sink").toString
+    GitRepo.init(repo)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val issues = Tables.issues(spark, sf).limit(0).cache() // schema template
+    val query = mem.toDF().toDF("key", "project_key")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // enrich the keys into full issue rows from the source table
+        val full = Tables.issues(spark, sf)
+          .join(batch.select("key"), Seq("key"), "left_semi")
+        val n = Yaml.writeIssues(full, repo)
+        GitRepo.commitBatch(repo, s"feat(sync): sync batch $id ($n issues)")
+        ()
+      }.start()
+    try {
+      val twoKeys = Tables.issues(spark, sf).select("key", "project_key")
+        .orderBy("key").limit(2).as[(String, String)].collect()
+      mem.addData(twoKeys.toIndexedSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(GitRepo.log(repo).exists(_.startsWith("feat(sync): sync batch 0")))
+    assert(GitRepo.isClean(repo))
+  }
+}
