@@ -11,7 +11,9 @@ object SparkEntry {
   /** All registered queries, one per implemented operator (SURVEY.md §2). */
   private lazy val registry: Seq[GQuery] =
     Relational.all ++ Jql.all ++ Cdc.all ++ Epic.all ++ Sink.all ++
-      pipeline.Dedup.all ++ pipeline.Similarity.all ++ pipeline.TextAnalysis.all
+      Profiles.all ++
+      pipeline.Dedup.all ++ pipeline.Similarity.all ++
+      pipeline.TextAnalysis.all ++ pipeline.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.queries.{q, GQuery}
+
+/** Multimodal column handling (SURVEY.md north-star): media as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted through a
+  * batched per-partition decoder.
+  *
+  * The container has no image/audio codecs, so [[FakeDecoder]] is a
+  * deterministic stand-in — but everything Spark-side is real and tested:
+  * the media schema (binary + struct metadata), the per-partition batched
+  * decode (`mapPartitions`, the Scala analogue of `mapInPandas`: one decoder
+  * instance per partition, streaming batches, never a per-row UDF), frame
+  * sampling via `explode`, and fixed-width feature extraction. Swapping
+  * [[FakeDecoder]] for a JNI/codec-backed [[MediaDecoder]] changes no
+  * plumbing.
+  *
+  * Oracle strategy: the fake media table derives its binary content from
+  * `documents.text` (UTF-8 bytes), so DuckDB reproduces every decoded value
+  * from the text side while Spark genuinely computes from the binary column.
+  */
+object Multimodal {
+
+  /** Decoded media metadata. */
+  final case class MediaMeta(
+      doc_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, sample_rate: Int, duration_ms: Long)
+
+  /** The decode contract: batched, one instance per partition. A real
+    * implementation would wrap an image/audio codec here.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(docId: Long, kind: String, content: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic fake: metadata derived purely from byte length — the
+    * codec stub (`???` equivalent) with a reproducible contract so the
+    * pipeline stays oracle-checkable.
+    */
+  object FakeDecoder extends MediaDecoder {
+    def decode(docId: Long, kind: String, content: Array[Byte]): MediaMeta = {
+      val n = content.length.toLong
+      kind match {
+        case "image" =>
+          MediaMeta(docId, kind, n, (n % 1920).toInt + 1, (n % 1080).toInt + 1, 0, 0L)
+        case "audio" =>
+          MediaMeta(docId, kind, n, 0, 0, if (n % 2 == 0) 44100 else 16000, n * 10)
+        case _ => // video
+          MediaMeta(docId, kind, n, (n % 1280).toInt + 1, (n % 720).toInt + 1, 0, n * 10)
+      }
+    }
+  }
+
+  /** The media table: binary content (UTF-8 text bytes as the stand-in
+    * payload) + kind assigned round-robin. At scale this is the raw bytes
+    * column of an ingested dataset, partitioned like its source.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+          .as("kind"),
+        col("text").cast("binary").as("content"))
+
+  private val kindCase =
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  /** Decode through the batched decoder: mapPartitions over (id, kind, bytes)
+    * — the real plumbing a codec would plug into.
+    */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        val dec = FakeDecoder // one decoder instance per partition
+        batch.map { case (id, kind, bytes) => dec.decode(id, kind, bytes) }
+      }.toDF()
+  }
+
+  /** Decoded metadata, oracle-checked against the text-side derivation. */
+  private val meta = q("mm_decode_meta",
+    s"""SELECT doc_id, $kindCase AS kind,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  CASE WHEN $kindCase = 'image' THEN (octet_length(encode(text)) % 1920)::INT + 1
+       |       WHEN $kindCase = 'video' THEN (octet_length(encode(text)) % 1280)::INT + 1
+       |       ELSE 0 END AS width,
+       |  CASE WHEN $kindCase = 'image' THEN (octet_length(encode(text)) % 1080)::INT + 1
+       |       WHEN $kindCase = 'video' THEN (octet_length(encode(text)) % 720)::INT + 1
+       |       ELSE 0 END AS height,
+       |  CASE WHEN $kindCase = 'audio'
+       |       THEN CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 44100 ELSE 16000 END
+       |       ELSE 0 END AS sample_rate,
+       |  CASE WHEN $kindCase IN ('audio', 'video')
+       |       THEN octet_length(encode(text)) * 10 ELSE 0 END AS duration_ms
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    decodeMeta(mediaTable(s, dir)).orderBy("doc_id")
+  }
+
+  /** Frame sampling: one row per sampled frame (every 2s of fake video) —
+    * the explode/Generator shape of media expansion.
+    */
+  private val frames = q("mm_frame_sample",
+    s"""WITH v AS (
+       |  SELECT doc_id, octet_length(encode(text)) * 10 AS duration_ms
+       |  FROM documents WHERE $kindCase = 'video')
+       |SELECT doc_id, f AS frame_idx, f * 2000 AS ts_ms
+       |FROM v, unnest(generate_series(0, duration_ms // 2000)) t(f)
+       |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    decodeMeta(mediaTable(s, dir))
+      .filter(col("kind") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), floor(col("duration_ms") / 2000).cast("long")))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"), (col("frame_idx") * 2000).as("ts_ms"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Feature extraction: binary content → fixed-width deterministic feature
+    * vector (8 dims, flat columns). The stub derives features from md5 of the
+    * bytes; a real extractor would emit an embedding — same shape, same
+    * partitioning.
+    */
+  private val features = {
+    val dims = 0 until 8
+    val sqlCols = dims.map(i =>
+      s"(${sqlHash64(s"'$i|' || md5(text)")} % 1000) / 1000.0 AS f$i").mkString(",\n  ")
+    q("mm_feature_extract",
+      s"""SELECT doc_id,
+         |  $sqlCols
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // md5 over the BINARY column — identical to DuckDB's md5(text) because
+      // the stand-in payload is the UTF-8 encoding of text
+      val base = mediaTable(s, dir).select(col("doc_id"), md5(col("content")).as("h"))
+      val featCols = dims.map(i =>
+        (hash64(concat(lit(s"$i|"), col("h"))) % 1000 / lit(1000.0)).as(s"f$i"))
+      base.select(col("doc_id") +: featCols: _*).orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(meta, frames, features)
+}
