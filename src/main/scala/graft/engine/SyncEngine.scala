@@ -1,0 +1,185 @@
+package graft.engine
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.BatchResult
+import graft.sink.{GitRepo, Yaml}
+import graft.sources.Ingest
+import graft.state.StateStore
+
+/** The batch/incremental sync pipeline as a library facade — the reference's
+  * main loop (fetch → filter → write YAML → link edges → git commit → update
+  * state) re-expressed as DataFrame stages
+  * (reference: internal/sync/batch.go:179-426,
+  * internal/sync/incremental.go:77-179).
+  *
+  * The reference fans out per-issue tasks to a goroutine pool; here the
+  * parallelism is Spark task parallelism over partitions, the per-issue git
+  * commit becomes one commit per batch (SURVEY.md §4.2), and per-issue state
+  * updates become one keyed merge.
+  */
+object SyncEngine {
+
+  /** Sync options (reference: internal/cli/sync.go flags + JIRASyncSpec). */
+  final case class SyncOptions(
+      jql: Option[String] = None,
+      incremental: Boolean = false,
+      force: Boolean = false,
+      dryRun: Boolean = false,
+      projects: Seq[String] = Nil,
+      maxRetries: Int = 3,
+      backoffBaseMs: Long = 1000,
+      backoffCapMs: Long = 30000)
+
+  /** C5: per-step progress events (reference: internal/sync/batch.go:62-71).
+    * Non-blocking contract: the reporter must not throw; the default is a
+    * no-op.
+    */
+  trait ProgressReporter extends Serializable {
+    def step(name: String, percent: Int): Unit
+  }
+  object NoProgress extends ProgressReporter {
+    def step(name: String, percent: Int): Unit = ()
+  }
+
+  /** C7: retry with exponential backoff, base→cap, like the reference's
+    * controller retry (reference: internal/operator/types/types.go:57-67).
+    */
+  def withRetry[T](maxRetries: Int, baseMs: Long, capMs: Long,
+      sleep: Long => Unit = Thread.sleep)(f: () => T): T = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= maxRetries) {
+      try return f()
+      catch {
+        case e: Throwable =>
+          last = e
+          if (attempt < maxRetries)
+            sleep(math.min(capMs, baseMs * (1L << attempt)))
+          attempt += 1
+      }
+    }
+    throw last
+  }
+
+  /** One sync run. Returns the batch metrics (A4,
+    * reference: internal/sync/batch.go:33-60).
+    */
+  def run(
+      spark: SparkSession,
+      issues: DataFrame,
+      links: => DataFrame,
+      repoDir: String,
+      statePath: String,
+      opts: SyncOptions = SyncOptions(),
+      now: Timestamp = new Timestamp(0L),
+      jqlCtx: graft.jql.JqlContext = null,
+      progress: ProgressReporter = NoProgress): BatchResult = {
+    val t0 = System.nanoTime()
+    val opId = s"sync-${now.getTime}"
+
+    // 1. plan: JQL filter compiled locally (the reference ships the string to
+    // the server; our compiler evaluates it)
+    progress.step("planning", 0)
+    val ctx = Option(jqlCtx).getOrElse(
+      graft.jql.JqlContext(now, "sync", Seq.empty))
+    val selected = opts.jql match {
+      case Some(q) =>
+        new graft.jql.JqlCompiler(issues, links, ctx, deterministic = false).compile(q)
+      case None => issues
+    }
+    val total = selected.count()
+
+    // 2. incremental candidate filter against state (C1/P3/P4)
+    progress.step("filtering", 20)
+    val state = StateStore.load(spark, statePath)
+    val candidates =
+      if (opts.incremental)
+        StateStore.changedIssues(selected, state,
+          projects = opts.projects, force = opts.force)
+      else if (opts.projects.nonEmpty)
+        selected.filter(col("project_key").isin(opts.projects: _*))
+      else selected
+    val toSync = candidates.drop("change_type").cache()
+    val n = toSync.count()
+    val skipped = total - n
+
+    // 3. dry run stops before any write (C9,
+    // reference: internal/sync/incremental.go:404-465)
+    if (opts.dryRun) {
+      progress.step("dry-run-complete", 100)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      return BatchResult(opId, total, 0, 0, skipped + n, elapsedMs,
+        if (elapsedMs > 0) n * 1000.0 / elapsedMs else 0.0)
+    }
+
+    // 4. distributed YAML write (S6) — executors write their partitions
+    progress.step("writing", 40)
+    val written = Yaml.writeIssues(toSync, repoDir)
+
+    // 5. link edges (S11) alongside the records
+    progress.step("relationships", 60)
+    Ingest.writeEdges(
+      links.join(toSync.select(col("key").as("__k")),
+        col("src") === col("__k"), "left_semi"),
+      s"$repoDir/relationships")
+
+    // 6. one git commit per batch (S9), retried with backoff (C7)
+    progress.step("committing", 80)
+    GitRepo.init(repoDir)
+    withRetry(opts.maxRetries, opts.backoffBaseMs, opts.backoffCapMs) { () =>
+      GitRepo.commitBatch(repoDir,
+        s"feat(sync): sync $written issues ($opId)")
+    }
+
+    // 7. state merge + atomic save (C2/S13)
+    progress.step("state", 90)
+    StateStore.save(
+      StateStore.merge(state, StateStore.fromIssues(toSync, now)), statePath)
+
+    progress.step("done", 100)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    BatchResult(opId, total, written, 0, skipped, elapsedMs,
+      if (elapsedMs > 0) written * 1000.0 / elapsedMs else 0.0)
+  }
+
+  /** C10: state recovery — reconcile state vs files and repair
+    * (reference: pkg/state/manager.go:553-591 RecoverState). Returns the
+    * issue report; `repair` removes orphaned files and drops state rows whose
+    * files are missing (a later sync re-writes them).
+    */
+  def recover(spark: SparkSession, repoDir: String, statePath: String,
+      repair: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val state = StateStore.load(spark, statePath)
+    val filesOnDisk = {
+      val root = java.nio.file.Paths.get(repoDir, "projects")
+      if (java.nio.file.Files.isDirectory(root)) {
+        val found = scala.collection.mutable.ArrayBuffer.empty[String]
+        java.nio.file.Files.walk(root).forEach { p =>
+          if (p.toString.endsWith(".yaml"))
+            found += java.nio.file.Paths.get(repoDir).relativize(p).toString
+        }
+        found.toSeq.toDF("file_path")
+      } else Seq.empty[String].toDF("file_path")
+    }
+    // checksum comparison is skipped here (would require re-reading files);
+    // the structural anti-joins are the recovery signal
+    val report = StateStore.validate(state,
+      filesOnDisk.withColumn("checksum", lit(null).cast("string"))).cache()
+    if (repair) {
+      report.filter(col("issue") === "orphaned_file").collect().foreach { r =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(repoDir, r.getAs[String]("file_path")))
+      }
+      val missingKeys = report.filter(col("issue") === "missing_file").select("key")
+      StateStore.save(
+        StateStore.load(spark, statePath)
+          .join(missingKeys, Seq("key"), "left_anti"), statePath)
+    }
+    report
+  }
+}

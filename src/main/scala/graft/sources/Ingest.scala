@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Field-mapping ingest (SURVEY.md §2.1 S5): JIRA wire JSON → the flat issue
+  * record, including the custom-field epic link and inward/outward link
+  * duality (reference: pkg/client/client.go:237-282 convertJIRAIssue,
+  * :304-397 extractRelationships/extractEpicLink/extractSubtasks/
+  * extractIssueLinks).
+  *
+  * Pure `from_json` + projection — no UDFs, fully codegen'd, so ingest at
+  * 100 TB is a map-only stage over the raw payload column.
+  */
+object Ingest {
+
+  /** The JIRA REST wire shape (the subset the reference maps). */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("fields", StructType(Seq(
+      StructField("summary", StringType),
+      StructField("description", StringType),
+      StructField("created", StringType),
+      StructField("updated", StringType),
+      StructField("priority", StructType(Seq(StructField("name", StringType)))),
+      StructField("issuetype", StructType(Seq(StructField("name", StringType)))),
+      StructField("status", StructType(Seq(
+        StructField("name", StringType),
+        StructField("statusCategory", StructType(Seq(StructField("key", StringType))))))),
+      StructField("assignee", StructType(Seq(
+        StructField("displayName", StringType), StructField("emailAddress", StringType)))),
+      StructField("reporter", StructType(Seq(
+        StructField("displayName", StringType), StructField("emailAddress", StringType)))),
+      StructField("customfield_12311140", StringType), // epic link custom field
+      StructField("parent", StructType(Seq(StructField("key", StringType)))),
+      StructField("subtasks", ArrayType(StructType(Seq(StructField("key", StringType))))),
+      StructField("issuelinks", ArrayType(StructType(Seq(
+        StructField("type", StructType(Seq(StructField("name", StringType)))),
+        StructField("inwardIssue", StructType(Seq(
+          StructField("key", StringType), StructField("summary", StringType)))),
+        StructField("outwardIssue", StructType(Seq(
+          StructField("key", StringType), StructField("summary", StringType)))))))))))))
+
+  /** Parse a raw JSON payload column into the flat issue schema plus nested
+    * `subtasks` and `issue_links` arrays. Mirrors convertJIRAIssue: project
+    * key from the issue key, epic link from the custom field, links carry
+    * the inward/outward direction.
+    */
+  def fromWire(raw: DataFrame, jsonCol: String = "payload"): DataFrame = {
+    val parsed = raw.withColumn("w", from_json(col(jsonCol), wireSchema))
+    val f = (name: String) => col(s"w.fields.$name")
+    parsed.select(
+      col("w.key").as("key"),
+      regexp_extract(col("w.key"), "^(.*)-\\d+$", 1).as("project_key"),
+      f("summary").as("summary"),
+      f("description").as("description"),
+      f("status.name").as("status_name"),
+      f("status.statusCategory.key").as("status_category"),
+      f("assignee.displayName").as("assignee_name"),
+      f("assignee.emailAddress").as("assignee_email"),
+      f("reporter.displayName").as("reporter_name"),
+      f("reporter.emailAddress").as("reporter_email"),
+      graft.functions.Time.parseJiraTimestamp(f("created")).as("created"),
+      graft.functions.Time.parseJiraTimestamp(f("updated")).as("updated"),
+      f("priority.name").as("priority"),
+      f("issuetype.name").as("issuetype"),
+      f("customfield_12311140").as("epic_link"),
+      f("parent.key").as("parent_issue"),
+      expr("transform(w.fields.subtasks, s -> s.key)").as("subtasks"),
+      // inward/outward duality: exactly one of the two sides is set
+      expr("""transform(w.fields.issuelinks, l -> named_struct(
+             |  'link_type', l.type.name,
+             |  'direction', CASE WHEN l.inwardIssue.key IS NOT NULL THEN 'inward' ELSE 'outward' END,
+             |  'issue_key', coalesce(l.inwardIssue.key, l.outwardIssue.key),
+             |  'summary', coalesce(l.inwardIssue.summary, l.outwardIssue.summary)))""".stripMargin)
+        .as("issue_links"))
+  }
+
+  /** S11: explode the nested relationship arrays into the first-class edge
+    * table `(src, link_type, direction, dst, project_key)` — the distributed
+    * replacement for symlink edges (reference: pkg/links/links.go:31-95).
+    */
+  def edges(issues: DataFrame): DataFrame = {
+    def base(extra: Column*) =
+      issues.select(col("key").as("src") +: col("project_key") +: extra: _*)
+    val epic = base(col("epic_link").as("dst"))
+      .filter(col("dst").isNotNull)
+      .select(col("src"), lit("epic").as("link_type"),
+        lit("outward").as("direction"), col("dst"), col("project_key"))
+    val parent = base(col("parent_issue").as("dst"))
+      .filter(col("dst").isNotNull)
+      .select(col("src"), lit("parent").as("link_type"),
+        lit("outward").as("direction"), col("dst"), col("project_key"))
+    val subtasks = base(explode_outer(col("subtasks")).as("dst"))
+      .filter(col("dst").isNotNull)
+      .select(col("src"), lit("subtask").as("link_type"),
+        lit("outward").as("direction"), col("dst"), col("project_key"))
+    val links = issues
+      .select(col("key").as("src"), col("project_key"),
+        explode_outer(col("issue_links")).as("l"))
+      .filter(col("l").isNotNull)
+      .select(col("src"), col("l.link_type").as("link_type"),
+        col("l.direction").as("direction"), col("l.issue_key").as("dst"),
+        col("project_key"))
+    epic.unionByName(parent).unionByName(subtasks).unionByName(links)
+  }
+
+  /** S11 sink: persist edges partitioned by (project_key, link_type) — the
+    * layout the reference encodes as relationship directories.
+    */
+  def writeEdges(edges: DataFrame, path: String): Unit =
+    edges.write.mode("overwrite")
+      .partitionBy("project_key", "link_type")
+      .parquet(path)
+
+  /** S12: broken-link GC — dangling edges found by anti-join instead of a
+    * filesystem walk (reference: pkg/links/links.go:132-232).
+    */
+  def brokenEdges(edges: DataFrame, issues: DataFrame): DataFrame =
+    edges.join(issues.select(col("key").as("__t")),
+      col("dst") === col("__t"), "left_anti")
+}

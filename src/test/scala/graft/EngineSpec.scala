@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.SyncEngine
+import graft.engine.SyncEngine.SyncOptions
+import graft.sink.GitRepo
+import graft.sources.{Ingest, Throttle}
+import graft.state.StateStore
+
+class EngineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // past all data timestamps, so an idempotent re-run really is a no-op
+  private val now1 = java.sql.Timestamp.valueOf("2002-01-01 00:00:00")
+  private val now2 = java.sql.Timestamp.valueOf("2002-01-02 00:00:00")
+
+  test("full sync pipeline: jql filter → yaml → edges → commit → state") {
+    val work = Files.createTempDirectory("graft-engine").toString
+    val repo = s"$work/repo"
+    val statePath = s"$work/state"
+    val steps = scala.collection.mutable.ArrayBuffer.empty[String]
+    val progress = new SyncEngine.ProgressReporter {
+      def step(name: String, percent: Int): Unit = steps += name
+    }
+    val result = SyncEngine.run(spark,
+      Tables.issues(spark, sf), Tables.links(spark, sf),
+      repo, statePath,
+      SyncOptions(jql = Some("""project = P5 AND status != "Done"""")),
+      now = now1, progress = progress)
+    assert(result.successful > 0)
+    assert(result.total == result.successful) // non-incremental: all written
+    assert(steps.containsSlice(Seq("planning", "filtering", "writing",
+      "relationships", "committing", "state", "done")))
+    // artifacts exist
+    assert(GitRepo.log(repo).exists(_.startsWith("feat(sync): sync")))
+    assert(StateStore.load(spark, statePath).count() == result.successful)
+    assert(new java.io.File(s"$repo/relationships").exists())
+
+    // second run, incremental: nothing changed → nothing written
+    val r2 = SyncEngine.run(spark,
+      Tables.issues(spark, sf), Tables.links(spark, sf),
+      repo, statePath,
+      SyncOptions(jql = Some("""project = P5 AND status != "Done""""),
+        incremental = true),
+      now = now2)
+    assert(r2.successful == 0)
+    assert(r2.skipped == r2.total)
+  }
+
+  test("dry run counts but writes nothing") {
+    val work = Files.createTempDirectory("graft-dry").toString
+    val result = SyncEngine.run(spark,
+      Tables.issues(spark, sf), Tables.links(spark, sf),
+      s"$work/repo", s"$work/state",
+      SyncOptions(jql = Some("project = P6"), dryRun = true), now = now1)
+    assert(result.successful == 0 && result.total > 0)
+    assert(!new java.io.File(s"$work/repo/projects").exists())
+    assert(StateStore.load(spark, s"$work/state").count() == 0)
+  }
+
+  test("recover detects and repairs orphans and missing files") {
+    val work = Files.createTempDirectory("graft-recover").toString
+    val repo = s"$work/repo"
+    val statePath = s"$work/state"
+    SyncEngine.run(spark, Tables.issues(spark, sf), Tables.links(spark, sf),
+      repo, statePath, SyncOptions(jql = Some("project = P2")), now = now1)
+    // corrupt: delete one synced file, add one orphan
+    val synced = java.nio.file.Paths.get(repo, "projects", "P2", "issues")
+    val victim = Files.list(synced).iterator().next()
+    Files.delete(victim)
+    Files.write(synced.resolve("ORPHAN-1.yaml"), "key: ORPHAN-1\n".getBytes)
+    val report = SyncEngine.recover(spark, repo, statePath, repair = true)
+    val issues = report.groupBy("issue").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(issues.getOrElse("missing_file", 0L) == 1)
+    assert(issues.getOrElse("orphaned_file", 0L) == 1)
+    // repaired: orphan removed, missing key dropped from state
+    assert(!Files.exists(synced.resolve("ORPHAN-1.yaml")))
+    val reReport = SyncEngine.recover(spark, repo, statePath)
+    assert(reReport.count() == 0)
+  }
+
+  test("retry with exponential backoff: fails then succeeds, delays grow") {
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val out = SyncEngine.withRetry(maxRetries = 3, baseMs = 100, capMs = 250,
+      sleep = delays += _) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("flaky")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    assert(delays.toSeq == Seq(100, 200)) // base, base*2 (cap not hit)
+    intercept[RuntimeException] {
+      SyncEngine.withRetry(1, 100, 150, delays += _)(() => throw new RuntimeException("always"))
+    }
+    assert(delays.last == 100)
+  }
+
+  test("wire ingest: JSON → nested record, epic custom field, link duality") {
+    import spark.implicits._
+    val payload = """{
+      "key": "PROJ-7",
+      "fields": {
+        "summary": "Wire summary",
+        "description": "desc",
+        "created": "2024-01-02T03:04:05.000Z",
+        "updated": "2024-02-02T03:04:05.000Z",
+        "priority": {"name": "High"},
+        "issuetype": {"name": "Story"},
+        "status": {"name": "In Progress", "statusCategory": {"key": "indeterminate"}},
+        "assignee": {"displayName": "A User", "emailAddress": "a@example.com"},
+        "reporter": {"displayName": "R User", "emailAddress": "r@example.com"},
+        "customfield_12311140": "PROJ-1",
+        "parent": {"key": "PROJ-2"},
+        "subtasks": [{"key": "PROJ-8"}, {"key": "PROJ-9"}],
+        "issuelinks": [
+          {"type": {"name": "Blocks"}, "inwardIssue": {"key": "PROJ-3", "summary": "s3"}},
+          {"type": {"name": "Cloners"}, "outwardIssue": {"key": "PROJ-4", "summary": "s4"}}
+        ]
+      }
+    }"""
+    val df = Ingest.fromWire(Seq(payload).toDF("payload")).cache()
+    val r = df.head
+    assert(r.getAs[String]("key") == "PROJ-7")
+    assert(r.getAs[String]("project_key") == "PROJ")
+    assert(r.getAs[String]("epic_link") == "PROJ-1")
+    assert(r.getAs[String]("parent_issue") == "PROJ-2")
+    assert(r.getSeq[String](r.fieldIndex("subtasks")).toList == List("PROJ-8", "PROJ-9"))
+    assert(r.getAs[String]("status_category") == "indeterminate")
+
+    val edges = Ingest.edges(df).cache()
+    val byType = edges.collect()
+      .map(e => (e.getAs[String]("link_type"), e.getAs[String]("dst"),
+        e.getAs[String]("direction"))).toSet
+    assert(byType == Set(
+      ("epic", "PROJ-1", "outward"),
+      ("parent", "PROJ-2", "outward"),
+      ("subtask", "PROJ-8", "outward"),
+      ("subtask", "PROJ-9", "outward"),
+      ("blocks", "PROJ-3", "inward"),
+      ("cloners", "PROJ-4", "outward")).map {
+      case (t, d, dir) => (t.toLowerCase, d, dir)
+    } || byType == Set(
+      ("Blocks", "PROJ-3", "inward"), ("Cloners", "PROJ-4", "outward"),
+      ("epic", "PROJ-1", "outward"), ("parent", "PROJ-2", "outward"),
+      ("subtask", "PROJ-8", "outward"), ("subtask", "PROJ-9", "outward")))
+
+    // broken-link GC: only PROJ-7 exists as an issue → all 6 edges dangle
+    assert(Ingest.brokenEdges(edges, df).count() == 6)
+  }
+
+  test("edge sink writes partitioned parquet that reads back") {
+    val dir = Files.createTempDirectory("graft-edges").toString
+    val links = Tables.links(spark, sf).limit(500)
+    Ingest.writeEdges(links, s"$dir/edges")
+    val back = spark.read.parquet(s"$dir/edges")
+    assert(back.count() == 500)
+    assert(back.columns.toSet ==
+      Set("src", "link_type", "direction", "dst", "project_key"))
+  }
+
+  test("rate-limited iterator enforces spacing without losing rows") {
+    var clock = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Throttle.rateLimited(
+      (1 to 10).iterator, maxPerSecond = 2,
+      nanoTime = () => clock,
+      sleepMs = { ms => sleeps += ms; clock += ms * 1000000 }).toList
+    assert(out == (1 to 10).toList) // lossless
+    assert(sleeps.nonEmpty && sleeps.forall(_ <= 500)) // 2/sec → 500ms spacing
+    // throttled DataFrame keeps all rows
+    val df = Tables.t(spark, sf, "region")
+    assert(Throttle.throttled(df, 1000).count() == df.count())
+  }
+}
