@@ -31,10 +31,35 @@ object Bench {
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    // end-to-end sync throughput vs BASELINE's issues/sec: a bounded slice
+    // (~5k issues at any SF) through the full pipeline — JQL plan, YAML files,
+    // edge parquet, git commit, state merge — then an incremental no-op rerun
+    // over the same slice (pure change-detection scan).
+    val (syncIps, incrIps) = try {
+      val work = java.nio.file.Files.createTempDirectory("graft-bench-sync").toString
+      val issues = Tables.issues(spark, sfDir).filter(
+        org.apache.spark.sql.functions.expr(
+          "cast(element_at(split(key, '-'), 2) as int) < 20000"))
+      val links = Tables.links(spark, sfDir)
+      val now1 = java.sql.Timestamp.valueOf("2002-01-01 00:00:00")
+      val r1 = graft.engine.SyncEngine.run(spark, issues, links,
+        s"$work/repo", s"$work/state",
+        graft.engine.SyncEngine.SyncOptions(), now = now1)
+      val r2 = graft.engine.SyncEngine.run(spark, issues, links,
+        s"$work/repo", s"$work/state",
+        graft.engine.SyncEngine.SyncOptions(incremental = true),
+        now = java.sql.Timestamp.valueOf("2002-01-02 00:00:00"))
+      (r1.issues_per_sec, r2.total * 1000.0 / math.max(1, r2.elapsed_ms))
+    } catch { case e: Throwable =>
+      errors("sync_bench") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      (0.0, 0.0)
+    }
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"sync_issues_per_sec":$syncIps,""" +
+      s""""incr_scan_issues_per_sec":$incrIps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -91,9 +91,11 @@ object SyncEngine {
         new graft.jql.JqlCompiler(issues, links, ctx, deterministic = false).compile(q)
       case None => issues
     }
-    val total = selected.count()
 
-    // 2. incremental candidate filter against state (C1/P3/P4)
+    // 2. incremental candidate filter against state (C1/P3/P4). The full
+    // selected-set count is only evaluated when incremental needs a skipped
+    // metric — a non-incremental run derives total from the written count
+    // instead of paying an extra pass.
     progress.step("filtering", 20)
     val state = StateStore.load(spark, statePath)
     val candidates =
@@ -105,6 +107,7 @@ object SyncEngine {
       else selected
     val toSync = candidates.drop("change_type").cache()
     val n = toSync.count()
+    val total = if (opts.incremental) selected.count() else n
     val skipped = total - n
 
     // 3. dry run stops before any write (C9,
@@ -116,9 +119,12 @@ object SyncEngine {
         if (elapsedMs > 0) n * 1000.0 / elapsedMs else 0.0)
     }
 
-    // 4. distributed YAML write (S6) — executors write their partitions
+    // 4. distributed YAML write (S6) — executors write their partitions.
+    // A selective filter usually leaves few input splits, so spread the
+    // write across the full task slots first.
     progress.step("writing", 40)
-    val written = Yaml.writeIssues(toSync, repoDir)
+    val written = Yaml.writeIssues(
+      toSync.repartition(spark.sparkContext.defaultParallelism, col("key")), repoDir)
 
     // 5. link edges (S11) alongside the records
     progress.step("relationships", 60)

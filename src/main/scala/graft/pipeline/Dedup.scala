@@ -61,7 +61,9 @@ object Dedup {
   }
 
   private def minhashCandidates(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val bands = minhashBands(s, dir)
+    // persist before the self-join: otherwise both sides recompute the full
+    // shingle→minhash pipeline (visible as a doubled plan in explain)
+    val bands = minhashBands(s, dir).persist()
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))

@@ -91,31 +91,35 @@ object Profiles {
       .orderBy(desc("times_used"), col("name")).limit(100)
   }
 
-  /** A7/O8: top-k similar profile pairs. Candidate pairs share the `jql`
-    * bucket (equi-join, never all-pairs — at 100 TB the bucket key prunes
-    * the pair space the way the reference's O(n²) loop cannot;
-    * reference: pkg/profile/manager.go:517,757).
+  /** A7/O8: top-k profiles most similar to a given one — the reference's
+    * exact shape (score ONE profile against all, take top limit;
+    * reference: pkg/profile/manager.go:517 GetSimilarProfiles, :757
+    * calculateSimilarity). O(n) with a 1-row broadcast, then
+    * TakeOrderedAndProject — never a pairwise join.
     */
   private val similar = q("profile_similar",
-    s"""WITH $profilesCte
-       |SELECT a.name AS name_a, b.name AS name_b,
-       |  0.5 + CASE WHEN a.repository = b.repository THEN 0.3 ELSE 0.0 END
-       |      + 0.2 * (len(list_intersect(a.tags, b.tags))::DOUBLE /
-       |               len(list_distinct(list_concat(a.tags, b.tags)))) AS score
-       |FROM profiles a JOIN profiles b ON a.jql = b.jql AND a.name < b.name
-       |ORDER BY score DESC, name_a, name_b LIMIT 50""".stripMargin) { (s, dir) =>
+    s"""WITH $profilesCte,
+       |target AS (SELECT jql, repository, tags FROM profiles WHERE name = 'profile-1')
+       |SELECT p.name,
+       |  CASE WHEN p.jql = t.jql THEN 0.3 ELSE 0.0 END
+       |    + CASE WHEN p.repository = t.repository THEN 0.3 ELSE 0.0 END
+       |    + 0.4 * (len(list_intersect(p.tags, t.tags))::DOUBLE /
+       |             len(list_distinct(list_concat(p.tags, t.tags)))) AS score
+       |FROM profiles p, target t WHERE p.name <> 'profile-1'
+       |ORDER BY score DESC, name LIMIT 50""".stripMargin) { (s, dir) =>
     val p = profiles(s, dir)
-    val a = p.select(col("name").as("name_a"), col("jql"),
-      col("repository").as("repo_a"), col("tags").as("tags_a"))
-    val b = p.select(col("name").as("name_b"), col("jql"),
-      col("repository").as("repo_b"), col("tags").as("tags_b"))
-    a.join(b, Seq("jql")).filter(col("name_a") < col("name_b"))
-      .select(col("name_a"), col("name_b"),
-        (lit(0.5) + when(col("repo_a") === col("repo_b"), 0.3).otherwise(0.0)
-          + lit(0.2) * (size(array_intersect(col("tags_a"), col("tags_b"))).cast("double")
-            / size(array_distinct(concat(col("tags_a"), col("tags_b"))))))
+    val target = p.filter(col("name") === "profile-1")
+      .select(col("jql").as("t_jql"), col("repository").as("t_repo"),
+        col("tags").as("t_tags"))
+    p.filter(col("name") =!= "profile-1")
+      .crossJoin(broadcast(target)) // 1-row dimension
+      .select(col("name"),
+        (when(col("jql") === col("t_jql"), 0.3).otherwise(0.0)
+          + when(col("repository") === col("t_repo"), 0.3).otherwise(0.0)
+          + lit(0.4) * (size(array_intersect(col("tags"), col("t_tags"))).cast("double")
+            / size(array_distinct(concat(col("tags"), col("t_tags"))))))
           .as("score"))
-      .orderBy(desc("score"), col("name_a"), col("name_b")).limit(50)
+      .orderBy(desc("score"), col("name")).limit(50)
   }
 
   /** A8: usage-stat accumulation per repository — success rate, durations
