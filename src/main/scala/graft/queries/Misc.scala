@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Oracle, Tables}
+import graft.jql.Validator
+
+/** Remaining oracle-checked operators: links GC (S12), JQL validation parity
+  * (F7/F8), and event-time windowed aggregation (the batch twin of the
+  * streaming `CdcStream.eventRates`).
+  */
+object Misc {
+
+  /** S12: broken-link GC summary — dangling edges (dst has no issue) counted
+    * per type and direction; the delete set of the reference's link cleanup
+    * (reference: pkg/links/links.go:186-232 CleanupBrokenLinks).
+    */
+  private val linksGc = q("links_gc",
+    Oracle.withIssuesAndLinks(
+      """SELECT l.link_type, l.direction, count(*) AS n_broken
+        |FROM links l LEFT JOIN issues i ON i.key = l.dst
+        |WHERE i.key IS NULL
+        |GROUP BY l.link_type, l.direction
+        |ORDER BY l.link_type, l.direction""".stripMargin)) { (s, dir) =>
+    Tables.links(s, dir)
+      .join(Tables.issues(s, dir).select(col("key")),
+        col("dst") === col("key"), "left_anti")
+      .groupBy("link_type", "direction")
+      .agg(count(lit(1)).as("n_broken"))
+      .orderBy("link_type", "direction")
+  }
+
+  /** F7/F8: the validator's verdicts over a fixed corpus of queries drawn
+    * from the reference's validation tests (reference: pkg/jql/builder_test.go,
+    * pkg/jql/builder.go:267-341). The oracle is the expected literal table.
+    */
+  private val corpus: Seq[String] = Seq(
+    """project = P1 AND status = "Done"""",
+    """project = P1 AND""",
+    """project = "unclosed""",
+    """(project = P1""",
+    """a = 1 OR a = 2 OR a = 3 OR a = 4""",
+    """status in ("To Do", "Done") ORDER BY updated DESC""",
+    """key in (issuesInEpic("E-7"))""",
+    """summary ~ "x" AND AND type = Bug""")
+
+  private val validate = {
+    val expected = corpus.map { jql =>
+      val r = Validator.validate(jql)
+      (jql, r.valid, r.errors.length, r.warnings.length, r.suggestions.length)
+    }
+    val valuesSql = expected.map { case (j, v, e, w, s) =>
+      s"('${j.replace("'", "''")}', $v, $e, $w, $s)"
+    }.mkString(",\n  ")
+    q("jql_validate",
+      s"""SELECT * FROM (VALUES
+         |  $valuesSql)
+         |AS t(jql, valid, n_errors, n_warnings, n_suggestions)
+         |ORDER BY jql""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // driver-side validation (it is a string linter), distributed as a tiny DF
+      expected.toDF("jql", "valid", "n_errors", "n_warnings", "n_suggestions")
+        .orderBy("jql")
+    }
+  }
+
+  /** Tumbling event-time window aggregation — identical expression to the
+    * streaming path (`CdcStream.eventRates`), run in batch for the oracle;
+    * DuckDB's time_bucket is the same epoch-aligned window.
+    */
+  private val windowAgg = q("stream_window_agg",
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+      |    '%Y-%m-%d %H:%M:%S') AS bucket_s,
+      |  event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY bucket_s, event_type
+      |ORDER BY bucket_s, event_type""".stripMargin) { (s, dir) =>
+    graft.streaming.CdcStream.eventRates(Tables.events(s, dir))
+      .orderBy("bucket_s", "event_type")
+  }
+
+  val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg)
+}

@@ -81,7 +81,14 @@ object Yaml {
     */
   def writeIssues(issues: DataFrame, repoDir: String): Long = {
     val counter = issues.sparkSession.sparkContext.longAccumulator("yaml_written")
-    issues.select(columns.map(col): _*).foreachPartition { rows: Iterator[Row] =>
+    // tolerate partial schemas (e.g. a CDC stream carrying only changed
+    // fields): absent columns persist as empty/null
+    val complete = columns.foldLeft(issues) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c,
+        lit(null).cast(if (c == "created" || c == "updated") "timestamp" else "string"))
+    }
+    complete.select(columns.map(col): _*).foreachPartition { rows: Iterator[Row] =>
       rows.foreach { r =>
         val proj = r.getAs[String]("project_key")
         val key = r.getAs[String]("key")

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.GitRepo
+import graft.state.StateStore
+import graft.streaming.CdcStream
+
+class StreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("CdcStream: checkpointed stream merges state, writes YAML, commits git") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val work = Files.createTempDirectory("graft-cdcstream").toString
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    // sync clock must track event time (reference semantics compare
+    // issue.updated against state.last_synced)
+    val clockTimes = Iterator(ts("2024-01-15 00:00:00"), ts("2024-01-16 00:00:00"),
+      ts("2024-02-15 00:00:00"), ts("2024-02-16 00:00:00"))
+    val query = CdcStream.start(
+      mem.toDF().toDF("key", "project_key", "summary", "updated"),
+      s"$work/repo", s"$work/state", s"$work/ckpt",
+      clock = () => clockTimes.next())
+    try {
+      mem.addData(("P1-1", "P1", "v1", ts("2024-01-01 00:00:00")),
+        ("P1-2", "P1", "v1", ts("2024-01-01 00:00:00")))
+      query.processAllAvailable()
+      // replay-equivalent batch: same rows again → no new state, no commit
+      mem.addData(("P1-1", "P1", "v1", ts("2024-01-01 00:00:00")))
+      query.processAllAvailable()
+      // genuine update
+      mem.addData(("P1-1", "P1", "v2", ts("2024-02-01 00:00:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val state = StateStore.load(spark, s"$work/state").cache()
+    assert(state.count() == 2)
+    assert(state.filter(col("key") === "P1-1").head.getAs[Int]("sync_count") == 2)
+    val log = GitRepo.log(s"$work/repo")
+    assert(log.length == 2) // batch 0 and the real update; idempotent batch skipped
+    assert(log.forall(_.startsWith("feat(sync): stream batch")))
+  }
+
+  test("eventRates with watermark drops late data in streaming mode") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val rates = CdcStream.eventRates(
+      mem.toDF().toDF("ts", "event_type", "value"), watermarkDelay = Some("1 hour"))
+    val query = rates.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("rates_out")
+      .start()
+    try {
+      mem.addData((ts("2024-01-01 10:15:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0))
+      query.processAllAvailable()
+      // advance watermark far past the first window, then send a late row
+      mem.addData((ts("2024-01-01 14:00:00"), "click", 3.0))
+      query.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:50:00"), "click", 99.0)) // too late → dropped
+      query.processAllAvailable()
+      mem.addData((ts("2024-01-01 16:00:00"), "click", 4.0)) // closes the 14:00 window
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("rates_out").collect()
+      .map(r => r.getAs[String]("bucket_s") -> r.getAs[Long]("n")).toMap
+    assert(out("2024-01-01 10:00:00") == 2) // late 10:50 row was NOT counted
+  }
+
+  test("batch eventRates matches a hand-computed hourly rollup") {
+    val df = CdcStream.eventRates(Tables.events(spark, sf))
+    val total = df.agg(sum("n")).head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+}
