@@ -121,12 +121,14 @@ object Dedup {
   private val simhash = q("pipe_dedup_simhash",
     s"""WITH $docsNormCte,
        |$wordsCte,
-       |wh AS (
-       |  SELECT doc_id, ${sqlHash64("word")} AS h
-       |  FROM (SELECT doc_id, unnest(w) AS word FROM words)),
+       |wc AS (
+       |  SELECT doc_id, word, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(w) AS word FROM words)
+       |  GROUP BY doc_id, word),
+       |wh AS (SELECT doc_id, ${sqlHash64("word")} AS h, cnt FROM wc),
        |bits AS (
        |  SELECT doc_id, j,
-       |    CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |    CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) > 0
        |      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
        |  FROM wh, generate_series(0, 59) t(j)
        |  GROUP BY doc_id, j),
@@ -140,13 +142,17 @@ object Dedup {
        |    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
        |FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
+    // vote per DISTINCT word with its multiplicity — ~4× fewer exploded
+    // bit-rows than voting per word occurrence, identical signature
     val wh = docWords(s, dir)
       .select(col("doc_id"), explode(col("w")).as("word"))
-      .select(col("doc_id"), hash64(col("word")).as("h"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), hash64(col("word")).as("h"), col("cnt"))
     val bits = wh
       .withColumn("j", explode(sequence(lit(0), lit(59))))
       .groupBy("doc_id", "j")
-      .agg(when(sum(when(expr("(h >> j) & 1") === 1, 1).otherwise(-1)) > 0, 1L)
+      .agg(when(sum(when(expr("(h >> j) & 1") === 1, col("cnt"))
+        .otherwise(-col("cnt"))) > 0, 1L)
         .otherwise(0L).as("bit"))
     val sig = bits.groupBy("doc_id")
       .agg(sum(expr("bit << j")).as("simhash"))

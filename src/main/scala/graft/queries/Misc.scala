@@ -80,5 +80,28 @@ object Misc {
       .orderBy("bucket_s", "event_type")
   }
 
-  val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg)
+  /** F1/F2/F12: key parsing — project extraction (multi-dash rule), epic-key
+    * decomposition, and file-path → key recovery, round-tripped over the
+    * issues table.
+    */
+  private val keyFuncs = q("key_functions",
+    Oracle.withIssues(
+      """SELECT key,
+        |  regexp_extract(key, '^(.*)-[0-9]+$', 1) AS proj,
+        |  regexp_extract(key, '-([0-9]+)$', 1)::INT AS num,
+        |  regexp_extract('projects/' || regexp_extract(key, '^(.*)-[0-9]+$', 1)
+        |      || '/issues/' || key || '.yaml',
+        |    '([A-Z][A-Z0-9-]*-[0-9]+)\.yaml$', 1) AS key_from_path
+        |FROM issues ORDER BY key LIMIT 1000""".stripMargin)) { (s, dir) =>
+    import graft.functions.Keys
+    Tables.issues(s, dir).select(col("key"),
+        Keys.extractProjectKey(col("key")).as("proj"),
+        Keys.parseEpicKey(col("key")).getField("number").as("num"),
+        Keys.keyFromFilePath(concat(lit("projects/"),
+          Keys.extractProjectKey(col("key")), lit("/issues/"), col("key"),
+          lit(".yaml"))).as("key_from_path"))
+      .orderBy("key").limit(1000)
+  }
+
+  val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, keyFuncs)
 }

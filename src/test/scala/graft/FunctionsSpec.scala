@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.Config
+import graft.functions.{Keys, Time}
+import graft.jql.Lexer
+
+class FunctionsSpec extends AnyFunSuite {
+
+  /** Property check over ScalaCheck generators (the scalatest bridge artifact
+    * is not in the offline cache, so samples are drawn directly).
+    */
+  private def checkAll[T](gen: Gen[T], n: Int = 100)(body: T => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(n).foreach(body)
+  import TestSpark._
+
+  private val genProj: Gen[String] = for {
+    head <- Gen.alphaUpperChar
+    tail <- Gen.listOfN(4, Gen.oneOf(Gen.alphaUpperChar, Gen.numChar))
+  } yield (head :: tail).mkString
+
+  test("extractProjectKey inverts key construction (incl. multi-dash projects)") {
+    import spark.implicits._
+    val samples = Gen.listOfN(80, for {
+      segs <- Gen.choose(1, 3)
+      parts <- Gen.listOfN(segs, genProj)
+      n <- Gen.choose(1, 999999)
+    } yield (parts.mkString("-"), n)).sample.get
+    val df = samples.map { case (p, n) => (p, s"$p-$n") }.toDF("proj", "key")
+    val bad = df.filter(Keys.extractProjectKey(col("key")) =!= col("proj")).count()
+    assert(bad == 0)
+    val invalid = df.filter(!Keys.isValidIssueKey(col("key"))).count()
+    assert(invalid == 0)
+  }
+
+  test("parseEpicKey and keyFromFilePath round-trip through the path rule") {
+    import spark.implicits._
+    val df = Seq("PROJ-1", "A1-B2-77", "X-123456").toDF("key")
+      .withColumn("path", concat(lit("projects/"),
+        Keys.extractProjectKey(col("key")), lit("/issues/"), col("key"), lit(".yaml")))
+    assert(df.filter(Keys.keyFromFilePath(col("path")) =!= col("key")).count() == 0)
+    val parsed = df.select(Keys.parseEpicKey(col("key")).as("e"), col("key"))
+      .select(concat(col("e.project"), lit("-"), col("e.number")).as("re"), col("key"))
+    assert(parsed.filter(col("re") =!= col("key")).count() == 0)
+  }
+
+  test("parseKeyList splits, trims, and drops empties") {
+    import spark.implicits._
+    val r = Seq("P1-1, P1-2 ,,P1-3").toDF("s")
+      .select(Keys.parseKeyList(col("s")).as("ks")).head
+    assert(r.getSeq[String](0).toList == List("P1-1", "P1-2", "P1-3"))
+  }
+
+  test("jira timestamp format → parse round-trips across the fallback formats") {
+    import spark.implicits._
+    val samples = Gen.listOfN(50, Gen.choose(
+      java.sql.Timestamp.valueOf("1990-01-01 00:00:00").getTime,
+      java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime))
+      .sample.get.map(ms => new java.sql.Timestamp(ms / 1000 * 1000)) // whole seconds
+    val df = samples.map(_.toString).toDF("ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("wire", Time.formatJiraTimestamp(col("ts")))
+      .withColumn("back", Time.parseJiraTimestamp(col("wire")))
+    assert(df.filter(col("back") =!= col("ts")).count() == 0)
+    // each individual fallback format parses too
+    val multi = df
+      .withColumn("f2", Time.parseJiraTimestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+      .withColumn("f3", Time.parseJiraTimestamp(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss")))
+    assert(multi.filter(col("f2") =!= col("ts") || col("f3") =!= col("ts")).count() == 0)
+    assert(df.sparkSession.range(1)
+      .select(Time.parseJiraTimestamp(lit("not a date")).isNull.as("n"))
+      .head.getBoolean(0))
+  }
+
+  test("dotenv parser: quotes, comments, export prefix, precedence (property)") {
+    checkAll(Gen.zip(Gen.alphaUpperStr.suchThat(_.nonEmpty), Gen.alphaNumStr)) {
+      case (k, v) =>
+        val parsed = Config.parseDotenv(s"$k=$v")
+        assert(parsed.get(k).contains(v))
+    }
+    val env = Config.parseDotenv(
+      """# comment
+        |export JIRA_BASE_URL="https://jira.example.com"
+        |JIRA_EMAIL='a@b.c'
+        |JIRA_PAT=tok123  # inline comment
+        |EMPTY=
+        |""".stripMargin)
+    assert(env("JIRA_BASE_URL") == "https://jira.example.com")
+    assert(env("JIRA_EMAIL") == "a@b.c")
+    assert(env("JIRA_PAT") == "tok123")
+    assert(env("EMPTY") == "")
+  }
+
+  test("config load: env over dotenv, defaults, validation errors") {
+    val dotenv = Map("JIRA_BASE_URL" -> "https://a.example.com",
+      "JIRA_EMAIL" -> "x@y.z", "JIRA_PAT" -> "t1")
+    val ok = Config.load(Map.empty, dotenv)
+    assert(ok.exists(c => c.rateLimitDelayMs == 100 && c.maxConcurrentRequests == 5))
+    val precedence = Config.load(Map("JIRA_PAT" -> "envtok"), dotenv)
+    assert(precedence.exists(_.token == "envtok"))
+    val bad = Config.load(Map("JIRA_BASE_URL" -> "ftp://x",
+      "JIRA_MAX_CONCURRENT_REQUESTS" -> "99"))
+    assert(bad.isLeft)
+    val errs = bad.left.getOrElse(Nil)
+    assert(errs.exists(_.contains("http")))
+    assert(errs.exists(_.contains("JIRA_EMAIL")))
+    assert(errs.exists(_.contains("[1, 10]")))
+  }
+
+  test("lexer: doubled-quote escapes round-trip (property)") {
+    checkAll(Gen.listOfN(6, Gen.oneOf(Gen.alphaNumChar, Gen.const('"'))).map(_.mkString)) { s =>
+      val quoted = "\"" + s.replace("\"", "\"\"") + "\""
+      val toks = Lexer.tokenize(s"summary = $quoted")
+      val strTok = toks.collectFirst { case Lexer.TStr(v, _) => v }
+      assert(strTok.contains(s))
+    }
+  }
+}
