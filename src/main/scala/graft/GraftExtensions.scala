@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.Md5Prefix64
+
+/** Session extensions: registers the engine's native expressions for SQL use
+  * (`SELECT md5_prefix64(col) ...`). Install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` at session
+  * build; the Column API (`Md5Prefix64(col)`) works without registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("md5_prefix64"),
+      new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "md5_prefix64 takes exactly one argument")
+        Md5Prefix64(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.BinaryType))
+      }))
+  }
+}

