@@ -103,5 +103,27 @@ object Misc {
       .orderBy("key").limit(1000)
   }
 
-  val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, keyFuncs)
+  /** S5: wire-format ingest round-trip — issues rendered to JIRA REST JSON
+    * and parsed back through `from_json`; the oracle checks the surviving
+    * projection against the source rows.
+    */
+  private val wireRoundtrip = q("ingest_wire_roundtrip",
+    Oracle.withIssues(
+      """SELECT key, project_key, summary, status_name, status_category,
+        |  priority, issuetype,
+        |  strftime(created, '%Y-%m-%d %H:%M:%S') AS created_s,
+        |  coalesce(epic_link, '') AS epic_link,
+        |  coalesce(parent_issue, '') AS parent_issue
+        |FROM issues ORDER BY key LIMIT 2000""".stripMargin)) { (s, dir) =>
+    import graft.sources.Ingest
+    Ingest.fromWire(Ingest.toWire(Tables.issues(s, dir)))
+      .select(col("key"), col("project_key"), col("summary"), col("status_name"),
+        col("status_category"), col("priority"), col("issuetype"),
+        date_format(col("created"), "yyyy-MM-dd HH:mm:ss").as("created_s"),
+        coalesce(col("epic_link"), lit("")).as("epic_link"),
+        coalesce(col("parent_issue"), lit("")).as("parent_issue"))
+      .orderBy("key").limit(2000)
+  }
+
+  val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, keyFuncs, wireRoundtrip)
 }

@@ -77,6 +77,33 @@ object Ingest {
         .as("issue_links"))
   }
 
+  /** Inverse of [[fromWire]]: render flat issue rows as JIRA wire JSON —
+    * fixture generation parity with the reference's mock client
+    * (reference: pkg/client/mock.go:282-351 fixture factories).
+    */
+  def toWire(issues: DataFrame): DataFrame = {
+    val wire = to_json(struct(
+      col("key"),
+      struct(
+        col("summary"),
+        col("description"),
+        graft.functions.Time.formatJiraTimestamp(col("created")).as("created"),
+        graft.functions.Time.formatJiraTimestamp(col("updated")).as("updated"),
+        struct(col("priority").as("name")).as("priority"),
+        struct(col("issuetype").as("name")).as("issuetype"),
+        struct(col("status_name").as("name"),
+          struct(col("status_category").as("key")).as("statusCategory")).as("status"),
+        struct(col("assignee_name").as("displayName"),
+          col("assignee_email").as("emailAddress")).as("assignee"),
+        struct(col("reporter_name").as("displayName"),
+          col("reporter_email").as("emailAddress")).as("reporter"),
+        col("epic_link").as("customfield_12311140"),
+        when(col("parent_issue").isNotNull,
+          struct(col("parent_issue").as("key"))).as("parent")
+      ).as("fields")))
+    issues.select(wire.as("payload"))
+  }
+
   /** S11: explode the nested relationship arrays into the first-class edge
     * table `(src, link_type, direction, dst, project_key)` — the distributed
     * replacement for symlink edges (reference: pkg/links/links.go:31-95).
