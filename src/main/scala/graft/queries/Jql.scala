@@ -107,6 +107,12 @@ object Jql {
       """cf[12311140] = E-7 OR "Epic Link" IS EMPTY""",
       "lower(epic_link) = 'e-7' OR epic_link IS NULL"),
 
+    // S1: point lookup by key — the degenerate-but-canonical single-issue
+    // fetch (reference: pkg/client/client.go:129-146 GetIssue)
+    jq("jql_point_lookup",
+      """key = "P0-20"""",
+      "lower(key) = 'p0-20'"),
+
     // multi-key ORDER BY (O6) over an IN filter
     jq("jql_order_multi",
       """project in (P2, P3) ORDER BY priority ASC, updated DESC""",
