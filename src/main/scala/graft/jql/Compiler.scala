@@ -131,6 +131,16 @@ final class JqlCompiler(
       lower(col(s"${prefix}_email")) === value.toLowerCase
 
   private def compileCmp(f: JqlField, op: String, v: JqlValue): Column = {
+    // JIRA's EMPTY literal: `field = EMPTY` ≡ IS EMPTY, `!= EMPTY` ≡ IS NOT EMPTY
+    v match {
+      case JWord(w) if w.equalsIgnoreCase("empty") || w.equalsIgnoreCase("null") =>
+        op match {
+          case "=" => return fieldCol(f).isNull
+          case "!=" => return fieldCol(f).isNotNull
+          case other => throw JqlParseException(s"operator $other not valid with EMPTY", 0)
+        }
+      case _ =>
+    }
     val value: Any = v match {
       case JFunc(name, args) => evalScalarFunc(name, args)
       case JStr(s) => s

@@ -85,5 +85,42 @@ object Similarity {
       .orderBy(desc("score"), col("vec_id")).limit(10)
   }
 
-  val all: Seq[GQuery] = Seq(brute, ivf)
+  /** LSH-bucketed ANN: sign-random-projection with 6 deterministic
+    * hyperplanes (vectors 1..6 — training-free, like the IVF centroids).
+    * Candidates = vectors whose 6-bit sign bucket is within hamming ≤ 1 of
+    * the query's bucket (multi-probe); exact top-10 among candidates. At
+    * scale the bucket is a shuffle key: each probe touches ~7/64 of the data.
+    */
+  private val lsh = q("pipe_ann_lsh",
+    s"""WITH $embCte,
+       |$querySql,
+       |planes AS (SELECT vec_id AS pid, e AS pe FROM emb WHERE vec_id BETWEEN 1 AND 6),
+       |sigs AS (
+       |  SELECT v.vec_id, sum(CASE WHEN list_dot_product(v.e, p.pe) >= 0
+       |    THEN 1 << (p.pid - 1)::INT ELSE 0 END)::BIGINT AS sig
+       |  FROM emb v, planes p GROUP BY v.vec_id),
+       |qsig AS (SELECT sig AS qs FROM sigs WHERE vec_id = 0)
+       |SELECT s.vec_id, ${sqlCosine("v.e", "q.qe")} AS score
+       |FROM sigs s JOIN emb v ON v.vec_id = s.vec_id, qsig, q
+       |WHERE bit_count(xor(s.sig, qsig.qs)) <= 1 AND s.vec_id <> 0
+       |ORDER BY score DESC, s.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val e = embD(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val planes = e.filter(col("vec_id").between(1, 6))
+      .select(col("vec_id").as("pid"), col("e").as("pe"))
+    val sigs = e.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("e"),
+        when(dotD(col("e"), col("pe")) >= 0,
+          expr("shiftleft(1L, cast(pid - 1 as int))")).otherwise(0L).as("bit"))
+      .groupBy("vec_id").agg(sum("bit").as("sig"), first("e").as("e"))
+    val qsig = sigs.filter(col("vec_id") === 0).select(col("sig").as("qs"))
+    sigs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qsig))
+      .filter(bit_count(expr("sig ^ qs")) <= 1)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), cosineD(col("e"), col("qe")).as("score"))
+      .orderBy(desc("score"), col("vec_id")).limit(10)
+  }
+
+  val all: Seq[GQuery] = Seq(brute, ivf, lsh)
 }

@@ -102,6 +102,11 @@ object Jql {
       """summary ~ "1-URGENT" AND type = Story""",
       "contains(lower(summary), '1-urgent') AND lower(issuetype) = 'story'"),
 
+    // JIRA's EMPTY literal in comparisons: != EMPTY ≡ IS NOT EMPTY
+    jq("jql_empty_literal",
+      """"Epic Link" != EMPTY AND project = P3""",
+      "epic_link IS NOT NULL AND lower(project_key) = 'p3'"),
+
     // cf[NNNNN] custom-field spelling of Epic Link + IS EMPTY
     jq("jql_cf_empty",
       """cf[12311140] = E-7 OR "Epic Link" IS EMPTY""",
