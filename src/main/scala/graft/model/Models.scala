@@ -65,7 +65,7 @@ final case class IssueState(
     last_synced: Timestamp,
     last_updated: Timestamp,
     file_path: String,
-    file_size: Long,
+    file_size: Option[Long],
     checksum: String,
     sync_status: String,
     sync_count: Int)

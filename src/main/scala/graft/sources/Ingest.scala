@@ -2,7 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+
+import graft.model.Issue
 
 /** Field-mapping ingest (SURVEY.md §2.1 S5): JIRA wire JSON → the flat issue
   * record, including the custom-field epic link and inward/outward link
@@ -75,6 +77,45 @@ object Ingest {
              |  'issue_key', coalesce(l.inwardIssue.key, l.outwardIssue.key),
              |  'summary', coalesce(l.inwardIssue.summary, l.outwardIssue.summary)))""".stripMargin)
         .as("issue_links"))
+  }
+
+  /** Lift flat issue rows into the typed model (`Dataset[Issue]` with nested
+    * Status/Person/Relationships, SURVEY.md §1.1) — the type-safe surface for
+    * Scala consumers; absent columns (e.g. a source without link arrays)
+    * become empty.
+    */
+  def asIssues(flat: DataFrame): Dataset[Issue] = {
+    val spark = flat.sparkSession
+    import spark.implicits._
+    val linksType =
+      "array<struct<link_type:string,direction:string,issue_key:string,summary:string>>"
+    val withAll = Seq(
+      "sprint" -> "string", "epic_link" -> "string", "parent_issue" -> "string",
+      "subtasks" -> "array<string>", "issue_links" -> linksType)
+      .foldLeft(flat) { case (df, (c, t)) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(t))
+      }
+    withAll.select(
+      col("key"), col("project_key"), col("summary"), col("description"),
+      struct(col("status_name").as("name"), col("status_category").as("category"))
+        .as("status"),
+      struct(col("assignee_name").as("name"), col("assignee_email").as("email"))
+        .as("assignee"),
+      struct(col("reporter_name").as("name"), col("reporter_email").as("email"))
+        .as("reporter"),
+      col("created").cast("timestamp").as("created"),
+      col("updated").cast("timestamp").as("updated"),
+      col("priority"), col("issuetype"), col("sprint"),
+      when(col("epic_link").isNotNull || col("parent_issue").isNotNull ||
+          size(coalesce(col("subtasks"), array())) > 0 ||
+          size(coalesce(col("issue_links"), expr(s"cast(array() as $linksType)"))) > 0,
+        struct(
+          col("epic_link"), col("parent_issue"),
+          coalesce(col("subtasks"), array()).as("subtasks"),
+          coalesce(col("issue_links"), expr(s"cast(array() as $linksType)"))
+            .as("issue_links")))
+        .as("relationships")
+    ).as[Issue]
   }
 
   /** Inverse of [[fromWire]]: render flat issue rows as JIRA wire JSON —

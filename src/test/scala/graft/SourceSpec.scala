@@ -55,6 +55,25 @@ class SourceSpec extends AnyFunSuite {
     assert(df.count() == 30)
   }
 
+  test("typed model: asIssues lifts flat rows into Dataset[Issue]") {
+    val typed = Ingest.asIssues(Tables.issues(spark, sf).limit(200)).cache()
+    val issues = typed.collect()
+    assert(issues.length == 200)
+    val withEpic = issues.filter(_.relationships.exists(_.epic_link.isDefined))
+    assert(withEpic.nonEmpty)
+    assert(issues.forall(i => i.status.name.nonEmpty && i.assignee.email.contains("@")))
+    // no-relationship issues collapse to None, not an empty struct
+    val epics = issues.filter(i => i.issuetype == "Epic" && i.relationships.isEmpty)
+    assert(epics.nonEmpty)
+    // typed state round-trip through the IssueState encoder
+    import spark.implicits._
+    val st = graft.state.StateStore.fromIssues(
+      Tables.issues(spark, sf).limit(10),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      .as[graft.model.IssueState].collect()
+    assert(st.length == 10 && st.forall(_.sync_count == 1))
+  }
+
   test("wire round-trip preserves values end to end") {
     val orig = Tables.issues(spark, sf).orderBy("key").limit(100).cache()
     val back = Ingest.fromWire(Ingest.toWire(orig)).cache()
