@@ -99,7 +99,9 @@ object Dedup {
        |JOIN sizes na ON na.doc_id = i.doc_a
        |JOIN sizes nb ON nb.doc_id = i.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
-    val sh = docShingles(s, dir)
+    // shingles feed three consumers (sizes + both sides of the intersection
+    // join) — persist once instead of recomputing the normalize+explode chain
+    val sh = docShingles(s, dir).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = minhashCandidates(s, dir)
     val inter = cand
