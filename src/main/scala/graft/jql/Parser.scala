@@ -27,6 +27,15 @@ final class Parser(tokens: Vector[Tok]) {
     case TWord(s, _) => s.equalsIgnoreCase(kw)
     case _ => false
   }
+
+  /** Words that terminate a multi-word bare field or value. */
+  private val keywords = Set(
+    "and", "or", "not", "in", "is", "order", "by", "asc", "desc",
+    "empty", "null")
+  private def isBareWord(t: Tok): Boolean = t match {
+    case TWord(s, _) => !keywords(s.toLowerCase)
+    case _ => false
+  }
   private def expectKw(kw: String): Unit =
     if (isKw(peek, kw)) { advance(); () }
     else throw JqlParseException(s"expected $kw", peek.pos)
@@ -103,7 +112,15 @@ final class Parser(tokens: Vector[Tok]) {
         case t => throw JqlParseException("expected ']'", t.pos)
       }
       JqlField(s"cf[$num]")
-    case TWord(s, _) => advance(); JqlField(s)
+    case TWord(s, _) =>
+      advance()
+      // unquoted multi-word fields, e.g. `Epic Link = K`
+      // (reference: internal/cli/sync.go:58) — absorb bare words up to the
+      // operator/keyword
+      val parts = Seq.newBuilder[String]
+      parts += s
+      while (isBareWord(peek)) parts += advance().asInstanceOf[TWord].s
+      JqlField(parts.result().mkString(" "))
     case t => throw JqlParseException("expected field", t.pos)
   }
 
@@ -172,7 +189,16 @@ final class Parser(tokens: Vector[Tok]) {
           }
           JFunc(s, args.result())
         case _ =>
-          if (s.matches("^-?\\d+(\\.\\d+)?$")) JNum(BigDecimal(s)) else JWord(s)
+          if (s.matches("^-?\\d+(\\.\\d+)?$")) JNum(BigDecimal(s))
+          else {
+            // unquoted multi-word values, e.g. `status = To Do` — the
+            // reference's own template examples emit this form
+            // (reference: pkg/jql/builder_test.go:359)
+            val parts = Seq.newBuilder[String]
+            parts += s
+            while (isBareWord(peek)) parts += advance().asInstanceOf[TWord].s
+            JWord(parts.result().mkString(" "))
+          }
       }
     case t => throw JqlParseException("expected value", t.pos)
   }

@@ -109,6 +109,39 @@ class JqlSpec extends AnyFunSuite {
     assert(sug.suggestions.exists(_.contains("IN")))
   }
 
+  test("golden corpus: every JQL string the reference emits parses and compiles") {
+    // drawn from the reference's templates, tests, and CLI examples
+    // (pkg/jql/builder.go:126-246, pkg/jql/builder_test.go,
+    // internal/cli/sync.go:58, pkg/epic/jira_analyzer.go:160-181)
+    val corpus = Seq(
+      """"Epic Link" = PROJ-123 OR parent in (issuesInEpic("PROJ-123"))""",
+      """"Epic Link" = PROJ-123 AND type = Story""",
+      """assignee = currentUser() AND sprint in openSprints() AND project = PROJ""",
+      """assignee = currentUser() AND sprint in openSprints()""",
+      """project = PROJ AND status in ("To Do", "In Progress", "In Review")""",
+      """project = PROJ AND updated >= -7d ORDER BY updated DESC""",
+      """cf[12311140] = PROJ-123""",
+      """parent in (issuesInEpic("PROJ-123"))""",
+      """key in (P1-1, P1-2)""",
+      """Epic Link = PROJ-123""",                // unquoted multi-word field
+      """project = PROJ AND status = To Do""",   // unquoted multi-word value
+      """project = PROJ AND status = 'To Do'""",
+      """project = PROJ AND assignee = currentUser()""",
+      """project = PROJ""")
+    corpus.foreach { jql =>
+      assert(Validator.validate(jql).valid, s"validator rejected: $jql")
+      val n = run(jql).count() // parse + compile + execute
+      assert(n >= 0, s"failed to run: $jql")
+    }
+    // semantic check for the two liberal forms
+    val unquotedField = run("""Epic Link = E-7""").count()
+    val quotedField = run(""""Epic Link" = E-7""").count()
+    assert(unquotedField == quotedField && quotedField > 0)
+    val unquotedValue = run("""status = In Progress""").count()
+    val quotedValue = run("""status = "In Progress"""").count()
+    assert(unquotedValue == quotedValue && quotedValue > 0)
+  }
+
   test("linkedIssues membership composes under OR with a second marker") {
     val n = run("""issue in linkedIssues(P0-20) OR key in (issuesInEpic("E-7"))""").count()
     val a = run("""issue in linkedIssues(P0-20)""").count()
