@@ -119,11 +119,17 @@ object StateStore {
       includeModified: Boolean = true,
       projects: Seq[String] = Nil,
       since: Option[java.sql.Timestamp] = None,
+      maxAge: Option[(java.sql.Timestamp, Int)] = None, // (now, days)
       force: Boolean = false): DataFrame = {
     val scoped0 =
       if (projects.nonEmpty) issues.filter(col("project_key").isin(projects: _*))
       else issues
-    val scoped = since.fold(scoped0)(t => scoped0.filter(col("updated") >= lit(t)))
+    val scoped1 = since.fold(scoped0)(t => scoped0.filter(col("updated") >= lit(t)))
+    // MaxAge: ignore issues untouched for longer than `days` before `now`
+    // (reference: internal/sync/incremental.go:298-363)
+    val scoped = maxAge.fold(scoped1) { case (now, days) =>
+      scoped1.filter(col("updated") >= expr(s"timestampadd(DAY, ${-days}, '$now')"))
+    }
     if (force) scoped.withColumn("change_type", lit("forced"))
     else {
       val st = state.select(col("key").as("s_key"), col("last_synced"))

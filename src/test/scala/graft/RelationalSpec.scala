@@ -42,6 +42,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(iss.count() == Tables.t(spark, sf, "orders").count())
   }
 
+  test("hierarchy levels truncate at MaxDepth on a deep synthetic chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // chain K0 <- K1 <- ... <- K7 (7 levels below the root)
+    val chain = (0 to 7).map(i =>
+      (s"K-$i", if (i == 0) null else s"K-${i - 1}")).toDF("key", "parent_issue")
+    val roots = chain.filter(col("parent_issue").isNull)
+      .select(col("key"), lit(0).as("level"))
+    var frontier = roots
+    var all = roots
+    for (d <- 1 to 5) { // the engine's MaxDepth bound (reference: pkg/epic/analyzer.go:99-108)
+      frontier = chain
+        .join(frontier.select(col("key").as("pkey")), col("parent_issue") === col("pkey"))
+        .select(col("key"), lit(d).as("level"))
+      all = all.union(frontier)
+    }
+    val levels = all.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(levels("K-0") == 0 && levels("K-5") == 5)
+    assert(!levels.contains("K-6") && !levels.contains("K-7")) // truncated
+  }
+
   test("links edge table joins back to issues (J2 semantics)") {
     import org.apache.spark.sql.functions._
     val links = Tables.links(spark, sf)

@@ -76,6 +76,15 @@ class StateSpec extends AnyFunSuite {
     assert(StateStore.changedIssues(issues, state, includeModified = false).count() == 1)
   }
 
+  test("changedIssues maxAge drops stale issues") {
+    val issues = batchDf(Seq(
+      ("P1-1", "P1", "recent", "2024-01-10 00:00:00"),
+      ("P1-2", "P1", "stale", "2023-06-01 00:00:00")))
+    val changed = StateStore.changedIssues(issues, StateStore.empty(spark),
+      maxAge = Some((ts("2024-01-15 00:00:00"), 30)))
+    assert(changed.select("key").collect().map(_.getString(0)).toSeq == Seq("P1-1"))
+  }
+
   test("high-water-mark and stats") {
     val state = StateStore.fromIssues(
       batchDf(Seq(("P1-1", "P1", "a", "2024-01-01 00:00:00"),
