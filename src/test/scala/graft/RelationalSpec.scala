@@ -5,6 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class RelationalSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      "every registered query must have an oracle")
+  }
+
   test("every registered query runs on sf0.001 and has stable schema") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
