@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proof of the SCALING.md claim that the issues⨝state CDC merge can run
+  * exchange-free when both sides are bucketed by the join key — the cluster
+  * deployment shape for the state table.
+  */
+class BucketingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bucketed issues and state join without a shuffle exchange") {
+    // tables land in the default warehouse dir (spark-warehouse/, gitignored);
+    // clear catalog entries AND stray locations from aborted runs
+    Seq("b_issues", "b_state").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+
+    val issues = Tables.issues(spark, sf)
+    val n = issues.count()
+    issues.write.bucketBy(8, "key").sortBy("key")
+      .mode("overwrite").saveAsTable("b_issues")
+    graft.state.StateStore
+      .fromIssues(issues, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      .write.bucketBy(8, "key").sortBy("key")
+      .mode("overwrite").saveAsTable("b_state")
+
+    val joined = spark.table("b_issues").join(
+      spark.table("b_state").select(col("key"), col("last_synced")), Seq("key"))
+    val plan = joined.queryExecution.executedPlan.toString
+
+    // co-located: the join consumes both bucketed scans with no repartition
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${plan.take(1500)}")
+    assert(joined.count() == n)
+
+    // control: the same join over non-bucketed data DOES shuffle (or
+    // broadcasts at this size) — bucketing is what removed the exchange
+    val unbucketed = issues.join(
+      graft.state.StateStore
+        .fromIssues(issues, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+        .select(col("key"), col("last_synced")), Seq("key"))
+    val controlPlan = unbucketed.queryExecution.executedPlan.toString
+    assert(controlPlan.contains("Exchange") || controlPlan.contains("Broadcast"))
+  }
+}
