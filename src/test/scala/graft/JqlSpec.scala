@@ -100,6 +100,20 @@ class JqlSpec extends AnyFunSuite {
       assert(rows(0).getString(0) >= rows(1).getString(0))
   }
 
+  test("AND binds tighter than OR; parentheses override") {
+    val flat = run("""project = P1 OR project = P2 AND status = "Done"""").count()
+    val expectFlat = Tables.issues(spark, sf).filter(
+      lower(col("project_key")) === "p1" ||
+        (lower(col("project_key")) === "p2" && lower(col("status_name")) === "done"))
+      .count()
+    assert(flat == expectFlat)
+    val grouped = run("""(project = P1 OR project = P2) AND status = "Done"""").count()
+    val expectGrouped = Tables.issues(spark, sf).filter(
+      (lower(col("project_key")) === "p1" || lower(col("project_key")) === "p2") &&
+        lower(col("status_name")) === "done").count()
+    assert(grouped == expectGrouped && grouped != flat)
+  }
+
   test("validator flags bad queries and passes good ones") {
     assert(Validator.validate("""project = P1 AND status = "Done"""").valid)
     assert(!Validator.validate("""project = P1 AND""").valid)
