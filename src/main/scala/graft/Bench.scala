@@ -33,8 +33,9 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // end-to-end sync throughput vs BASELINE's issues/sec: a bounded slice
     // (~5k issues at any SF) through the full pipeline — JQL plan, YAML files,
@@ -73,9 +74,23 @@ object Bench {
     }
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errJson,"sync_issues_per_sec":$syncIps,""" +
-      s""""incr_scan_issues_per_sec":$incrIps,"sf":"$sfDir"}""")
+    // The driver captures only the last ~2000 chars of stdout and parses the
+    // JSON line out of that window; sbt's trailing "[success] ..." line eats
+    // ~75 of them. Keep the line compact (2-decimal times, basename sf) and
+    // print it LAST — after spark.stop() — so nothing can push it out.
+    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
+      s""""queries":$qs,"errors":$errJson,"sync_issues_per_sec":${f1(syncIps)},""" +
+      s""""incr_scan_issues_per_sec":${f1(incrIps)},"sf":"$sfName"}"""
+    // full-precision copy for local profiling (driver ignores files)
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"total":$total,"queries":$full,"errors":$errJson,"sync_issues_per_sec":$syncIps,"incr_scan_issues_per_sec":$incrIps,"sf":"$sfDir"}\n""".getBytes("UTF-8")))
     spark.stop()
+    println(line)
   }
 }

@@ -98,58 +98,63 @@ object SyncEngine {
     // instead of paying an extra pass.
     progress.step("filtering", 20)
     val state = StateStore.load(spark, statePath)
-    val candidates =
-      if (opts.incremental)
-        StateStore.changedIssues(selected, state,
-          projects = opts.projects, force = opts.force)
-      else if (opts.projects.nonEmpty)
+    // project scoping applies to the *selected* set so the skipped metric is
+    // computed over the same universe the change filter saw
+    val scoped =
+      if (opts.projects.nonEmpty)
         selected.filter(col("project_key").isin(opts.projects: _*))
       else selected
+    val candidates =
+      if (opts.incremental) StateStore.changedIssues(scoped, state, force = opts.force)
+      else scoped
     val toSync = candidates.drop("change_type").cache()
-    val n = toSync.count()
-    val total = if (opts.incremental) selected.count() else n
-    val skipped = total - n
+    try {
+      val n = toSync.count()
+      val total = if (opts.incremental) scoped.count() else n
+      val skipped = total - n
 
-    // 3. dry run stops before any write (C9,
-    // reference: internal/sync/incremental.go:404-465)
-    if (opts.dryRun) {
-      progress.step("dry-run-complete", 100)
+      // 3. dry run stops before any write (C9,
+      // reference: internal/sync/incremental.go:404-465)
+      if (opts.dryRun) {
+        progress.step("dry-run-complete", 100)
+        val elapsedMs = (System.nanoTime() - t0) / 1000000
+        return BatchResult(opId, total, 0, 0, skipped + n, elapsedMs,
+          if (elapsedMs > 0) n * 1000.0 / elapsedMs else 0.0)
+      }
+
+      // 4. distributed YAML write (S6) — executors write their partitions.
+      // A selective filter usually leaves few input splits, so spread the
+      // write across the full task slots first.
+      progress.step("writing", 40)
+      val written = Yaml.writeIssues(
+        toSync.repartition(spark.sparkContext.defaultParallelism, col("key")), repoDir)
+
+      // 5. link edges (S11) alongside the records. An incremental batch
+      // replaces only its own issues' edges; a full run rewrites the table.
+      progress.step("relationships", 60)
+      val batchEdges = links.join(toSync.select(col("key").as("__k")),
+        col("src") === col("__k"), "left_semi")
+      if (opts.incremental) Ingest.upsertEdges(batchEdges, s"$repoDir/relationships")
+      else Ingest.writeEdges(batchEdges, s"$repoDir/relationships")
+
+      // 6. one git commit per batch (S9), retried with backoff (C7)
+      progress.step("committing", 80)
+      GitRepo.init(repoDir)
+      withRetry(opts.maxRetries, opts.backoffBaseMs, opts.backoffCapMs) { () =>
+        GitRepo.commitBatch(repoDir,
+          s"feat(sync): sync $written issues ($opId)")
+      }
+
+      // 7. state merge + atomic save (C2/S13)
+      progress.step("state", 90)
+      StateStore.save(
+        StateStore.merge(state, StateStore.fromIssues(toSync, now)), statePath)
+
+      progress.step("done", 100)
       val elapsedMs = (System.nanoTime() - t0) / 1000000
-      return BatchResult(opId, total, 0, 0, skipped + n, elapsedMs,
-        if (elapsedMs > 0) n * 1000.0 / elapsedMs else 0.0)
-    }
-
-    // 4. distributed YAML write (S6) — executors write their partitions.
-    // A selective filter usually leaves few input splits, so spread the
-    // write across the full task slots first.
-    progress.step("writing", 40)
-    val written = Yaml.writeIssues(
-      toSync.repartition(spark.sparkContext.defaultParallelism, col("key")), repoDir)
-
-    // 5. link edges (S11) alongside the records
-    progress.step("relationships", 60)
-    Ingest.writeEdges(
-      links.join(toSync.select(col("key").as("__k")),
-        col("src") === col("__k"), "left_semi"),
-      s"$repoDir/relationships")
-
-    // 6. one git commit per batch (S9), retried with backoff (C7)
-    progress.step("committing", 80)
-    GitRepo.init(repoDir)
-    withRetry(opts.maxRetries, opts.backoffBaseMs, opts.backoffCapMs) { () =>
-      GitRepo.commitBatch(repoDir,
-        s"feat(sync): sync $written issues ($opId)")
-    }
-
-    // 7. state merge + atomic save (C2/S13)
-    progress.step("state", 90)
-    StateStore.save(
-      StateStore.merge(state, StateStore.fromIssues(toSync, now)), statePath)
-
-    progress.step("done", 100)
-    val elapsedMs = (System.nanoTime() - t0) / 1000000
-    BatchResult(opId, total, written, 0, skipped, elapsedMs,
-      if (elapsedMs > 0) written * 1000.0 / elapsedMs else 0.0)
+      BatchResult(opId, total, written, 0, skipped, elapsedMs,
+        if (elapsedMs > 0) written * 1000.0 / elapsedMs else 0.0)
+    } finally toSync.unpersist()
   }
 
   /** C10: state recovery — reconcile state vs files and repair

@@ -27,8 +27,24 @@ object Yaml {
     "reporter_email", "created", "updated", "priority", "issuetype", "sprint",
     "epic_link", "parent_issue")
 
-  private def esc(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** YAML double-quoted scalar escapes. Newlines and control characters must
+    * be escaped explicitly — a literal newline inside a double-quoted scalar
+    * is folded to a space by YAML parsers (silent content change on a
+    * multi-line description).
+    */
+  private def esc(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => sb ++= "\\\\"
+      case '"' => sb ++= "\\\""
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < ' ' || c == '\u007f' => sb ++= f"\\x${c.toInt}%02x"
+      case c => sb += c
+    }
+    (sb += '"').result()
+  }
 
   private val wire = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
@@ -122,8 +138,11 @@ object Yaml {
       .as[String]
     raw.mapPartitions { docs =>
       val yaml = new org.yaml.snakeyaml.Yaml()
+      // writeIssues permits empty timestamps (partial CDC schemas render null
+      // created/updated as "") — read them back as null, don't throw
       val parseTs = (s: String) =>
-        java.sql.Timestamp.valueOf(
+        if (s == null || s.isEmpty) null
+        else java.sql.Timestamp.valueOf(
           java.time.LocalDateTime.parse(s,
             java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")))
       docs.map { doc =>

@@ -182,6 +182,50 @@ object Ingest {
       .partitionBy("project_key", "link_type")
       .parquet(path)
 
+  /** S11 incremental sink: replace only the edges of the issues present in
+    * `edges` (idempotent per-src replace, reference: pkg/links/links.go:309-331),
+    * keeping every other issue's edges intact. A plain overwrite would
+    * truncate the whole table down to the current changed-issue batch.
+    *
+    * Scale shape: dynamic partition overwrite rewrites only the
+    * (project_key, link_type) partitions the batch touches; kept rows are
+    * read from just those partitions (partition-pruned filter), anti-joined
+    * against the batch's src set, and written back with the new edges.
+    */
+  def upsertEdges(edges: DataFrame, path: String): Unit = {
+    val spark = edges.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return writeEdges(edges, path)
+    val batch = edges.cache()
+    try {
+      // affected partitions: small (projects × ~6 link types) — safe to collect
+      val parts = batch.select(col("project_key"), col("link_type")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      if (parts.isEmpty) return
+      val partPred = parts.map { case (p, t) =>
+        col("project_key") === p && col("link_type") === t
+      }.reduce(_ || _)
+      val kept = spark.read.parquet(path)
+        .filter(partPred)
+        .join(batch.select(col("src")).distinct(), Seq("src"), "left_anti")
+        .select(batch.columns.map(col).toSeq: _*)
+        // break the read-from-output-path lineage so the overwrite is legal;
+        // on a cluster this would be a checkpoint to reliable storage
+        .localCheckpoint(true)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        kept.unionByName(batch).write.mode("overwrite")
+          .partitionBy("project_key", "link_type")
+          .parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    } finally batch.unpersist()
+  }
+
   /** S12: broken-link GC — dangling edges found by anti-join instead of a
     * filesystem walk (reference: pkg/links/links.go:132-232).
     */

@@ -41,7 +41,16 @@ object StateStore {
   def load(spark: SparkSession, path: String): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path) else empty(spark)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else {
+      // crash-window recovery: save() renames dst→bak before tmp→dst, so a
+      // crash between the two renames leaves only the backup — falling back
+      // to it avoids a silent full resync (reference keeps the same backup
+      // contract, pkg/state/manager.go:210-267)
+      val bak = new Path(path + "__bak")
+      if (fs.exists(bak)) spark.read.schema(schema).parquet(bak.toString)
+      else empty(spark)
+    }
   }
 
   /** Atomic overwrite: write to `<path>__tmp`, then swap — the reference's
@@ -57,7 +66,8 @@ object StateStore {
     val dst = new Path(path)
     state.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"state backup rename failed: $dst -> $bak")
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"atomic state rename failed: $tmp -> $dst")
   }
@@ -88,7 +98,15 @@ object StateStore {
     */
   def merge(state: DataFrame, batch: DataFrame): DataFrame = {
     val s = state.select(schema.fieldNames.map(f => col(f).as(s"s_$f")).toSeq: _*)
-    val b = batch.select(schema.fieldNames.map(f => col(f).as(s"b_$f")).toSeq: _*)
+    // defense in depth: a batch carrying two versions of one key would emit
+    // two state rows from the full-outer join (fan-out compounds on every
+    // later merge) — keep only the newest per key. The window shuffles on the
+    // same key the join hashes on, so the exchange is reused, not added.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("last_updated").desc, col("last_synced").desc)
+    val b = batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .select(schema.fieldNames.map(f => col(f).as(s"b_$f")).toSeq: _*)
     val takeBatch = col("s_key").isNull ||
       (col("b_key").isNotNull && col("b_last_updated") > col("s_last_updated"))
     s.join(b, col("s_key") === col("b_key"), "full_outer")

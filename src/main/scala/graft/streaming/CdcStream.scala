@@ -44,9 +44,18 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val syncedAt = clock()
         val state = StateStore.load(spark, statePath)
+        // a key updated twice within one micro-batch is the normal CDC case:
+        // collapse to the latest row per key first, otherwise both versions
+        // pass the state join (state knows neither) and the YAML write becomes
+        // nondeterministic last-writer-wins between the two versions
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("updated").desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
         // upsert-on-newer keeps replayed micro-batches idempotent (C2) —
         // exactly-once effect on the state table under at-least-once delivery
-        val fresh = StateStore.changedIssues(batch, state).drop("change_type")
+        val fresh = StateStore.changedIssues(latest, state).drop("change_type")
         val n = Yaml.writeIssues(fresh, repoDir)
         StateStore.save(
           StateStore.merge(state, StateStore.fromIssues(fresh, syncedAt)), statePath)

@@ -51,6 +51,33 @@ class EngineSpec extends AnyFunSuite {
     assert(r2.skipped == r2.total)
   }
 
+  test("incremental sync preserves other issues' relationship edges") {
+    val work = Files.createTempDirectory("graft-edgekeep").toString
+    val repo = s"$work/repo"
+    val statePath = s"$work/state"
+    val issues = Tables.issues(spark, sf)
+    val links = Tables.links(spark, sf)
+    SyncEngine.run(spark, issues, links, repo, statePath,
+      SyncOptions(), now = now1)
+    val e0 = spark.read.parquet(s"$repo/relationships").count()
+    assert(e0 > 0)
+    // no-op incremental rerun: nothing changed → the edge table must survive
+    SyncEngine.run(spark, issues, links, repo, statePath,
+      SyncOptions(incremental = true), now = now2)
+    assert(spark.read.parquet(s"$repo/relationships").count() == e0)
+    // targeted change: bump ONE issue with edges; its edges are replaced,
+    // everyone else's stay
+    val victim = spark.read.parquet(s"$repo/relationships")
+      .select("src").head.getString(0)
+    val bumped = issues.withColumn("updated",
+      when(col("key") === victim, lit(java.sql.Timestamp.valueOf("2002-01-03 00:00:00")))
+        .otherwise(col("updated")))
+    val r3 = SyncEngine.run(spark, bumped, links, repo, statePath,
+      SyncOptions(incremental = true), now = java.sql.Timestamp.valueOf("2002-01-04 00:00:00"))
+    assert(r3.successful == 1)
+    assert(spark.read.parquet(s"$repo/relationships").count() == e0)
+  }
+
   test("dry run counts but writes nothing") {
     val work = Files.createTempDirectory("graft-dry").toString
     val result = SyncEngine.run(spark,

@@ -51,6 +51,20 @@ class SinkSpec extends AnyFunSuite {
     assert(back.getAs[String]("summary") == """He said "hi" \ bye""")
   }
 
+  test("multi-line description and empty timestamps survive the round-trip") {
+    import spark.implicits._
+    val repo = Files.createTempDirectory("graft-nl").toString
+    val desc = "line one\nline two\ttabbed\r\nline three"
+    val tricky = Seq(("PX-2", "PX", "s", desc))
+      .toDF("key", "project_key", "summary", "description")
+    // partial CDC schema: created/updated absent → written as "" → read as null
+    Yaml.writeIssues(tricky, repo)
+    val back = Yaml.readIssues(spark, repo).head
+    assert(back.getAs[String]("description") == desc) // newlines NOT folded to spaces
+    assert(back.getAs[java.sql.Timestamp]("created") == null)
+    assert(back.getAs[java.sql.Timestamp]("updated") == null)
+  }
+
   test("git sink: init, batch commits, clean worktree, conventional messages") {
     val repo = Files.createTempDirectory("graft-git").toString
     GitRepo.init(repo)

@@ -58,6 +58,36 @@ class StateSpec extends AnyFunSuite {
     assert(p11.getAs[Timestamp]("last_synced") == ts("2024-02-02 00:00:00")) // batch took over
   }
 
+  test("merge collapses duplicate batch keys to the newest version") {
+    val state = StateStore.fromIssues(
+      batchDf(Seq(("P1-1", "P1", "one", "2024-01-01 00:00:00"))), ts("2024-01-02 00:00:00"))
+    // two versions of P1-2 in one batch — the normal CDC case; the older must
+    // not survive as a second state row
+    val batch = StateStore.fromIssues(
+      batchDf(Seq(
+        ("P1-2", "P1", "v1", "2024-02-01 00:00:00"),
+        ("P1-2", "P1", "v2", "2024-02-05 00:00:00"))), ts("2024-02-06 00:00:00"))
+    val m = StateStore.merge(state, batch).cache()
+    assert(m.count() == 2)
+    val p12 = m.filter(col("key") === "P1-2").collect()
+    assert(p12.length == 1)
+    assert(p12.head.getAs[Timestamp]("last_updated") == ts("2024-02-05 00:00:00"))
+  }
+
+  test("load falls back to the backup when the primary dir is missing") {
+    val dir = Files.createTempDirectory("graft-state-bak").toString
+    val path = s"$dir/state"
+    val s1 = StateStore.fromIssues(
+      batchDf(Seq(("P1-1", "P1", "a", "2024-01-01 00:00:00"))), ts("2024-01-02 00:00:00"))
+    StateStore.save(s1, path)
+    StateStore.save(StateStore.load(spark, path), path) // creates __bak
+    // simulate a crash between the two renames of save(): dst gone, bak intact
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    assert(StateStore.load(spark, path).count() == 1) // recovered, not empty
+  }
+
   test("changedIssues: new + modified only; force bypasses; project scoping") {
     val issues = batchDf(Seq(
       ("P1-1", "P1", "a", "2024-01-05 00:00:00"), // modified (state older)

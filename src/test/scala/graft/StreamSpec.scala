@@ -49,6 +49,31 @@ class StreamSpec extends AnyFunSuite {
     assert(log.forall(_.startsWith("feat(sync): stream batch")))
   }
 
+  test("two updates to one key inside a single micro-batch collapse to the latest") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val work = Files.createTempDirectory("graft-cdcdup").toString
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    val query = CdcStream.start(
+      mem.toDF().toDF("key", "project_key", "summary", "updated"),
+      s"$work/repo", s"$work/state", s"$work/ckpt",
+      clock = () => ts("2024-03-01 00:00:00"))
+    try {
+      // same key twice in ONE batch, out of order: v2 older, v1 newer
+      mem.addData(
+        ("P1-1", "P1", "newer", ts("2024-02-05 00:00:00")),
+        ("P1-1", "P1", "older", ts("2024-02-01 00:00:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val state = StateStore.load(spark, s"$work/state").collect()
+    assert(state.length == 1) // no duplicate state rows
+    assert(state.head.getAs[Timestamp]("last_updated") == ts("2024-02-05 00:00:00"))
+    // the YAML on disk holds the newer version deterministically
+    val yaml = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$work/repo", "projects", "P1", "issues", "P1-1.yaml")))
+    assert(yaml.contains("newer") && !yaml.contains("older"))
+  }
+
   test("eventRates with watermark drops late data in streaming mode") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
