@@ -134,7 +134,9 @@ object SyncEngine {
       progress.step("relationships", 60)
       val batchEdges = links.join(toSync.select(col("key").as("__k")),
         col("src") === col("__k"), "left_semi")
-      if (opts.incremental) Ingest.upsertEdges(batchEdges, s"$repoDir/relationships")
+      if (opts.incremental)
+        Ingest.upsertEdges(batchEdges, toSync.select("key", "project_key"),
+          s"$repoDir/relationships")
       else Ingest.writeEdges(batchEdges, s"$repoDir/relationships")
 
       // 6. one git commit per batch (S9), retried with backoff (C7)

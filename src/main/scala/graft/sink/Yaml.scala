@@ -41,6 +41,11 @@ object Yaml {
       case '\r' => sb ++= "\\r"
       case '\t' => sb ++= "\\t"
       case c if c < ' ' || c == '\u007f' => sb ++= f"\\x${c.toInt}%02x"
+      // YAML 1.1 line-break characters beyond \n\r — NEL (in the C1 range),
+      // LINE SEPARATOR, PARAGRAPH SEPARATOR — are folded by parsers exactly
+      // like a raw newline, and C1 controls are invalid unescaped
+      case c if (c >= '\u0080' && c <= '\u009f') || c == '\u2028' || c == '\u2029' =>
+        sb ++= f"\\u${c.toInt}%04x"
       case c => sb += c
     }
     (sb += '"').result()

@@ -182,48 +182,57 @@ object Ingest {
       .partitionBy("project_key", "link_type")
       .parquet(path)
 
-  /** S11 incremental sink: replace only the edges of the issues present in
-    * `edges` (idempotent per-src replace, reference: pkg/links/links.go:309-331),
-    * keeping every other issue's edges intact. A plain overwrite would
-    * truncate the whole table down to the current changed-issue batch.
+  /** S11 incremental sink: replace the edges of every issue in
+    * `changedIssues` — the batch's sync universe, not just the srcs that
+    * still have edges — with whatever `edges` now holds for them (idempotent
+    * per-src replace, reference: pkg/links/links.go:309-331). Using the
+    * changed-key set as the deletion universe covers the two cases a
+    * batch-derived set misses: an issue whose links were all removed (no
+    * rows in `edges` at all) and a link whose link_type changed (its old
+    * row lives in a partition the new batch doesn't touch).
     *
-    * Scale shape: dynamic partition overwrite rewrites only the
-    * (project_key, link_type) partitions the batch touches; kept rows are
-    * read from just those partitions (partition-pruned filter), anti-joined
-    * against the batch's src set, and written back with the new edges.
+    * Scale shape: only the affected projects' partitions are read
+    * (partition-pruned filter on project_key across ALL their link_type
+    * partitions), anti-joined on src against the changed-key set, and
+    * rewritten via dynamic partition overwrite. Partitions the rewrite
+    * leaves empty are dropped explicitly — dynamic overwrite never touches
+    * a partition absent from the output.
     */
-  def upsertEdges(edges: DataFrame, path: String): Unit = {
+  def upsertEdges(edges: DataFrame, changedIssues: DataFrame, path: String): Unit = {
     val spark = edges.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return writeEdges(edges, path)
-    val batch = edges.cache()
+    val changed = changedIssues
+      .select(col("key").as("src"), col("project_key")).distinct().cache()
     try {
-      // affected partitions: small (projects × ~6 link types) — safe to collect
-      val parts = batch.select(col("project_key"), col("link_type")).distinct()
+      // affected projects: small (a handful of keys) — safe to collect
+      val projects = changed.select("project_key").distinct()
+        .collect().map(_.getString(0))
+      if (projects.isEmpty) return
+      val existing = spark.read.parquet(path)
+        .filter(col("project_key").isin(projects.toSeq: _*))
+      val existingParts = existing.select("project_key", "link_type").distinct()
         .collect().map(r => (r.getString(0), r.getString(1)))
-      if (parts.isEmpty) return
-      val partPred = parts.map { case (p, t) =>
-        col("project_key") === p && col("link_type") === t
-      }.reduce(_ || _)
-      val kept = spark.read.parquet(path)
-        .filter(partPred)
-        .join(batch.select(col("src")).distinct(), Seq("src"), "left_anti")
-        .select(batch.columns.map(col).toSeq: _*)
+      val out = existing
+        .join(changed.select("src"), Seq("src"), "left_anti")
+        .select(edges.columns.map(col).toSeq: _*)
+        .unionByName(edges)
         // break the read-from-output-path lineage so the overwrite is legal;
         // on a cluster this would be a checkpoint to reliable storage
         .localCheckpoint(true)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        kept.unionByName(batch).write.mode("overwrite")
-          .partitionBy("project_key", "link_type")
-          .parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // writer-scoped, no session-conf mutation
+        .partitionBy("project_key", "link_type")
+        .parquet(path)
+      // drop partitions the batch emptied (all their rows belonged to changed
+      // issues and none came back) — absent from `out`, so untouched above
+      val outParts = out.select("project_key", "link_type").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      existingParts.filterNot(outParts).foreach { case (p, t) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/project_key=$p/link_type=$t"), true)
       }
-    } finally batch.unpersist()
+    } finally changed.unpersist()
   }
 
   /** S12: broken-link GC — dangling edges found by anti-join instead of a

@@ -20,6 +20,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StateStore {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val schema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("project_key", StringType, nullable = false),
@@ -43,13 +45,23 @@ object StateStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else {
-      // crash-window recovery: save() renames dst→bak before tmp→dst, so a
-      // crash between the two renames leaves only the backup — falling back
-      // to it avoids a silent full resync (reference keeps the same backup
-      // contract, pkg/state/manager.go:210-267)
+      // crash-window recovery: save() writes tmp fully, renames dst→bak, then
+      // tmp→dst. A crash between the renames leaves dst absent with BOTH tmp
+      // and bak present — that marker gates the fallback, so an operator who
+      // deliberately deletes the state dir (leaving only the backup) still
+      // gets the full resync they asked for, never a silent resume from stale
+      // state (the reference makes restore an explicit call,
+      // pkg/state/manager.go:239+). A complete tmp (_SUCCESS present) is the
+      // newer committed-in-progress state — prefer it over the backup.
       val bak = new Path(path + "__bak")
-      if (fs.exists(bak)) spark.read.schema(schema).parquet(bak.toString)
-      else empty(spark)
+      val tmp = new Path(path + "__tmp")
+      if (fs.exists(tmp) && fs.exists(new Path(tmp, "_SUCCESS"))) {
+        log.warn(s"state $path missing; recovering from interrupted save at $tmp")
+        spark.read.schema(schema).parquet(tmp.toString)
+      } else if (fs.exists(tmp) && fs.exists(bak)) {
+        log.warn(s"state $path missing; falling back to backup $bak")
+        spark.read.schema(schema).parquet(bak.toString)
+      } else empty(spark)
     }
   }
 

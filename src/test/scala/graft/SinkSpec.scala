@@ -51,6 +51,19 @@ class SinkSpec extends AnyFunSuite {
     assert(back.getAs[String]("summary") == """He said "hi" \ bye""")
   }
 
+  test("YAML 1.1 unicode line breaks (NEL/LS/PS) and C1 controls round-trip") {
+    import spark.implicits._
+    val repo = Files.createTempDirectory("graft-u").toString
+    // snakeyaml folds NEL/LS/PS like raw newlines if left unescaped —
+    // the exact silent-content-change esc() must prevent
+    val desc = "nel\u0085ls\u2028ps\u2029c1\u009fend"
+    val tricky = Seq(("PX-3", "PX", "s", desc))
+      .toDF("key", "project_key", "summary", "description")
+    Yaml.writeIssues(tricky, repo)
+    val back = Yaml.readIssues(spark, repo).head
+    assert(back.getAs[String]("description") == desc)
+  }
+
   test("multi-line description and empty timestamps survive the round-trip") {
     import spark.implicits._
     val repo = Files.createTempDirectory("graft-nl").toString

@@ -74,6 +74,30 @@ class SourceSpec extends AnyFunSuite {
     assert(st.length == 10 && st.forall(_.sync_count == 1))
   }
 
+  test("upsertEdges deletes changed issues' stale edges across all partitions") {
+    import spark.implicits._
+    val path = s"${Files.createTempDirectory("graft-edges")}/relationships"
+    def edf(rows: (String, String, String, String, String)*) =
+      rows.toDF("src", "link_type", "direction", "dst", "project_key")
+    Ingest.writeEdges(edf(
+      ("P1-1", "epic", "outward", "E-1", "P1"),
+      ("P1-1", "blocks", "outward", "P1-9", "P1"),
+      ("P1-2", "epic", "outward", "E-1", "P1"),
+      ("P2-1", "epic", "outward", "E-2", "P2")), path)
+    // P1-1's link changed type epic→parent (old rows live in partitions the
+    // new batch doesn't touch); P1-2's links were ALL removed (absent from
+    // the batch entirely) — both must lose their old rows
+    Ingest.upsertEdges(
+      edf(("P1-1", "parent", "outward", "E-1", "P1")),
+      Seq(("P1-1", "P1"), ("P1-2", "P1")).toDF("key", "project_key"), path)
+    val after = spark.read.parquet(path)
+      .select("src", "link_type", "dst").as[(String, String, String)]
+      .collect().toSet
+    assert(after == Set(("P1-1", "parent", "E-1"), ("P2-1", "epic", "E-2")))
+    // the partition the batch emptied is physically dropped
+    assert(!new java.io.File(s"$path/project_key=P1/link_type=blocks").exists())
+  }
+
   test("wire round-trip preserves values end to end") {
     val orig = Tables.issues(spark, sf).orderBy("key").limit(100).cache()
     val back = Ingest.fromWire(Ingest.toWire(orig)).cache()

@@ -74,18 +74,28 @@ class StateSpec extends AnyFunSuite {
     assert(p12.head.getAs[Timestamp]("last_updated") == ts("2024-02-05 00:00:00"))
   }
 
-  test("load falls back to the backup when the primary dir is missing") {
+  test("load recovers from a crashed save only when the tmp marker proves it") {
     val dir = Files.createTempDirectory("graft-state-bak").toString
     val path = s"$dir/state"
     val s1 = StateStore.fromIssues(
       batchDf(Seq(("P1-1", "P1", "a", "2024-01-01 00:00:00"))), ts("2024-01-02 00:00:00"))
     StateStore.save(s1, path)
     StateStore.save(StateStore.load(spark, path), path) // creates __bak
-    // simulate a crash between the two renames of save(): dst gone, bak intact
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    assert(StateStore.load(spark, path).count() == 1) // recovered, not empty
+    // crash between the two renames of save(): dst→bak done, tmp→dst not —
+    // tmp holds the complete newer state and wins
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__tmp")))
+    assert(StateStore.load(spark, path).count() == 1) // recovered from tmp
+    // incomplete tmp (no _SUCCESS) + backup present → backup wins
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp/_SUCCESS"), false)
+    assert(StateStore.load(spark, path).count() == 1) // recovered from bak
+    // deliberate reset: dst AND tmp gone, only the backup left → full resync,
+    // NOT a silent resume from stale state
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp"), true)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path + "__bak")))
+    assert(StateStore.load(spark, path).count() == 0)
   }
 
   test("changedIssues: new + modified only; force bypasses; project scoping") {
