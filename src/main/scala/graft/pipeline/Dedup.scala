@@ -48,22 +48,27 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
-  private def minhashBands(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val mh = docShingles(s, dir)
-      .withColumn("seed", explode(sequence(lit(0), lit(15))))
-      .groupBy("doc_id", "seed")
-      .agg(min(hash64(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("mh"))
-    // band signature: 4 bands × 4 rows; string_agg ordered by seed
-    mh.groupBy(col("doc_id"), (col("seed") / 4).cast("long").as("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh").cast("string"))).as("sig"))
+  private def minhashBands(shingles: org.apache.spark.sql.DataFrame) = {
+    // all 16 min-hashes in ONE map-side-combinable aggregation — no 16× row
+    // explode before the exchange and no second per-band shuffle; the only
+    // exchange hashes doc_id once, carrying a 16-long buffer per doc
+    val mins = (0 until 16).map(i =>
+      min(hash64(concat(lit(s"$i|"), col("sh")))).as(s"mh$i"))
+    val sigs = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // band signature: 4 bands × 4 rows, comma-joined in seed order; the
+    // explode is 4 rows per DOC (post-aggregation), not 16 per shingle
+    val bandStructs = array((0 until 4).map(b =>
+      struct(lit(b.toLong).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*)
+          .as("sig"))): _*)
+    sigs.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  private def minhashCandidates(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def minhashCandidates(shingles: org.apache.spark.sql.DataFrame) = {
     // persist before the self-join: otherwise both sides recompute the full
     // shingle→minhash pipeline (visible as a doubled plan in explain)
-    val bands = minhashBands(s, dir).persist()
+    val bands = minhashBands(shingles).persist()
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
@@ -77,7 +82,7 @@ object Dedup {
   private val minhash = q("pipe_dedup_minhash",
     withDocs(s""", $minhashSql
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)) {
-    (s, dir) => minhashCandidates(s, dir).orderBy("doc_a", "doc_b")
+    (s, dir) => minhashCandidates(docShingles(s, dir)).orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram Jaccard, verified ONLY on the banded candidate pairs
@@ -99,11 +104,12 @@ object Dedup {
        |JOIN sizes na ON na.doc_id = i.doc_a
        |JOIN sizes nb ON nb.doc_id = i.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
-    // shingles feed three consumers (sizes + both sides of the intersection
-    // join) — persist once instead of recomputing the normalize+explode chain
+    // shingles feed four consumers (the minhash candidate pipeline, sizes,
+    // and both sides of the intersection join) — persist once instead of
+    // recomputing the normalize+explode chain per consumer
     val sh = docShingles(s, dir).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = minhashCandidates(s, dir)
+    val cand = minhashCandidates(sh)
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
@@ -144,20 +150,21 @@ object Dedup {
        |    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
        |FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
-    // vote per DISTINCT word with its multiplicity — ~4× fewer exploded
-    // bit-rows than voting per word occurrence, identical signature
+    // vote per DISTINCT word with its multiplicity (one md5 per (doc, word),
+    // not per occurrence), then all 60 bit-votes as ONE wide aggregation —
+    // no 60× row explode; the doc_id exchange carries a 60-long buffer per
+    // doc and combines map-side
     val wh = docWords(s, dir)
       .select(col("doc_id"), explode(col("w")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"), hash64(col("word")).as("h"), col("cnt"))
-    val bits = wh
-      .withColumn("j", explode(sequence(lit(0), lit(59))))
-      .groupBy("doc_id", "j")
-      .agg(when(sum(when(expr("(h >> j) & 1") === 1, col("cnt"))
-        .otherwise(-col("cnt"))) > 0, 1L)
-        .otherwise(0L).as("bit"))
-    val sig = bits.groupBy("doc_id")
-      .agg(sum(expr("bit << j")).as("simhash"))
+    val votes = (0 until 60).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+        .as(s"v$j"))
+    val sig = wh.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     val chunks = sig
       .withColumn("c", explode(sequence(lit(0), lit(3))))
       .withColumn("ck", expr("(simhash >> (15 * c)) & 32767"))
@@ -182,12 +189,14 @@ object Dedup {
        |  ${sqlCosine("a.e", "b.e")} AS cosine
        |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
        |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin) { (s, dir) =>
-    val e = embD(s, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("e").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("e").as("eb"))
+    val e = embDN(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("label"),
-        cosineD(col("ea"), col("eb")).as("cosine"))
+        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .orderBy(desc("cosine"), col("vec_a"), col("vec_b")).limit(20)
   }
 

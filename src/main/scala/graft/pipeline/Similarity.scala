@@ -28,11 +28,13 @@ object Similarity {
        |SELECT vec_id, ${sqlCosine("e", "qe")} AS score
        |FROM emb, q WHERE vec_id <> 0
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
-    val e = embD(s, dir)
-    val qv = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val e = embDN(s, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv)) // 1-row dimension: broadcast is the plan at any scale
-      .select(col("vec_id"), cosineD(col("e"), col("qe")).as("score"))
+      .select(col("vec_id"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
       .orderBy(desc("score"), col("vec_id")).limit(10)
   }
 
@@ -60,20 +62,24 @@ object Similarity {
        |JOIN probe p ON p.cid = a.cid, q
        |WHERE v.vec_id <> 0
        |ORDER BY score DESC, v.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
-    val e = embD(s, dir)
-    val qv = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
-    val cents = e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("e").as("ce"))
+    val e = embDN(s, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
     // assignment: scan × broadcast(centroids), keep argmax-cosine centroid
     val assignW = Window.partitionBy("vec_id")
       .orderBy(desc("sim"), col("cid"))
     val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), cosineD(col("e"), col("ce")).as("sim"))
+      .select(col("vec_id"), col("cid"),
+        (dotD(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("sim"))
       .withColumn("rn", row_number().over(assignW))
       .filter(col("rn") === 1)
       .select("vec_id", "cid")
     // probe: query's top-2 centroids
     val probe = cents.crossJoin(broadcast(qv))
-      .select(col("cid"), cosineD(col("ce"), col("qe")).as("sim"))
+      .select(col("cid"),
+        (dotD(col("ce"), col("qe")) / (col("cn") * col("qn"))).as("sim"))
       .withColumn("rn", row_number().over(Window.orderBy(desc("sim"), col("cid"))))
       .filter(col("rn") <= 2)
       .select("cid")
@@ -81,7 +87,8 @@ object Similarity {
       .join(broadcast(probe), Seq("cid"), "left_semi")
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
-      .select(col("vec_id"), cosineD(col("e"), col("qe")).as("score"))
+      .select(col("vec_id"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
       .orderBy(desc("score"), col("vec_id")).limit(10)
   }
 
@@ -104,21 +111,24 @@ object Similarity {
        |FROM sigs s JOIN emb v ON v.vec_id = s.vec_id, qsig, q
        |WHERE bit_count(xor(s.sig, qsig.qs)) <= 1 AND s.vec_id <> 0
        |ORDER BY score DESC, s.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
-    val e = embD(s, dir)
-    val qv = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val e = embDN(s, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
     val planes = e.filter(col("vec_id").between(1, 6))
       .select(col("vec_id").as("pid"), col("e").as("pe"))
     val sigs = e.crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("e"),
+      .select(col("vec_id"), col("e"), col("nrm"),
         when(dotD(col("e"), col("pe")) >= 0,
           expr("shiftleft(1L, cast(pid - 1 as int))")).otherwise(0L).as("bit"))
-      .groupBy("vec_id").agg(sum("bit").as("sig"), first("e").as("e"))
+      .groupBy("vec_id").agg(sum("bit").as("sig"),
+        first("e").as("e"), first("nrm").as("nrm"))
     val qsig = sigs.filter(col("vec_id") === 0).select(col("sig").as("qs"))
     sigs.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qsig))
       .filter(bit_count(expr("sig ^ qs")) <= 1)
       .crossJoin(broadcast(qv))
-      .select(col("vec_id"), cosineD(col("e"), col("qe")).as("score"))
+      .select(col("vec_id"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
       .orderBy(desc("score"), col("vec_id")).limit(10)
   }
 

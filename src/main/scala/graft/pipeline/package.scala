@@ -71,6 +71,14 @@ package object pipeline {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), v => v.cast("double")).as("e"))
 
+  /** [[embD]] plus the precomputed L2 norm: pairwise cosine then costs ONE
+    * dot product per pair (`dot / (na * nb)`) instead of three — bit-identical
+    * to [[cosineD]], the per-row `sqrt(dot(x,x))` factors are just hoisted
+    * out of the pair loop.
+    */
+  def embDN(s: SparkSession, dir: String): DataFrame =
+    embD(s, dir).withColumn("nrm", sqrt(dotD(col("e"), col("e"))))
+
   // ---- DuckDB oracle shared fragments -------------------------------------
 
   /** DuckDB spelling of [[hash64]]. */
