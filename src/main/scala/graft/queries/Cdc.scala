@@ -137,6 +137,68 @@ object Cdc {
     StateStore.stats(StateStore.merge(state, batch))
   }
 
+  /** J7: issue⇄state enrichment — every current issue joined with its sync
+    * ledger row: sync status (pending when never synced), last-synced instant,
+    * and a staleness flag. The reference is a per-issue driver-side map lookup
+    * (reference: pkg/state/manager.go:374-383 GetIssueState); here it is a
+    * keyed equi-join of two tables hashed on the same key — co-partitioned
+    * shuffle join at scale, never a broadcast of the unbounded state table.
+    */
+  private val enrich = q("cdc_state_enrich",
+    Oracle.withIssues(
+      s""", state AS (
+         |  SELECT key, updated AS last_synced FROM issues
+         |  WHERE updated <= TIMESTAMP '$W')
+         |SELECT i.key, i.project_key,
+         |  strftime(i.updated, '%Y-%m-%d %H:%M:%S') AS updated_s,
+         |  CASE WHEN s.key IS NULL THEN 'pending' ELSE 'synced' END AS sync_status,
+         |  coalesce(strftime(s.last_synced, '%Y-%m-%d %H:%M:%S'), '') AS last_synced_s,
+         |  (s.key IS NOT NULL AND i.updated > s.last_synced) AS stale
+         |FROM issues i LEFT JOIN state s ON s.key = i.key
+         |ORDER BY i.key""".stripMargin)) { (s, dir) =>
+    val issues = Tables.issues(s, dir)
+    val state = issues.filter(col("updated") <= lit(W))
+      .select(col("key").as("s_key"), col("updated").as("last_synced"))
+    issues.join(state, col("key") === col("s_key"), "left")
+      .select(col("key"), col("project_key"),
+        date_format(col("updated"), "yyyy-MM-dd HH:mm:ss").as("updated_s"),
+        when(col("s_key").isNull, "pending").otherwise("synced").as("sync_status"),
+        coalesce(date_format(col("last_synced"), "yyyy-MM-dd HH:mm:ss"), lit(""))
+          .as("last_synced_s"),
+        (col("s_key").isNotNull && col("updated") > col("last_synced")).as("stale"))
+      .orderBy("key")
+  }
+
+  /** The batch twin of [[graft.streaming.StatefulCdc]] (C1/C2/P4 as a
+    * `flatMapGroupsWithState` operator): two versions of the bumped keys flow
+    * through one batch, every group folds to its newest version over empty
+    * initial state. The multi-batch stateful path (modified events, counter
+    * growth, idempotent replays) is pinned by StreamSpec.
+    */
+  private val stateful = q("stream_stateful_changes",
+    Oracle.withIssues(
+      s""", $incomingCte,
+         |versions AS (SELECT key, project_key, updated FROM issues
+         |  UNION ALL SELECT key, project_key, updated FROM incoming),
+         |latest AS (SELECT key, project_key, updated,
+         |    row_number() OVER (PARTITION BY key ORDER BY updated DESC) AS rn
+         |  FROM versions)
+         |SELECT key, project_key, 'new' AS change_type,
+         |  strftime(updated, '%Y-%m-%d %H:%M:%S') AS updated_s, 1 AS sync_count
+         |FROM latest WHERE rn = 1 ORDER BY key""".stripMargin)) { (s, dir) =>
+    import graft.streaming.StatefulCdc
+    val both = Tables.issues(s, dir).select("key", "project_key", "updated")
+      .unionByName(incoming(s, dir).select("key", "project_key", "updated"))
+      .select(col("key"), col("project_key"),
+        col("updated").cast("timestamp").as("updated"))
+      .as[StatefulCdc.Update](org.apache.spark.sql.Encoders.product[StatefulCdc.Update])
+    StatefulCdc.changes(both)
+      .select(col("key"), col("project_key"), col("change_type"),
+        date_format(col("updated"), "yyyy-MM-dd HH:mm:ss").as("updated_s"),
+        col("sync_count"))
+      .orderBy("key")
+  }
+
   /** C4/O5: operation-journal tail — newest 50 entries, bounded history
     * (reference: pkg/state/manager.go:149-152,636-644). The events table
     * stands in for the journal.
@@ -153,5 +215,5 @@ object Cdc {
       .limit(50)
   }
 
-  val all: Seq[GQuery] = Seq(changed, upsert, stats, history)
+  val all: Seq[GQuery] = Seq(changed, upsert, stats, enrich, stateful, history)
 }

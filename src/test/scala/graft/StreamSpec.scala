@@ -102,6 +102,37 @@ class StreamSpec extends AnyFunSuite {
     assert(out("2024-01-01 10:00:00") == 2) // late 10:50 row was NOT counted
   }
 
+  test("StatefulCdc: per-key watermark state across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulCdc
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val changes = StatefulCdc.changes(
+      mem.toDF().toDF("key", "project_key", "updated").as[StatefulCdc.Update])
+    val query = changes.writeStream
+      .outputMode("append").format("memory").queryName("cdc_changes").start()
+    def emitted() = spark.table("cdc_changes")
+      .select("key", "change_type", "sync_count")
+      .as[(String, String, Int)].collect().toSeq
+    try {
+      // batch 0: two versions of P1-1 in ONE batch collapse to the newest
+      mem.addData(("P1-1", "P1", ts("2024-01-02 00:00:00")),
+        ("P1-1", "P1", ts("2024-01-01 00:00:00")))
+      query.processAllAvailable()
+      assert(emitted() == Seq(("P1-1", "new", 1)))
+      // batch 1: replay (same timestamp) → idempotent, nothing emitted
+      mem.addData(("P1-1", "P1", ts("2024-01-02 00:00:00")))
+      query.processAllAvailable()
+      assert(emitted() == Seq(("P1-1", "new", 1)))
+      // batch 2: genuine advance + a brand-new key
+      mem.addData(("P1-1", "P1", ts("2024-02-01 00:00:00")),
+        ("P2-9", "P2", ts("2024-01-15 00:00:00")))
+      query.processAllAvailable()
+      assert(emitted().sorted == Seq(("P1-1", "modified", 2), ("P1-1", "new", 1),
+        ("P2-9", "new", 1)))
+    } finally query.stop()
+  }
+
   test("batch eventRates matches a hand-computed hourly rollup") {
     val df = CdcStream.eventRates(Tables.events(spark, sf))
     val total = df.agg(sum("n")).head.getLong(0)
