@@ -109,25 +109,26 @@ object SyncEngine {
       else scoped
     val toSync = candidates.drop("change_type").cache()
     try {
-      val n = toSync.count()
-      val total = if (opts.incremental) scoped.count() else n
-      val skipped = total - n
-
       // 3. dry run stops before any write (C9,
       // reference: internal/sync/incremental.go:404-465)
       if (opts.dryRun) {
+        val n = toSync.count()
+        val total = if (opts.incremental) scoped.count() else n
         progress.step("dry-run-complete", 100)
         val elapsedMs = (System.nanoTime() - t0) / 1000000
-        return BatchResult(opId, total, 0, 0, skipped + n, elapsedMs,
+        return BatchResult(opId, total, 0, 0, total, elapsedMs,
           if (elapsedMs > 0) n * 1000.0 / elapsedMs else 0.0)
       }
 
       // 4. distributed YAML write (S6) — executors write their partitions.
       // A selective filter usually leaves few input splits, so spread the
-      // write across the full task slots first.
+      // write across the full task slots first. The write's accumulator IS
+      // the batch count — no separate count() pass over the candidate set.
       progress.step("writing", 40)
       val written = Yaml.writeIssues(
         toSync.repartition(spark.sparkContext.defaultParallelism, col("key")), repoDir)
+      val total = if (opts.incremental) scoped.count() else written
+      val skipped = total - written
 
       // 5. link edges (S11) alongside the records. An incremental batch
       // replaces only its own issues' edges; a full run rewrites the table.
