@@ -44,4 +44,28 @@ class ExplainAudit extends AnyFunSuite {
     val p = plan("pipe_ann_brute")
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("minhash signatures aggregate wide: no explode feeds the doc exchange") {
+    // the 16 min-hashes come from ONE map-side-combinable HashAggregate —
+    // a Generate (explode) between the shingle scan and the doc_id exchange
+    // would mean the 16× row blowup is shuffled instead of combined
+    val p = plan("pipe_dedup_minhash")
+    val firstExchange = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(firstExchange > 0, s"expected a doc_id exchange:\n${p.take(2000)}")
+    val partialAgg = p.lastIndexOf("HashAggregate", firstExchange)
+    assert(partialAgg > 0, "expected a partial aggregate below the exchange")
+    assert(!p.substring(partialAgg).contains("Generate explode(sequence"),
+      "per-seed explode leaked below the signature aggregation")
+  }
+
+  test("stateful CDC plans a grouped-state operator, enrichment is a hash join") {
+    // batch mode lowers flatMapGroupsWithState to MapGroups (empty state);
+    // the streaming plan's FlatMapGroupsWithStateExec is pinned by StreamSpec
+    val sp = plan("stream_stateful_changes")
+    assert(sp.contains("MapGroups") || sp.contains("FlatMapGroupsWithState"))
+    val p = plan("cdc_state_enrich")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
