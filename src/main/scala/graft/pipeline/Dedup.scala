@@ -104,19 +104,21 @@ object Dedup {
        |JOIN sizes na ON na.doc_id = i.doc_a
        |JOIN sizes nb ON nb.doc_id = i.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
-    // shingles feed four consumers (the minhash candidate pipeline, sizes,
-    // and both sides of the intersection join) — persist once instead of
-    // recomputing the normalize+explode chain per consumer
+    // shingles feed the minhash candidate pipeline and the verify step —
+    // persist once instead of recomputing the normalize+explode chain
     val sh = docShingles(s, dir).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = minhashCandidates(sh)
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+    // verify on per-doc shingle ARRAYS (bounded: shingles ∝ doc length), so
+    // the intersection is one array_intersect per candidate pair instead of
+    // a candidates×shingles row-explosion join + re-aggregation
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n")).persist()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .orderBy("doc_a", "doc_b")
