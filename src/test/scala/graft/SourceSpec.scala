@@ -98,6 +98,42 @@ class SourceSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/project_key=P1/link_type=blocks").exists())
   }
 
+  test("adaptive fetch honors Retry-After, spreads budget, bounds retries") {
+    import graft.sources.Throttle
+    import graft.sources.Throttle.RateSignal
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // page 0 OK (budget 5 over 1000ms); page 1 rate-limited once with
+    // Retry-After 500; then OK; page 2 empty → end
+    val responses = scala.collection.mutable.Queue[(RateSignal, Seq[String])](
+      (RateSignal(200, remaining = Some(5), resetInMs = Some(1000)), Seq("a", "b")),
+      (RateSignal(429, retryAfterMs = Some(500)), Nil),
+      (RateSignal(200), Seq("c")),
+      (RateSignal(200), Nil))
+    val pagesSeen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = Throttle.adaptiveFetch[String](
+      p => { pagesSeen += p; responses.dequeue() },
+      baseDelayMs = 100, sleepMs = d => { sleeps += d; () }).toSeq
+    assert(out == Seq("a", "b", "c"))
+    assert(pagesSeen.toSeq == Seq(0, 1, 1, 2)) // 429 retried the SAME page
+    // delays: 200 = 1000/5 budget spread after page 0, 500 = Retry-After,
+    // 100 = base delay after the retried page succeeded
+    assert(sleeps.toSeq == Seq(200L, 500L, 100L))
+
+    // exhausted budget waits out the reset window
+    assert(Throttle.nextDelayMs(
+      RateSignal(200, remaining = Some(0), resetInMs = Some(750)), 100, 0) == 750)
+    // missing Retry-After → exponential backoff, capped
+    assert(Throttle.nextDelayMs(RateSignal(429), 100, 3) == 800)
+    assert(Throttle.nextDelayMs(RateSignal(429), 100, 20, backoffCapMs = 30000) == 30000)
+
+    // persistent 429 gives up after maxRetries
+    val ex = intercept[java.io.IOException] {
+      Throttle.adaptiveFetch[String](_ => (RateSignal(429), Nil),
+        maxRetries = 2, sleepMs = _ => ()).toSeq
+    }
+    assert(ex.getMessage.contains("rate-limited"))
+  }
+
   test("wire round-trip preserves values end to end") {
     val orig = Tables.issues(spark, sf).orderBy("key").limit(100).cache()
     val back = Ingest.fromWire(Ingest.toWire(orig)).cache()
