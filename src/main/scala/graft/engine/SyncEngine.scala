@@ -125,10 +125,12 @@ object SyncEngine {
       // write across the full task slots first. The write's accumulator IS
       // the batch count — no separate count() pass over the candidate set.
       progress.step("writing", 40)
-      val written = Yaml.writeIssues(
+      val wr = Yaml.writeIssuesCounted(
         toSync.repartition(spark.sparkContext.defaultParallelism, col("key")), repoDir)
-      val total = if (opts.incremental) scoped.count() else written
-      val skipped = total - written
+      val written = wr.written
+      val attempted = written + wr.failed
+      val total = if (opts.incremental) scoped.count() else attempted
+      val skipped = total - attempted
 
       // 5. link edges (S11) alongside the records. An incremental batch
       // replaces only its own issues' edges; a full run rewrites the table.
@@ -148,14 +150,20 @@ object SyncEngine {
           s"feat(sync): sync $written issues ($opId)")
       }
 
-      // 7. state merge + atomic save (C2/S13)
+      // 7. state merge + atomic save (C2/S13). Issues whose file write failed
+      // must NOT be marked synced — they stay absent from state so the next
+      // incremental run picks them up again (A4 failed accounting,
+      // reference: internal/sync/batch.go FailedIssues).
       progress.step("state", 90)
+      val synced =
+        if (wr.failedKeys.isEmpty) toSync
+        else toSync.filter(!col("key").isin(wr.failedKeys: _*))
       StateStore.save(
-        StateStore.merge(state, StateStore.fromIssues(toSync, now)), statePath)
+        StateStore.merge(state, StateStore.fromIssues(synced, now)), statePath)
 
       progress.step("done", 100)
       val elapsedMs = (System.nanoTime() - t0) / 1000000
-      BatchResult(opId, total, written, 0, skipped, elapsedMs,
+      BatchResult(opId, total, written, wr.failed, skipped, elapsedMs,
         if (elapsedMs > 0) written * 1000.0 / elapsedMs else 0.0)
     } finally toSync.unpersist()
   }

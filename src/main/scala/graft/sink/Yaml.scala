@@ -95,13 +95,26 @@ object Yaml {
     sb.result()
   }
 
+  /** Per-batch write outcome (A4's written/failed split,
+    * reference: internal/sync/batch.go:33-60 BatchResult.FailedIssues). The
+    * failed KEYS come back too — like the reference's in-memory failed list —
+    * so the state merge can exclude them; failures are exceptional, the list
+    * is not a data-plane structure.
+    */
+  final case class WriteResult(written: Long, failedKeys: Seq[String]) {
+    def failed: Long = failedKeys.length.toLong
+  }
+
   /** S6/S8: write one YAML file per issue under
     * `repoDir/projects/{project}/issues/`, creating the directory tree
     * (reference: pkg/schema/yaml.go:88-116 CreateDirectoryStructure).
-    * Returns the written count.
+    * A row whose file cannot be written counts as failed and does not abort
+    * the batch — the reference records failed issues and syncs the rest.
     */
-  def writeIssues(issues: DataFrame, repoDir: String): Long = {
+  def writeIssuesCounted(issues: DataFrame, repoDir: String): WriteResult = {
     val counter = issues.sparkSession.sparkContext.longAccumulator("yaml_written")
+    val failures = issues.sparkSession.sparkContext
+      .collectionAccumulator[String]("yaml_failed")
     // tolerate partial schemas (e.g. a CDC stream carrying only changed
     // fields): absent columns persist as empty/null
     val complete = columns.foldLeft(issues) { (df, c) =>
@@ -111,17 +124,24 @@ object Yaml {
     }
     complete.select(columns.map(col): _*).foreachPartition { rows: Iterator[Row] =>
       rows.foreach { r =>
-        val proj = r.getAs[String]("project_key")
         val key = r.getAs[String]("key")
-        val dir = Paths.get(repoDir, "projects", proj, "issues")
-        Files.createDirectories(dir)
-        Files.write(dir.resolve(s"$key.yaml"),
-          toYamlString(r).getBytes(StandardCharsets.UTF_8))
-        counter.add(1)
+        try {
+          val proj = r.getAs[String]("project_key")
+          val dir = Paths.get(repoDir, "projects", proj, "issues")
+          Files.createDirectories(dir)
+          Files.write(dir.resolve(s"$key.yaml"),
+            toYamlString(r).getBytes(StandardCharsets.UTF_8))
+          counter.add(1)
+        } catch { case _: java.io.IOException => failures.add(key) }
       }
     }
-    counter.value
+    WriteResult(counter.value,
+      scala.jdk.CollectionConverters.ListHasAsScala(failures.value).asScala.toSeq)
   }
+
+  /** [[writeIssuesCounted]] returning only the written count. */
+  def writeIssues(issues: DataFrame, repoDir: String): Long =
+    writeIssuesCounted(issues, repoDir).written
 
   /** Flat issue record parsed back from YAML (timestamps re-parsed from the
     * wire format — F3's chain applies on read).

@@ -210,7 +210,11 @@ object Ingest {
       val projects = changed.select("project_key").distinct()
         .collect().map(_.getString(0))
       if (projects.isEmpty) return
-      val existing = spark.read.parquet(path)
+      // explicit schema: a previous zero-edge write leaves a parquet dir with
+      // no data files, which defeats inference
+      val existing = spark.read.schema(
+          org.apache.spark.sql.types.StructType(edges.schema.fields.toSeq))
+        .parquet(path)
         .filter(col("project_key").isin(projects.toSeq: _*))
       val existingParts = existing.select("project_key", "link_type").distinct()
         .collect().map(r => (r.getString(0), r.getString(1)))

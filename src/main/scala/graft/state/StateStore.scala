@@ -84,6 +84,26 @@ object StateStore {
       throw new java.io.IOException(s"atomic state rename failed: $tmp -> $dst")
   }
 
+  /** Explicit restore-from-backup (reference: pkg/state/manager.go:239-267
+    * RestoreState) — promotes `<path>__bak` to the primary. Deliberate, never
+    * automatic: load() only falls back when an interrupted save left its tmp
+    * marker behind. Returns false when no backup exists.
+    */
+  def restore(spark: SparkSession, path: String): Boolean = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(path + "__bak")
+    val dst = new Path(path)
+    if (!fs.exists(bak)) false
+    else {
+      if (fs.exists(dst) && !fs.delete(dst, true))
+        throw new java.io.IOException(s"could not clear $dst for restore")
+      if (!fs.rename(bak, dst))
+        throw new java.io.IOException(s"restore rename failed: $bak -> $dst")
+      log.warn(s"state restored from backup: $path")
+      true
+    }
+  }
+
   /** Build state rows from a batch of synced issues. `syncedAt` is the run's
     * logical sync time; checksum is SHA-256 of the record content
     * (reference: pkg/state/manager.go:649-662).

@@ -78,6 +78,34 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$repo/relationships").count() == e0)
   }
 
+  test("failed file writes are counted and stay out of state for retry") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-fail").toString
+    val repo = s"$work/repo"
+    val statePath = s"$work/state"
+    // sabotage one project: a FILE where its directory belongs
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(repo, "projects"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(repo, "projects", "P9"), "not a dir".getBytes)
+    val issues = Seq(("P9-1", "P9", "s9"), ("P8-1", "P8", "s8"))
+      .toDF("key", "project_key", "summary")
+      .withColumn("updated", lit("2001-12-01 00:00:00").cast("timestamp"))
+    val links = Seq.empty[(String, String, String, String, String)]
+      .toDF("src", "link_type", "direction", "dst", "project_key")
+    val r = SyncEngine.run(spark, issues, links, repo, statePath,
+      SyncOptions(), now = now1)
+    assert(r.successful == 1 && r.failed == 1 && r.total == 2)
+    // only the written issue is marked synced
+    assert(StateStore.load(spark, statePath).select("key").as[String]
+      .collect().toSeq == Seq("P8-1"))
+    // unblock the project: the failed issue is still an incremental candidate
+    java.nio.file.Files.delete(java.nio.file.Paths.get(repo, "projects", "P9"))
+    val r2 = SyncEngine.run(spark, issues, links, repo, statePath,
+      SyncOptions(incremental = true), now = now2)
+    assert(r2.successful == 1 && r2.failed == 0)
+    assert(StateStore.load(spark, statePath).count() == 2)
+  }
+
   test("dry run counts but writes nothing") {
     val work = Files.createTempDirectory("graft-dry").toString
     val result = SyncEngine.run(spark,

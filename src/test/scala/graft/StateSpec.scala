@@ -98,6 +98,22 @@ class StateSpec extends AnyFunSuite {
     assert(StateStore.load(spark, path).count() == 0)
   }
 
+  test("explicit restore promotes the backup over the current state") {
+    val dir = Files.createTempDirectory("graft-state-restore").toString
+    val path = s"$dir/state"
+    val s1 = StateStore.fromIssues(
+      batchDf(Seq(("P1-1", "P1", "a", "2024-01-01 00:00:00"))), ts("2024-01-02 00:00:00"))
+    StateStore.save(s1, path)
+    val s2 = StateStore.merge(StateStore.load(spark, path), StateStore.fromIssues(
+      batchDf(Seq(("P1-2", "P1", "b", "2024-02-01 00:00:00"))), ts("2024-02-02 00:00:00")))
+    StateStore.save(s2, path) // dst = 2 rows, __bak = the 1-row s1
+    assert(StateStore.load(spark, path).count() == 2)
+    assert(StateStore.restore(spark, path))
+    assert(StateStore.load(spark, path).count() == 1) // rolled back to s1
+    // no backup anymore (it was promoted) → restore reports false
+    assert(!StateStore.restore(spark, path))
+  }
+
   test("changedIssues: new + modified only; force bypasses; project scoping") {
     val issues = batchDf(Seq(
       ("P1-1", "P1", "a", "2024-01-05 00:00:00"), // modified (state older)
