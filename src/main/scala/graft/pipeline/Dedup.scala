@@ -152,17 +152,15 @@ object Dedup {
        |    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
        |FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
-    // vote per DISTINCT word with its multiplicity (one md5 per (doc, word),
-    // not per occurrence), then all 60 bit-votes as ONE wide aggregation —
-    // no 60× row explode; the doc_id exchange carries a 60-long buffer per
-    // doc and combines map-side
+    // vote ±1 per word occurrence straight into ONE wide aggregation (sum of
+    // ±multiplicity ≡ sum of ±1 per occurrence): the exploded word rows never
+    // reach an exchange — partial aggregation folds them to a 60-long buffer
+    // per doc map-side, so the only shuffle carries docs × 60 longs
     val wh = docWords(s, dir)
       .select(col("doc_id"), explode(col("w")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), hash64(col("word")).as("h"), col("cnt"))
+      .select(col("doc_id"), hash64(col("word")).as("h"))
     val votes = (0 until 60).map(j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-        .as(s"v$j"))
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1L).otherwise(-1L)).as(s"v$j"))
     val sig = wh.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         (0 until 60).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
