@@ -239,6 +239,31 @@ object Ingest {
     } finally changed.unpersist()
   }
 
+  /** S11 maintenance: compact the edge table's accumulated small files.
+    * Every incremental upsert rewrites its partitions with one file per
+    * write task, so file counts grow with sync frequency and scans degrade.
+    * Rewrite with one task per (project_key, link_type) partition (bounded
+    * by `maxRecordsPerFile`) into a tmp dir and swap — the same
+    * tmp-then-rename commit as the state store.
+    */
+  def compactEdges(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxRecordsPerFile: Long = 1L << 20): Unit = {
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(src)) return
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    spark.read.parquet(path)
+      .repartition(col("project_key"), col("link_type"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("project_key", "link_type")
+      .parquet(tmp.toString)
+    if (!fs.delete(src, true))
+      throw new java.io.IOException(s"compaction could not clear $src")
+    if (!fs.rename(tmp, src))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $src")
+  }
+
   /** S12: broken-link GC — dangling edges found by anti-join instead of a
     * filesystem walk (reference: pkg/links/links.go:132-232).
     */

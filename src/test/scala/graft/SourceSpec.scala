@@ -98,6 +98,30 @@ class SourceSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/project_key=P1/link_type=blocks").exists())
   }
 
+  test("compactEdges collapses accumulated small files, content unchanged") {
+    import spark.implicits._
+    val path = s"${Files.createTempDirectory("graft-compact")}/relationships"
+    def edf(rows: (String, String, String, String, String)*) =
+      rows.toDF("src", "link_type", "direction", "dst", "project_key")
+        .repartition(8) // force multi-file writes
+    Ingest.writeEdges(edf(("P1-1", "epic", "outward", "E-1", "P1"),
+      ("P1-2", "epic", "outward", "E-1", "P1")), path)
+    // two upserts, each rewriting the (P1, epic) partition with more files
+    Seq("P1-3", "P1-4").foreach { k =>
+      Ingest.upsertEdges(edf((k, "epic", "outward", "E-1", "P1")),
+        Seq((k, "P1")).toDF("key", "project_key"), path)
+    }
+    def files() = {
+      val d = new java.io.File(s"$path/project_key=P1/link_type=epic")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val before = spark.read.parquet(path).select("src").as[String].collect().toSet
+    assert(files() > 1)
+    Ingest.compactEdges(spark, path)
+    assert(files() == 1)
+    assert(spark.read.parquet(path).select("src").as[String].collect().toSet == before)
+  }
+
   test("adaptive fetch honors Retry-After, spreads budget, bounds retries") {
     import graft.sources.Throttle
     import graft.sources.Throttle.RateSignal
