@@ -101,6 +101,57 @@ object Multimodal {
     decodeMeta(mediaTable(s, dir)).orderBy("doc_id")
   }
 
+  /** Resize plan for one visual media row: aspect-preserving fit into the
+    * 224×224 model input box, never upscaling.
+    */
+  final case class Resized(doc_id: Long, kind: String, width: Int, height: Int,
+      scale: Double, out_w: Long, out_h: Long)
+
+  /** Resize planning through the same batched per-partition shape as decode —
+    * the pixel work would live here in a codec-backed implementation; the
+    * geometry (what the oracle checks) is deterministic arithmetic.
+    */
+  def resizePlan(meta: DataFrame, box: Double = 224.0): DataFrame = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.filter(col("kind").isin("image", "video"))
+      .select(col("doc_id"), col("kind"), col("width"), col("height"))
+      .as[(Long, String, Int, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, kind, w, h) =>
+          val scale = math.min(1.0, math.min(box / w, box / h))
+          Resized(id, kind, w, h, scale,
+            math.max(1L, math.floor(w * scale).toLong),
+            math.max(1L, math.floor(h * scale).toLong))
+        }
+      }.toDF()
+  }
+
+  /** Aspect-preserving resize geometry, oracle-checked. */
+  private val resize = {
+    val widthCase =
+      s"""CASE WHEN $kindCase = 'image' THEN (octet_length(encode(text)) % 1920)::INT + 1
+         |     ELSE (octet_length(encode(text)) % 1280)::INT + 1 END""".stripMargin
+    val heightCase =
+      s"""CASE WHEN $kindCase = 'image' THEN (octet_length(encode(text)) % 1080)::INT + 1
+         |     ELSE (octet_length(encode(text)) % 720)::INT + 1 END""".stripMargin
+    q("mm_resize",
+      s"""WITH m AS (
+         |  SELECT doc_id, $kindCase AS kind,
+         |    $widthCase AS width,
+         |    $heightCase AS height
+         |  FROM documents WHERE $kindCase IN ('image', 'video')),
+         |s AS (
+         |  SELECT *, least(1.0, least(224.0 / width, 224.0 / height)) AS scale
+         |  FROM m)
+         |SELECT doc_id, kind, width, height, scale,
+         |  greatest(1, floor(width * scale))::BIGINT AS out_w,
+         |  greatest(1, floor(height * scale))::BIGINT AS out_h
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      resizePlan(decodeMeta(mediaTable(s, dir))).orderBy("doc_id")
+    }
+  }
+
   /** Frame sampling: one row per sampled frame (every 2s of fake video) —
     * the explode/Generator shape of media expansion.
     */
@@ -142,5 +193,5 @@ object Multimodal {
     }
   }
 
-  val all: Seq[GQuery] = Seq(meta, frames, features)
+  val all: Seq[GQuery] = Seq(meta, resize, frames, features)
 }
