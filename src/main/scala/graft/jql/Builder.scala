@@ -36,7 +36,62 @@ object Builder {
     s"$withProject ORDER BY key ASC"
   }
 
-  /** The reference's named templates (pkg/jql/builder.go:126-246), with
+  /** A template parameter (reference: pkg/jql/builder.go:79-87). */
+  final case class TemplateParam(name: String, required: Boolean,
+      default: Option[String] = None)
+
+  /** A predefined query template (reference: pkg/jql/builder.go:69-77). */
+  final case class Template(name: String, category: String,
+      jqlTemplate: String, params: Seq[TemplateParam])
+
+  /** The reference's five built-in templates, byte-for-byte
+    * (reference: pkg/jql/builder.go:125-246 GetBuiltInTemplates).
+    */
+  val builtInTemplates: Seq[Template] = Seq(
+    Template("epic-all-issues", "epic",
+      """"Epic Link" = {{.epic_key}} OR parent in (issuesInEpic("{{.epic_key}}"))""",
+      Seq(TemplateParam("epic_key", required = true))),
+    Template("epic-stories-only", "epic",
+      """"Epic Link" = {{.epic_key}} AND type = Story""",
+      Seq(TemplateParam("epic_key", required = true))),
+    Template("project-active-issues", "project",
+      """project = {{.project_key}} AND status in ("To Do", "In Progress", "In Review")""",
+      Seq(TemplateParam("project_key", required = true))),
+    Template("assignee-current-sprint", "assignee",
+      "assignee = currentUser() AND sprint in openSprints()" +
+        "{{if .project_key}} AND project = {{.project_key}}{{end}}",
+      Seq(TemplateParam("project_key", required = false))),
+    Template("recent-updates", "project",
+      """project = {{.project_key}} AND updated >= -{{.days}}d ORDER BY updated DESC""",
+      Seq(TemplateParam("project_key", required = true),
+        TemplateParam("days", required = false, default = Some("7")))))
+
+  /** BuildFromTemplate parity (reference: pkg/jql/builder.go:16-17): apply
+    * defaults, enforce required parameters, expand the two Go-template
+    * constructs the templates use — `{{if .k}}…{{end}}` conditionals and
+    * `{{.k}}` substitutions.
+    */
+  def buildFromTemplate(name: String, params: Map[String, String]): String = {
+    val tmpl = builtInTemplates.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown template '$name'"))
+    val withDefaults = tmpl.params.flatMap(p =>
+      p.default.filterNot(_ => params.contains(p.name)).map(p.name -> _)).toMap ++ params
+    tmpl.params.filter(p => p.required && !withDefaults.get(p.name).exists(_.nonEmpty))
+      .foreach(p => throw new IllegalArgumentException(
+        s"template '$name': required parameter '${p.name}' missing"))
+    val conditional = "(?s)\\{\\{if \\.([a-zA-Z_]+)\\}\\}(.*?)\\{\\{end\\}\\}".r
+    val afterIf = conditional.replaceAllIn(tmpl.jqlTemplate, m =>
+      if (withDefaults.get(m.group(1)).exists(_.nonEmpty))
+        scala.util.matching.Regex.quoteReplacement(m.group(2))
+      else "")
+    "\\{\\{\\.([a-zA-Z_]+)\\}\\}".r.replaceAllIn(afterIf, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        withDefaults.getOrElse(m.group(1),
+          throw new IllegalArgumentException(
+            s"template '$name': parameter '${m.group(1)}' missing"))))
+  }
+
+  /** Additional saved-query shorthands beyond the reference's built-ins, with
     * `{param}` placeholders.
     */
   val templates: Map[String, String] = Map(
