@@ -65,6 +65,26 @@ final class JobManager(spark: SparkSession) {
   def queueStatus(): Map[String, Int] =
     jobs.values.groupBy(_.phase).view.mapValues(_.size).toMap
 
+  /** CancelJob parity (reference: pkg/jobs/scheduler.go:272-299): a
+    * non-terminal job moves to Cancelled and is never picked up again.
+    * Execution here is synchronous per attempt, so cancellation takes effect
+    * between attempts — the reference's delete-propagation has the same
+    * at-batch-boundary granularity.
+    */
+  def cancel(id: String): Boolean = jobs.get(id) match {
+    case Some(j) if j.phase == "Pending" || j.phase == "Running" =>
+      jobs.put(id, j.copy(phase = "Cancelled")); true
+    case _ => false
+  }
+
+  /** DeleteJob parity (reference: pkg/jobs/scheduler.go:140-151): drop a
+    * non-running job's record.
+    */
+  def delete(id: String): Boolean = jobs.get(id) match {
+    case Some(j) if j.phase != "Running" => jobs.remove(id).isDefined
+    case _ => false
+  }
+
   /** Execute all Pending jobs through the engine. Each job gets the phase
     * machine: Pending → Running → Completed, or → Failed after
     * `max_retries` attempts with the spec's backoff.

@@ -47,6 +47,26 @@ class JobManagerSpec extends AnyFunSuite {
     assert(job.error.isDefined)
   }
 
+  test("cancel stops a pending job; delete drops terminal records") {
+    val work = Files.createTempDirectory("graft-jobs-cancel").toString
+    val mgr = new JobManager(spark)
+    val keep = mgr.submit(spec("project = P1", dryRun = true), at)
+    val cancelled = mgr.submit(spec("project = P2", dryRun = true),
+      Timestamp.valueOf("2002-01-01 00:00:01"))
+    assert(mgr.cancel(cancelled))
+    mgr.drain(Tables.issues(spark, sf), Tables.links(spark, sf),
+      s"$work/repos", s"$work/states", at)
+    // the cancelled job was never executed
+    assert(mgr.status(cancelled).get.phase == "Cancelled")
+    assert(mgr.status(cancelled).get.result.isEmpty)
+    assert(mgr.status(keep).get.phase == "Completed")
+    // terminal cancel is a no-op; delete removes the record
+    assert(!mgr.cancel(keep))
+    assert(mgr.delete(keep))
+    assert(mgr.status(keep).isEmpty)
+    assert(mgr.queueStatus() == Map("Cancelled" -> 1))
+  }
+
   test("listing filters by phase and type; queue status aggregates") {
     val mgr = new JobManager(spark)
     mgr.submit(spec("project = P1"), at)
