@@ -4,12 +4,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.Md5Prefix64
+import graft.functions.{DotProductD, Md5Prefix64}
 
 /** Session extensions: registers the engine's native expressions for SQL use
-  * (`SELECT md5_prefix64(col) ...`). Install with
+  * (`SELECT md5_prefix64(col) ...`, `SELECT dot_d(x, y) ...`). Install with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` at session
-  * build; the Column API (`Md5Prefix64(col)`) works without registration.
+  * build; the Column API (`Md5Prefix64(col)`, `DotProductD(x, y)`) works
+  * without registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -20,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "md5_prefix64 takes exactly one argument")
         Md5Prefix64(org.apache.spark.sql.catalyst.expressions.Cast(
           children.head, org.apache.spark.sql.types.BinaryType))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotProductD].getName, "dot_d"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "dot_d takes exactly two arguments")
+        DotProductD(children.head, children(1))
       }))
   }
 }

@@ -54,12 +54,13 @@ package object pipeline {
           |   i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))
           | ELSE array() END""".stripMargin))).as("sh"))
 
-  /** Double-precision dot product of two array<double> columns (sequential
-    * fold — same evaluation order as DuckDB's list_dot_product, so results
-    * are bit-identical).
+  /** Double-precision dot product of two array<double> columns — the native
+    * codegen'd [[graft.functions.DotProductD]] expression (one fused loop,
+    * stays in whole-stage codegen). Same sequential fold order as the
+    * higher-order `aggregate(zip_with(...))` chain it replaced and as
+    * DuckDB's list_dot_product, so results are bit-identical.
     */
-  def dotD(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+  def dotD(x: Column, y: Column): Column = graft.functions.DotProductD(x, y)
 
   /** Cosine similarity between two array<double> columns. */
   def cosineD(x: Column, y: Column): Column =

@@ -28,6 +28,33 @@ class Md5PrefixSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [md5prefix64"), plan)
   }
 
+  test("dot_d equals the higher-order aggregate/zip_with chain bit-for-bit") {
+    import graft.functions.DotProductD
+    val df = spark.range(0, 2000)
+      .select(col("id"),
+        expr("transform(sequence(0, 63), j -> sin(id * 1.0 + j) * 0.125)").as("x"),
+        expr("transform(sequence(0, 63), j -> cos(id * 2.0 - j) * 0.25)").as("y"))
+    val hof = expr(
+      "aggregate(zip_with(x, y, (a, b) -> a * b), 0d, (acc, v) -> acc + v)")
+    // bit-identical, not approximately equal: same sequential fold
+    assert(df.filter(DotProductD(col("x"), col("y")) =!= hof).count() == 0)
+    // null-safe on null arrays
+    assert(df.limit(1)
+      .select(DotProductD(lit(null).cast("array<double>"), col("y")).isNull)
+      .head.getBoolean(0))
+  }
+
+  test("dot_d participates in whole-stage codegen") {
+    import graft.functions.DotProductD
+    val plan = spark.range(10)
+      .select(expr("transform(sequence(0, 3), j -> cast(j as double))").as("x"))
+      .select(DotProductD(col("x"), col("x")).as("d"))
+      .queryExecution.executedPlan.toString
+    // the starred project marks whole-stage codegen; the interpreted
+    // higher-order transform below it is exactly what dot_d avoids
+    assert("\\*\\(\\d+\\) Project \\[dotproductd".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("SQL registration via GraftExtensions injectFunction") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // constructs without error
