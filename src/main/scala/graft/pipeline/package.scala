@@ -45,14 +45,14 @@ package object pipeline {
 
   /** documents → (doc_id, sh) DISTINCT word-3-gram shingles, one row per
     * shingle. The shingle set is the dedup unit for MinHash and Jaccard.
+    * Shingling is the native codegen'd [[graft.functions.Shingles]] (one
+    * fused loop; semantics identical to
+    * `array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ',
+    * w[i], w[i+1], w[i+2])))`).
     */
   def docShingles(s: SparkSession, dir: String): DataFrame =
     docWords(s, dir).select(col("doc_id"),
-      explode(array_distinct(expr(
-        """CASE WHEN size(w) >= 3
-          | THEN transform(sequence(1, size(w) - 2),
-          |   i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))
-          | ELSE array() END""".stripMargin))).as("sh"))
+      explode(graft.functions.Shingles(col("w"))).as("sh"))
 
   /** Double-precision dot product of two array<double> columns — the native
     * codegen'd [[graft.functions.DotProductD]] expression (one fused loop,

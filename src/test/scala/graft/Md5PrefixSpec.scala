@@ -55,6 +55,25 @@ class Md5PrefixSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\) Project \\[dotproductd".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("shingles equals the array_distinct/transform chain, in order") {
+    import graft.functions.Shingles
+    val df = spark.range(0, 500)
+      .select(split(concat_ws(" ",
+        lit("a b c a b c d"), col("id").cast("string"),
+        lit("x y"), col("id").cast("string")), " ").as("w"))
+    val chain = expr(
+      """array_distinct(CASE WHEN size(w) >= 3
+        | THEN transform(sequence(1, size(w) - 2),
+        |   i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))
+        | ELSE array() END)""".stripMargin)
+    assert(df.filter(Shingles(col("w")) =!= chain).count() == 0)
+    // short docs produce the empty array, not null
+    import spark.implicits._
+    val short = Seq(Seq("a", "b")).toDF("w")
+      .select(Shingles(col("w")).as("sh")).head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("SQL registration via GraftExtensions injectFunction") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // constructs without error
