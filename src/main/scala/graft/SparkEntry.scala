@@ -13,7 +13,8 @@ object SparkEntry {
     Relational.all ++ Jql.all ++ Cdc.all ++ Epic.all ++ Sink.all ++
       Profiles.all ++ Misc.all ++
       pipeline.Dedup.all ++ pipeline.Similarity.all ++
-      pipeline.TextAnalysis.all ++ pipeline.Multimodal.all
+      pipeline.TextAnalysis.all ++ pipeline.Multimodal.all ++
+      pipeline.Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

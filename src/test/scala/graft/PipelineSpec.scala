@@ -85,4 +85,22 @@ class PipelineSpec extends AnyFunSuite {
     val joined = df.join(e, df("vec_a") === e("vec_id"))
     assert(joined.filter(col("label") =!= col("la")).count() == 0)
   }
+
+  test("split assignment is disjoint, exhaustive, and stable; sample rates hold") {
+    val split = run("pipe_split_assign").cache()
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(split.count() == total) // exhaustive, one split per doc
+    val byPart = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPart.keySet == Set("train", "val", "test"))
+    // hash-mod buckets: rates hold within a loose tolerance
+    assert(math.abs(byPart("train").toDouble / total - 0.8) < 0.05)
+    // determinism: a re-run assigns identical splits
+    assert(run("pipe_split_assign").except(split).count() == 0)
+    // stratified sample is a subset with per-stratum rates
+    val sample = run("pipe_sample_stratified").cache()
+    val en = Tables.t(spark, sf, "documents").filter(col("lang") === "en").count()
+    val enSampled = sample.filter(col("lang") === "en").count()
+    assert(math.abs(enSampled.toDouble / en - 0.5) < 0.08)
+  }
 }
