@@ -123,12 +123,19 @@ object Yaml {
         lit(null).cast(if (c == "created" || c == "updated") "timestamp" else "string"))
     }
     complete.select(columns.map(col): _*).foreachPartition { rows: Iterator[Row] =>
+      // per-partition directory cache: one createDirectories syscall per
+      // project, not per row
+      val made = new java.util.HashMap[String, java.nio.file.Path]()
       rows.foreach { r =>
         val key = r.getAs[String]("key")
         try {
           val proj = r.getAs[String]("project_key")
-          val dir = Paths.get(repoDir, "projects", proj, "issues")
-          Files.createDirectories(dir)
+          var dir = made.get(proj)
+          if (dir == null) {
+            dir = Paths.get(repoDir, "projects", proj, "issues")
+            Files.createDirectories(dir)
+            made.put(proj, dir)
+          }
           Files.write(dir.resolve(s"$key.yaml"),
             toYamlString(r).getBytes(StandardCharsets.UTF_8))
           counter.add(1)

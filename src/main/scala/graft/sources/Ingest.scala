@@ -176,9 +176,17 @@ object Ingest {
 
   /** S11 sink: persist edges partitioned by (project_key, link_type) — the
     * layout the reference encodes as relationship directories.
+    *
+    * The batch is re-hashed on the partition columns first (keeping the full
+    * task-slot count) so each (project_key, link_type) lands in one task:
+    * one file per partition instead of tasks × partitions small files, and
+    * one open writer per task instead of one per partition value.
     */
   def writeEdges(edges: DataFrame, path: String): Unit =
-    edges.write.mode("overwrite")
+    edges
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("project_key"), col("link_type"))
+      .write.mode("overwrite")
       .partitionBy("project_key", "link_type")
       .parquet(path)
 
@@ -225,7 +233,10 @@ object Ingest {
         // break the read-from-output-path lineage so the overwrite is legal;
         // on a cluster this would be a checkpoint to reliable storage
         .localCheckpoint(true)
-      out.write.mode("overwrite")
+      out
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("project_key"), col("link_type")) // one file per partition, see writeEdges
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic") // writer-scoped, no session-conf mutation
         .partitionBy("project_key", "link_type")
         .parquet(path)

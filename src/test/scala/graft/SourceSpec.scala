@@ -106,11 +106,13 @@ class SourceSpec extends AnyFunSuite {
         .repartition(8) // force multi-file writes
     Ingest.writeEdges(edf(("P1-1", "epic", "outward", "E-1", "P1"),
       ("P1-2", "epic", "outward", "E-1", "P1")), path)
-    // two upserts, each rewriting the (P1, epic) partition with more files
-    Seq("P1-3", "P1-4").foreach { k =>
-      Ingest.upsertEdges(edf((k, "epic", "outward", "E-1", "P1")),
-        Seq((k, "P1")).toDF("key", "project_key"), path)
-    }
+    // fragment the (P1, epic) partition the way a large partition would be
+    // at scale (file-size/AQE splits): append one-row files directly
+    edf(("P1-3", "epic", "outward", "E-1", "P1"),
+      ("P1-4", "epic", "outward", "E-1", "P1"))
+      .repartition(col("project_key"), col("link_type"))
+      .write.mode("append").option("maxRecordsPerFile", 1)
+      .partitionBy("project_key", "link_type").parquet(path)
     def files() = {
       val d = new java.io.File(s"$path/project_key=P1/link_type=epic")
       d.listFiles().count(_.getName.endsWith(".parquet"))
