@@ -18,6 +18,14 @@ class JqlSpec extends AnyFunSuite {
     }
   }
 
+  test("doubled-quote escape reaches the compiled literal") {
+    // "Issue ""7"" test" must compile to the literal: Issue "7" test
+    val n = Jql.run(spark, sf, "summary = \"Issue \"\"7\"\" test\"").count()
+    assert(n == 0) // no such summary, but parse + compile + run succeed
+    // and the escape is not a parse error in validation either
+    assert(graft.jql.Validator.validate("summary = \"a \"\"b\"\" c\"").valid)
+  }
+
   test("equality is case-insensitive (JIRA semantics)") {
     val a = run("""status = "done"""").count()
     val b = run("""status = "Done"""").count()

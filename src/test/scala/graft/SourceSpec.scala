@@ -98,6 +98,21 @@ class SourceSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/project_key=P1/link_type=blocks").exists())
   }
 
+  test("writeEdges produces one file per (project, link_type) partition") {
+    import spark.implicits._
+    val path = s"${Files.createTempDirectory("graft-onefile")}/relationships"
+    val edges = Tables.links(spark, sf).limit(5000)
+    Ingest.writeEdges(edges, path)
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("project_key=")).flatMap(_.listFiles())
+    assert(parts.nonEmpty)
+    parts.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${d.getName}: $files files")
+    }
+    assert(spark.read.parquet(path).count() == edges.count())
+  }
+
   test("compactEdges collapses accumulated small files, content unchanged") {
     import spark.implicits._
     val path = s"${Files.createTempDirectory("graft-compact")}/relationships"
