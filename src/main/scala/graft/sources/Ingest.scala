@@ -244,8 +244,10 @@ object Ingest {
       // issues and none came back) — absent from `out`, so untouched above
       val outParts = out.select("project_key", "link_type").distinct()
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
       existingParts.filterNot(outParts).foreach { case (p, t) =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/project_key=$p/link_type=$t"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/project_key=${esc(p)}/link_type=${esc(t)}"), true)
       }
     } finally changed.unpersist()
   }
@@ -261,8 +263,16 @@ object Ingest {
       maxRecordsPerFile: Long = 1L << 20): Unit = {
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(src)) return
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    // crash window recovery: a previous compaction that died between its
+    // delete and rename leaves only the (complete) tmp — finish the swap
+    if (!fs.exists(src)) {
+      if (fs.exists(tmp) && fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        if (!fs.rename(tmp, src))
+          throw new java.io.IOException(s"compaction recovery rename failed: $tmp -> $src")
+      }
+      return
+    }
     spark.read.parquet(path)
       .repartition(col("project_key"), col("link_type"))
       .write.mode("overwrite")

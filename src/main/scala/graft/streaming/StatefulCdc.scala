@@ -31,10 +31,12 @@ object StatefulCdc {
 
   /** One group invocation: fold the batch's versions of `key` into the stored
     * watermark; emit at most one event (the newest version, when it advances
-    * the watermark).
+    * the watermark). A timeout invocation (no rows) drops the key's state —
+    * the TTL bound on total state size.
     */
-  def detect(key: String, rows: Iterator[Update],
+  def detect(ttlMs: Option[Long])(key: String, rows: Iterator[Update],
       state: GroupState[KeyState]): Iterator[Change] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     // ties on `updated` are byte-identical duplicate versions — maxBy keeping
     // the first is deterministic in effect
     val newest = rows.maxBy(_.updated.getTime)
@@ -42,16 +44,30 @@ object StatefulCdc {
     if (prior.forall(p => newest.updated.after(p.lastUpdated))) {
       val n = prior.map(_.syncCount).getOrElse(0) + 1
       state.update(KeyState(newest.updated, n))
+      ttlMs.foreach(state.setTimeoutDuration)
       Iterator.single(Change(key, newest.project_key,
         if (prior.isEmpty) "new" else "modified", newest.updated, n))
-    } else Iterator.empty
+    } else {
+      ttlMs.foreach(state.setTimeoutDuration) // activity refreshes the TTL
+      Iterator.empty
+    }
   }
 
-  /** The change-event stream (append mode; works on batch Datasets too). */
-  def changes(updates: Dataset[Update]): Dataset[Change] = {
+  /** The change-event stream (append mode; works on batch Datasets too).
+    *
+    * @param ttlMs optional per-key state TTL: a key idle for longer is
+    *              evicted from the state store (it re-emits as `new` with a
+    *              reset counter on its next update) — the retention bound
+    *              that keeps total state ∝ active keys, not ever-seen keys,
+    *              at 100 TB. None = keep state forever.
+    */
+  def changes(updates: Dataset[Update], ttlMs: Option[Long] = None): Dataset[Change] = {
     implicit val stateEnc: Encoder[KeyState] = Encoders.product[KeyState]
     implicit val changeEnc: Encoder[Change] = Encoders.product[Change]
+    val timeout =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     updates.groupByKey(_.key)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(detect)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(detect(ttlMs))
   }
 }

@@ -133,6 +133,35 @@ class StreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("StatefulCdc TTL: timeout invocation evicts state; activity re-arms") {
+    import graft.streaming.StatefulCdc
+    import org.apache.spark.sql.streaming.TestGroupState
+    // timeout invocation (no rows): state is dropped
+    val timedOut = TestGroupState.create[StatefulCdc.KeyState](
+      org.apache.spark.api.java.Optional.of(StatefulCdc.KeyState(ts("2024-01-01 00:00:00"), 3)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    assert(StatefulCdc.detect(Some(60000L))("P1-1", Iterator.empty, timedOut).isEmpty)
+    assert(timedOut.isRemoved)
+    // after eviction the key re-emits as new with a reset counter
+    val fresh = TestGroupState.create[StatefulCdc.KeyState](
+      org.apache.spark.api.java.Optional.empty[StatefulCdc.KeyState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out = StatefulCdc.detect(Some(60000L))("P1-1",
+      Iterator(StatefulCdc.Update("P1-1", "P1", ts("2024-01-01 00:00:00"))), fresh).toSeq
+    assert(out.map(c => (c.change_type, c.sync_count)) == Seq(("new", 1)))
+    assert(fresh.getTimeoutTimestampMs.isPresent) // TTL armed
+    // a no-op update (not newer) still refreshes the TTL, emits nothing
+    val idle = TestGroupState.create[StatefulCdc.KeyState](
+      org.apache.spark.api.java.Optional.of(StatefulCdc.KeyState(ts("2024-01-02 00:00:00"), 2)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 5000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    assert(StatefulCdc.detect(Some(60000L))("P1-1",
+      Iterator(StatefulCdc.Update("P1-1", "P1", ts("2024-01-02 00:00:00"))), idle).isEmpty)
+    assert(idle.getTimeoutTimestampMs.isPresent)
+  }
+
   test("batch eventRates matches a hand-computed hourly rollup") {
     val df = CdcStream.eventRates(Tables.events(spark, sf))
     val total = df.agg(sum("n")).head.getLong(0)
