@@ -26,6 +26,38 @@ class JqlSpec extends AnyFunSuite {
     assert(graft.jql.Validator.validate("summary = \"a \"\"b\"\" c\"").valid)
   }
 
+  test("property: random AND/OR/NOT trees compile to equivalent filters") {
+    // pool over NON-NULL fields so JIRA's empty-excluding negation and plain
+    // boolean negation coincide — null semantics have their own tests
+    val pool: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("project = P3", lower(col("project_key")) === "p3"),
+      ("""status = "In Progress"""", lower(col("status_name")) === "in progress"),
+      ("priority = High", lower(col("priority")) === "high"),
+      ("type in (Bug, Task)", lower(col("issuetype")).isin("bug", "task")),
+      ("priority != Low", lower(col("priority")) =!= "low"))
+    val rnd = new scala.util.Random(42)
+    def gen(depth: Int): (String, org.apache.spark.sql.Column) =
+      if (depth == 0 || rnd.nextInt(3) == 0) pool(rnd.nextInt(pool.length))
+      else rnd.nextInt(3) match {
+        case 0 =>
+          val (ja, ca) = gen(depth - 1); val (jb, cb) = gen(depth - 1)
+          (s"($ja) AND ($jb)", ca && cb)
+        case 1 =>
+          val (ja, ca) = gen(depth - 1); val (jb, cb) = gen(depth - 1)
+          (s"($ja) OR ($jb)", ca || cb)
+        case _ =>
+          val (ja, ca) = gen(depth - 1)
+          (s"NOT ($ja)", !ca)
+      }
+    val issues = Tables.issues(spark, sf).cache()
+    (1 to 40).foreach { i =>
+      val (jql, column) = gen(3)
+      val viaJql = run(jql).count()
+      val viaColumn = issues.filter(column).count()
+      assert(viaJql == viaColumn, s"sample $i diverged: $jql")
+    }
+  }
+
   test("equality is case-insensitive (JIRA semantics)") {
     val a = run("""status = "done"""").count()
     val b = run("""status = "Done"""").count()
