@@ -200,5 +200,53 @@ object Dedup {
       .orderBy(desc("cosine"), col("vec_a"), col("vec_b")).limit(20)
   }
 
-  val all: Seq[GQuery] = Seq(exact, minhash, jaccard, simhash, embedding)
+  /** Cluster resolution — the survivor-selection step that completes the
+    * near-dup pipeline: candidate pairs form an undirected graph; each doc
+    * takes the minimum doc_id reachable in ≤ 5 label-propagation rounds as
+    * its cluster id and only the cluster minimum is kept. Both engines run
+    * the identical bounded rounds (5 chained self-joins — the BFS-frontier
+    * shape of the hierarchy op), so results hash-match even on a chain the
+    * bound hasn't fully converged; LSH-band clusters are near-cliques in
+    * practice and converge in 1-2 rounds.
+    */
+  private val resolve = {
+    val rounds = 5
+    val oracleRounds = (1 to rounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT l.doc_id, least(l.cluster, coalesce(m.nm, l.cluster)) AS cluster
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT e.a AS doc_id, min(p.cluster) AS nm
+         |    FROM e JOIN $prev p ON p.doc_id = e.b GROUP BY e.a) m USING (doc_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    q("pipe_dedup_resolve",
+      withDocs(s""", $minhashSql,
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |      UNION ALL SELECT doc_b, doc_a FROM cand),
+         |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         |$oracleRounds
+         |SELECT doc_id, cluster, doc_id = cluster AS kept
+         |FROM l$rounds ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val cand = minhashCandidates(docShingles(s, dir))
+      val edges = cand.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(cand.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .persist()
+      var lab = graft.Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("cluster"))
+      for (_ <- 1 to rounds) {
+        val nbrMin = edges
+          .join(lab.select(col("doc_id").as("b"), col("cluster")), Seq("b"))
+          .groupBy(col("a").as("doc_id")).agg(min("cluster").as("nm"))
+        lab = lab.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("nm"), col("cluster"))).as("cluster"))
+      }
+      lab.select(col("doc_id"), col("cluster"),
+          (col("doc_id") === col("cluster")).as("kept"))
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(exact, minhash, jaccard, simhash, embedding, resolve)
 }

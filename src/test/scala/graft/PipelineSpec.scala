@@ -86,6 +86,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.filter(col("label") =!= col("la")).count() == 0)
   }
 
+  test("dedup resolve: paired docs share a cluster, survivors are minima") {
+    val lab = run("pipe_dedup_resolve").cache()
+    // survivors are exactly the rows whose cluster is themselves
+    assert(lab.filter(col("kept") =!= (col("doc_id") === col("cluster"))).count() == 0)
+    // every directly-paired duo landed in one cluster
+    val cand = run("pipe_dedup_minhash")
+    val joined = cand
+      .join(lab.select(col("doc_id").as("doc_a"), col("cluster").as("ca")), Seq("doc_a"))
+      .join(lab.select(col("doc_id").as("doc_b"), col("cluster").as("cb")), Seq("doc_b"))
+    assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
+    // unpaired docs keep themselves
+    assert(lab.count() == Tables.t(spark, sf, "documents").count())
+  }
+
   test("split assignment is disjoint, exhaustive, and stable; sample rates hold") {
     val split = run("pipe_split_assign").cache()
     val total = Tables.t(spark, sf, "documents").count()
