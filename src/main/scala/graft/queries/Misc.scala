@@ -116,7 +116,11 @@ object Misc {
         |  coalesce(parent_issue, '') AS parent_issue
         |FROM issues ORDER BY key LIMIT 2000""".stripMargin)) { (s, dir) =>
     import graft.sources.Ingest
-    Ingest.fromWire(Ingest.toWire(Tables.issues(s, dir)))
+    // the roundtrip is row-wise, so take the deterministic 2000-row slice
+    // FIRST — the oracle's sort-then-limit over plain issues is unchanged,
+    // and the engine renders/parses 2k JSON payloads instead of the table
+    val slice = Tables.issues(s, dir).orderBy("key").limit(2000)
+    Ingest.fromWire(Ingest.toWire(slice))
       .select(col("key"), col("project_key"), col("summary"), col("status_name"),
         col("status_category"), col("priority"), col("issuetype"),
         date_format(col("created"), "yyyy-MM-dd HH:mm:ss").as("created_s"),
