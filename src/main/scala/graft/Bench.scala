@@ -21,6 +21,21 @@ object Bench {
     // timed query doesn't absorb several seconds of one-time init
     Seq("orders", "lineitem", "documents", "embeddings", "events")
       .foreach(t => try Tables.t(spark, sfDir, t).count() catch { case _: Throwable => })
+    // compile the common codegen templates (hash join, hash agg, sort,
+    // window) on a small slice — one-time janino work that otherwise lands
+    // in whatever query happens to run first
+    try {
+      import org.apache.spark.sql.functions._
+      val i = Tables.issues(spark, sfDir).limit(2000).cache()
+      i.join(i.select(col("key").as("k2")), col("key") === col("k2"))
+        .groupBy("project_key").count()
+        .withColumn("rn", org.apache.spark.sql.expressions.Window
+          .partitionBy("project_key").orderBy("count") match {
+            case w => row_number().over(w)
+          })
+        .orderBy("project_key").count()
+      i.unpersist()
+    } catch { case _: Throwable => }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
