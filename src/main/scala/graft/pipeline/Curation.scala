@@ -59,5 +59,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GQuery] = Seq(sample, split)
+  /** The capstone composition: the training corpus = documents that survive
+    * exact dedup (first doc per normalized-content fingerprint) AND clear the
+    * quality threshold AND fall in the train split — the three curation
+    * stages chained the way a real pretraining pipeline runs them. Each
+    * stage is a map-side predicate or one keyed shuffle; composing them
+    * changes no plan shape.
+    */
+  private val corpus = q("pipe_corpus_select",
+    withDocs(s""", ${TextAnalysis.qualitySql},
+       |kept AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY sha256(norm) ORDER BY doc_id) = 1 AS k
+       |  FROM docs)
+       |SELECT q.doc_id, q.n_words, q.quality
+       |FROM quality q JOIN kept ON kept.doc_id = q.doc_id
+       |WHERE kept.k AND q.quality >= 0.5
+       |  AND ${sqlHash64("q.doc_id::VARCHAR")} % 100 < 80
+       |ORDER BY q.doc_id""".stripMargin)) { (s, dir) =>
+    val kept = docsNorm(s, dir)
+      .select(col("doc_id"), sha2(col("norm"), 256).as("fp"))
+      .withColumn("k", org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id") match {
+          case w => org.apache.spark.sql.functions.row_number().over(w) === 1
+        })
+      .select("doc_id", "k")
+    TextAnalysis.qualityDf(s, dir)
+      .join(kept, Seq("doc_id"))
+      .filter(col("k") && col("quality") >= 0.5 &&
+        hash64(col("doc_id").cast("string")) % 100 < 80)
+      .select("doc_id", "n_words", "quality")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GQuery] = Seq(sample, split, corpus)
 }

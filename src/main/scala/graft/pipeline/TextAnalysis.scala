@@ -60,14 +60,12 @@ object TextAnalysis {
     }
   }
 
-  /** Quality scoring: length, word stats, stopword ratio, punctuation ratio,
-    * and a deterministic composite score — the heuristics a pretraining
-    * pipeline filters on.
+  /** The quality CTE body (shared with the corpus-selection composition in
+    * [[Curation]]): per-doc length/word/stopword/punctuation stats + the
+    * composite score. Expects `docs`/`words` CTEs in scope.
     */
-  private val quality = q("pipe_text_quality",
-    s"""WITH $docsNormCte,
-       |$wordsCte,
-       |base AS (
+  val qualitySql: String =
+    s"""base AS (
        |  SELECT d.doc_id,
        |    len(d.text) AS n_chars,
        |    len(w.w) AS n_words,
@@ -76,14 +74,19 @@ object TextAnalysis {
        |    (len(d.text) - len(regexp_replace(d.text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / len(d.text) AS punct_ratio
        |  FROM documents d JOIN words w ON w.doc_id = d.doc_id
        |  JOIN docs ww ON ww.doc_id = d.doc_id
-       |  WHERE len(w.w) > 0 AND len(d.text) > 0)
-       |SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio, punct_ratio,
-       |  0.4 * stopword_ratio + 0.4 * (1.0 - punct_ratio)
-       |    + 0.2 * (CASE WHEN n_words >= 50 THEN 1.0 ELSE n_words / 50.0 END) AS quality
-       |FROM base ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |  WHERE len(w.w) > 0 AND len(d.text) > 0),
+       |quality AS (
+       |  SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio, punct_ratio,
+       |    0.4 * stopword_ratio + 0.4 * (1.0 - punct_ratio)
+       |      + 0.2 * (CASE WHEN n_words >= 50 THEN 1.0 ELSE n_words / 50.0 END) AS quality
+       |  FROM base)""".stripMargin
+
+  /** Spark twin of [[qualitySql]]: (doc_id, n_chars, n_words, avg_word_len,
+    * stopword_ratio, punct_ratio, quality).
+    */
+  def qualityDf(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val d = graft.Tables.t(s, dir, "documents").select("doc_id", "text")
-    val base = d
-      .join(docWords(s, dir), Seq("doc_id"))
+    d.join(docWords(s, dir), Seq("doc_id"))
       .filter(size(col("w")) > 0 && length(col("text")) > 0)
       .select(
         col("doc_id"),
@@ -95,10 +98,23 @@ object TextAnalysis {
           / size(col("w"))).as("stopword_ratio"),
         ((length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
           .cast("double") / length(col("text"))).as("punct_ratio"))
-    base.withColumn("quality",
+      .withColumn("quality",
         lit(0.4) * col("stopword_ratio") + lit(0.4) * (lit(1.0) - col("punct_ratio"))
           + lit(0.2) * when(col("n_words") >= 50, 1.0).otherwise(col("n_words") / 50.0))
-      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, word stats, stopword ratio, punctuation ratio,
+    * and a deterministic composite score — the heuristics a pretraining
+    * pipeline filters on.
+    */
+  private val quality = q("pipe_text_quality",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |$qualitySql
+       |SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio, punct_ratio,
+       |  quality
+       |FROM quality ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    qualityDf(s, dir).orderBy("doc_id")
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex tokenizer
