@@ -26,13 +26,12 @@ object Bench {
     // in whatever query happens to run first
     try {
       import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("project_key").orderBy("count")
       val i = Tables.issues(spark, sfDir).limit(2000).cache()
       i.join(i.select(col("key").as("k2")), col("key") === col("k2"))
         .groupBy("project_key").count()
-        .withColumn("rn", org.apache.spark.sql.expressions.Window
-          .partitionBy("project_key").orderBy("count") match {
-            case w => row_number().over(w)
-          })
+        .withColumn("rn", row_number().over(w))
         .orderBy("project_key").count()
       i.unpersist()
     } catch { case _: Throwable => }

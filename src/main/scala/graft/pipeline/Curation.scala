@@ -77,12 +77,11 @@ object Curation {
        |WHERE kept.k AND q.quality >= 0.5
        |  AND ${sqlHash64("q.doc_id::VARCHAR")} % 100 < 80
        |ORDER BY q.doc_id""".stripMargin)) { (s, dir) =>
+    val firstPerFp = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
     val kept = docsNorm(s, dir)
       .select(col("doc_id"), sha2(col("norm"), 256).as("fp"))
-      .withColumn("k", org.apache.spark.sql.expressions.Window
-        .partitionBy("fp").orderBy("doc_id") match {
-          case w => org.apache.spark.sql.functions.row_number().over(w) === 1
-        })
+      .withColumn("k", row_number().over(firstPerFp) === 1)
       .select("doc_id", "k")
     TextAnalysis.qualityDf(s, dir)
       .join(kept, Seq("doc_id"))
