@@ -120,11 +120,21 @@ object Epic {
         |  array_to_string(list_sort(list(DISTINCT key))[1:20], ',') AS sample_keys
         |FROM issues GROUP BY lower(issuetype)
         |ORDER BY itype""".stripMargin)) { (s, dir) =>
-    Tables.issues(s, dir)
-      .groupBy(lower(col("issuetype")).as("itype"))
-      .agg(count(lit(1)).as("n"),
-        array_join(slice(sort_array(collect_set(col("key"))), 1, 20), ",")
-          .as("sample_keys"))
+    // keys are unique, so "sorted distinct keys [1:20]" = the 20 smallest
+    // keys per type — rank-then-collect keeps the aggregation buffer at 20
+    // elements instead of collecting every key of the group (the unbounded
+    // array is the thing that breaks at 100 TB group sizes)
+    val issues = Tables.issues(s, dir)
+      .select(lower(col("issuetype")).as("itype"), col("key"))
+    val counts = issues.groupBy("itype").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("itype").orderBy("key")
+    val samples = issues
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+      .groupBy("itype")
+      .agg(array_join(sort_array(collect_list(col("key"))), ",").as("sample_keys"))
+    counts.join(samples, Seq("itype"))
+      .select("itype", "n", "sample_keys")
       .orderBy("itype")
   }
 
