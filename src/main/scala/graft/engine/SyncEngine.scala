@@ -122,13 +122,17 @@ object SyncEngine {
 
       // 4. distributed YAML write (S6) — executors write their partitions.
       // A selective filter usually leaves few input splits, so spread the
-      // write across the full task slots first. The write's accumulator IS
-      // the batch count — no separate count() pass over the candidate set.
+      // write across the full task slots first. Metrics derive from the
+      // driver-side batch count, not the raw write accumulator: under
+      // speculative execution a task's accumulator updates can be dropped or
+      // a key retried, so attempted = count(cached batch) and
+      // written = attempted − |failedKeys| are the numbers that always
+      // reconcile (written + failed + skipped == total) on a cluster.
       progress.step("writing", 40)
       val wr = Yaml.writeIssuesCounted(
         toSync.repartition(spark.sparkContext.defaultParallelism, col("key")), repoDir)
-      val written = wr.written
-      val attempted = written + wr.failed
+      val attempted = toSync.count() // cache was materialized by the write pass
+      val written = attempted - wr.failed
       val total = if (opts.incremental) scoped.count() else attempted
       val skipped = total - attempted
 

@@ -27,8 +27,10 @@ object GitRepo {
   /** Initialize the repo if absent (reference: pkg/git/git.go:61-95).
     * Loose-object compression is disabled for the sync store: staging a
     * 20k-file batch is zlib-bound (measured 3.3s → 0.9s with compression
-    * off), and the YAML records are small and short-lived in loose form —
-    * `git gc`'s packfiles recompress them anyway.
+    * off), and the YAML records are short-lived in loose form. Scoped to
+    * `core.looseCompression` only — `core.compression` is also the default
+    * for pack.compression, so zeroing it would make `git gc` write
+    * uncompressed packfiles and grow the repo unbounded.
     */
   def init(repoDir: String): Unit = {
     val dir = new File(repoDir)
@@ -36,7 +38,7 @@ object GitRepo {
     if (!new File(dir, ".git").exists()) {
       val (code, out) = run(dir, "init", "-q")
       require(code == 0, s"git init failed: $out")
-      val (ccode, cout) = run(dir, "config", "core.compression", "0")
+      val (ccode, cout) = run(dir, "config", "core.looseCompression", "0")
       require(ccode == 0, s"git config failed: $cout")
     }
   }

@@ -142,8 +142,13 @@ object Yaml {
         } catch { case _: java.io.IOException => failures.add(key) }
       }
     }
+    // dedup: under speculative execution or partial task retry the same key
+    // can be attempted more than once (and can even succeed in one attempt
+    // while failing in another — keeping it failed is safe: the file exists
+    // but the key stays out of state and is retried next run). Distinct keys
+    // keep written/failed/attempted reconcilable on a cluster.
     WriteResult(counter.value,
-      scala.jdk.CollectionConverters.ListHasAsScala(failures.value).asScala.toSeq)
+      scala.jdk.CollectionConverters.ListHasAsScala(failures.value).asScala.toSeq.distinct)
   }
 
   /** [[writeIssuesCounted]] returning only the written count. */

@@ -182,13 +182,19 @@ object Ingest {
     * one file per partition instead of tasks × partitions small files, and
     * one open writer per task instead of one per partition value.
     */
-  def writeEdges(edges: DataFrame, path: String): Unit =
+  def writeEdges(edges: DataFrame, path: String): Unit = {
+    // a full rewrite replaces the table either way, but clearing any
+    // mid-swap leftovers first keeps a stale __compact/__old from shadowing
+    // or resurrecting old edges later
+    recoverCompacted(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(edges.sparkSession.sparkContext.hadoopConfiguration), path)
     edges
       .repartition(edges.sparkSession.sparkContext.defaultParallelism,
         col("project_key"), col("link_type"))
       .write.mode("overwrite")
       .partitionBy("project_key", "link_type")
       .parquet(path)
+  }
 
   /** S11 incremental sink: replace the edges of every issue in
     * `changedIssues` — the batch's sync universe, not just the srcs that
@@ -210,6 +216,11 @@ object Ingest {
     val spark = edges.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a compaction that crashed mid-swap leaves the complete table in
+    // __compact with src absent — recover BEFORE deciding the table doesn't
+    // exist, or this batch would recreate it with only its own edges and
+    // silently drop everyone else's
+    recoverCompacted(fs, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return writeEdges(edges, path)
     val changed = changedIssues
       .select(col("key").as("src"), col("project_key")).distinct().cache()
@@ -233,15 +244,14 @@ object Ingest {
         // break the read-from-output-path lineage so the overwrite is legal;
         // on a cluster this would be a checkpoint to reliable storage
         .localCheckpoint(true)
-      out
-        .repartition(spark.sparkContext.defaultParallelism,
-          col("project_key"), col("link_type")) // one file per partition, see writeEdges
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic") // writer-scoped, no session-conf mutation
-        .partitionBy("project_key", "link_type")
-        .parquet(path)
       // drop partitions the batch emptied (all their rows belonged to changed
-      // issues and none came back) — absent from `out`, so untouched above
+      // issues and none came back) — absent from `out`, so the dynamic
+      // overwrite below never touches them. Deleting BEFORE the write makes a
+      // crash recoverable: state isn't merged until the whole batch commits,
+      // so a rerun re-derives the same changed set and repeats both steps
+      // idempotently, whereas deletes after the commit could be lost forever
+      // (those issues never reappear in changedIssues). `out` is already
+      // checkpointed, so this collect doesn't recompute the merge.
       val outParts = out.select("project_key", "link_type").distinct()
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
       val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
@@ -249,6 +259,13 @@ object Ingest {
         fs.delete(new org.apache.hadoop.fs.Path(
           s"$path/project_key=${esc(p)}/link_type=${esc(t)}"), true)
       }
+      out
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("project_key"), col("link_type")) // one file per partition, see writeEdges
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // writer-scoped, no session-conf mutation
+        .partitionBy("project_key", "link_type")
+        .parquet(path)
     } finally changed.unpersist()
   }
 
@@ -259,30 +276,58 @@ object Ingest {
     * by `maxRecordsPerFile`) into a tmp dir and swap — the same
     * tmp-then-rename commit as the state store.
     */
+  /** Finish (or discard) a compaction swap interrupted by a crash. The swap
+    * is src→`__old`, `__compact`→src, delete `__old`; the only window where
+    * src is absent is between the two renames, and then `__compact` is
+    * complete (its `_SUCCESS` marker proves it) — promote it. With src
+    * present, any leftover `__old`/`__compact` is from an uncommitted or
+    * already-committed swap — src is authoritative, drop them. Shared by
+    * every edge-table writer so no caller can mistake a mid-swap table for
+    * an absent one.
+    */
+  private def recoverCompacted(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!fs.exists(src)) {
+      if (fs.exists(tmp) && fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        if (!fs.rename(tmp, src))
+          throw new java.io.IOException(s"compaction recovery rename failed: $tmp -> $src")
+      } else if (fs.exists(old)) {
+        // tmp incomplete (shouldn't happen — the rename only runs after a
+        // committed write) — fall back to the pre-compaction table
+        if (!fs.rename(old, src))
+          throw new java.io.IOException(s"compaction rollback rename failed: $old -> $src")
+      }
+    }
+    if (fs.exists(src)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+  }
+
   def compactEdges(spark: org.apache.spark.sql.SparkSession, path: String,
       maxRecordsPerFile: Long = 1L << 20): Unit = {
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
-    // crash window recovery: a previous compaction that died between its
-    // delete and rename leaves only the (complete) tmp — finish the swap
-    if (!fs.exists(src)) {
-      if (fs.exists(tmp) && fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-        if (!fs.rename(tmp, src))
-          throw new java.io.IOException(s"compaction recovery rename failed: $tmp -> $src")
-      }
-      return
-    }
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    recoverCompacted(fs, path)
+    if (!fs.exists(src)) return
     spark.read.parquet(path)
       .repartition(col("project_key"), col("link_type"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("project_key", "link_type")
       .parquet(tmp.toString)
-    if (!fs.delete(src, true))
-      throw new java.io.IOException(s"compaction could not clear $src")
+    // swap so src never disappears un-recoverably: park the current table at
+    // __old, promote tmp, then clean up — each intermediate crash state is
+    // one recoverCompacted() call away from consistent
+    if (!fs.rename(src, old))
+      throw new java.io.IOException(s"compaction rename failed: $src -> $old")
     if (!fs.rename(tmp, src))
       throw new java.io.IOException(s"compaction rename failed: $tmp -> $src")
+    fs.delete(old, true)
   }
 
   /** S12: broken-link GC — dangling edges found by anti-join instead of a

@@ -56,8 +56,14 @@ object StateStore {
       val bak = new Path(path + "__bak")
       val tmp = new Path(path + "__tmp")
       if (fs.exists(tmp) && fs.exists(new Path(tmp, "_SUCCESS"))) {
-        log.warn(s"state $path missing; recovering from interrupted save at $tmp")
-        spark.read.schema(schema).parquet(tmp.toString)
+        // finish the interrupted commit (mirror save()'s final rename) rather
+        // than read from tmp: a DataFrame whose lineage reads <path>__tmp
+        // would make the NEXT save()'s overwrite of that same tmp path
+        // illegal (read-then-overwrite), wedging every subsequent sync
+        log.warn(s"state $path missing; completing interrupted save from $tmp")
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"state recovery rename failed: $tmp -> $p")
+        spark.read.schema(schema).parquet(path)
       } else if (fs.exists(tmp) && fs.exists(bak)) {
         log.warn(s"state $path missing; falling back to backup $bak")
         spark.read.schema(schema).parquet(bak.toString)

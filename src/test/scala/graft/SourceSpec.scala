@@ -137,6 +137,28 @@ class SourceSpec extends AnyFunSuite {
     Ingest.compactEdges(spark, path)
     assert(files() == 1)
     assert(spark.read.parquet(path).select("src").as[String].collect().toSet == before)
+
+    // crash window: compaction wrote __compact and parked the table at __old
+    // but died before promoting — src is absent, the complete data sits in
+    // __compact. An incremental upsert that runs NEXT (before any compaction)
+    // must recover the full table first, not recreate it with only its batch.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__compact2"))) // stash
+    // simulate: __compact complete, src gone, __old holds the pre-compaction copy
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path + "__compact2"),
+      new org.apache.hadoop.fs.Path(path + "__compact")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + "__old"))
+    Ingest.upsertEdges(
+      edf(("P1-1", "epic", "outward", "E-9", "P1")), // P1-1 now points at E-9
+      Seq(("P1-1", "P1")).toDF("key", "project_key"), path)
+    val after = spark.read.parquet(path)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    // the other issues' edges survived; P1-1's edge was replaced
+    assert(after == Set(("P1-1", "E-9"), ("P1-2", "E-1"), ("P1-3", "E-1"), ("P1-4", "E-1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__compact")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
   test("adaptive fetch honors Retry-After, spreads budget, bounds retries") {

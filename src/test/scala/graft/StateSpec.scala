@@ -84,13 +84,23 @@ class StateSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash between the two renames of save(): dst→bak done, tmp→dst not —
-    // tmp holds the complete newer state and wins
+    // tmp holds the complete newer state; load must FINISH the commit
     assert(fs.rename(new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.fs.Path(path + "__tmp")))
     assert(StateStore.load(spark, path).count() == 1) // recovered from tmp
-    // incomplete tmp (no _SUCCESS) + backup present → backup wins
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path))) // commit completed
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__tmp")))
+    // and the NEXT save must not wedge: it overwrites the same __tmp path the
+    // recovery touched, so recovery must never leave a live read on it
+    StateStore.save(StateStore.load(spark, path), path)
+    assert(StateStore.load(spark, path).count() == 1)
+    // incomplete tmp (no _SUCCESS) + backup present → backup wins, tmp is
+    // not promoted
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__tmp")))
     fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp/_SUCCESS"), false)
     assert(StateStore.load(spark, path).count() == 1) // recovered from bak
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path))) // bak not promoted
     // deliberate reset: dst AND tmp gone, only the backup left → full resync,
     // NOT a silent resume from stale state
     fs.delete(new org.apache.hadoop.fs.Path(path + "__tmp"), true)
