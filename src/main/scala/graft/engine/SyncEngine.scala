@@ -128,23 +128,51 @@ object SyncEngine {
       // a key retried, so attempted = count(cached batch) and
       // written = attempted − |failedKeys| are the numbers that always
       // reconcile (written + failed + skipped == total) on a cluster.
+      // 5 (started early). The edge write (S11) depends only on the batch,
+      // not on the YAML files or the git commit (separate pathspec:
+      // relationships/ vs projects/) — run it concurrently with the YAML
+      // write (mixed I/O- and CPU-bound cluster jobs overlap well) and with
+      // the driver-side git commit, during which the executors would
+      // otherwise sit idle. The future is awaited BEFORE the state commit:
+      // state must not mark issues synced until their edges are durable,
+      // or a failed edge write would never be retried. An incremental batch
+      // replaces only its own issues' edges; a full run rewrites the table.
+      // materialize the batch cache ONCE before forking — otherwise the two
+      // concurrent jobs race to compute the same cached partitions twice
+      val attempted = toSync.count()
+      val edgesDone = scala.concurrent.Future {
+        val batchEdges = links.join(toSync.select(col("key").as("__k")),
+          col("src") === col("__k"), "left_semi")
+        if (opts.incremental)
+          Ingest.upsertEdges(batchEdges, toSync.select("key", "project_key"),
+            s"$repoDir/relationships")
+        else Ingest.writeEdges(batchEdges, s"$repoDir/relationships")
+      }(scala.concurrent.ExecutionContext.global)
+
       progress.step("writing", 40)
       val wr = Yaml.writeIssuesCounted(
         toSync.repartition(spark.sparkContext.defaultParallelism, col("key")), repoDir)
-      val attempted = toSync.count() // cache was materialized by the write pass
       val written = attempted - wr.failed
       val total = if (opts.incremental) scoped.count() else attempted
       val skipped = total - attempted
 
-      // 5. link edges (S11) alongside the records. An incremental batch
-      // replaces only its own issues' edges; a full run rewrites the table.
       progress.step("relationships", 60)
-      val batchEdges = links.join(toSync.select(col("key").as("__k")),
-        col("src") === col("__k"), "left_semi")
-      if (opts.incremental)
-        Ingest.upsertEdges(batchEdges, toSync.select("key", "project_key"),
-          s"$repoDir/relationships")
-      else Ingest.writeEdges(batchEdges, s"$repoDir/relationships")
+
+      // 7 (staged early). The state MERGE is pure computation against the
+      // already-loaded state and the cached batch — independent of the git
+      // commit and the edge write — so materialize it to the state store's
+      // tmp dir concurrently too. Only the commit renames (metadata-only)
+      // wait for the barriers below. Issues whose file write failed must NOT
+      // be marked synced — they stay absent from state so the next
+      // incremental run picks them up again (A4 failed accounting,
+      // reference: internal/sync/batch.go FailedIssues).
+      val synced =
+        if (wr.failedKeys.isEmpty) toSync
+        else toSync.filter(!col("key").isin(wr.failedKeys: _*))
+      val merged = StateStore.merge(state, StateStore.fromIssues(synced, now))
+      val stateStaged = scala.concurrent.Future {
+        StateStore.stage(merged, statePath)
+      }(scala.concurrent.ExecutionContext.global)
 
       // 6. one git commit per batch (S9), retried with backoff (C7)
       progress.step("committing", 80)
@@ -154,16 +182,15 @@ object SyncEngine {
           s"feat(sync): sync $written issues ($opId)")
       }
 
-      // 7. state merge + atomic save (C2/S13). Issues whose file write failed
-      // must NOT be marked synced — they stay absent from state so the next
-      // incremental run picks them up again (A4 failed accounting,
-      // reference: internal/sync/batch.go FailedIssues).
+      // 7. barriers, then the atomic state swap (C2/S13): edges and the
+      // staged state write must both be durable before issues are marked
+      // synced, or a failed write would never be retried.
       progress.step("state", 90)
-      val synced =
-        if (wr.failedKeys.isEmpty) toSync
-        else toSync.filter(!col("key").isin(wr.failedKeys: _*))
-      StateStore.save(
-        StateStore.merge(state, StateStore.fromIssues(synced, now)), statePath)
+      import scala.concurrent.Await
+      import scala.concurrent.duration.Duration
+      Await.result(edgesDone, Duration.Inf)
+      Await.result(stateStaged, Duration.Inf)
+      StateStore.commitStaged(spark, statePath)
 
       progress.step("done", 100)
       val elapsedMs = (System.nanoTime() - t0) / 1000000

@@ -107,11 +107,19 @@ object Dedup {
     // shingles feed the minhash candidate pipeline and the verify step —
     // persist once instead of recomputing the normalize+explode chain
     val sh = docShingles(s, dir).persist()
-    val cand = minhashCandidates(sh)
+    val cand = minhashCandidates(sh).persist()
+    // only docs that appear in a candidate pair need their shingle set
+    // materialized — near-dup candidates are orders of magnitude fewer than
+    // the corpus, so the collect_list shuffle shrinks from every doc's
+    // shingles to the candidates'. The semi-join broadcasts when the
+    // candidate-doc set is genuinely small (size-gated, not assumed).
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct().persist()
+    val cd = if (candDocs.count() < 1000000) broadcast(candDocs) else candDocs
     // verify on per-doc shingle ARRAYS (bounded: shingles ∝ doc length), so
     // the intersection is one array_intersect per candidate pair instead of
     // a candidates×shingles row-explosion join + re-aggregation
-    val sets = sh.groupBy("doc_id")
+    val sets = sh.join(cd, Seq("doc_id"), "left_semi").groupBy("doc_id")
       .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n")).persist()
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
@@ -232,16 +240,51 @@ object Dedup {
       val edges = cand.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(cand.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .persist()
-      var lab = graft.Tables.t(s, dir, "documents")
+      // Near-dup edge lists are orders of magnitude smaller than the corpus.
+      // When the persisted edge set measures small (size-gated, not assumed),
+      // run the bounded rounds over the collected edge list — the same move a
+      // broadcast hash join makes with its small side — and apply the result
+      // as ONE broadcast mapping join against the full corpus, which is never
+      // shuffled. Docs untouched by any edge keep their own id and need no
+      // mapping entry. Falls back to the distributed iterative join chain
+      // when the edge set is genuinely large.
+      val docs = graft.Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("doc_id").as("cluster"))
-      for (_ <- 1 to rounds) {
-        val nbrMin = edges
-          .join(lab.select(col("doc_id").as("b"), col("cluster")), Seq("b"))
-          .groupBy(col("a").as("doc_id")).agg(min("cluster").as("nm"))
-        lab = lab.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster"), coalesce(col("nm"), col("cluster"))).as("cluster"))
-      }
+      val lab =
+        if (edges.count() < 1000000) {
+          val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val nbrs = es.groupBy(_._1).map { case (a, bs) => (a, bs.map(_._2)) }
+          var m = es.iterator.flatMap(e => Iterator(e._1, e._2))
+            .map(id => id -> id).toMap
+          for (_ <- 1 to rounds) {
+            val prev = m // synchronous rounds: all reads see the prior state
+            m = m.map { case (id, c) =>
+              val nm = nbrs.get(id).fold(c)(bs => bs.map(prev).min)
+              id -> math.min(c, nm)
+            }
+          }
+          val spark = s
+          import spark.implicits._
+          val mapping = m.toSeq.filter { case (id, c) => c != id }
+            .toDF("m_doc_id", "m_cluster")
+          docs.join(broadcast(mapping), col("doc_id") === col("m_doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("m_cluster"), col("cluster")).as("cluster"))
+        } else {
+          var l = docs
+          for (_ <- 1 to rounds) {
+            val nbrMin = edges
+              .join(l.select(col("doc_id").as("b"), col("cluster")), Seq("b"))
+              .groupBy(col("a").as("doc_id")).agg(min("cluster").as("nm"))
+            // each round reads `l` twice (neighbor scan + outer join) —
+            // persist so round i computes once instead of doubling per round
+            l = l.join(nbrMin, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                least(col("cluster"), coalesce(col("nm"), col("cluster"))).as("cluster"))
+              .persist()
+          }
+          l
+        }
       lab.select(col("doc_id"), col("cluster"),
           (col("doc_id") === col("cluster")).as("kept"))
         .orderBy("doc_id")

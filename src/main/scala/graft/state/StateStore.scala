@@ -77,12 +77,27 @@ object StateStore {
     * pkg/state/manager.go:210-237).
     */
   def save(state: DataFrame, path: String): Unit = {
-    val spark = state.sparkSession
+    stage(state, path)
+    commitStaged(state.sparkSession, path)
+  }
+
+  /** First half of [[save]]: materialize the new state at `<path>__tmp`.
+    * Nothing observable changes until [[commitStaged]] swaps it in, so the
+    * (expensive, cluster-side) write can overlap work that must precede the
+    * state becoming visible — e.g. the sync's git commit — while the (cheap,
+    * metadata-only) commit still happens strictly after those barriers.
+    */
+  private[graft] def stage(state: DataFrame, path: String): Unit =
+    state.write.mode("overwrite").parquet(path + "__tmp")
+
+  /** Second half of [[save]]: the reference's rename commit — rotate dst to
+    * `<path>__bak`, promote the staged tmp.
+    */
+  private[graft] def commitStaged(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__tmp")
     val bak = new Path(path + "__bak")
     val dst = new Path(path)
-    state.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(dst) && !fs.rename(dst, bak))
       throw new java.io.IOException(s"state backup rename failed: $dst -> $bak")
