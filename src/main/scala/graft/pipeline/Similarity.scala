@@ -132,5 +132,76 @@ object Similarity {
       .orderBy(desc("score"), col("vec_id")).limit(10)
   }
 
-  val all: Seq[GQuery] = Seq(brute, ivf, lsh)
+  /** Batch k-NN join: top-3 neighbors for EVERY query in a query set (the
+    * training-pipeline shape — dedup/retrieval runs ANN for millions of
+    * queries, not one). Same IVF index as [[ivf]], but the probe becomes a
+    * JOIN keyed on centroid id: queries × their top-2 buckets against the
+    * assignment table, so the only large operation is a bucket-keyed join —
+    * per query it touches nprobe/C of the data, and there is no crossJoin of
+    * query set × corpus anywhere.
+    */
+  private val knnJoin = q("pipe_ann_knn_join",
+    s"""WITH $embCte,
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${sqlCosine("v.e", "c.ce")} DESC, c.cid) AS rn
+       |    FROM emb v, cents c) WHERE rn = 1),
+       |qset AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 20),
+       |qprobe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT s.qid, c.cid,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY ${sqlCosine("s.qe", "c.ce")} DESC, c.cid) AS rn
+       |    FROM qset s, cents c) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id, ${sqlCosine("v.e", "s.qe")} AS score
+       |  FROM qprobe p JOIN assign a ON a.cid = p.cid
+       |  JOIN emb v ON v.vec_id = a.vec_id
+       |  JOIN qset s ON s.qid = p.qid
+       |  WHERE a.vec_id <> p.qid)
+       |SELECT qid, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= 3
+       |ORDER BY qid, vec_id""".stripMargin) { (s, dir) =>
+    val e = embDN(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val assignW = Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dotD(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("sim"))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid")
+    val qset = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val qprobeW = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+    val qprobe = qset.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rn", row_number().over(qprobeW))
+      .filter(col("rn") <= 2)
+      .select("qid", "cid")
+    // the scale-critical join: (query, bucket) × assignment, keyed on cid —
+    // qprobe is |queries|×nprobe rows, so it broadcasts; assign streams
+    val cand = assign.join(broadcast(qprobe), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    val rankW = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+    cand
+      .join(e.select(col("vec_id"), col("e"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(qset), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= 3)
+      .select("qid", "vec_id", "score")
+      .orderBy("qid", "vec_id")
+  }
+
+  val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin)
 }

@@ -53,6 +53,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.subsetOf(brute) || (ivf & brute).nonEmpty)
   }
 
+  test("batch kNN join: ≤3 neighbors per query, no self-matches, valid scores") {
+    val df = run("pipe_ann_knn_join").cache()
+    assert(df.filter(col("qid") === col("vec_id")).count() == 0)
+    assert(df.groupBy("qid").count().filter(col("count") > 3).count() == 0)
+    assert(df.select(countDistinct("qid")).head.getLong(0) == 20)
+    assert(df.filter(col("score") < -1.0001 || col("score") > 1.0001).count() == 0)
+    // the query's own IVF bucket is always probed, so its brute-force nearest
+    // neighbor is usually found; sanity: query 0's neighbors overlap brute top-10
+    val q0 = df.filter(col("qid") === 0).select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = run("pipe_ann_brute").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(q0.isEmpty || (q0 & brute).nonEmpty)
+  }
+
   test("language ID emits a guess for every doc with valid scores") {
     val df = run("pipe_text_langid").cache()
     assert(df.count() == Tables.t(spark, sf, "documents").count())
