@@ -140,6 +140,20 @@ object SyncEngine {
       // materialize the batch cache ONCE before forking — otherwise the two
       // concurrent jobs race to compute the same cached partitions twice
       val attempted = toSync.count()
+
+      // empty batch → nothing to write, commit, or merge: skip every sink
+      // phase (the reference short-circuits an empty changed set the same
+      // way, internal/sync/incremental.go:156-179). State is deliberately
+      // untouched — merging an empty batch is an identity, and per-key
+      // last_synced only moves when a key actually syncs — so a pure
+      // change-detection pass costs exactly the scan + the state load.
+      if (attempted == 0) {
+        val total = if (opts.incremental) scoped.count() else 0L
+        progress.step("done", 100)
+        val elapsedMs = (System.nanoTime() - t0) / 1000000
+        return BatchResult(opId, total, 0L, 0L, total, elapsedMs, 0.0)
+      }
+
       val edgesDone = scala.concurrent.Future {
         val batchEdges = links.join(toSync.select(col("key").as("__k")),
           col("src") === col("__k"), "left_semi")
