@@ -215,5 +215,53 @@ object Cdc {
       .limit(50)
   }
 
-  val all: Seq[GQuery] = Seq(changed, upsert, stats, enrich, stateful, history)
+  /** J6/C10: state-vs-files reconciliation — the recovery report's three
+    * anti-join/drift classes (reference: pkg/state/manager.go:473-550
+    * ValidateState). The "filesystem" side is derived deterministically from
+    * state with seeded damage: every 13th key's file is missing, every 97th
+    * key has an orphan file, every 17th surviving file's checksum drifted —
+    * so both engines reconcile the identical scenario.
+    */
+  private val validate = q("cdc_state_validate",
+    Oracle.withIssues(
+      s""", state AS (${stateSql(s"issues WHERE updated <= TIMESTAMP '$W'", W)}),
+         |files AS (
+         |  SELECT file_path,
+         |    CASE WHEN string_split(key, '-')[2]::INT % 17 = 0
+         |      THEN sha256(key) ELSE checksum END AS checksum
+         |  FROM state WHERE string_split(key, '-')[2]::INT % 13 <> 0
+         |  UNION ALL
+         |  SELECT 'projects/' || project_key || '/issues/orphan-' || key || '.yaml',
+         |    sha256(key)
+         |  FROM state WHERE string_split(key, '-')[2]::INT % 97 = 0)
+         |SELECT key, file_path, issue FROM (
+         |  SELECT s.key, s.file_path, 'missing_file' AS issue
+         |  FROM state s LEFT JOIN files f ON f.file_path = s.file_path
+         |  WHERE f.file_path IS NULL
+         |  UNION ALL
+         |  SELECT NULL AS key, f.file_path, 'orphaned_file' AS issue
+         |  FROM files f LEFT JOIN state s ON s.file_path = f.file_path
+         |  WHERE s.file_path IS NULL
+         |  UNION ALL
+         |  SELECT s.key, s.file_path, 'checksum_mismatch' AS issue
+         |  FROM state s JOIN files f ON f.file_path = s.file_path
+         |  WHERE s.checksum <> f.checksum)
+         |ORDER BY issue, file_path""".stripMargin)) { (s, dir) =>
+    val issues = Tables.issues(s, dir)
+    val st = StateStore.fromIssues(issues.filter(col("updated") <= lit(W)), W)
+    val sfx = expr("cast(element_at(split(key, '-'), 2) as int)")
+    val present = st.filter(sfx % 13 =!= 0)
+      .select(col("file_path"),
+        when(sfx % 17 === 0, sha2(col("key"), 256))
+          .otherwise(col("checksum")).as("checksum"))
+    val orphans = st.filter(sfx % 97 === 0)
+      .select(concat(lit("projects/"), col("project_key"), lit("/issues/orphan-"),
+        col("key"), lit(".yaml")).as("file_path"),
+        sha2(col("key"), 256).as("checksum"))
+    StateStore.validate(st, present.unionByName(orphans))
+      .orderBy("issue", "file_path")
+  }
+
+  val all: Seq[GQuery] = Seq(changed, upsert, stats, enrich, stateful, history,
+    validate)
 }
