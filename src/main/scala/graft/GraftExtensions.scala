@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductD, Md5Prefix64}
+import graft.functions.{DotProductD, Md5Prefix64, Shingles}
 
 /** Session extensions: registers the engine's native expressions for SQL use
-  * (`SELECT md5_prefix64(col) ...`, `SELECT dot_d(x, y) ...`). Install with
+  * (`SELECT md5_prefix64(col) ...`, `SELECT dot_d(x, y) ...`,
+  * `SELECT shingles(words) ...`). Install with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` at session
   * build; the Column API (`Md5Prefix64(col)`, `DotProductD(x, y)`) works
   * without registration.
@@ -28,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "dot_d takes exactly two arguments")
         DotProductD(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "shingles takes exactly one argument")
+        Shingles(children.head)
       }))
   }
 }

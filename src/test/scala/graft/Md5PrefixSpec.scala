@@ -89,5 +89,14 @@ class Md5PrefixSpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT md5_prefix64('hello') AS h").head.getLong(0)
     val viaCol = spark.range(1).select(Md5Prefix64(lit("hello"))).head.getLong(0)
     assert(viaSql == viaCol)
+
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[graft.functions.Shingles].getName, "shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Shingles(children.head))
+    val sh = spark.sql("SELECT shingles(array('a','b','c','d')) AS sh")
+      .head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
   }
 }
