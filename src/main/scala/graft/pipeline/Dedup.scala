@@ -34,11 +34,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** MinHash signature: 16 hash seeds, min over the shingle set per seed. */
+  /** MinHash permutation family: ONE content digest per shingle, then 16
+    * universal-hash permutations `(a_i·h + b_i) mod p` over it (p = 2^31−1
+    * prime; constants derived from the seed the same way in both engines).
+    * This is how MinHash is actually run at scale — hashing each shingle 16
+    * independent times costs 16 digests per row for no statistical gain.
+    * All values stay < 2^62, so the arithmetic is exact (and ANSI-safe) in
+    * both engines.
+    */
+  private val MhP = 2147483647L // 2^31 - 1, prime
+  private def mhA(i: Int): Long = (2654435761L * (i + 1)) % MhP
+  private def mhB(i: Int): Long = (1103515245L * i + 12345L) % MhP
+
+  /** MinHash signature: 16 permutations of the shingle digest, min per seed. */
   private def minhashSql: String =
     s"""minh AS (
-       |  SELECT doc_id, seed, min(${sqlHash64("seed::VARCHAR || '|' || sh")}) AS mh
-       |  FROM shingles, generate_series(0, 15) t(seed)
+       |  SELECT doc_id, seed,
+       |    min(((2654435761 * (seed + 1)) % $MhP * h0
+       |         + (1103515245 * seed + 12345) % $MhP) % $MhP) AS mh
+       |  FROM (SELECT doc_id, ${sqlHash64("sh")} % $MhP AS h0 FROM shingles) s0,
+       |    generate_series(0, 15) t(seed)
        |  GROUP BY doc_id, seed),
        |bands AS (
        |  SELECT doc_id, seed // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
@@ -51,10 +66,13 @@ object Dedup {
   private def minhashBands(shingles: org.apache.spark.sql.DataFrame) = {
     // all 16 min-hashes in ONE map-side-combinable aggregation — no 16× row
     // explode before the exchange and no second per-band shuffle; the only
-    // exchange hashes doc_id once, carrying a 16-long buffer per doc
+    // exchange hashes doc_id once, carrying a 16-long buffer per doc. The
+    // digest is projected FIRST so each shingle is md5'd exactly once; the
+    // 16 permutations are two multiply-adds each.
+    val hashed = shingles.select(col("doc_id"), (hash64(col("sh")) % MhP).as("h0"))
     val mins = (0 until 16).map(i =>
-      min(hash64(concat(lit(s"$i|"), col("sh")))).as(s"mh$i"))
-    val sigs = shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min((lit(mhA(i)) * col("h0") + lit(mhB(i))) % MhP).as(s"mh$i"))
+    val sigs = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     // band signature: 4 bands × 4 rows, comma-joined in seed order; the
     // explode is 4 rows per DOC (post-aggregation), not 16 per shingle
     val bandStructs = array((0 until 4).map(b =>
