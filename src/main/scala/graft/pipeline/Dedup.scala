@@ -309,5 +309,58 @@ object Dedup {
     }
   }
 
+  // ---- Incremental near-dup index (CDC × dedup) ---------------------------
+
+  /** Band signatures of an arbitrary `(doc_id, text)` batch — the rows the
+    * persisted index stores, identical to what the one-shot
+    * [[minhashCandidates]] pipeline computes internally.
+    */
+  def bandSignatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    minhashBands(docShinglesOf(docs))
+
+  /** Maintain a persisted MinHash band-signature index incrementally: replace
+    * the signature rows of every doc in `docs`, keep everyone else's. This is
+    * the piece that makes near-dup detection viable under continuous ingest —
+    * signatures are computed once per document VERSION (CDC-proportional),
+    * never per sync over the whole corpus. The swap reuses the state store's
+    * tmp+rename commit, so a crashed upsert is recoverable and the new table
+    * never overwrites a path it is reading. At 100 TB the table would live
+    * bucketed by (band, sig) in a table format with row-level merge; the
+    * atomic-parquet stand-in keeps identical semantics.
+    */
+  def upsertSignatures(docs: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sigs = bandSignatures(docs)
+    val out =
+      if (fs.exists(p))
+        spark.read.schema(sigs.schema).parquet(path)
+          .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          .unionByName(sigs)
+      else sigs
+    graft.state.StateStore.save(out, path)
+  }
+
+  /** Candidate near-dup pairs TOUCHING a changed batch, via the persisted
+    * index: the batch's signatures probe the index on (band, sig) — a
+    * bucket-keyed join sized |batch|×bands, never a corpus×corpus pass.
+    * Call after [[upsertSignatures]] so pairs within the batch itself are
+    * found too. Returns distinct ordered pairs (doc_a < doc_b).
+    */
+  def incrementalCandidates(changedDocs: org.apache.spark.sql.DataFrame,
+      path: String): org.apache.spark.sql.DataFrame = {
+    val spark = changedDocs.sparkSession
+    val probe = bandSignatures(changedDocs)
+    val index = spark.read.schema(probe.schema).parquet(path)
+    probe.select(col("doc_id").as("doc_q"), col("band"), col("sig"))
+      .join(index.select(col("doc_id").as("doc_i"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("doc_q") =!= col("doc_i"))
+      .select(least(col("doc_q"), col("doc_i")).as("doc_a"),
+        greatest(col("doc_q"), col("doc_i")).as("doc_b"))
+      .distinct()
+  }
+
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, simhash, embedding, resolve)
 }

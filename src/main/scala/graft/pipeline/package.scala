@@ -54,6 +54,14 @@ package object pipeline {
     docWords(s, dir).select(col("doc_id"),
       explode(graft.functions.Shingles(col("w"))).as("sh"))
 
+  /** [[docShingles]] over an arbitrary `(doc_id, text)` DataFrame — for
+    * incremental pipelines that shingle only a changed batch, not a table.
+    */
+  def docShinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.Shingles(
+        split(normText(col("text")), " "))).as("sh"))
+
   /** Double-precision dot product of two array<double> columns — the native
     * codegen'd [[graft.functions.DotProductD]] expression (one fused loop,
     * stays in whole-stage codegen). Same sequential fold order as the

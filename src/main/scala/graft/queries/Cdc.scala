@@ -248,7 +248,10 @@ object Cdc {
          |  WHERE s.checksum <> f.checksum)
          |ORDER BY issue, file_path""".stripMargin)) { (s, dir) =>
     val issues = Tables.issues(s, dir)
+    // validate() reads each side three times (two anti-joins + drift) —
+    // persist so the sha256-bearing state derivation computes once
     val st = StateStore.fromIssues(issues.filter(col("updated") <= lit(W)), W)
+      .persist()
     val sfx = expr("cast(element_at(split(key, '-'), 2) as int)")
     val present = st.filter(sfx % 13 =!= 0)
       .select(col("file_path"),
@@ -258,7 +261,7 @@ object Cdc {
       .select(concat(lit("projects/"), col("project_key"), lit("/issues/orphan-"),
         col("key"), lit(".yaml")).as("file_path"),
         sha2(col("key"), 256).as("checksum"))
-    StateStore.validate(st, present.unionByName(orphans))
+    StateStore.validate(st, present.unionByName(orphans).persist())
       .orderBy("issue", "file_path")
   }
 

@@ -66,6 +66,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(q0.isEmpty || (q0 & brute).nonEmpty)
   }
 
+  test("incremental signature index: upsert + probe match the full recompute") {
+    import graft.pipeline.Dedup
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-sigs").toString + "/sigs"
+    val init = docs.filter(col("doc_id") % 10 =!= 0)
+    val late = docs.filter(col("doc_id") % 10 === 0)
+    Dedup.upsertSignatures(init, path)
+    Dedup.upsertSignatures(late, path) // incremental batch
+    // the incrementally-built index equals a from-scratch build
+    val full = Dedup.bandSignatures(docs).cache()
+    val idx = spark.read.parquet(path).cache()
+    assert(idx.count() == full.count())
+    assert(idx.except(full).count() == 0 && full.except(idx).count() == 0)
+    // re-upserting the same batch is idempotent
+    Dedup.upsertSignatures(late, path)
+    assert(spark.read.parquet(path).count() == full.count())
+    // probing the late batch finds exactly the full pipeline's candidate
+    // pairs that touch a late doc
+    val incr = Dedup.incrementalCandidates(late, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullCand = run("pipe_dedup_minhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == fullCand.filter { case (a, b) => a % 10 == 0 || b % 10 == 0 })
+  }
+
   test("language ID emits a guess for every doc with valid scores") {
     val df = run("pipe_text_langid").cache()
     assert(df.count() == Tables.t(spark, sf, "documents").count())
