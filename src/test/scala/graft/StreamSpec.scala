@@ -167,4 +167,31 @@ class StreamSpec extends AnyFunSuite {
     val total = df.agg(sum("n")).head.getLong(0)
     assert(total == Tables.events(spark, sf).count())
   }
+
+  test("streaming near-dup: foreachBatch maintains the signature index") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    implicit val ctx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-stream-sigs").toString + "/sigs"
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text").cache()
+    val (half1, half2) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+    val mem = MemoryStream[(Long, String)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) Dedup.upsertSignatures(batch, path)
+      }
+      .start()
+    try {
+      mem.addData(half1.as[(Long, String)].collect().toSeq: _*)
+      query.processAllAvailable()
+      mem.addData(half2.as[(Long, String)].collect().toSeq: _*)
+      query.processAllAvailable()
+      // two micro-batches converge to the same index a one-shot build yields
+      val idx = spark.read.parquet(path).cache()
+      val full = Dedup.bandSignatures(docs).cache()
+      assert(idx.count() == full.count())
+      assert(idx.except(full).count() == 0 && full.except(idx).count() == 0)
+    } finally query.stop()
+  }
 }
