@@ -155,16 +155,16 @@ object TextAnalysis {
        |  sha256(array_to_string(list_sort(list_distinct(w.w)), ' ')) AS fp_sha
        |FROM xorfp x JOIN words w ON w.doc_id = x.doc_id
        |ORDER BY x.doc_id""".stripMargin) { (s, dir) =>
-    val words = docWords(s, dir)
-    val xorfp = words
-      .select(col("doc_id"), explode(array_distinct(col("w"))).as("word"))
-      .groupBy("doc_id")
-      .agg(bit_xor(hash64(col("word"))).as("fp_xor"))
-    words
+    // XOR is order-independent, so the fingerprint folds per ROW with a
+    // higher-order aggregate over the distinct-word array — map-only, zero
+    // shuffles, no explode and no rejoin (the previous shape exploded 10M+
+    // word rows through an exchange and joined the two halves back)
+    docWords(s, dir)
+      .withColumn("dw", array_distinct(col("w")))
       .select(col("doc_id"),
-        sha2(array_join(array_sort(array_distinct(col("w"))), " "), 256).as("fp_sha"))
-      .join(xorfp, Seq("doc_id"))
-      .select("doc_id", "fp_xor", "fp_sha")
+        aggregate(transform(col("dw"), w => hash64(w)), lit(0L),
+          (acc, h) => acc.bitwiseXOR(h)).as("fp_xor"),
+        sha2(array_join(array_sort(col("dw")), " "), 256).as("fp_sha"))
       .orderBy("doc_id")
   }
 
