@@ -362,5 +362,32 @@ object Dedup {
       .distinct()
   }
 
-  val all: Seq[GQuery] = Seq(exact, minhash, jaccard, simhash, embedding, resolve)
+  /** The incremental path as an oracle-checked query: build the index from
+    * the 90% "existing corpus", upsert the 10% "late batch", probe for pairs
+    * touching the batch. After the upsert the persisted index equals the
+    * full signature set, so DuckDB replays the probe as
+    * late-bands ⋈ all-bands on (band, sig) — exact cross-engine parity for
+    * the whole upsert→probe cycle, filesystem state included.
+    */
+  private val incremental = q("pipe_dedup_incremental",
+    withDocs(s""", $minhashSql,
+       |late AS (SELECT doc_id, band, sig FROM bands WHERE doc_id % 10 = 0),
+       |pairs AS (
+       |  SELECT DISTINCT least(l.doc_id, b.doc_id) AS doc_a,
+       |    greatest(l.doc_id, b.doc_id) AS doc_b
+       |  FROM late l JOIN bands b
+       |    ON b.band = l.band AND b.sig = l.sig AND b.doc_id <> l.doc_id)
+       |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin)) {
+    (s, dir) =>
+    val docs = graft.Tables.t(s, dir, "documents").select("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-incr-sigs").toString + "/sigs"
+    upsertSignatures(docs.filter(col("doc_id") % 10 =!= 0), path)
+    val late = docs.filter(col("doc_id") % 10 === 0)
+    upsertSignatures(late, path)
+    incrementalCandidates(late, path).orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[GQuery] = Seq(exact, minhash, jaccard, simhash, embedding, resolve,
+    incremental)
 }
