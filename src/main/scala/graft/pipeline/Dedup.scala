@@ -63,23 +63,24 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
-  private def minhashBands(shingles: org.apache.spark.sql.DataFrame) = {
-    // all 16 min-hashes in ONE map-side-combinable aggregation — no 16× row
-    // explode before the exchange and no second per-band shuffle; the only
-    // exchange hashes doc_id once, carrying a 16-long buffer per doc. The
-    // digest is projected FIRST so each shingle is md5'd exactly once; the
-    // 16 permutations are two multiply-adds each.
-    val hashed = shingles.select(col("doc_id"), (hash64(col("sh")) % MhP).as("h0"))
-    val mins = (0 until 16).map(i =>
-      min((lit(mhA(i)) * col("h0") + lit(mhB(i))) % MhP).as(s"mh$i"))
-    val sigs = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  private def minhashBands(shArrays: org.apache.spark.sql.DataFrame) = {
+    // signatures fold PER ROW over the doc's shingle array — no shingle
+    // explode, no doc_id exchange anywhere: the digest array materializes
+    // once per doc (each shingle md5'd exactly once), then each of the 16
+    // min-hashes is an array_min over a two-multiply-add permutation of it.
+    // The first exchange in the whole pipeline is the (band, sig) candidate
+    // join itself.
+    val hashed = shArrays.select(col("doc_id"),
+      transform(col("shs"), sh => hash64(sh) % MhP).as("harr"))
+    def mh(i: Int) =
+      array_min(transform(col("harr"), h => (lit(mhA(i)) * h + lit(mhB(i))) % MhP))
     // band signature: 4 bands × 4 rows, comma-joined in seed order; the
-    // explode is 4 rows per DOC (post-aggregation), not 16 per shingle
+    // explode is 4 rows per DOC, not 16 per shingle
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b.toLong).as("band"),
-        concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*)
+        concat_ws(",", (0 until 4).map(r => mh(b * 4 + r).cast("string")): _*)
           .as("sig"))): _*)
-    sigs.select(col("doc_id"), explode(bandStructs).as("bs"))
+    hashed.select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
@@ -100,7 +101,7 @@ object Dedup {
   private val minhash = q("pipe_dedup_minhash",
     withDocs(s""", $minhashSql
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)) {
-    (s, dir) => minhashCandidates(docShingles(s, dir)).orderBy("doc_a", "doc_b")
+    (s, dir) => minhashCandidates(docShingleArrays(s, dir)).orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram Jaccard, verified ONLY on the banded candidate pairs
@@ -122,23 +123,25 @@ object Dedup {
        |JOIN sizes na ON na.doc_id = i.doc_a
        |JOIN sizes nb ON nb.doc_id = i.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
-    // shingles feed the minhash candidate pipeline and the verify step —
-    // persist once instead of recomputing the normalize+explode chain
-    val sh = docShingles(s, dir).persist()
+    // the rolled-up shingle arrays feed the minhash candidate pipeline AND
+    // the verify step. NOT persisted: since signatures fold per row the
+    // array build is a cheap map-only pass, and caching 100+ MB of string
+    // arrays costs more than the second scan it saves.
+    val sh = docShingleArrays(s, dir)
     val cand = minhashCandidates(sh).persist()
-    // only docs that appear in a candidate pair need their shingle set
-    // materialized — near-dup candidates are orders of magnitude fewer than
-    // the corpus, so the collect_list shuffle shrinks from every doc's
-    // shingles to the candidates'. The semi-join broadcasts when the
-    // candidate-doc set is genuinely small (size-gated, not assumed).
+    // only docs that appear in a candidate pair need their shingle set in
+    // the verify join — near-dup candidates are orders of magnitude fewer
+    // than the corpus. The semi-join broadcasts when the candidate-doc set
+    // is genuinely small (size-gated, not assumed).
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct().persist()
     val cd = if (candDocs.count() < 1000000) broadcast(candDocs) else candDocs
     // verify on per-doc shingle ARRAYS (bounded: shingles ∝ doc length), so
-    // the intersection is one array_intersect per candidate pair instead of
-    // a candidates×shingles row-explosion join + re-aggregation
-    val sets = sh.join(cd, Seq("doc_id"), "left_semi").groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n")).persist()
+    // the intersection is one array_intersect per candidate pair — the set
+    // is already an array row, no collect_list rebuild needed
+    val sets = sh.join(cd, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
+      .persist()
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
         col("n").as("na")), Seq("doc_a"))
@@ -254,7 +257,7 @@ object Dedup {
          |$oracleRounds
          |SELECT doc_id, cluster, doc_id = cluster AS kept
          |FROM l$rounds ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      val cand = minhashCandidates(docShingles(s, dir))
+      val cand = minhashCandidates(docShingleArrays(s, dir))
       val edges = cand.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(cand.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .persist()
@@ -316,7 +319,7 @@ object Dedup {
     * [[minhashCandidates]] pipeline computes internally.
     */
   def bandSignatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    minhashBands(docShinglesOf(docs))
+    minhashBands(docShingleArraysOf(docs))
 
   /** Maintain a persisted MinHash band-signature index incrementally: replace
     * the signature rows of every doc in `docs`, keep everyone else's. This is

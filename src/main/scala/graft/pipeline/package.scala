@@ -62,6 +62,23 @@ package object pipeline {
       explode(graft.functions.Shingles(
         split(normText(col("text")), " "))).as("sh"))
 
+  /** documents → (doc_id, shs: array<string>) — the distinct shingle SET as
+    * one array row per doc (docs with <3 words have none and are dropped,
+    * matching the exploded form). Keeping the set rolled up lets signature
+    * and set-similarity work fold per row instead of exploding shingles
+    * through an exchange.
+    */
+  def docShingleArrays(s: SparkSession, dir: String): DataFrame =
+    docWords(s, dir)
+      .select(col("doc_id"), graft.functions.Shingles(col("w")).as("shs"))
+      .filter(size(col("shs")) > 0)
+
+  /** [[docShingleArrays]] over an arbitrary `(doc_id, text)` DataFrame. */
+  def docShingleArraysOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.Shingles(split(normText(col("text")), " ")).as("shs"))
+      .filter(size(col("shs")) > 0)
+
   /** Double-precision dot product of two array<double> columns — the native
     * codegen'd [[graft.functions.DotProductD]] expression (one fused loop,
     * stays in whole-stage codegen). Same sequential fold order as the

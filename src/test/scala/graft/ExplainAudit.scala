@@ -45,17 +45,18 @@ class ExplainAudit extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("minhash signatures aggregate wide: no explode feeds the doc exchange") {
-    // the 16 min-hashes come from ONE map-side-combinable HashAggregate —
-    // a Generate (explode) between the shingle scan and the doc_id exchange
-    // would mean the 16× row blowup is shuffled instead of combined
+  test("minhash signatures fold per row: no doc_id exchange at all") {
+    // the 16 min-hashes are array_min folds over each doc's materialized
+    // digest array — signature computation is map-only, so the FIRST
+    // exchange in the plan is the (band, sig) candidate join itself. A
+    // doc_id hash exchange would mean shingles are being exploded and
+    // re-aggregated again.
     val p = plan("pipe_dedup_minhash")
-    val firstExchange = p.indexOf("Exchange hashpartitioning(doc_id")
-    assert(firstExchange > 0, s"expected a doc_id exchange:\n${p.take(2000)}")
-    val partialAgg = p.lastIndexOf("HashAggregate", firstExchange)
-    assert(partialAgg > 0, "expected a partial aggregate below the exchange")
-    assert(!p.substring(partialAgg).contains("Generate explode(sequence"),
-      "per-seed explode leaked below the signature aggregation")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"signature computation should not shuffle on doc_id:\n${p.take(2000)}")
+    // the digest array must materialize in its own projection, not be
+    // inlined 16 times into the band structs (one md5 pass per shingle)
+    assert(p.contains("AS harr"), "expected a materialized digest-array projection")
   }
 
   test("stateful CDC plans a grouped-state operator, enrichment is a hash join") {
