@@ -129,5 +129,44 @@ object Misc {
       .orderBy("key").limit(2000)
   }
 
-  val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, keyFuncs, wireRoundtrip)
+  /** As-of enrichment over the event stream: every purchase joined with the
+    * same user's latest at-or-before view (classic attribution — the time-
+    * series operator Spark lacks natively; see [[graft.operators.Asof]] for
+    * the single-sweep implementation). DuckDB oracles it with its native
+    * ASOF JOIN.
+    */
+  private val asof = q("stream_asof_attrib",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events)
+      |SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  CAST(p.value AS DOUBLE) AS purchase_value,
+      |  v.event_id AS view_id,
+      |  coalesce(strftime(v.ts, '%Y-%m-%d %H:%M:%S'), '') AS view_ts
+      |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"),
+        col("event_id").as("view_id"))
+    graft.operators.Asof.join(purchases, views, Seq("user_id"),
+      leftTime = "ts", rightTime = "vts", rightPrefix = "")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value").cast("double").as("purchase_value"),
+        col("view_id"),
+        coalesce(date_format(col("vts"), "yyyy-MM-dd HH:mm:ss"), lit(""))
+          .as("view_ts"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, keyFuncs, wireRoundtrip,
+    asof)
 }

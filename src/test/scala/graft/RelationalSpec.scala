@@ -77,4 +77,30 @@ class RelationalSpec extends AnyFunSuite {
     val dangling = links.join(iss, links("src") === iss("key"), "left_anti").count()
     assert(dangling == 0)
   }
+
+  test("as-of join: inclusive latest-preceding match, left-outer, single sweep") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      ("u1", t("2024-01-01 10:00:00"), "p1"),
+      ("u1", t("2024-01-01 12:00:00"), "p2"),
+      ("u2", t("2024-01-01 09:00:00"), "p3") // no preceding right row
+    ).toDF("uid", "ts", "pid")
+    val right = Seq(
+      ("u1", t("2024-01-01 09:30:00"), "v1"),
+      ("u1", t("2024-01-01 10:00:00"), "v2"), // equal ts: inclusive, wins over v1
+      ("u1", t("2024-01-01 11:00:00"), "v3"),
+      ("u2", t("2024-01-01 09:30:00"), "v4") // after p3 — must not match
+    ).toDF("uid", "vts", "vid")
+    val out = graft.operators.Asof
+      .join(left, right, Seq("uid"), "ts", "vts", rightPrefix = "")
+      .select("pid", "vid").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("p1" -> "v2", "p2" -> "v3", "p3" -> null))
+    // plan shape: one window sweep over the union — no range/nested-loop join
+    val p = graft.operators.Asof
+      .join(left, right, Seq("uid"), "ts", "vts").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
 }
