@@ -167,6 +167,42 @@ object Misc {
       .orderBy("event_id")
   }
 
+  /** Bucketed range join over the event stream: every purchase with the
+    * count of platform-wide errors in its preceding 5 minutes — NO equi key,
+    * the case a naive plan turns into cartesian × range filter. See
+    * [[graft.operators.RangeJoin]] for the bucket construction; DuckDB
+    * oracles the same range predicate directly (its optimizer plans an
+    * IEJoin for it).
+    */
+  private val rangeJoin = q("stream_range_errors",
+    """WITH ev AS (
+      |  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |p AS (SELECT event_id, ts FROM ev WHERE event_type = 'purchase'),
+      |e AS (SELECT event_id AS err_id, ts AS ets FROM ev WHERE event_type = 'error'),
+      |c AS (
+      |  SELECT p.event_id, count(e.err_id) AS n_errors
+      |  FROM p JOIN e ON e.ets BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts
+      |  GROUP BY p.event_id)
+      |SELECT p.event_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  coalesce(c.n_errors, 0) AS n_errors
+      |FROM p LEFT JOIN c USING (event_id)
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("ts").cast("timestamp").as("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("ets"))
+    val counts = graft.operators.RangeJoin
+      .intervalJoin(purchases, errors, "ts", "ets", -300L, 0L)
+      .groupBy("event_id").agg(count(col("err_id")).as("n_errors"))
+    purchases.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, keyFuncs, wireRoundtrip,
-    asof)
+    asof, rangeJoin)
 }

@@ -103,4 +103,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
+
+  test("range join: exact interval membership incl. sub-second boundaries") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(("p1", t("2024-01-01 10:00:00.500")),
+      ("p2", t("2024-01-01 12:00:00.0"))).toDF("pid", "ts")
+    val right = Seq(
+      ("r1", t("2024-01-01 09:55:00.500")), // exactly lower bound of p1 → in
+      ("r2", t("2024-01-01 09:55:00.499")), // 1ms before the bound → out
+      ("r3", t("2024-01-01 10:00:00.500")), // exactly upper bound of p1 → in
+      ("r4", t("2024-01-01 10:00:00.501")), // just after → out
+      ("r5", t("2024-01-01 11:59:00.0"))    // inside p2's window
+    ).toDF("rid", "rts")
+    val pairs = graft.operators.RangeJoin
+      .intervalJoin(left, right, "ts", "rts", -300L, 0L)
+      .select("pid", "rid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("p1", "r1"), ("p1", "r3"), ("p2", "r5")))
+    val p = graft.operators.RangeJoin
+      .intervalJoin(left, right, "ts", "rts", -300L, 0L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
