@@ -203,6 +203,32 @@ object Misc {
       .orderBy("event_id")
   }
 
+  /** Heavy-hitter sketch as a first-class Catalyst aggregate (§2.9): top
+    * issue types per project via [[graft.functions.HeavyHitters]]
+    * (space-saving, k-bounded state). k=10 ≥ the 5 distinct types, so the
+    * sketch is in its exact regime and DuckDB's exact groupBy+rank oracles
+    * it; the eviction path is unit-tested separately.
+    */
+  private val heavyHitters = q("agg_heavy_hitters",
+    Oracle.withIssues(
+      """, c AS (
+        |  SELECT project_key, issuetype, count(*) AS cnt
+        |  FROM issues GROUP BY project_key, issuetype),
+        |r AS (
+        |  SELECT project_key, issuetype AS item, cnt,
+        |    row_number() OVER (PARTITION BY project_key
+        |      ORDER BY cnt DESC, issuetype) AS rank
+        |  FROM c)
+        |SELECT project_key, item, cnt, rank FROM r WHERE rank <= 10
+        |ORDER BY project_key, rank""".stripMargin)) { (s, dir) =>
+    Tables.issues(s, dir).groupBy("project_key")
+      .agg(graft.functions.HeavyHitters(col("issuetype"), 10).as("hh"))
+      .select(col("project_key"), posexplode(col("hh")))
+      .select(col("project_key"), col("col.item").as("item"),
+        col("col.cnt").as("cnt"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("project_key", "rank")
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, keyFuncs, wireRoundtrip,
-    asof, rangeJoin)
+    asof, rangeJoin, heavyHitters)
 }

@@ -118,4 +118,24 @@ class FunctionsSpec extends AnyFunSuite {
       assert(strTok.contains(s))
     }
   }
+
+  test("heavy hitters: exact when k >= cardinality; bounded + ranked under eviction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(15)("c") ++
+      Seq.fill(4)("d") ++ Seq("e")
+    val data = scala.util.Random.shuffle(df).toDF("v").repartition(8)
+    // exact regime: k >= 5 distinct values → true counts, ranked
+    val exact = data.agg(graft.functions.HeavyHitters(col("v"), 10).as("hh"))
+      .select(explode(col("hh"))).select("col.item", "col.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(exact == Seq("a" -> 50L, "b" -> 30L, "c" -> 15L, "d" -> 4L, "e" -> 1L))
+    // eviction regime: k=2 → state stays bounded, the true heavy hitter
+    // survives with count >= its true frequency (space-saving overestimates)
+    val top2 = data.agg(graft.functions.HeavyHitters(col("v"), 2).as("hh"))
+      .select(explode(col("hh"))).select("col.item", "col.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top2.length == 2)
+    assert(top2.head._1 == "a" && top2.head._2 >= 50L)
+  }
 }
