@@ -162,6 +162,19 @@ object SyncEngine {
             s"$repoDir/relationships")
         else Ingest.writeEdges(batchEdges, s"$repoDir/relationships")
       }(scala.concurrent.ExecutionContext.global)
+      // on ANY failure below, quiesce the background writers before
+      // surfacing the error: a retried run must not race an orphaned
+      // overwrite of the same relationships/state paths
+      var stateStagedOpt: Option[scala.concurrent.Future[Unit]] = None
+      def quiesce(): Unit = {
+        def awaitQuiet(f: scala.concurrent.Future[_]): Unit =
+          try { scala.concurrent.Await.ready(f,
+            scala.concurrent.duration.Duration.Inf); () }
+          catch { case _: Throwable => () }
+        awaitQuiet(edgesDone)
+        stateStagedOpt.foreach(awaitQuiet)
+      }
+      try {
 
       progress.step("writing", 40)
       val wr = Yaml.writeIssuesCounted(
@@ -187,6 +200,7 @@ object SyncEngine {
       val stateStaged = scala.concurrent.Future {
         StateStore.stage(merged, statePath)
       }(scala.concurrent.ExecutionContext.global)
+      stateStagedOpt = Some(stateStaged)
 
       // 6. one git commit per batch (S9), retried with backoff (C7)
       progress.step("committing", 80)
@@ -210,6 +224,7 @@ object SyncEngine {
       val elapsedMs = (System.nanoTime() - t0) / 1000000
       BatchResult(opId, total, written, wr.failed, skipped, elapsedMs,
         if (elapsedMs > 0) written * 1000.0 / elapsedMs else 0.0)
+      } catch { case e: Throwable => quiesce(); throw e }
     } finally toSync.unpersist()
   }
 

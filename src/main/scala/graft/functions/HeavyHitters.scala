@@ -22,8 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * exchange carries at most k counters per group.
   *
   * When k ≥ the true distinct count no eviction ever happens and the result
-  * is EXACT (the regime the DuckDB-oracled query runs in); under eviction
-  * the usual space-saving overestimate bounds apply. Output is
+  * is EXACT (the regime the DuckDB-oracled query runs in). Under eviction,
+  * note the distributed caveat: the single-stream overestimate guarantee
+  * does not survive merging k-bounded PARTIAL sketches — mass evicted from
+  * a partition's summary before the merge is lost, so merged counts can
+  * under- as well as over-estimate; what the merge preserves is the
+  * identity of items whose frequency strictly exceeds n/k (pinned by test).
+  * Size k generously relative to the tail when counts matter. Output is
   * `array<struct<item,cnt>>` sorted by (count desc, item asc), capped at k.
   */
 final case class HeavyHittersAgg(
@@ -37,6 +42,11 @@ final case class HeavyHittersAgg(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"heavy_hitters requires a string column, got ${child.dataType.catalogString}")
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType), StructField("cnt", LongType))))
 

@@ -333,15 +333,14 @@ object Dedup {
     */
   def upsertSignatures(docs: org.apache.spark.sql.DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sigs = bandSignatures(docs)
-    val out =
-      if (fs.exists(p))
-        spark.read.schema(sigs.schema).parquet(path)
-          .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-          .unionByName(sigs)
-      else sigs
+    // loadTable, NOT a raw exists() check: a save that crashed inside its
+    // commit window leaves the complete index at __tmp/__bak — a raw check
+    // would read "absent" and silently rebuild the index from this batch
+    // alone, permanently losing every other document's signatures
+    val out = graft.state.StateStore.loadTable(spark, path, sigs.schema)
+      .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(sigs)
     graft.state.StateStore.save(out, path)
   }
 
@@ -355,7 +354,7 @@ object Dedup {
       path: String): org.apache.spark.sql.DataFrame = {
     val spark = changedDocs.sparkSession
     val probe = bandSignatures(changedDocs)
-    val index = spark.read.schema(probe.schema).parquet(path)
+    val index = graft.state.StateStore.loadTable(spark, path, probe.schema)
     probe.select(col("doc_id").as("doc_q"), col("band"), col("sig"))
       .join(index.select(col("doc_id").as("doc_i"), col("band"), col("sig")),
         Seq("band", "sig"))

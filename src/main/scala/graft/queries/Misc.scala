@@ -157,7 +157,8 @@ object Misc {
       .select(col("user_id"), col("ts").as("vts"),
         col("event_id").as("view_id"))
     graft.operators.Asof.join(purchases, views, Seq("user_id"),
-      leftTime = "ts", rightTime = "vts", rightPrefix = "")
+      leftTime = "ts", rightTime = "vts", rightPrefix = "",
+      tieBreak = Seq("view_id")) // deterministic if equal-ts views ever appear
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         col("value").cast("double").as("purchase_value"),

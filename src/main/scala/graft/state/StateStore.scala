@@ -40,7 +40,19 @@ object StateStore {
     * (reference: pkg/state/manager.go:99-136 returns fresh state when the
     * file is absent).
     */
-  def load(spark: SparkSession, path: String): DataFrame = {
+  def load(spark: SparkSession, path: String): DataFrame =
+    loadTable(spark, path, schema)
+
+  /** [[load]] generalized to ANY table managed by [[save]]'s tmp+bak commit
+    * (the signature index reuses the same protocol): same crash recovery —
+    * finish an interrupted commit from its complete tmp, fall back to the
+    * backup when the tmp marker proves an interrupted save, empty otherwise.
+    * Callers that branch on "does the table exist" must go through this (or
+    * [[save]]-side recovery) rather than a raw exists() check, or a crash
+    * inside the commit window reads as an absent table and its data is
+    * silently discarded.
+    */
+  def loadTable(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)
@@ -67,7 +79,8 @@ object StateStore {
       } else if (fs.exists(tmp) && fs.exists(bak)) {
         log.warn(s"state $path missing; falling back to backup $bak")
         spark.read.schema(schema).parquet(bak.toString)
-      } else empty(spark)
+      } else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
   }
 
