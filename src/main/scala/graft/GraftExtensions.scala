@@ -37,5 +37,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "shingles takes exactly one argument")
         Shingles(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHittersAgg].getName, "heavy_hitters"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "heavy_hitters takes (column, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString.toInt
+          case _ => throw new IllegalArgumentException(
+            "heavy_hitters: k must be an integer literal")
+        }
+        graft.functions.HeavyHittersAgg(children.head, k)
+      }))
   }
 }

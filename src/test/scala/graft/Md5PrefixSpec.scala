@@ -98,5 +98,17 @@ class Md5PrefixSpec extends AnyFunSuite {
     val sh = spark.sql("SELECT shingles(array('a','b','c','d')) AS sh")
       .head.getSeq[String](0)
     assert(sh == Seq("a b c", "b c d"))
+
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHittersAgg].getName, "heavy_hitters"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HeavyHittersAgg(children.head,
+          children(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+            .value.toString.toInt))
+    val hh = spark.sql(
+      "SELECT heavy_hitters(v, 5) AS hh FROM VALUES ('x'),('x'),('y') t(v)")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("x", 2L), ("y", 1L)))
   }
 }
