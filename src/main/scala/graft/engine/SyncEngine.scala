@@ -107,7 +107,14 @@ object SyncEngine {
     val candidates =
       if (opts.incremental) StateStore.changedIssues(scoped, state, force = opts.force)
       else scoped
-    val toSync = candidates.drop("change_type").cache()
+    val toSyncBase = candidates.drop("change_type")
+    // Incremental candidates are join-derived (issues ⟗ state) — cache them
+    // and materialize ONCE before forking the concurrent sink jobs, or those
+    // jobs race to compute the same partitions twice. A full run's batch is a
+    // plain filtered scan: letting each concurrent job rescan it is cheaper
+    // than serializing all of them behind a cache-materialization pass.
+    val useCache = opts.incremental
+    val toSync = if (useCache) toSyncBase.cache() else toSyncBase
     try {
       // 3. dry run stops before any write (C9,
       // reference: internal/sync/incremental.go:404-465)
@@ -120,40 +127,48 @@ object SyncEngine {
           if (elapsedMs > 0) n * 1000.0 / elapsedMs else 0.0)
       }
 
-      // 4. distributed YAML write (S6) — executors write their partitions.
-      // A selective filter usually leaves few input splits, so spread the
-      // write across the full task slots first. Metrics derive from the
-      // driver-side batch count, not the raw write accumulator: under
-      // speculative execution a task's accumulator updates can be dropped or
-      // a key retried, so attempted = count(cached batch) and
-      // written = attempted − |failedKeys| are the numbers that always
-      // reconcile (written + failed + skipped == total) on a cluster.
-      // 5 (started early). The edge write (S11) depends only on the batch,
-      // not on the YAML files or the git commit (separate pathspec:
-      // relationships/ vs projects/) — run it concurrently with the YAML
-      // write (mixed I/O- and CPU-bound cluster jobs overlap well) and with
-      // the driver-side git commit, during which the executors would
-      // otherwise sit idle. The future is awaited BEFORE the state commit:
-      // state must not mark issues synced until their edges are durable,
-      // or a failed edge write would never be retried. An incremental batch
-      // replaces only its own issues' edges; a full run rewrites the table.
-      // materialize the batch cache ONCE before forking — otherwise the two
-      // concurrent jobs race to compute the same cached partitions twice
-      val attempted = toSync.count()
-
-      // empty batch → nothing to write, commit, or merge: skip every sink
-      // phase (the reference short-circuits an empty changed set the same
-      // way, internal/sync/incremental.go:156-179). State is deliberately
-      // untouched — merging an empty batch is an identity, and per-key
-      // last_synced only moves when a key actually syncs — so a pure
-      // change-detection pass costs exactly the scan + the state load.
-      if (attempted == 0) {
-        val total = if (opts.incremental) scoped.count() else 0L
+      // empty incremental batch → nothing to write, commit, or merge: skip
+      // every sink phase (the reference short-circuits an empty changed set
+      // the same way, internal/sync/incremental.go:156-179). State and edges
+      // are deliberately untouched — merging an empty batch is an identity,
+      // and per-key last_synced only moves when a key actually syncs — so a
+      // pure change-detection pass costs exactly the scan + the state load.
+      // (This count doubles as the cache materialization barrier.)
+      if (opts.incremental && toSync.count() == 0) {
+        val total = scoped.count()
         progress.step("done", 100)
         val elapsedMs = (System.nanoTime() - t0) / 1000000
         return BatchResult(opId, total, 0L, 0L, total, elapsedMs, 0.0)
       }
 
+      // 4-7 run as three INDEPENDENT cluster jobs forked together — the
+      // executors never idle behind a driver-side phase:
+      //   (a) YAML + git-blob write (S6+S9 fused, main thread): executors
+      //       write their partitions' YAML files AND the content-addressed
+      //       git objects, so the hashing/object-creation bulk of `git add`
+      //       runs parallel with the data. Metrics derive from task OUTPUT
+      //       (collected (path,sha) rows), which under speculative execution
+      //       or task retry counts only the winning attempt.
+      //   (b) edge write (S11): depends only on the batch, not the YAML
+      //       files or the commit (separate pathspec: relationships/ vs
+      //       projects/). Awaited BEFORE the state swap — state must not
+      //       mark issues synced until their edges are durable. An
+      //       incremental batch replaces only its own issues' edges; a full
+      //       run rewrites the table.
+      //   (c) OPTIMISTIC state staging: the merge assumes every file write
+      //       succeeds (the overwhelmingly common case) and materializes to
+      //       the state store's tmp dir; a write failure restages without
+      //       the failed keys before the swap. Issues whose write failed are
+      //       NEVER marked synced — they stay absent from state so the next
+      //       incremental run retries them (A4 failed accounting,
+      //       reference: internal/sync/batch.go FailedIssues).
+      // Only the metadata commits (git tree/ref, state rename swap) are
+      // ordered, and both are cheap.
+      GitRepo.init(repoDir)
+      progress.step("writing", 40)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      progress.step("relationships", 60)
       val edgesDone = scala.concurrent.Future {
         val batchEdges = links.join(toSync.select(col("key").as("__k")),
           col("src") === col("__k"), "left_semi")
@@ -161,58 +176,73 @@ object SyncEngine {
           Ingest.upsertEdges(batchEdges, toSync.select("key", "project_key"),
             s"$repoDir/relationships")
         else Ingest.writeEdges(batchEdges, s"$repoDir/relationships")
-      }(scala.concurrent.ExecutionContext.global)
+      }
+      var stateStaged = scala.concurrent.Future {
+        StateStore.stage(
+          StateStore.merge(state, StateStore.fromIssues(toSync, now)), statePath)
+      }
       // on ANY failure below, quiesce the background writers before
-      // surfacing the error: a retried run must not race an orphaned
-      // overwrite of the same relationships/state paths
-      var stateStagedOpt: Option[scala.concurrent.Future[Unit]] = None
+      // surfacing the error — a retried run must not race an orphaned
+      // overwrite of the same relationships/state paths — and DISCARD the
+      // staged tmp: an uncommitted staged state left behind could otherwise
+      // be promoted by loadTable's interrupted-commit recovery, marking
+      // issues synced whose sink writes were never confirmed.
       def quiesce(): Unit = {
         def awaitQuiet(f: scala.concurrent.Future[_]): Unit =
           try { scala.concurrent.Await.ready(f,
             scala.concurrent.duration.Duration.Inf); () }
           catch { case _: Throwable => () }
         awaitQuiet(edgesDone)
-        stateStagedOpt.foreach(awaitQuiet)
+        awaitQuiet(stateStaged)
+        try StateStore.discardStaged(spark, statePath)
+        catch { case _: Throwable => () }
       }
       try {
 
-      progress.step("writing", 40)
-      val wr = Yaml.writeIssuesCounted(
+      val wr = Yaml.writeIssuesWithBlobs(
         toSync.repartition(spark.sparkContext.defaultParallelism, col("key")), repoDir)
+      val attempted = wr.written + wr.failed
+
+      // a FULL run over an empty selection wrote nothing: no commit, no
+      // state change (the staged identity merge is discarded). The edge
+      // table was legitimately rebuilt empty — a full run rewrites it.
+      if (attempted == 0) {
+        quiesce()
+        progress.step("done", 100)
+        val elapsedMs = (System.nanoTime() - t0) / 1000000
+        return BatchResult(opId, 0L, 0L, 0L, 0L, elapsedMs, 0.0)
+      }
+
       val written = attempted - wr.failed
       val total = if (opts.incremental) scoped.count() else attempted
       val skipped = total - attempted
 
-      progress.step("relationships", 60)
-
-      // 7 (staged early). The state MERGE is pure computation against the
-      // already-loaded state and the cached batch — independent of the git
-      // commit and the edge write — so materialize it to the state store's
-      // tmp dir concurrently too. Only the commit renames (metadata-only)
-      // wait for the barriers below. Issues whose file write failed must NOT
-      // be marked synced — they stay absent from state so the next
-      // incremental run picks them up again (A4 failed accounting,
-      // reference: internal/sync/batch.go FailedIssues).
-      val synced =
-        if (wr.failedKeys.isEmpty) toSync
-        else toSync.filter(!col("key").isin(wr.failedKeys: _*))
-      val merged = StateStore.merge(state, StateStore.fromIssues(synced, now))
-      val stateStaged = scala.concurrent.Future {
-        StateStore.stage(merged, statePath)
-      }(scala.concurrent.ExecutionContext.global)
-      stateStagedOpt = Some(stateStaged)
-
-      // 6. one git commit per batch (S9), retried with backoff (C7)
+      // one git commit per batch (S9), retried with backoff (C7). The blobs
+      // are already in the object store — this is index metadata + tree
+      // build only, and re-feeding the index info on retry is idempotent.
+      // Runs while the edge/state cluster jobs drain.
       progress.step("committing", 80)
-      GitRepo.init(repoDir)
       withRetry(opts.maxRetries, opts.backoffBaseMs, opts.backoffCapMs) { () =>
-        GitRepo.commitBatch(repoDir,
-          s"feat(sync): sync $written issues ($opId)")
+        GitRepo.commitIndexInfo(repoDir,
+          s"feat(sync): sync $written issues ($opId)", wr.entries)
       }
 
-      // 7. barriers, then the atomic state swap (C2/S13): edges and the
-      // staged state write must both be durable before issues are marked
-      // synced, or a failed write would never be retried.
+      // rare path: some file writes failed — restage the state without the
+      // failed keys (the optimistic stage must finish first; stage()
+      // overwrites the same tmp dir)
+      if (wr.failedKeys.nonEmpty) {
+        scala.concurrent.Await.result(stateStaged,
+          scala.concurrent.duration.Duration.Inf)
+        val synced = toSync.filter(!col("key").isin(wr.failedKeys: _*))
+        stateStaged = scala.concurrent.Future {
+          StateStore.stage(
+            StateStore.merge(state, StateStore.fromIssues(synced, now)), statePath)
+        }
+      }
+
+      // barriers, then the atomic state swap (C2/S13): edges and the staged
+      // state write must both be durable before issues are marked synced, or
+      // a failed write would never be retried.
       progress.step("state", 90)
       import scala.concurrent.Await
       import scala.concurrent.duration.Duration
@@ -225,7 +255,7 @@ object SyncEngine {
       BatchResult(opId, total, written, wr.failed, skipped, elapsedMs,
         if (elapsedMs > 0) written * 1000.0 / elapsedMs else 0.0)
       } catch { case e: Throwable => quiesce(); throw e }
-    } finally toSync.unpersist()
+    } finally if (useCache) toSync.unpersist()
   }
 
   /** C10: state recovery — reconcile state vs files and repair

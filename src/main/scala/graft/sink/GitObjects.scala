@@ -1,0 +1,71 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.zip.{Deflater, DeflaterOutputStream}
+
+/** Executor-side writer for git loose blob objects (the public on-disk
+  * format: `"blob <len>\0" + content`, zlib-deflated, stored at
+  * `.git/objects/<sha[0:2]>/<sha[2:]>`). Content addressing makes the write
+  * idempotent across task retries and concurrent attempts — identical content
+  * yields the identical object file, and the temp-file + atomic-rename commit
+  * means a half-written object is never visible under its final name.
+  *
+  * This distributes the hashing + object creation that `git add` would do
+  * serially on the driver (reference's per-issue commit loop:
+  * pkg/git/git.go:214-287); the driver then commits index metadata only
+  * ([[GitRepo.commitIndexInfo]]).
+  */
+object GitObjects {
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Write `content` as a loose blob under `gitDir` and return its sha1 hex.
+    * No-op (but still returns the sha) when the object already exists.
+    */
+  def writeBlob(gitDir: Path, content: Array[Byte]): String = {
+    val header = s"blob ${content.length}\u0000".getBytes(StandardCharsets.US_ASCII)
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(header)
+    md.update(content)
+    val sha = hex(md.digest())
+    val objDir = gitDir.resolve("objects").resolve(sha.substring(0, 2))
+    val objFile = objDir.resolve(sha.substring(2))
+    if (!Files.exists(objFile)) {
+      // deterministic temp name — sha + thread id is unique across the
+      // concurrent writers of one JVM, and cross-JVM collisions write the
+      // identical bytes anyway (content-addressed). Cheaper than
+      // createTempFile's SecureRandom naming on a 20k-object batch.
+      val tmp = objDir.resolve(s"tmp_${sha.substring(2)}_t${Thread.currentThread().getId}")
+      def deflateTo(p: Path): Unit = {
+        // fast deflate: these objects are short-lived in loose form (git gc
+        // recompresses into packs); level 1 keeps the write I/O-bound
+        val os = new DeflaterOutputStream(Files.newOutputStream(p), new Deflater(1))
+        try { os.write(header); os.write(content) } finally os.close()
+      }
+      try deflateTo(tmp)
+      catch {
+        // fan-out dir not there yet — create lazily on first miss instead of
+        // stat/mkdir per object
+        case _: java.nio.file.NoSuchFileException =>
+          Files.createDirectories(objDir); deflateTo(tmp)
+      }
+      try Files.move(tmp, objFile, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      }
+    }
+    sha
+  }
+}

@@ -24,6 +24,14 @@ object GitRepo {
     (code, out.result())
   }
 
+  private def runWithInput(dir: File, input: String, args: String*): (Int, String) = {
+    val out = new StringBuilder
+    val logger = ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n'))
+    val code = (Process("git" +: args.toSeq, dir) #<
+      new java.io.ByteArrayInputStream(input.getBytes(StandardCharsets.UTF_8))).!(logger)
+    (code, out.result())
+  }
+
   /** Initialize the repo if absent (reference: pkg/git/git.go:61-95).
     * Loose-object compression is disabled for the sync store: staging a
     * 20k-file batch is zlib-bound (measured 3.3s → 0.9s with compression
@@ -80,6 +88,53 @@ object GitRepo {
         require(code == 0, s"git commit failed: $out")
         val (_, hash) = run(dir, "rev-parse", "HEAD")
         Some(hash.trim)
+      } finally msgFile.delete()
+    }
+  }
+
+  /** Commit a batch whose blob objects are ALREADY in the object store
+    * (written distributed by [[Yaml.writeIssuesWithBlobs]] /
+    * [[GitObjects.writeBlob]]): feed `(path, sha)` pairs straight into the
+    * index (`update-index --index-info` — no worktree scan, no re-hash, no
+    * serial object creation), then `write-tree` + `commit-tree` +
+    * `update-ref`. The driver's cost is one index write and a tree build,
+    * independent of file CONTENT size. Returns the commit hash, or None when
+    * the resulting tree equals HEAD's (idempotent re-runs).
+    */
+  def commitIndexInfo(repoDir: String, message: String,
+      entries: Seq[(String, String)]): Option[String] = {
+    if (entries.isEmpty) return None
+    val dir = new File(repoDir)
+    val info = entries.iterator
+      .map { case (path, sha) => s"100644 $sha 0\t$path" }
+      .mkString("", "\n", "\n")
+    val (uiCode, uiOut) = runWithInput(dir, info, "update-index", "--index-info")
+    require(uiCode == 0, s"git update-index failed: $uiOut")
+    val (wtCode, wtOut) = run(dir, "write-tree")
+    require(wtCode == 0, s"git write-tree failed: $wtOut")
+    val tree = wtOut.trim
+    val (pCode, pOut) = run(dir, "rev-parse", "--verify", "-q", "HEAD")
+    val parent = if (pCode == 0) Some(pOut.trim) else None
+    val unchanged = parent.exists { p =>
+      val (tc, tOut) = run(dir, "rev-parse", s"$p^{tree}")
+      tc == 0 && tOut.trim == tree
+    }
+    if (unchanged) None
+    else {
+      val msgFile = File.createTempFile("graft-commit", ".txt")
+      try {
+        java.nio.file.Files.write(msgFile.toPath,
+          message.getBytes(StandardCharsets.UTF_8))
+        val args = Seq("-c", "user.name=graft-sync",
+          "-c", "user.email=graft-sync@localhost", "commit-tree", tree) ++
+          parent.toSeq.flatMap(p => Seq("-p", p)) ++
+          Seq("-F", msgFile.getAbsolutePath)
+        val (cCode, cOut) = run(dir, args: _*)
+        require(cCode == 0, s"git commit-tree failed: $cOut")
+        val commit = cOut.trim
+        val (rCode, rOut) = run(dir, "update-ref", "HEAD", commit)
+        require(rCode == 0, s"git update-ref failed: $rOut")
+        Some(commit)
       } finally msgFile.delete()
     }
   }

@@ -155,6 +155,61 @@ object Yaml {
   def writeIssues(issues: DataFrame, repoDir: String): Long =
     writeIssuesCounted(issues, repoDir).written
 
+  /** Outcome of [[writeIssuesWithBlobs]]: the `(relative path, blob sha)` of
+    * every file written — exactly what the driver's index-only commit needs —
+    * plus the failed keys.
+    */
+  final case class BlobWriteResult(entries: Seq[(String, String)],
+      failedKeys: Seq[String]) {
+    def written: Long = entries.length.toLong
+    def failed: Long = failedKeys.length.toLong
+  }
+
+  /** S6+S9 fused: each task writes its partition's YAML files AND the
+    * corresponding git loose blob objects (content-addressed, so concurrent /
+    * retried tasks converge on identical object files), returning
+    * `(path, sha)` pairs to the driver. Hashing and object creation — the
+    * serial bulk of `git add` on a 20k-file batch — thus run distributed with
+    * the data; the driver's commit is reduced to index metadata
+    * ([[GitRepo.commitIndexInfo]]). Results come back as task OUTPUT (not
+    * accumulators), so a retried or speculatively-executed task cannot
+    * double-count: only the winning attempt's rows are collected.
+    *
+    * Requires an initialized repo ([[GitRepo.init]]) at `repoDir`.
+    */
+  def writeIssuesWithBlobs(issues: DataFrame, repoDir: String): BlobWriteResult = {
+    val complete = columns.foldLeft(issues) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c,
+        lit(null).cast(if (c == "created" || c == "updated") "timestamp" else "string"))
+    }
+    import issues.sparkSession.implicits._
+    val results = complete.select(columns.map(col): _*)
+      .mapPartitions { rows: Iterator[Row] =>
+        val made = new java.util.HashMap[String, java.nio.file.Path]()
+        val gitDir = Paths.get(repoDir, ".git")
+        rows.map { r =>
+          val key = r.getAs[String]("key")
+          try {
+            val proj = r.getAs[String]("project_key")
+            var dir = made.get(proj)
+            if (dir == null) {
+              dir = Paths.get(repoDir, "projects", proj, "issues")
+              Files.createDirectories(dir)
+              made.put(proj, dir)
+            }
+            val bytes = toYamlString(r).getBytes(StandardCharsets.UTF_8)
+            Files.write(dir.resolve(s"$key.yaml"), bytes)
+            val sha = GitObjects.writeBlob(gitDir, bytes)
+            (key, s"projects/$proj/issues/$key.yaml", sha, true)
+          } catch { case _: java.io.IOException => (key, "", "", false) }
+        }
+      }.collect()
+    BlobWriteResult(
+      results.collect { case (_, path, sha, true) => (path, sha) }.toSeq,
+      results.collect { case (key, _, _, false) => key }.distinct.toSeq)
+  }
+
   /** Flat issue record parsed back from YAML (timestamps re-parsed from the
     * wire format — F3's chain applies on read).
     */

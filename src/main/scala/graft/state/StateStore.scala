@@ -103,6 +103,16 @@ object StateStore {
   private[graft] def stage(state: DataFrame, path: String): Unit =
     state.write.mode("overwrite").parquet(path + "__tmp")
 
+  /** Abandon a staged-but-uncommitted state (failure paths): delete the tmp
+    * dir so loadTable's interrupted-commit recovery can never promote a state
+    * whose sink writes were not confirmed.
+    */
+  private[graft] def discardStaged(spark: SparkSession, path: String): Unit = {
+    val tmp = new Path(path + "__tmp")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+  }
+
   /** Second half of [[save]]: the reference's rename commit — rotate dst to
     * `<path>__bak`, promote the staged tmp.
     */

@@ -106,6 +106,34 @@ class SinkSpec extends AnyFunSuite {
     assert(GitRepo.status(repo)("dirty") == "false")
   }
 
+  test("distributed blob write + index-info commit: valid repo, clean tree, idempotent") {
+    val repo = Files.createTempDirectory("graft-blobs").toString
+    GitRepo.init(repo)
+    val b1 = Tables.issues(spark, sf).filter(col("project_key") === "P1").limit(50).cache()
+    val wr = Yaml.writeIssuesWithBlobs(b1, repo)
+    assert(wr.written == b1.count() && wr.failed == 0)
+    val h1 = GitRepo.commitIndexInfo(repo, "feat(sync): blob batch 1", wr.entries)
+    assert(h1.isDefined)
+    // the hand-rolled loose objects must be bit-valid to git itself
+    val fsck = scala.sys.process.Process(
+      Seq("git", "fsck", "--strict"), new java.io.File(repo)).!
+    assert(fsck == 0, "git fsck rejected executor-written objects")
+    // worktree content matches the index → status clean
+    assert(GitRepo.isClean(repo))
+    assert(GitRepo.log(repo).head == "feat(sync): blob batch 1")
+    // idempotent re-run: same content → same tree → no new commit
+    val wr2 = Yaml.writeIssuesWithBlobs(b1, repo)
+    assert(GitRepo.commitIndexInfo(repo, "feat(sync): rerun", wr2.entries).isEmpty)
+    // content readable back through git (not just the worktree)
+    val (path, sha) = wr.entries.head
+    val catOut = scala.sys.process.Process(
+      Seq("git", "cat-file", "blob", sha), new java.io.File(repo)).!!
+    val onDisk = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(repo, path)), java.nio.charset.StandardCharsets.UTF_8)
+    assert(catOut == onDisk)
+    b1.unpersist()
+  }
+
   test("commit message column maps issue types to conventional types") {
     import spark.implicits._
     val df = Seq(("Bug", "P1", "P1-1"), ("Story", "P1", "P1-2"),
