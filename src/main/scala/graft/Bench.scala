@@ -47,9 +47,6 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // end-to-end sync throughput vs BASELINE's issues/sec: a bounded slice
     // (~5k issues at any SF) through the full pipeline — JQL plan, YAML files,
@@ -97,14 +94,32 @@ object Bench {
       .mkString("{", ",", "}")
     // The driver captures only the last ~2000 chars of stdout and parses the
     // JSON line out of that window; sbt's trailing "[success] ..." line eats
-    // ~75 of them. Keep the line compact (2-decimal times, basename sf) and
-    // print it LAST — after spark.stop() — so nothing can push it out.
+    // ~75 of them. With 80+ registered queries a full per-query map is ~2.4k
+    // chars and pushes the line's START out of the window (r05/r06 parsed
+    // null). So the stdout line carries the headline q* queries plus per-group
+    // subtotals and the slowest-5; the full per-query map goes to
+    // bench_full.json. Print the line LAST — after spark.stop() — so nothing
+    // can push it out, and hard-cap its length as a safety net.
     def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    val headline = jmap(results.filter(_._1.matches("q\\d+_.*")).sortBy(_._1))
+    val groups = jmap(results.filterNot(_._1.matches("q\\d+_.*"))
+      .groupBy(_._1.takeWhile(_ != '_'))
+      .map { case (g, kv) => g -> kv.map(_._2).sum }.toSeq.sortBy(_._1))
+    val slowest = jmap(results.sortBy(-_._2).take(5))
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
-      s""""queries":$qs,"errors":$errJson,"sync_issues_per_sec":${f1(syncIps)},""" +
-      s""""incr_scan_issues_per_sec":${f1(incrIps)},"sf":"$sfName"}"""
+    def mkLine(extra: String): String =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
+        s""""queries":$headline,$extra"n_queries":${results.size},""" +
+        s""""errors":$errJson,"sync_issues_per_sec":${f1(syncIps)},""" +
+        s""""incr_scan_issues_per_sec":${f1(incrIps)},"sf":"$sfName"}"""
+    val line = Seq(
+      mkLine(s""""groups":$groups,"slowest":$slowest,"""),
+      mkLine(s""""groups":$groups,"""),
+      mkLine("")
+    ).find(_.length <= 1600).getOrElse(mkLine("").take(1600))
     // full-precision copy for local profiling (driver ignores files)
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -127,15 +127,21 @@ object SyncEngine {
           if (elapsedMs > 0) n * 1000.0 / elapsedMs else 0.0)
       }
 
-      // empty incremental batch → nothing to write, commit, or merge: skip
-      // every sink phase (the reference short-circuits an empty changed set
-      // the same way, internal/sync/incremental.go:156-179). State and edges
-      // are deliberately untouched — merging an empty batch is an identity,
-      // and per-key last_synced only moves when a key actually syncs — so a
-      // pure change-detection pass costs exactly the scan + the state load.
-      // (This count doubles as the cache materialization barrier.)
-      if (opts.incremental && toSync.count() == 0) {
-        val total = scoped.count()
+      // empty batch → nothing to write, commit, or merge: short-circuit ALL
+      // sink phases BEFORE forking any write job (the reference
+      // short-circuits an empty changed set the same way,
+      // internal/sync/incremental.go:156-179). State and edges are
+      // deliberately untouched — merging an empty batch is an identity, and
+      // per-key last_synced only moves when a key actually syncs. Checking
+      // BEFORE the fork matters for FULL runs too: a full run rewrites the
+      // edge table, so a misconfigured JQL/project filter selecting nothing
+      // must not wipe relationships/ while YAML and state stay intact.
+      // (For incremental runs the count doubles as the cache materialization
+      // barrier; a full run's isEmpty is a take(1) — stops at the first row.)
+      val batchEmpty =
+        if (opts.incremental) toSync.count() == 0 else toSync.isEmpty
+      if (batchEmpty) {
+        val total = if (opts.incremental) scoped.count() else 0L
         progress.step("done", 100)
         val elapsedMs = (System.nanoTime() - t0) / 1000000
         return BatchResult(opId, total, 0L, 0L, total, elapsedMs, 0.0)
@@ -203,10 +209,14 @@ object SyncEngine {
         toSync.repartition(spark.sparkContext.defaultParallelism, col("key")), repoDir)
       val attempted = wr.written + wr.failed
 
-      // a FULL run over an empty selection wrote nothing: no commit, no
-      // state change (the staged identity merge is discarded). The edge
-      // table was legitimately rebuilt empty — a full run rewrites it.
+      // defensive: the pre-fork empty guard makes this unreachable for an
+      // empty selection; it can only trip if the writer produced no entries
+      // for a non-empty batch. The forked edge job may have rewritten the
+      // table by now, so its failure must SURFACE (the catch below quiesces
+      // and rethrows) — not be swallowed by quiesce's awaitQuiet.
       if (attempted == 0) {
+        scala.concurrent.Await.result(edgesDone,
+          scala.concurrent.duration.Duration.Inf)
         quiesce()
         progress.step("done", 100)
         val elapsedMs = (System.nanoTime() - t0) / 1000000
@@ -283,10 +293,15 @@ object SyncEngine {
     val report = StateStore.validate(state,
       filesOnDisk.withColumn("checksum", lit(null).cast("string"))).cache()
     if (repair) {
-      report.filter(col("issue") === "orphaned_file").collect().foreach { r =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(repoDir, r.getAs[String]("file_path")))
+      val orphaned = report.filter(col("issue") === "orphaned_file").collect()
+        .map(_.getAs[String]("file_path")).toSeq
+      orphaned.foreach { p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(repoDir, p))
       }
+      // commitIndexInfo never stages deletions, so drop the removed paths
+      // from the index here or they resurface in every future tree
+      if (new java.io.File(repoDir, ".git").exists())
+        GitRepo.removeFromIndex(repoDir, orphaned)
       val missingKeys = report.filter(col("issue") === "missing_file").select("key")
       StateStore.save(
         StateStore.load(spark, statePath)

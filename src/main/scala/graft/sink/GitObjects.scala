@@ -20,6 +20,13 @@ object GitObjects {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  // Per-JVM token for temp names: thread ids alone repeat across JVMs (they
+  // are small sequential numbers), so under speculative execution two
+  // executors could deflate into the SAME tmp path and interleave writes —
+  // and the corrupt file would then be atomically renamed into place under a
+  // valid sha. The pid disambiguates JVMs; rename remains atomic per file.
+  private val jvmToken: String = java.lang.ProcessHandle.current().pid().toString
+
   private def hex(bytes: Array[Byte]): String = {
     val out = new Array[Char](bytes.length * 2)
     var i = 0
@@ -43,16 +50,22 @@ object GitObjects {
     val objDir = gitDir.resolve("objects").resolve(sha.substring(0, 2))
     val objFile = objDir.resolve(sha.substring(2))
     if (!Files.exists(objFile)) {
-      // deterministic temp name — sha + thread id is unique across the
-      // concurrent writers of one JVM, and cross-JVM collisions write the
-      // identical bytes anyway (content-addressed). Cheaper than
+      // deterministic temp name — sha + pid + thread id is unique across the
+      // concurrent writers of all JVMs touching this store. Cheaper than
       // createTempFile's SecureRandom naming on a 20k-object batch.
-      val tmp = objDir.resolve(s"tmp_${sha.substring(2)}_t${Thread.currentThread().getId}")
+      val tmp = objDir.resolve(
+        s"tmp_${sha.substring(2)}_p${jvmToken}_t${Thread.currentThread().getId}")
       def deflateTo(p: Path): Unit = {
         // fast deflate: these objects are short-lived in loose form (git gc
-        // recompresses into packs); level 1 keeps the write I/O-bound
-        val os = new DeflaterOutputStream(Files.newOutputStream(p), new Deflater(1))
-        try { os.write(header); os.write(content) } finally os.close()
+        // recompresses into packs); level 1 keeps the write I/O-bound.
+        // DeflaterOutputStream.close() does NOT end() a caller-supplied
+        // Deflater, and each un-ended one pins native zlib buffers until GC —
+        // GBs across a 20k-object batch — so end it explicitly.
+        val d = new Deflater(1)
+        val os = new DeflaterOutputStream(Files.newOutputStream(p), d)
+        try { os.write(header); os.write(content) } finally {
+          try os.close() finally d.end()
+        }
       }
       try deflateTo(tmp)
       catch {

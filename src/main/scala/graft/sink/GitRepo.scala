@@ -139,6 +139,21 @@ object GitRepo {
     }
   }
 
+  /** Stage deletions for paths already removed from the worktree
+    * (`update-index --remove --stdin`; a no-op for paths still present or
+    * never indexed). Needed alongside [[commitIndexInfo]], which only
+    * adds/updates entries: without this, files deleted by
+    * [[graft.engine.SyncEngine.recover]]'s repair pass would stay in every
+    * future committed tree and leave `git status` permanently dirty.
+    */
+  def removeFromIndex(repoDir: String, paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    val input = paths.mkString("", "\n", "\n")
+    val (code, out) = runWithInput(new File(repoDir), input,
+      "update-index", "--remove", "--stdin")
+    require(code == 0, s"git update-index --remove failed: $out")
+  }
+
   /** Commit subjects, newest first. */
   def log(repoDir: String, n: Int = 50): Seq[String] = {
     val (_, out) = run(new File(repoDir), "log", s"-$n", "--pretty=%s")

@@ -139,6 +139,66 @@ class EngineSpec extends AnyFunSuite {
     assert(reReport.count() == 0)
   }
 
+  test("empty full-run selection leaves the edge table untouched") {
+    val work = Files.createTempDirectory("graft-emptyfull").toString
+    val repo = s"$work/repo"
+    val statePath = s"$work/state"
+    SyncEngine.run(spark, Tables.issues(spark, sf), Tables.links(spark, sf),
+      repo, statePath, SyncOptions(jql = Some("project = P4")), now = now1)
+    val edges = spark.read.parquet(s"$repo/relationships").count()
+    assert(edges > 0)
+    // a misconfigured filter selecting nothing must not rewrite
+    // relationships/ to empty (regression: the edge job used to fork before
+    // the empty check)
+    val r = SyncEngine.run(spark, Tables.issues(spark, sf),
+      Tables.links(spark, sf), repo, statePath,
+      SyncOptions(jql = Some("project = NOPE")), now = now2)
+    assert(r.total == 0 && r.successful == 0)
+    assert(spark.read.parquet(s"$repo/relationships").count() == edges)
+  }
+
+  test("repair drops orphaned files from the git index, tree reconverges") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-repairidx").toString
+    val repo = s"$work/repo"
+    val statePath = s"$work/state"
+    SyncEngine.run(spark, Tables.issues(spark, sf), Tables.links(spark, sf),
+      repo, statePath, SyncOptions(jql = Some("project = P3")), now = now1)
+    // drop one synced key from state: its COMMITTED file becomes an orphan
+    val st = StateStore.load(spark, statePath)
+    val victim = st.select("key").as[String].orderBy("key").head()
+    StateStore.save(st.filter(col("key") =!= victim), statePath)
+    SyncEngine.recover(spark, repo, statePath, repair = true)
+    val victimPath = s"projects/P3/issues/$victim.yaml"
+    assert(!Files.exists(java.nio.file.Paths.get(repo, victimPath)))
+    // the deletion must be staged, not just on disk (commitIndexInfo can
+    // only add entries, so an un-removed index entry would resurface in
+    // every future tree)
+    val lsFiles = scala.sys.process.Process(
+      Seq("git", "ls-files"), new java.io.File(repo)).!!
+    assert(!lsFiles.linesIterator.contains(victimPath))
+    // next batch commit picks up the staged deletion and status converges
+    val r = SyncEngine.run(spark, Tables.issues(spark, sf),
+      Tables.links(spark, sf), repo, statePath,
+      SyncOptions(jql = Some(s"""project = P3 AND key != "$victim"""")),
+      now = now2)
+    assert(r.successful > 0)
+    // no lingering ' D' (deleted-but-unstaged) entries — relationships/ is
+    // an untracked parquet dir by design, so filter to tracked-file states
+    val porcelain = scala.sys.process.Process(
+      Seq("git", "status", "--porcelain"), new java.io.File(repo)).!!
+    assert(!porcelain.linesIterator.exists(_.take(2).contains('D')))
+    val (code, lsTree) = {
+      val out = new StringBuilder
+      val logger = scala.sys.process.ProcessLogger(l => out.append(l).append('\n'), _ => ())
+      val c = scala.sys.process.Process(
+        Seq("git", "ls-tree", "-r", "--name-only", "HEAD"),
+        new java.io.File(repo)).!(logger)
+      (c, out.result())
+    }
+    assert(code == 0 && !lsTree.linesIterator.contains(victimPath))
+  }
+
   test("retry with exponential backoff: fails then succeeds, delays grow") {
     val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
     var calls = 0
