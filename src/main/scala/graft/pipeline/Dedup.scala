@@ -181,19 +181,14 @@ object Dedup {
        |    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
        |FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
-    // vote ±1 per word occurrence straight into ONE wide aggregation (sum of
-    // ±multiplicity ≡ sum of ±1 per occurrence): the exploded word rows never
-    // reach an exchange — partial aggregation folds them to a 60-long buffer
-    // per doc map-side, so the only shuffle carries docs × 60 longs
-    val wh = docWords(s, dir)
-      .select(col("doc_id"), explode(col("w")).as("word"))
-      .select(col("doc_id"), hash64(col("word")).as("h"))
-    val votes = (0 until 60).map(j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, 1L).otherwise(-1L)).as(s"v$j"))
-    val sig = wh.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    // signature folds PER ROW in the native [[graft.functions.SimhashSig]]
+    // loop (one md5 + 60 bit-votes per word occurrence; sum of ±multiplicity
+    // ≡ sum of ±1 per occurrence, so the oracle's per-word-count votes
+    // match). No explode, no aggregate: the declarative 60-column
+    // conditional-sum version spent ~8s of janino compile on its generated
+    // class every cold run. First exchange is the candidate bucket join.
+    val sig = docWords(s, dir)
+      .select(col("doc_id"), graft.functions.SimhashSig(col("w")).as("simhash"))
     val chunks = sig
       .withColumn("c", explode(sequence(lit(0), lit(3))))
       .withColumn("ck", expr("(simhash >> (15 * c)) & 32767"))
