@@ -91,5 +91,52 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GQuery] = Seq(sample, split, corpus)
+  /** Weighted mix weights: up-weighted sources get a larger share of the
+    * sampled budget (a "training mix" — e.g. code and books over web crawl).
+    */
+  private val mixWeights: Seq[(String, Long)] = Seq("src0" -> 8L, "src1" -> 4L)
+  private val defaultWeight = 1L
+
+  /** Training-mix construction: sample a 20% budget of the corpus with
+    * per-source quotas proportional to mix weights. Per-source keep rates
+    * derive from exact integer arithmetic over the source histogram
+    * (`rate_s = min(100, 100·quota_s/count_s)`), then membership is the
+    * deterministic hash-mod predicate — the whole operator is one tiny
+    * aggregate (|sources| rows), a broadcast join of the rate dim, and a
+    * map-side filter. At 100 TB the histogram is the only exchange.
+    */
+  private val mix = {
+    val wCaseSql = mixWeights.map { case (s0, w) => s"WHEN '$s0' THEN $w" }
+      .mkString("CASE source ", " ", s" ELSE $defaultWeight END")
+    q("pipe_corpus_mix",
+      s"""WITH cnt AS (
+         |  SELECT source, count(*)::BIGINT AS c, ($wCaseSql)::BIGINT AS wt
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(c)::BIGINT AS t, sum(wt)::BIGINT AS sw FROM cnt),
+         |rates AS (
+         |  SELECT source, least(100, (100 * (((t // 5) * wt) // sw)) // c) AS rate
+         |  FROM cnt, tot)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN rates r ON d.source = r.source
+         |WHERE ${sqlHash64("d.doc_id::VARCHAR")} % 100 < r.rate
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val weight = mixWeights.foldLeft(when(lit(false), 0L)) { case (acc, (s0, w)) =>
+        acc.when(col("source") === s0, w)
+      }.otherwise(defaultWeight)
+      val docs = graft.Tables.t(s, dir, "documents")
+      val cnt = docs.groupBy("source")
+        .agg(count(lit(1)).as("c")).withColumn("wt", weight)
+      val totals = cnt.agg(sum("c").as("t"), sum("wt").as("sw"))
+      val rates = cnt.crossJoin(broadcast(totals))
+        .select(col("source"),
+          least(lit(100L), expr("(100 * (((t div 5) * wt) div sw)) div c"))
+            .as("rate"))
+      docs.join(broadcast(rates), Seq("source"))
+        .filter(hash64(col("doc_id").cast("string")) % 100 < col("rate"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(sample, split, corpus, mix)
 }

@@ -168,5 +168,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint)
+  /** Repetition signal (the Gopher/RefinedWeb-style quality heuristic):
+    * duplicate-word and duplicate-bigram fractions per document, plus the
+    * filter flag a pretraining pipeline gates on. Map-only per-row math on
+    * the word array — no shuffle at any scale.
+    */
+  private val repetition = q("pipe_text_repetition",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |bg AS (
+       |  SELECT doc_id, w,
+       |    CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+       |         ELSE list_transform(generate_series(1, len(w) - 1),
+       |                i -> w[i] || ' ' || w[i + 1]) END AS b
+       |  FROM words WHERE len(w) > 0)
+       |SELECT doc_id,
+       |  1.0 - len(list_distinct(w))::DOUBLE / len(w) AS dup_word_frac,
+       |  CASE WHEN len(b) = 0 THEN 0.0
+       |       ELSE 1.0 - len(list_distinct(b))::DOUBLE / len(b) END AS dup_bigram_frac,
+       |  (CASE WHEN len(b) = 0 THEN 0.0
+       |        ELSE 1.0 - len(list_distinct(b))::DOUBLE / len(b) END) > 0.5 AS repetitive
+       |FROM bg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bigrams = expr(
+      "CASE WHEN size(w) < 2 THEN array() ELSE transform(sequence(1, size(w) - 1), " +
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) END")
+    val dupBg = when(size(col("b")) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(col("b"))).cast("double") / size(col("b")))
+    docWords(s, dir).filter(size(col("w")) > 0)
+      .withColumn("b", bigrams)
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .as("dup_word_frac"),
+        dupBg.as("dup_bigram_frac"),
+        (dupBg > 0.5).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition)
 }

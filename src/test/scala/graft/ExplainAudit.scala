@@ -59,6 +59,17 @@ class ExplainAudit extends AnyFunSuite {
     assert(p.contains("AS harr"), "expected a materialized digest-array projection")
   }
 
+  test("simhash signature folds per row: no exchange before the bucket join") {
+    // SimhashSig computes the 60-bit signature in one map-side loop; the
+    // first exchange must be the (c, ck) chunk-bucket candidate join. A
+    // doc_id exchange would mean words are being exploded and re-aggregated.
+    val p = plan("pipe_dedup_simhash")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"signature computation should not shuffle on doc_id:\n${p.take(2000)}")
+    assert(p.contains("simhashsig") || p.contains("SimhashSig"),
+      "expected the native SimhashSig expression in the plan")
+  }
+
   test("stateful CDC plans a grouped-state operator, enrichment is a hash join") {
     // batch mode lowers flatMapGroupsWithState to MapGroups (empty state);
     // the streaming plan's FlatMapGroupsWithStateExec is pinned by StreamSpec

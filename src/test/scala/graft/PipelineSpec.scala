@@ -155,4 +155,29 @@ class PipelineSpec extends AnyFunSuite {
     val enSampled = sample.filter(col("lang") === "en").count()
     assert(math.abs(enSampled.toDouble / en - 0.5) < 0.08)
   }
+
+  test("repetition fractions are bounded; all-same doc maxes out") {
+    val rep = run("pipe_text_repetition")
+    val bad = rep.filter(col("dup_word_frac") < 0 || col("dup_word_frac") > 1 ||
+      col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1).count()
+    assert(bad == 0)
+    // flag consistency
+    assert(rep.filter(col("repetitive") =!= (col("dup_bigram_frac") > 0.5))
+      .count() == 0)
+  }
+
+  test("corpus mix: up-weighted source keeps a larger share; subset of corpus") {
+    val mix = run("pipe_corpus_mix").cache()
+    val docs = Tables.t(spark, sf, "documents")
+    assert(mix.count() > 0 && mix.count() < docs.count())
+    val per = mix.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def share(s: String) = per.getOrElse(s, 0L).toDouble / base(s)
+    // src0 (weight 8) must keep a strictly larger fraction of its stratum
+    // than any default-weight source that appears
+    val defShares = base.keySet.diff(Set("src0", "src1")).map(share)
+    assert(share("src0") > defShares.max)
+  }
 }
