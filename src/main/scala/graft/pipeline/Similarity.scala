@@ -140,9 +140,12 @@ object Similarity {
     * per query it touches nprobe/C of the data, and there is no crossJoin of
     * query set × corpus anywhere.
     */
-  private val knnJoin = q("pipe_ann_knn_join",
-    s"""WITH $embCte,
-       |cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+  /** Shared CTE chain for the batch k-NN join (reused by the recall probe):
+    * IVF assignment, a 20-query set, per-query top-2 bucket probe, and the
+    * scored candidates.
+    */
+  private val knnCtes =
+    s"""cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
        |assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT v.vec_id, c.cid,
@@ -161,12 +164,25 @@ object Similarity {
        |  FROM qprobe p JOIN assign a ON a.cid = p.cid
        |  JOIN emb v ON v.vec_id = a.vec_id
        |  JOIN qset s ON s.qid = p.qid
-       |  WHERE a.vec_id <> p.qid)
-       |SELECT qid, vec_id, score FROM (
-       |  SELECT qid, vec_id, score,
-       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-       |  FROM scored) WHERE rn <= 3
+       |  WHERE a.vec_id <> p.qid),
+       |approx AS (
+       |  SELECT qid, vec_id, score FROM (
+       |    SELECT qid, vec_id, score,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= 3)""".stripMargin
+
+  private val knnJoin = q("pipe_ann_knn_join",
+    s"""WITH $embCte,
+       |$knnCtes
+       |SELECT qid, vec_id, score FROM approx
        |ORDER BY qid, vec_id""".stripMargin) { (s, dir) =>
+    knnTop3(s, dir).orderBy("qid", "vec_id")
+  }
+
+  /** The batch k-NN top-3 as a DataFrame (shared by [[knnJoin]] and
+    * [[recall]]).
+    */
+  private def knnTop3(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val e = embDN(s, dir)
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
@@ -200,8 +216,46 @@ object Similarity {
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= 3)
       .select("qid", "vec_id", "score")
-      .orderBy("qid", "vec_id")
   }
 
-  val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin)
+  /** Index-quality measurement: recall@3 of the IVF batch k-NN against
+    * exhaustive ground truth, per query. The truth pass is bounded by the
+    * query SAMPLE (|qset| × corpus, a 1-broadcast-side join — at 100 TB you
+    * recall-check a sample, never the full query load), so "is nprobe=2
+    * enough" is a measured number instead of a guess, recomputable on every
+    * corpus or index change.
+    */
+  private val recall = q("pipe_ann_recall",
+    s"""WITH $embCte,
+       |$knnCtes,
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT s.qid, v.vec_id,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY ${sqlCosine("v.e", "s.qe")} DESC, v.vec_id) AS rn
+       |    FROM qset s, emb v WHERE v.vec_id <> s.qid) WHERE rn <= 3)
+       |SELECT t.qid,
+       |  sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 3.0
+       |    AS recall_at_3
+       |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin) { (s, dir) =>
+    val e = embDN(s, dir)
+    val qset = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val truthW = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+    val truth = e.crossJoin(broadcast(qset))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
+      .withColumn("rn", row_number().over(truthW))
+      .filter(col("rn") <= 3)
+      .select("qid", "vec_id")
+    val approx = knnTop3(s, dir).select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / 3.0).as("recall_at_3"))
+      .orderBy("qid")
+  }
+
+  val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall)
 }
