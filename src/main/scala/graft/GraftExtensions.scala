@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Shingles(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.SimhashSig].getName, "simhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "simhash_sig takes exactly one argument")
+        graft.functions.SimhashSig(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[graft.functions.HeavyHittersAgg].getName, "heavy_hitters"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -100,6 +100,17 @@ class Md5PrefixSpec extends AnyFunSuite {
     assert(sh == Seq("a b c", "b c d"))
 
     spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.SimhashSig].getName, "simhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimhashSig(children.head))
+    val sim = spark.sql("SELECT simhash_sig(array('a','b','a')) AS s").head.getLong(0)
+    val simCol = spark.range(1)
+      .select(graft.functions.SimhashSig(array(lit("a"), lit("b"), lit("a"))))
+      .head.getLong(0)
+    assert(sim == simCol && sim != 0L)
+
+    spark.sessionState.functionRegistry.registerFunction(
       new FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[graft.functions.HeavyHittersAgg].getName, "heavy_hitters"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
