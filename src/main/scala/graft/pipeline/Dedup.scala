@@ -385,6 +385,30 @@ object Dedup {
     incrementalCandidates(late, path).orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark decontamination: flag training documents that share any
+    * word-3-gram with the held-out eval set (every 97th doc here) and count
+    * the shared shingles — the standard pre-training contamination check.
+    * Scale shape: the eval side of the join is the benchmark suite — small
+    * by construction — so it broadcasts, and the train side is one map-side
+    * probe over the shingle stream followed by a doc-keyed count; the corpus
+    * is never joined against itself.
+    */
+  private val decontaminate = q("pipe_decontaminate",
+    withDocs(s"""
+       |SELECT t.doc_id, count(*)::BIGINT AS n_shared
+       |FROM shingles t
+       |JOIN (SELECT DISTINCT sh FROM shingles WHERE doc_id % 97 = 0) e
+       |  ON e.sh = t.sh
+       |WHERE t.doc_id % 97 <> 0
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)) { (s, dir) =>
+    val sh = docShingles(s, dir)
+    val evalSh = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSh), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, simhash, embedding, resolve,
-    incremental)
+    incremental, decontaminate)
 }
