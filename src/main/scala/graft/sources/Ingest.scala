@@ -183,17 +183,25 @@ object Ingest {
     * one open writer per task instead of one per partition value.
     */
   def writeEdges(edges: DataFrame, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(edges.sparkSession.sparkContext.hadoopConfiguration)
     // a full rewrite replaces the table either way, but clearing any
     // mid-swap leftovers first keeps a stale __compact/__old from shadowing
     // or resurrecting old edges later
-    recoverCompacted(new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(edges.sparkSession.sparkContext.hadoopConfiguration), path)
+    recoverCompacted(fs, path)
+    // stage + swap rather than overwrite-in-place: an in-place overwrite
+    // deletes the table before writing, so a crash mid-write leaves a
+    // PARTIAL table that reads as valid. Staging into __compact and swapping
+    // reuses the compaction commit: every intermediate crash state is one
+    // recoverCompacted() call away from a complete table (old or new).
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
     edges
       .repartition(edges.sparkSession.sparkContext.defaultParallelism,
         col("project_key"), col("link_type"))
       .write.mode("overwrite")
       .partitionBy("project_key", "link_type")
-      .parquet(path)
+      .parquet(tmp.toString)
+    swapCompacted(fs, path)
   }
 
   /** S11 incremental sink: replace the edges of every issue in
@@ -306,12 +314,28 @@ object Ingest {
     }
   }
 
+  /** Commit a complete staged table at `<path>__compact`: park the current
+    * table (if any) at `__old`, promote the staged one, clean up. Each
+    * intermediate crash state is one [[recoverCompacted]] call away from a
+    * complete table — src never disappears un-recoverably.
+    */
+  private def swapCompacted(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(src) && !fs.rename(src, old))
+      throw new java.io.IOException(s"edge-table rename failed: $src -> $old")
+    if (!fs.rename(tmp, src))
+      throw new java.io.IOException(s"edge-table rename failed: $tmp -> $src")
+    fs.delete(old, true)
+    ()
+  }
+
   def compactEdges(spark: org.apache.spark.sql.SparkSession, path: String,
       maxRecordsPerFile: Long = 1L << 20): Unit = {
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
     recoverCompacted(fs, path)
     if (!fs.exists(src)) return
     spark.read.parquet(path)
@@ -320,14 +344,7 @@ object Ingest {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("project_key", "link_type")
       .parquet(tmp.toString)
-    // swap so src never disappears un-recoverably: park the current table at
-    // __old, promote tmp, then clean up — each intermediate crash state is
-    // one recoverCompacted() call away from consistent
-    if (!fs.rename(src, old))
-      throw new java.io.IOException(s"compaction rename failed: $src -> $old")
-    if (!fs.rename(tmp, src))
-      throw new java.io.IOException(s"compaction rename failed: $tmp -> $src")
-    fs.delete(old, true)
+    swapCompacted(fs, path)
   }
 
   /** S12: broken-link GC — dangling edges found by anti-join instead of a

@@ -111,6 +111,18 @@ class SourceSpec extends AnyFunSuite {
       assert(files == 1, s"${d.getName}: $files files")
     }
     assert(spark.read.parquet(path).count() == edges.count())
+
+    // full rewrites are staged + swapped, so an interrupted rewrite (an
+    // incomplete __compact left behind, src intact) must neither shadow the
+    // table nor break the next rewrite
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + "__compact")) // no _SUCCESS
+    val smaller = Tables.links(spark, sf).limit(100)
+    Ingest.writeEdges(smaller, path)
+    assert(spark.read.parquet(path).count() == smaller.count())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__compact")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
   test("compactEdges collapses accumulated small files, content unchanged") {
