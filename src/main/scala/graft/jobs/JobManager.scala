@@ -127,6 +127,10 @@ final class JobManager(spark: SparkSession) {
         }
       jobs.put(job.id, jobs.getOrElse(job.id, done) match {
         case j if j.phase == "Pending" => j // retry re-queued
+        // a cancel() that landed mid-attempt sticks: the attempt's outcome
+        // must not overwrite it (runPending never picks Cancelled back up,
+        // matching the reference's at-batch-boundary delete propagation)
+        case j if j.phase == "Cancelled" => j.copy(result = done.result)
         case _ => done
       })
       jobs(job.id)

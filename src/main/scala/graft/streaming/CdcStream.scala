@@ -56,11 +56,18 @@ object CdcStream {
         // upsert-on-newer keeps replayed micro-batches idempotent (C2) —
         // exactly-once effect on the state table under at-least-once delivery
         val fresh = StateStore.changedIssues(latest, state).drop("change_type")
-        val n = Yaml.writeIssues(fresh, repoDir)
+        val wr = Yaml.writeIssuesCounted(fresh, repoDir)
+        // a key whose file write failed must stay OUT of state (same rule as
+        // SyncEngine): it remains an incremental candidate and the next batch
+        // retries it, instead of being silently marked synced
+        val synced =
+          if (wr.failedKeys.isEmpty) fresh
+          else fresh.filter(!col("key").isin(wr.failedKeys: _*))
         StateStore.save(
-          StateStore.merge(state, StateStore.fromIssues(fresh, syncedAt)), statePath)
-        if (commitToGit && n > 0)
-          GitRepo.commitBatch(repoDir, s"feat(sync): stream batch $id ($n issues)")
+          StateStore.merge(state, StateStore.fromIssues(synced, syncedAt)), statePath)
+        if (commitToGit && wr.written > 0)
+          GitRepo.commitBatch(repoDir,
+            s"feat(sync): stream batch $id (${wr.written} issues)")
         ()
       }
       .start()

@@ -49,6 +49,38 @@ class StreamSpec extends AnyFunSuite {
     assert(log.forall(_.startsWith("feat(sync): stream batch")))
   }
 
+  test("streamed issues whose file write fails stay out of state for retry") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val work = Files.createTempDirectory("graft-cdcfail").toString
+    val repo = s"$work/repo"
+    // sabotage project P9: a FILE where its directory belongs
+    Files.createDirectories(java.nio.file.Paths.get(repo, "projects"))
+    Files.write(java.nio.file.Paths.get(repo, "projects", "P9"),
+      "not a dir".getBytes)
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    val query = CdcStream.start(
+      mem.toDF().toDF("key", "project_key", "summary", "updated"),
+      repo, s"$work/state", s"$work/ckpt", commitToGit = false,
+      clock = () => ts("2024-01-15 00:00:00"))
+    try {
+      mem.addData(("P9-1", "P9", "v1", ts("2024-01-01 00:00:00")),
+        ("P8-1", "P8", "v1", ts("2024-01-01 00:00:00")))
+      query.processAllAvailable()
+      // only the written issue is marked synced — the failed one must remain
+      // an incremental candidate
+      assert(StateStore.load(spark, s"$work/state").select("key").as[String]
+        .collect().toSeq == Seq("P8-1"))
+      // unblock and re-deliver: the failed issue syncs on retry
+      Files.delete(java.nio.file.Paths.get(repo, "projects", "P9"))
+      mem.addData(("P9-1", "P9", "v1", ts("2024-01-01 00:00:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(StateStore.load(spark, s"$work/state").count() == 2)
+    assert(Files.exists(java.nio.file.Paths.get(repo,
+      "projects", "P9", "issues", "P9-1.yaml")))
+  }
+
   test("two updates to one key inside a single micro-batch collapse to the latest") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
