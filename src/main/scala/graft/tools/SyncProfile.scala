@@ -18,8 +18,9 @@ object SyncProfile {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft-sync-prof").toString
+    val limit = sys.env.getOrElse("SPARK_GRAFT_SYNC_LIMIT", "20000").toLong
     val issues = graft.Tables.issues(spark, sfDir).filter(
-      expr("cast(element_at(split(key, '-'), 2) as int) < 20000"))
+      expr(s"cast(element_at(split(key, '-'), 2) as int) < $limit"))
     val links = graft.Tables.links(spark, sfDir)
     val now1 = java.sql.Timestamp.valueOf("2002-01-01 00:00:00")
     // warm
