@@ -45,20 +45,29 @@ final case class SimhashSig(child: Expression)
 
 object SimhashSig {
 
-  /** 60-bit SimHash of the word array (one ±1 vote per occurrence per bit). */
+  /** 60-bit SimHash of the word array (one ±1 vote per occurrence per bit).
+    * Null elements cast no vote — SQL callers can pass arrays with nulls
+    * (matching concat_ws/concat-style null-skipping, and DuckDB's unnest
+    * dropping NULL votes from an aggregate).
+    */
   def of(words: ArrayData): Long = {
     val n = words.numElements()
     val votes = new Array[Int](60)
+    var voters = 0
     var i = 0
     while (i < n) {
-      val h = Md5Prefix64.hash(words.getUTF8String(i))
-      var j = 0
-      while (j < 60) { votes(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      val w = words.getUTF8String(i)
+      if (w != null) {
+        voters += 1
+        val h = Md5Prefix64.hash(w)
+        var j = 0
+        while (j < 60) { votes(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      }
       i += 1
     }
     var sig = 0L
     var j = 0
-    while (j < 60) { if (2 * votes(j) > n) sig |= 1L << j; j += 1 }
+    while (j < 60) { if (2 * votes(j) > voters) sig |= 1L << j; j += 1 }
     sig
   }
 

@@ -109,6 +109,11 @@ class Md5PrefixSpec extends AnyFunSuite {
       .select(graft.functions.SimhashSig(array(lit("a"), lit("b"), lit("a"))))
       .head.getLong(0)
     assert(sim == simCol && sim != 0L)
+    // null elements cast no vote (SQL callers can hand arrays with nulls)
+    val simNull = spark.sql(
+      "SELECT simhash_sig(array('a', CAST(NULL AS STRING), 'b', 'a')) AS s")
+      .head.getLong(0)
+    assert(simNull == sim)
 
     spark.sessionState.functionRegistry.registerFunction(
       new FunctionIdentifier("heavy_hitters"),
