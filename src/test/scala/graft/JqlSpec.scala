@@ -26,6 +26,30 @@ class JqlSpec extends AnyFunSuite {
     assert(graft.jql.Validator.validate("summary = \"a \"\"b\"\" c\"").valid)
   }
 
+  test("fuzz: arbitrary input never escapes JqlParseException, validate never throws") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcXYZ019 =!<>~()\",-_[]'privateANDORnotinORDERBYupdated"
+    def garbage(): String =
+      (0 until 1 + rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // seed with near-valid prefixes too — deeper paths than pure noise reaches
+    val prefixes = Seq("project = ", "key in (", "updated >= -", "cf[", "NOT (",
+      "summary ~ \"", "status in (\"a\",", "ORDER BY ", "a = b ORDER BY ")
+    (1 to 300).foreach { i =>
+      val s = if (i % 3 == 0) prefixes(rnd.nextInt(prefixes.length)) + garbage()
+              else garbage()
+      try { Parser.parse(s); () }
+      catch {
+        case _: JqlParseException => () // the contract: controlled failure only
+        case e: Throwable => fail(s"input ${i} '$s' escaped with ${e.getClass}: ${e.getMessage}")
+      }
+      val v = Validator.validate(s) // must never throw, valid or not
+      assert(v != null)
+    }
+    // deep nesting must not blow the stack (recursive-descent depth bound)
+    val deep = "(" * 500 + "project = P1" + ")" * 500
+    try { Parser.parse(deep); () } catch { case _: JqlParseException => () }
+  }
+
   test("property: random AND/OR/NOT trees compile to equivalent filters") {
     // pool over NON-NULL fields so JIRA's empty-excluding negation and plain
     // boolean negation coincide — null semantics have their own tests
