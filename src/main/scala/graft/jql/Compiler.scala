@@ -231,7 +231,12 @@ final class JqlCompiler(
       markerId += 1
       val marker = s"__jql_m$markerId"
       pending += ((marker, fieldCol(f), sub))
-      parts += coalesce(col(marker), lit(false))
+      // EMPTY field → NULL (not false), so `field NOT IN (subquery)` drops
+      // empty-field rows exactly like the literal path and JIRA's
+      // empty-exclusion rule; a non-null field missing from the set is a
+      // definite false, which negation turns into a definite true.
+      parts += when(fieldCol(f).isNull, lit(null).cast("boolean"))
+        .otherwise(coalesce(col(marker), lit(false)))
     }
     // Empty membership set (e.g. `sprint in (openSprints())` with no open
     // sprints) compiles to FALSE — TRUE under negation.

@@ -84,6 +84,14 @@ object Jql {
       """lower(project_key) = 'p1' AND lower(key) NOT IN
         | (SELECT lower(key) FROM issues WHERE lower(epic_link) = 'e-7')""".stripMargin),
 
+    // NOT IN over a NULLABLE field: EMPTY parents are excluded (JIRA's
+    // empty-exclusion applies to function membership like everything else)
+    jq("jql_not_in_parent",
+      """project = P2 AND parent not in (issuesInEpic("E-3"))""",
+      """lower(project_key) = 'p2' AND parent_issue IS NOT NULL
+        | AND lower(parent_issue) NOT IN
+        | (SELECT lower(key) FROM issues WHERE lower(epic_link) = 'e-3')""".stripMargin),
+
     // Person fields: currentUser() and IN match name-or-email, case-insensitive
     jq("jql_person",
       """assignee = currentUser() OR reporter in (rep3, "rep5@example.com")""",
