@@ -211,9 +211,13 @@ final class JqlCompiler(
             .filter(lower(col("epic_link")) === args.head.toLowerCase)
             .select(col("key").as("__k"))
         case "linkedissues" =>
-          val k = args.head
-          subqueries += links.filter(col("src") === k).select(col("dst").as("__k"))
-            .union(links.filter(col("dst") === k).select(col("src").as("__k")))
+          // keys compare case-insensitively everywhere in JQL — the edge
+          // endpoints are no exception
+          val k = args.head.toLowerCase
+          subqueries += links.filter(lower(col("src")) === k)
+            .select(col("dst").as("__k"))
+            .union(links.filter(lower(col("dst")) === k)
+              .select(col("src").as("__k")))
         case other => throw JqlParseException(s"unknown JQL function '$other'", 0)
       }
     }

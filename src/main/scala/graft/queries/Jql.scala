@@ -62,8 +62,8 @@ object Jql {
     // J2: linkedIssues as a bare function after IN (parser: no outer parens)
     jq("jql_linked",
       """issue in linkedIssues(P0-20)""",
-      """lower(key) IN (SELECT lower(dst) FROM links WHERE src = 'P0-20'
-        |  UNION SELECT lower(src) FROM links WHERE dst = 'P0-20')""".stripMargin,
+      """lower(key) IN (SELECT lower(dst) FROM links WHERE lower(src) = 'p0-20'
+        |  UNION SELECT lower(src) FROM links WHERE lower(dst) = 'p0-20')""".stripMargin,
       withLinks = true),
 
     // F4: relative date literal + now() scalar function, pinned ctx.now

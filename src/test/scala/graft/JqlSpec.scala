@@ -26,6 +26,12 @@ class JqlSpec extends AnyFunSuite {
     assert(graft.jql.Validator.validate("summary = \"a \"\"b\"\" c\"").valid)
   }
 
+  test("linkedIssues argument is case-insensitive like every key comparison") {
+    val upper = run("issue in linkedIssues(P0-20)").count()
+    val lower = run("issue in linkedIssues(p0-20)").count()
+    assert(upper > 0 && lower == upper)
+  }
+
   test("fuzz: arbitrary input never escapes JqlParseException, validate never throws") {
     val rnd = new scala.util.Random(7)
     val alphabet = "abcXYZ019 =!<>~()\",-_[]'privateANDORnotinORDERBYupdated"
