@@ -233,9 +233,13 @@ object Dedup {
     * bound hasn't fully converged; LSH-band clusters are near-cliques in
     * practice and converge in 1-2 rounds.
     */
-  private val resolve = {
-    val rounds = 5
-    val oracleRounds = (1 to rounds).map { i =>
+  private val ResolveRounds = 5
+
+  /** The label-propagation CTE chain shared by resolve and survivor:
+    * `e`/`l0`/`l1..lN` over the minhash candidates.
+    */
+  private def resolveCtes: String = {
+    val oracleRounds = (1 to ResolveRounds).map { i =>
       val prev = s"l${i - 1}"
       s"""l$i AS (
          |  SELECT l.doc_id, least(l.cluster, coalesce(m.nm, l.cluster)) AS cluster
@@ -244,14 +248,28 @@ object Dedup {
          |    FROM e JOIN $prev p ON p.doc_id = e.b GROUP BY e.a) m USING (doc_id))"""
         .stripMargin
     }.mkString(",\n")
+    s"""e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+       |      UNION ALL SELECT doc_b, doc_a FROM cand),
+       |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+       |$oracleRounds""".stripMargin
+  }
+
+  private val resolve =
     q("pipe_dedup_resolve",
       withDocs(s""", $minhashSql,
-         |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
-         |      UNION ALL SELECT doc_b, doc_a FROM cand),
-         |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
-         |$oracleRounds
+         |$resolveCtes
          |SELECT doc_id, cluster, doc_id = cluster AS kept
-         |FROM l$rounds ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+         |FROM l$ResolveRounds ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      clusterLabels(s, dir)
+        .select(col("doc_id"), col("cluster"),
+          (col("doc_id") === col("cluster")).as("kept"))
+        .orderBy("doc_id")
+    }
+
+  /** `(doc_id, cluster)` labels after the bounded label propagation. */
+  private def clusterLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+      val rounds = ResolveRounds
       val cand = minhashCandidates(docShingleArrays(s, dir))
       val edges = cand.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(cand.select(col("doc_b").as("a"), col("doc_a").as("b")))
@@ -301,10 +319,32 @@ object Dedup {
           }
           l
         }
-      lab.select(col("doc_id"), col("cluster"),
-          (col("doc_id") === col("cluster")).as("kept"))
-        .orderBy("doc_id")
-    }
+      lab
+  }
+
+  /** Quality-aware survivor selection — real pipelines keep the BEST
+    * duplicate, not the smallest id: per near-dup cluster, the surviving
+    * document is the one with the highest quality score (doc_id as the
+    * deterministic tiebreak). Composes the resolve labels with the quality
+    * scorer; the only added plan is one doc-keyed join and a per-cluster
+    * rank — cluster sizes are near-dup group sizes, never corpus-scale.
+    */
+  private val survivor = q("pipe_dedup_survivor",
+    withDocs(s""", $minhashSql,
+       |$resolveCtes,
+       |${TextAnalysis.qualitySql}
+       |SELECT l.doc_id, l.cluster, q.quality,
+       |  row_number() OVER (PARTITION BY l.cluster
+       |    ORDER BY q.quality DESC, l.doc_id) = 1 AS survivor
+       |FROM l$ResolveRounds l JOIN quality q ON q.doc_id = l.doc_id
+       |ORDER BY l.doc_id""".stripMargin)) { (s, dir) =>
+    val w = Window.partitionBy("cluster")
+      .orderBy(desc("quality"), col("doc_id"))
+    clusterLabels(s, dir)
+      .join(TextAnalysis.qualityDf(s, dir).select("doc_id", "quality"), Seq("doc_id"))
+      .withColumn("survivor", row_number().over(w) === 1)
+      .select("doc_id", "cluster", "quality", "survivor")
+      .orderBy("doc_id")
   }
 
   // ---- Incremental near-dup index (CDC × dedup) ---------------------------
@@ -410,5 +450,5 @@ object Dedup {
   }
 
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, simhash, embedding, resolve,
-    incremental, decontaminate)
+    incremental, decontaminate, survivor)
 }
