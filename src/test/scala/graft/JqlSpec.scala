@@ -26,6 +26,21 @@ class JqlSpec extends AnyFunSuite {
     assert(graft.jql.Validator.validate("summary = \"a \"\"b\"\" c\"").valid)
   }
 
+  test("precedence: NOT binds tighter than AND, AND tighter than OR") {
+    val issues = Tables.issues(spark, sf)
+    // a AND b OR c  ≡  (a AND b) OR c
+    val viaJql = run("project = P1 AND priority = High OR project = P2").count()
+    val expected = issues.filter(
+      (lower(col("project_key")) === "p1" && lower(col("priority")) === "high")
+        || lower(col("project_key")) === "p2").count()
+    assert(viaJql == expected)
+    // NOT a AND b  ≡  (NOT a) AND b
+    val viaJql2 = run("NOT project = P1 AND priority = High").count()
+    val expected2 = issues.filter(
+      !(lower(col("project_key")) === "p1") && lower(col("priority")) === "high").count()
+    assert(viaJql2 == expected2)
+  }
+
   test("linkedIssues argument is case-insensitive like every key comparison") {
     val upper = run("issue in linkedIssues(P0-20)").count()
     val lower = run("issue in linkedIssues(p0-20)").count()
