@@ -204,5 +204,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition)
+  /** Rare-word scoring — the quality signal that needs CORPUS statistics,
+    * not just the row: pass 1 aggregates the word-frequency table, pass 2
+    * joins it back to score each document by its fraction of below-mean-
+    * frequency word occurrences. The frequency table is vocabulary-sized
+    * (≪ corpus at any scale) and the scoring join is word-keyed — left to
+    * AQE, never force-broadcast, since a 100 TB corpus has a 10M+-word
+    * vocabulary. All arithmetic is exact-integer until the single final
+    * division, so cross-engine hashes match.
+    */
+  private val rarity = q("pipe_text_rarity",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |wx AS (SELECT doc_id, unnest(w) AS word FROM words),
+       |freq AS (SELECT word, count(*)::BIGINT AS f FROM wx GROUP BY word),
+       |thr AS (SELECT (sum(f) // count(*))::BIGINT AS mean_f FROM freq),
+       |rare AS (SELECT word FROM freq, thr WHERE f < mean_f),
+       |perdoc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_rare
+       |  FROM wx JOIN rare USING (word) GROUP BY doc_id)
+       |SELECT w.doc_id, len(w.w)::BIGINT AS n_words,
+       |  coalesce(r.n_rare, 0) AS n_rare,
+       |  coalesce(r.n_rare, 0)::DOUBLE / len(w.w) AS rare_frac
+       |FROM words w LEFT JOIN perdoc r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val dw = docWords(s, dir)
+    val wx = dw.select(col("doc_id"), explode(col("w")).as("word"))
+    val freq = wx.groupBy("word").agg(count(lit(1)).as("f"))
+    val thr = freq.agg(expr("sum(f) div count(1)").as("mean_f"))
+    val rare = freq.crossJoin(broadcast(thr))
+      .filter(col("f") < col("mean_f")).select("word")
+    val perDoc = wx.join(rare, Seq("word"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    dw.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        (coalesce(col("n_rare"), lit(0L)).cast("double") / col("n_words"))
+          .as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
+    rarity)
 }
