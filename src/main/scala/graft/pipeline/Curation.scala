@@ -138,5 +138,72 @@ object Curation {
     }
   }
 
-  val all: Seq[GQuery] = Seq(sample, split, corpus, mix)
+  /** Sequence packing (concatenate-and-chunk): the corpus is one token
+    * stream in doc_id order, cut into fixed 2048-token training sequences;
+    * each document reports the sequence span it lands in. This is how
+    * GPT-style pretraining actually packs documents — no padding, documents
+    * may straddle a sequence boundary. The oracle-parity form uses one
+    * global running sum for cross-engine determinism; the 100 TB shape runs
+    * the identical arithmetic per output shard (shard-local offsets over
+    * already-sorted shard files), which is embarrassingly parallel — the
+    * running sum never needs to be global in production because sequence
+    * ids only need to be unique, not dense across shards.
+    */
+  private val SeqBudget = 2048L
+  private val pack = q("pipe_pack_sequences",
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS tokens
+       |  FROM documents WHERE len(text) > 0),
+       |offs AS (
+       |  SELECT doc_id, tokens,
+       |    (sum(tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)::BIGINT AS off
+       |  FROM toks)
+       |SELECT doc_id, tokens, off,
+       |  off // $SeqBudget AS seq_first,
+       |  (off + tokens - 1) // $SeqBudget AS seq_last,
+       |  (off + tokens - 1) // $SeqBudget - off // $SeqBudget + 1 AS n_seqs
+       |FROM offs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    graft.Tables.t(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("tokens"))
+      .withColumn("off", sum("tokens").over(w) - col("tokens"))
+      .select(col("doc_id"), col("tokens"), col("off"),
+        expr(s"off div $SeqBudget").as("seq_first"),
+        expr(s"(off + tokens - 1) div $SeqBudget").as("seq_last"),
+        expr(s"(off + tokens - 1) div $SeqBudget - off div $SeqBudget + 1")
+          .as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic corpus shuffle: training order = rank under a seeded
+    * content-independent hash of the stable id — reproducible on any
+    * cluster, any partitioning, any re-run, unlike RNG `orderBy(rand())`.
+    * At 100 TB this IS the plan you want: sorting by the hash key is one
+    * range-partitioned sort (what any global shuffle costs), and epochs
+    * re-shuffle by changing the seed, not by re-reading state.
+    */
+  private val ShuffleSeed = ":42"
+  private val shuffle = q("pipe_shuffle",
+    s"""WITH h AS (
+       |  SELECT doc_id, ${sqlHash64(s"doc_id::VARCHAR || '$ShuffleSeed'")} AS hkey
+       |  FROM documents)
+       |SELECT doc_id, hkey,
+       |  row_number() OVER (ORDER BY hkey, doc_id) AS pos
+       |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hkey", "doc_id")
+    graft.Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        hash64(concat(col("doc_id").cast("string"), lit(ShuffleSeed))).as("hkey"))
+      .withColumn("pos", row_number().over(w))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle)
 }

@@ -245,6 +245,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII detection + redaction — the compliance pass a training-data
+    * pipeline runs before release: count emails / IPv4 addresses / phone
+    * numbers per document and hash the redacted text. The shipped corpus is
+    * PII-free by construction, so the operator first weaves deterministic
+    * synthetic PII into a subset of rows (identical arithmetic in both
+    * engines — the detection/redaction logic is what's under test, the same
+    * way `mm_*` fabricate media bytes). Patterns avoid regex escapes
+    * entirely (`[.]` classes, no `\b`/`\d`) because Spark SQL string
+    * literals process backslash escapes and RE2/Java boundary semantics
+    * differ at string edges; these spellings parse identically in both.
+    * Map-only scan — no shuffle at any scale.
+    */
+  private val pii = {
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+    val ipPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    val phonePat = "555[-][0-9]{4}"
+    q("pipe_text_pii",
+      s"""WITH aug AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR
+         |         || '@mail' || (doc_id % 7)::VARCHAR || '.example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR
+         |         || '.' || ((doc_id // 251) % 256)::VARCHAR || '.1' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+         |         || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$emailPat')) AS n_emails,
+         |  len(regexp_extract_all(t, '$ipPat')) AS n_ips,
+         |  len(regexp_extract_all(t, '$phonePat')) AS n_phones,
+         |  len(regexp_extract_all(t, '$emailPat')) + len(regexp_extract_all(t, '$ipPat'))
+         |    + len(regexp_extract_all(t, '$phonePat')) > 0 AS has_pii,
+         |  sha256(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$emailPat', '<EMAIL>', 'g'), '$ipPat', '<IP>', 'g'),
+         |    '$phonePat', '<PHONE>', 'g')) AS red_sha
+         |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com"))).otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), (expr("doc_id div 251") % 256).cast("string"),
+            lit(".1"))).otherwise(""),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""))
+      def count(pat: String) = size(expr(s"regexp_extract_all(t, '$pat', 0)"))
+      graft.Tables.t(s, dir, "documents")
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          count(emailPat).as("n_emails"),
+          count(ipPat).as("n_ips"),
+          count(phonePat).as("n_phones"),
+          (count(emailPat) + count(ipPat) + count(phonePat) > 0).as("has_pii"),
+          sha2(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            emailPat, "<EMAIL>"), ipPat, "<IP>"),
+            phonePat, "<PHONE>"), 256).as("red_sha"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
-    rarity)
+    rarity, pii)
 }

@@ -166,6 +166,57 @@ class PipelineSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("pii scan: seeded rows detected, clean rows clean, redaction changes the hash") {
+    val pii = run("pipe_text_pii").cache()
+    assert(pii.count() == Tables.t(spark, sf, "documents").count())
+    // the deterministic augmentation seeds exactly these rows
+    assert(pii.filter(col("doc_id") % 3 === 0 && col("n_emails") < 1).count() == 0)
+    assert(pii.filter(col("doc_id") % 5 === 0 && col("n_ips") < 1).count() == 0)
+    assert(pii.filter(col("doc_id") % 7 === 0 && col("n_phones") < 1).count() == 0)
+    val clean = pii.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 =!= 0 &&
+      col("doc_id") % 7 =!= 0)
+    assert(clean.filter(col("has_pii")).count() == 0)
+    assert(pii.filter(col("has_pii") =!=
+      (col("n_emails") + col("n_ips") + col("n_phones") > 0)).count() == 0)
+    assert(pii.filter(length(col("red_sha")) =!= 64).count() == 0)
+    // a clean doc's redacted text is the original text: hash equals sha256(text)
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("raw_sha"))
+    val joined = clean.join(docs, Seq("doc_id"))
+    assert(joined.filter(col("red_sha") =!= col("raw_sha")).count() == 0)
+  }
+
+  test("sequence packing: offsets contiguous, spans consistent, stream covered") {
+    val p = run("pipe_pack_sequences").cache()
+    assert(p.filter(col("n_seqs") =!= col("seq_last") - col("seq_first") + 1)
+      .count() == 0)
+    assert(p.filter(col("seq_first") > col("seq_last")).count() == 0)
+    // the token stream is gapless: each doc starts where the previous ended
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val gaps = p.withColumn("prev_end", lag(col("off") + col("tokens"), 1, 0L).over(w))
+      .filter(col("off") =!= col("prev_end")).count()
+    assert(gaps == 0)
+    // span math: a doc's last token falls inside seq_last's budget window
+    val bad = p.filter(
+      col("off") + col("tokens") - 1 - col("seq_last") * 2048 >= 2048).count()
+    assert(bad == 0)
+  }
+
+  test("shuffle: pos is a permutation, deterministic, and hash-ordered") {
+    val sh = run("pipe_shuffle").cache()
+    val n = Tables.t(spark, sf, "documents").count()
+    assert(sh.count() == n)
+    assert(sh.select("pos").distinct().count() == n)
+    assert(sh.agg(min("pos"), max("pos")).head match {
+      case r => r.getInt(0) == 1 && r.getInt(1) == n
+    })
+    // deterministic re-run
+    assert(run("pipe_shuffle").except(sh).count() == 0)
+    // pos order is exactly ascending hkey order
+    val byPos = sh.orderBy("pos").select("hkey").collect().map(_.getLong(0))
+    assert(byPos.sameElements(byPos.sorted))
+  }
+
   test("corpus mix: up-weighted source keeps a larger share; subset of corpus") {
     val mix = run("pipe_corpus_mix").cache()
     val docs = Tables.t(spark, sf, "documents")
