@@ -57,5 +57,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.HeavyHittersAgg(children.head, k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("min_k"),
+      new ExpressionInfo(classOf[graft.functions.MinKAgg].getName, "min_k"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "min_k takes (column, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString.toInt
+          case _ => throw new IllegalArgumentException(
+            "min_k: k must be an integer literal")
+        }
+        graft.functions.MinKAgg(children.head, k)
+      }))
   }
 }

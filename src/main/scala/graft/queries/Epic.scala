@@ -120,21 +120,18 @@ object Epic {
         |  array_to_string(list_sort(list(DISTINCT key))[1:20], ',') AS sample_keys
         |FROM issues GROUP BY lower(issuetype)
         |ORDER BY itype""".stripMargin)) { (s, dir) =>
-    // keys are unique, so "sorted distinct keys [1:20]" = the 20 smallest
-    // keys per type — rank-then-collect keeps the aggregation buffer at 20
-    // elements instead of collecting every key of the group (the unbounded
-    // array is the thing that breaks at 100 TB group sizes)
-    val issues = Tables.issues(s, dir)
+    // "sorted distinct keys [1:20]" = the 20 smallest keys per type. The
+    // bounded [[graft.functions.MinK]] aggregate computes that in the SAME
+    // hash aggregate as the count: partial states are ≤ 20 strings, so the
+    // exchange carries 20 keys per group regardless of group size. The
+    // previous rank-then-collect shape range-shuffled and sorted the whole
+    // corpus by (itype, key) and joined two aggregates back together —
+    // two extra exchanges plus a corpus-sized sort that MinK deletes.
+    Tables.issues(s, dir)
       .select(lower(col("issuetype")).as("itype"), col("key"))
-    val counts = issues.groupBy("itype").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("itype").orderBy("key")
-    val samples = issues
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
       .groupBy("itype")
-      .agg(array_join(sort_array(collect_list(col("key"))), ",").as("sample_keys"))
-    counts.join(samples, Seq("itype"))
-      .select("itype", "n", "sample_keys")
+      .agg(count(lit(1)).as("n"),
+        array_join(graft.functions.MinK(col("key"), 20), ",").as("sample_keys"))
       .orderBy("itype")
   }
 

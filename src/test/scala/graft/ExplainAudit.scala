@@ -70,6 +70,16 @@ class ExplainAudit extends AnyFunSuite {
       "expected the native SimhashSig expression in the plan")
   }
 
+  test("epic grouping is one aggregate: no window sort, no self-join") {
+    // MinK folds the 20-smallest-keys sample into the SAME hash aggregate as
+    // the count — a window rank or a counts⨝samples join would mean the
+    // corpus is being range-sorted or scanned twice again
+    val p = plan("epic_grouping")
+    assert(!p.contains("Window"), s"epic_grouping regressed to a window rank:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"epic_grouping regressed to a two-agg join:\n${p.take(2000)}")
+    assert(p.contains("min_k"), "expected the MinK aggregate in the plan")
+  }
+
   test("stateful CDC plans a grouped-state operator, enrichment is a hash join") {
     // batch mode lowers flatMapGroupsWithState to MapGroups (empty state);
     // the streaming plan's FlatMapGroupsWithStateExec is pinned by StreamSpec

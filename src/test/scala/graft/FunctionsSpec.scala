@@ -148,4 +148,28 @@ class FunctionsSpec extends AnyFunSuite {
       data.agg(graft.functions.HeavyHitters(col("v").cast("int"), 2)).collect()
     }
   }
+
+  test("min_k: k smallest distinct values, ascending, bounded across partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vals = (1 to 500).map(i => f"K-$i%04d") ++ (1 to 500).map(i => f"K-$i%04d")
+    val data = new scala.util.Random(7).shuffle(vals).toDF("v").repartition(16)
+    val got = data.agg(graft.functions.MinK(col("v"), 20).as("mk"))
+      .head.getSeq[String](0).toList
+    assert(got == (1 to 20).map(i => f"K-$i%04d").toList) // distinct, sorted, k-capped
+    // k larger than cardinality returns everything
+    val all = data.agg(graft.functions.MinK(col("v"), 1000).as("mk"))
+      .head.getSeq[String](0)
+    assert(all.size == 500 && all == all.sorted)
+    // nulls are skipped, groups aggregate independently
+    val grouped = Seq(("g1", "b"), ("g1", "a"), ("g2", "z"), ("g1", null))
+      .toDF("g", "v")
+      .groupBy("g").agg(graft.functions.MinK(col("v"), 1).as("mk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(grouped == Map("g1" -> List("a"), "g2" -> List("z")))
+    // misuse fails at analysis, not mid-job
+    intercept[Exception] {
+      data.agg(graft.functions.MinK(col("v").cast("int"), 2)).collect()
+    }
+  }
 }
