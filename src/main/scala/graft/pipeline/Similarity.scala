@@ -257,5 +257,126 @@ object Similarity {
       .orderBy("qid")
   }
 
-  val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall)
+  // ---- Incremental IVF index (CDC × ANN) ----------------------------------
+
+  /** IVF posting rows for a vector batch against fixed centroids:
+    * `(vec_id, cid, e, nrm)` — the index stores the vectors themselves in
+    * their posting lists (real IVF layout), so probes are self-contained.
+    */
+  def ivfAssign(vecs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val assignW = Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), col("e"), col("nrm"),
+        (dotD(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("sim"))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid", "e", "nrm")
+  }
+
+  /** Maintain a persisted IVF index incrementally: re-assign every vector in
+    * `vecs` (new or re-embedded), keep everyone else's posting rows. Same
+    * CDC-proportional argument as [[Dedup.upsertSignatures]] — assignment
+    * cost follows the changed batch, never the corpus — and the same
+    * crash-recoverable tmp+rename swap. At 100 TB the table lives
+    * partitioned by `cid` in a row-merge table format; the atomic-parquet
+    * stand-in keeps identical semantics. Centroids are fixed at index
+    * creation (re-clustering is a rebuild, as in any IVF system).
+    */
+  def upsertIvf(vecs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val spark = vecs.sparkSession
+    val rows = ivfAssign(vecs, cents)
+    val out = graft.state.StateStore.loadTable(spark, path, rows.schema)
+      .join(vecs.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .unionByName(rows)
+    graft.state.StateStore.save(out, path)
+  }
+
+  /** Top-k neighbors for a query batch via the persisted index: each query
+    * probes its top-`nprobe` centroid buckets; candidates come from the
+    * index's posting rows by a `cid`-keyed join (per query touches
+    * ~nprobe/C of the index — never query-set × corpus).
+    */
+  def ivfProbeTopK(queries: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, path: String,
+      k: Int = 3, nprobe: Int = 2): org.apache.spark.sql.DataFrame = {
+    val spark = queries.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("e",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("nrm",
+        org.apache.spark.sql.types.DoubleType)))
+    val index = graft.state.StateStore.loadTable(spark, path, schema)
+    val qprobeW = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+    val qprobe = queries.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rn", row_number().over(qprobeW))
+      .filter(col("rn") <= nprobe)
+      .select("qid", "cid")
+    val rankW = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+    index.join(broadcast(qprobe), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "score")
+  }
+
+  /** The incremental path as an oracle-checked query: index the 90% "existing
+    * corpus", upsert the 10% "late batch" of re-embedded vectors, probe the
+    * late batch for its top-3 neighbors. After the upsert the persisted index
+    * equals the full assignment set, so DuckDB replays the probe as
+    * late-queries ⋈ full-assignment on cid — exact cross-engine parity for
+    * the whole upsert→probe cycle, filesystem state included.
+    */
+  private val incremental = q("pipe_ann_incremental",
+    s"""WITH $embCte,
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${sqlCosine("v.e", "c.ce")} DESC, c.cid) AS rn
+       |    FROM emb v, cents c) WHERE rn = 1),
+       |late AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id % 10 = 0),
+       |qprobe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT s.qid, c.cid,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY ${sqlCosine("s.qe", "c.ce")} DESC, c.cid) AS rn
+       |    FROM late s, cents c) WHERE rn <= 2)
+       |SELECT qid, vec_id, score FROM (
+       |  SELECT p.qid, a.vec_id, ${sqlCosine("v.e", "s.qe")} AS score,
+       |    row_number() OVER (PARTITION BY p.qid
+       |      ORDER BY ${sqlCosine("v.e", "s.qe")} DESC, a.vec_id) AS rn
+       |  FROM qprobe p JOIN assign a ON a.cid = p.cid
+       |  JOIN emb v ON v.vec_id = a.vec_id
+       |  JOIN late s ON s.qid = p.qid
+       |  WHERE a.vec_id <> p.qid)
+       |WHERE rn <= 3 ORDER BY qid, vec_id""".stripMargin) { (s, dir) =>
+    val e = embDN(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-incr-ivf").toString + "/ivf"
+    upsertIvf(e.filter(col("vec_id") % 10 =!= 0).select("vec_id", "e", "nrm"),
+      cents, path)
+    val late = e.filter(col("vec_id") % 10 === 0)
+    upsertIvf(late.select("vec_id", "e", "nrm"), cents, path)
+    ivfProbeTopK(
+      late.select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn")),
+      cents, path)
+      .orderBy("qid", "vec_id")
+  }
+
+  val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental)
 }

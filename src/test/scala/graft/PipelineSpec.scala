@@ -91,6 +91,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(incr == fullCand.filter { case (a, b) => a % 10 == 0 || b % 10 == 0 })
   }
 
+  test("incremental IVF index: upsert + probe match the full recompute") {
+    import graft.pipeline.Similarity
+    import graft.pipeline.{embDN}
+    val e = embDN(spark, sf).cache()
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/ivf"
+    val vecs = e.select("vec_id", "e", "nrm")
+    Similarity.upsertIvf(vecs.filter(col("vec_id") % 10 =!= 0), cents, path)
+    Similarity.upsertIvf(vecs.filter(col("vec_id") % 10 === 0), cents, path)
+    // the incrementally-built index equals a from-scratch assignment
+    val idx = spark.read.parquet(path).select("vec_id", "cid").cache()
+    val full = Similarity.ivfAssign(vecs, cents).select("vec_id", "cid").cache()
+    assert(idx.count() == full.count())
+    assert(idx.except(full).count() == 0 && full.except(idx).count() == 0)
+    // re-upserting the same batch is idempotent
+    Similarity.upsertIvf(vecs.filter(col("vec_id") % 10 === 0), cents, path)
+    assert(spark.read.parquet(path).count() == full.count())
+    // probe returns ≤ 3 ranked neighbors per query, no self-matches
+    val probe = Similarity.ivfProbeTopK(
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn")),
+      cents, path).cache()
+    assert(probe.filter(col("qid") === col("vec_id")).count() == 0)
+    assert(probe.groupBy("qid").count().filter(col("count") > 3).count() == 0)
+    assert(probe.filter(col("score") < -1.0001 || col("score") > 1.0001).count() == 0)
+  }
+
   test("language ID emits a guess for every doc with valid scores") {
     val df = run("pipe_text_langid").cache()
     assert(df.count() == Tables.t(spark, sf, "documents").count())

@@ -200,6 +200,43 @@ class StreamSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("streaming exact dedup: within-watermark duplicates dropped, state expires") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    // dedup key = content fingerprint of NORMALIZED text (same rule as
+    // pipe_dedup_exact), state bounded by the 1h watermark —
+    // dropDuplicatesWithinWatermark is the streaming twin of the batch
+    // keep-first dedup: state size ∝ fingerprints inside the watermark
+    // horizon, not corpus size
+    val deduped = mem.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("fp", sha2(graft.pipeline.normText(col("text")), 256))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+    val query = deduped.writeStream
+      .outputMode("append").format("memory").queryName("stream_dedup").start()
+    def kept() = spark.table("stream_dedup").select("doc_id")
+      .as[Long].collect().toSet
+    try {
+      // batch 0: doc 2 is a near-identical re-serialization of doc 1
+      // (normalization maps both to one fingerprint) → dropped; doc 3 kept
+      mem.addData((1L, "hello world", ts("2024-01-01 10:00:00")),
+        (2L, "Hello,   WORLD!", ts("2024-01-01 10:05:00")),
+        (3L, "other text", ts("2024-01-01 10:10:00")))
+      query.processAllAvailable()
+      assert(kept() == Set(1L, 3L))
+      // batch 1: advance event time so the 10:00 fingerprint state expires
+      mem.addData((4L, "advance the watermark", ts("2024-01-01 20:00:00")))
+      query.processAllAvailable()
+      // batch 2: the SAME content re-arriving after expiry is a fresh record
+      // (within-watermark semantics — exactly what a bounded-state streaming
+      // dedup guarantees and nothing more)
+      mem.addData((5L, "hello world", ts("2024-01-01 20:30:00")))
+      query.processAllAvailable()
+      assert(kept() == Set(1L, 3L, 4L, 5L))
+    } finally query.stop()
+  }
+
   test("streaming near-dup: foreachBatch maintains the signature index") {
     import spark.implicits._
     import graft.pipeline.Dedup
