@@ -22,6 +22,31 @@ object Similarity {
   private val querySql =
     "q AS (SELECT e AS qe FROM emb WHERE vec_id = 0)"
 
+  /** Map-side centroid assignment: appends the argmax-cosine `cid` to every
+    * vector row. Centroids are collected to the driver — they are small by
+    * construction (an IVF system ships its centroids with the job) — and
+    * inlined as a literal array, so assignment is a per-row fold inside the
+    * scan stage: NO ×C crossJoin row explosion and NO per-vec_id window
+    * shuffle, which is the difference between a map-only pass and shuffling
+    * C copies of a 100 TB corpus. Ties pick the smallest cid (struct max on
+    * (sim, -cid)), matching the oracle's window-rank tiebreak.
+    */
+  private def assignMapSide(vecs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cl = cents.select("cid", "ce", "cn").collect()
+    val centArr = array(cl.map { r =>
+      struct(lit(r.getLong(0)).as("cid"),
+        typedLit(r.getSeq[Double](1).toSeq).as("ce"),
+        lit(r.getDouble(2)).as("cn"))
+    }: _*)
+    vecs.withColumn("__best",
+      array_max(transform(centArr, c =>
+        struct((dotD(c("ce"), col("e")) / (c("cn") * col("nrm"))).as("sim"),
+          (-c("cid")).as("negcid")))))
+      .withColumn("cid", -col("__best.negcid"))
+      .drop("__best")
+  }
+
   private val brute = q("pipe_ann_brute",
     s"""WITH $embCte,
        |$querySql
@@ -67,15 +92,9 @@ object Similarity {
       .select(col("e").as("qe"), col("nrm").as("qn"))
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-    // assignment: scan × broadcast(centroids), keep argmax-cosine centroid
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(desc("sim"), col("cid"))
-    val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (dotD(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("sim"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cid")
+    // assignment: map-side argmax fold over inlined centroids (no explosion,
+    // no window shuffle)
+    val assign = assignMapSide(e, cents).select("vec_id", "cid")
     // probe: query's top-2 centroids
     val probe = cents.crossJoin(broadcast(qv))
       .select(col("cid"),
@@ -186,13 +205,7 @@ object Similarity {
     val e = embDN(s, dir)
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-    val assignW = Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))
-    val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (dotD(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("sim"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cid")
+    val assign = assignMapSide(e, cents).select("vec_id", "cid")
     val qset = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
     val qprobeW = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
@@ -264,15 +277,8 @@ object Similarity {
     * their posting lists (real IVF layout), so probes are self-contained.
     */
   def ivfAssign(vecs: org.apache.spark.sql.DataFrame,
-      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val assignW = Window.partitionBy("vec_id").orderBy(desc("sim"), col("cid"))
-    vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), col("e"), col("nrm"),
-        (dotD(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("sim"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cid", "e", "nrm")
-  }
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    assignMapSide(vecs, cents).select("vec_id", "cid", "e", "nrm")
 
   /** Maintain a persisted IVF index incrementally: re-assign every vector in
     * `vecs` (new or re-embedded), keep everyone else's posting rows. Same

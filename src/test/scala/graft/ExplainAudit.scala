@@ -70,6 +70,15 @@ class ExplainAudit extends AnyFunSuite {
       "expected the native SimhashSig expression in the plan")
   }
 
+  test("IVF assignment is map-side: no vec_id exchange, no ×C row explosion") {
+    // centroids are inlined as a literal array and the argmax folds per row,
+    // so the corpus is never shuffled on vec_id for assignment (the probe's
+    // tiny windows — 8 centroids / 20 queries — are the only rank steps)
+    val p = plan("pipe_ann_ivf")
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      s"IVF assignment regressed to a per-vector window shuffle:\n${p.take(2000)}")
+  }
+
   test("epic grouping is one aggregate: no window sort, no self-join") {
     // MinK folds the 20-smallest-keys sample into the SAME hash aggregate as
     // the count — a window rank or a counts⨝samples join would mean the
