@@ -182,6 +182,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Overlapping-window chunking (the RAG / long-doc-training shape): each
+    * document splits into 512-token windows with a 64-token overlap
+    * (stride 448); chunk count = ceil((tokens − overlap) / stride), min 1.
+    * Map-side explode — the per-doc fan-out is tokens/stride, so the output
+    * scales with corpus token count, never with doc count × max-length. All
+    * boundary arithmetic is exact-integer, so cross-engine hashes match.
+    */
+  private val ChunkSize = 512L
+  private val ChunkStride = 448L // ChunkSize - 64 overlap
+  private val chunks = q("pipe_text_chunks",
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS tokens
+       |  FROM documents WHERE len(text) > 0),
+       |n AS (
+       |  SELECT doc_id, tokens,
+       |    greatest(1, (tokens + $ChunkStride - 1 - (${ChunkSize - ChunkStride})) // $ChunkStride) AS n_chunks
+       |  FROM toks)
+       |SELECT doc_id, chunk_id,
+       |  chunk_id * $ChunkStride AS start_tok,
+       |  least(chunk_id * $ChunkStride + $ChunkSize, tokens) AS end_tok
+       |FROM (SELECT doc_id, tokens, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n)
+       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    graft.Tables.t(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("tokens"))
+      .withColumn("n_chunks",
+        greatest(lit(1L),
+          expr(s"(tokens + $ChunkStride - 1 - ${ChunkSize - ChunkStride}) div $ChunkStride")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride).as("start_tok"),
+        least(col("chunk_id") * ChunkStride + ChunkSize, col("tokens")).as("end_tok"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Deterministic corpus shuffle: training order = rank under a seeded
     * content-independent hash of the stable id — reproducible on any
     * cluster, any partitioning, any re-run, unlike RNG `orderBy(rand())`.
@@ -205,5 +243,54 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle)
+  /** Per-source corpus report — the dataset card every training corpus
+    * ships with: document and token counts, mean quality (rounded — a
+    * cross-engine float-sum guard, same as the CDC stats), and the
+    * exact-duplicate rate per source. One groupBy over per-row metrics plus
+    * the fingerprint window; at 100 TB the report is |sources| rows.
+    */
+  private val stats = q("pipe_corpus_stats",
+    withDocs(s""", ${TextAnalysis.qualitySql},
+       |toks AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS tokens
+       |  FROM documents WHERE len(text) > 0),
+       |kept AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY sha256(norm) ORDER BY doc_id) = 1 AS k
+       |  FROM docs)
+       |SELECT d.source, count(*)::BIGINT AS n_docs,
+       |  sum(t.tokens)::BIGINT AS n_tokens,
+       |  round(avg(q.quality), 4) AS mean_quality,
+       |  sum(CASE WHEN kept.k THEN 0 ELSE 1 END)::BIGINT AS n_dups
+       |FROM documents d
+       |JOIN toks t ON t.doc_id = d.doc_id
+       |JOIN quality q ON q.doc_id = d.doc_id
+       |JOIN kept ON kept.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin)) { (s, dir) =>
+    val docs = graft.Tables.t(s, dir, "documents")
+    val toks = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("tokens"))
+    val firstPerFp = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    val kept = docsNorm(s, dir)
+      .select(col("doc_id"), sha2(col("norm"), 256).as("fp"))
+      .withColumn("k", row_number().over(firstPerFp) === 1)
+      .select("doc_id", "k")
+    docs.select("doc_id", "source")
+      .join(toks, Seq("doc_id"))
+      .join(TextAnalysis.qualityDf(s, dir).select("doc_id", "quality"), Seq("doc_id"))
+      .join(kept, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tokens").as("n_tokens"),
+        round(avg("quality"), 4).as("mean_quality"),
+        sum(when(col("k"), 0L).otherwise(1L)).as("n_dups"))
+      .orderBy("source")
+  }
+
+  val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
+    stats)
 }

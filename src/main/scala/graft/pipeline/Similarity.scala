@@ -384,5 +384,45 @@ object Similarity {
       .orderBy("qid", "vec_id")
   }
 
-  val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental)
+  /** Int8 scalar quantization — the storage-scale path for a 100 TB
+    * embedding store (4× smaller than float32, 8× smaller than the double
+    * compute form): per-vector symmetric scale `127 / max|x|`, values
+    * `clamp(floor(x·scale + 0.5), ±127)`, plus the two acceptance metrics a
+    * real pipeline gates on — worst per-dimension reconstruction error and
+    * the cosine between the original and reconstructed vector (how much
+    * retrieval geometry the quantization cost). Map-only per-row math;
+    * `floor(x+0.5)` instead of `round` because round's half-way rule differs
+    * between engines while floor is IEEE-exact in both.
+    */
+  private val quantize = q("pipe_emb_quantize",
+    s"""WITH $embCte,
+       |s AS (
+       |  SELECT vec_id, e,
+       |    127.0 / greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) AS scale
+       |  FROM emb),
+       |r AS (
+       |  SELECT vec_id, e, scale,
+       |    list_transform(e,
+       |      x -> least(greatest(floor(x * scale + 0.5), -127.0), 127.0) / scale) AS recon
+       |  FROM s)
+       |SELECT vec_id, scale,
+       |  list_max(list_transform(generate_series(1, len(e)),
+       |    i -> abs(e[i] - recon[i]))) AS max_abs_err,
+       |  ${sqlCosine("e", "recon")} AS cos_recon
+       |FROM r ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = embD(s, dir)
+      .withColumn("scale",
+        lit(127.0) / greatest(array_max(transform(col("e"), x => abs(x))), lit(1e-12)))
+      .withColumn("recon", transform(col("e"), x =>
+        least(greatest(floor(x * col("scale") + 0.5), lit(-127.0)), lit(127.0))
+          / col("scale")))
+    e.select(col("vec_id"), col("scale"),
+      array_max(zip_with(col("e"), col("recon"), (a, b) => abs(a - b)))
+        .as("max_abs_err"),
+      cosineD(col("e"), col("recon")).as("cos_recon"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
+    quantize)
 }

@@ -172,4 +172,26 @@ class FunctionsSpec extends AnyFunSuite {
       data.agg(graft.functions.MinK(col("v").cast("int"), 2)).collect()
     }
   }
+
+  test("min_k equals sorted-distinct-take-k on arbitrary inputs (property)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val genCase = for {
+      n <- Gen.choose(0, 60)
+      vs <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumStr.map(_.take(8)),
+        Gen.oneOf("", "a", "b", "zz")))
+      k <- Gen.choose(1, 10)
+    } yield (vs, k)
+    checkAll(genCase, n = 25) { case (vs, k) =>
+      val expected = vs.distinct.sorted.take(k)
+      val got =
+        if (vs.isEmpty) // agg over an empty frame: buffer stays empty
+          Seq("x").toDF("v").filter(lit(false))
+            .agg(graft.functions.MinK(col("v"), k)).head.getSeq[String](0)
+        else vs.toDF("v").repartition(4)
+          .agg(graft.functions.MinK(col("v"), k)).head.getSeq[String](0)
+      assert(got.toList == expected,
+        s"min_k($k) over $vs: got $got, expected $expected")
+    }
+  }
 }

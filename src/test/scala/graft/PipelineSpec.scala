@@ -230,6 +230,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("chunking: windows cover every token with the declared overlap") {
+    val ch = run("pipe_text_chunks").cache()
+    // chunk 0 starts at 0; consecutive chunks advance by the stride
+    assert(ch.filter(col("chunk_id") === 0 && col("start_tok") =!= 0).count() == 0)
+    assert(ch.filter(col("start_tok") =!= col("chunk_id") * 448).count() == 0)
+    assert(ch.filter(col("end_tok") <= col("start_tok")).count() == 0)
+    assert(ch.filter(col("end_tok") - col("start_tok") > 512).count() == 0)
+    // the last chunk of every doc reaches the doc's token count, and no
+    // token after the first chunk is uncovered (stride < size ⇒ overlap)
+    val last = ch.groupBy("doc_id").agg(max("end_tok").as("cover"),
+      max("chunk_id").as("n"))
+    val toks = run("pipe_pack_sequences").select(col("doc_id"), col("tokens"))
+    assert(last.join(toks, Seq("doc_id"))
+      .filter(col("cover") =!= col("tokens")).count() == 0)
+  }
+
+  test("quantization: reconstruction error bounded by half a quant step") {
+    val qz = run("pipe_emb_quantize").cache()
+    assert(qz.count() == Tables.t(spark, sf, "embeddings").count())
+    // |x - q/scale| <= 0.5/scale for in-range values (symmetric int8)
+    assert(qz.filter(col("max_abs_err") > lit(0.5) / col("scale") + 1e-9).count() == 0)
+    assert(qz.filter(col("cos_recon") < 0.99).count() == 0,
+      "int8 quantization should preserve retrieval geometry")
+    assert(qz.filter(col("scale") <= 0).count() == 0)
+  }
+
+  test("corpus stats: counts reconcile with the underlying operators") {
+    val st = run("pipe_corpus_stats").cache()
+    val docs = Tables.t(spark, sf, "documents")
+    assert(st.agg(sum("n_docs")).head.getLong(0) ==
+      docs.filter(length(col("text")) > 0).count())
+    // duplicate count matches the exact-dedup operator's non-kept rows
+    val dups = run("pipe_dedup_exact").filter(!col("kept")).count()
+    assert(st.agg(sum("n_dups")).head.getLong(0) == dups)
+    assert(st.filter(col("mean_quality") < 0 || col("mean_quality") > 1).count() == 0)
+  }
+
   test("shuffle: pos is a permutation, deterministic, and hash-ordered") {
     val sh = run("pipe_shuffle").cache()
     val n = Tables.t(spark, sf, "documents").count()
