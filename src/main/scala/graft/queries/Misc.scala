@@ -80,6 +80,46 @@ object Misc {
       .orderBy("bucket_s", "event_type")
   }
 
+  /** Session-window aggregation: per-user activity sessions split at 30-min
+    * inactivity gaps — Spark's `session_window` (merging windows, usable in
+    * batch AND streaming with a watermark), oracled by the classic
+    * gaps-and-islands SQL (lag → new-session flag → running sum) in DuckDB.
+    * Session end follows Spark's definition: last event + gap. The decimal
+    * cast makes the per-session sum order-independent, like the tumbling
+    * window twin.
+    */
+  private val sessionAgg = q("stream_session_agg",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |m AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end_s,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_s""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start_s"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end_s"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start_s")
+  }
+
   /** F1/F2/F12: key parsing — project extraction (multi-dash rule), epic-key
     * decomposition, and file-path → key recovery, round-tripped over the
     * issues table.
@@ -230,6 +270,6 @@ object Misc {
       .orderBy("project_key", "rank")
   }
 
-  val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, keyFuncs, wireRoundtrip,
-    asof, rangeJoin, heavyHitters)
+  val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
+    wireRoundtrip, asof, rangeJoin, heavyHitters)
 }

@@ -200,6 +200,34 @@ class StreamSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("streaming session windows: sessions close when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+    val query = sessions.writeStream
+      .outputMode("append").format("memory").queryName("sess_out").start()
+    def emitted() = spark.table("sess_out")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    try {
+      // one user, two bursts 30+ min apart → two sessions; nothing emits
+      // until the watermark passes session-end + gap
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:10:00"), 2.0))
+      query.processAllAvailable()
+      assert(emitted().isEmpty) // session still open
+      mem.addData((1L, ts("2024-01-01 11:00:00"), 4.0)) // gap ≥ 30min → new session
+      query.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 13:00:00"), 8.0)) // advances watermark
+      query.processAllAvailable()
+      // first session (2 events) closed; the 11:00 session closed by 13:00 too
+      assert(emitted().toSet == Set((1L, 2L), (1L, 1L)))
+    } finally query.stop()
+  }
+
   test("streaming exact dedup: within-watermark duplicates dropped, state expires") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
