@@ -270,6 +270,58 @@ object Misc {
       .orderBy("project_key", "rank")
   }
 
+  /** Pivot (crosstab) breakdown: issue counts as a project × type matrix —
+    * the wide form of the preview breakdowns (A1). The pivot value list is
+    * fixed (the enumerated issue types), which is also the scale rule: a
+    * pivot's column set must be bounded and known, or the plan can't be
+    * built — unbounded pivots belong in the long (groupBy) form. One hash
+    * aggregate either way; DuckDB replays it as conditional sums.
+    */
+  private val pivotTypes = Seq("Bug", "Epic", "Story", "Sub-task", "Task")
+  private val pivotMatrix = {
+    val caseCols = pivotTypes.map(t =>
+      s"""sum(CASE WHEN issuetype = '$t' THEN 1 ELSE 0 END)::BIGINT AS "$t"""")
+      .mkString(",\n  ")
+    q("agg_pivot_matrix",
+      Oracle.withIssues(
+        s"""SELECT project_key,
+           |  $caseCols
+           |FROM issues GROUP BY project_key ORDER BY project_key""".stripMargin)) {
+      (s, dir) =>
+      Tables.issues(s, dir)
+        .groupBy("project_key")
+        .pivot("issuetype", pivotTypes)
+        .count()
+        .na.fill(0L, pivotTypes)
+        .orderBy("project_key")
+    }
+  }
+
+  /** Exact quantiles of the event-value distribution per event type —
+    * `percentile` (Spark) vs `quantile_cont` (DuckDB), both the standard
+    * linear interpolation at (n−1)·p. Exact quantiles need the group sorted;
+    * at 100 TB switch to `approx_percentile` (KLL/GK sketches, mergeable
+    * partials) unless the gate demands exactness — the operator is
+    * registered in its exact form because that is what the oracle can
+    * replay.
+    */
+  private val quantiles = q("agg_value_quantiles",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
-    wireRoundtrip, asof, rangeJoin, heavyHitters)
+    wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles)
 }
