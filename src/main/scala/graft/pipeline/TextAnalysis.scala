@@ -308,6 +308,54 @@ object TextAnalysis {
     }
   }
 
+  /** TF-IDF top terms per document — the relevance/keyword primitive of a
+    * corpus pipeline. Two corpus-level aggregates (per-doc term counts and
+    * the vocabulary-sized document-frequency table) joined back on `word`;
+    * the df join is word-keyed and left to AQE — at 100 TB the vocabulary is
+    * tens of millions of rows, far too big to broadcast but tiny next to the
+    * occurrence stream it prunes. Ranking uses only exact-integer keys
+    * (in-doc count desc, corpus df asc, word asc) so no float ever decides a
+    * row's inclusion; the tfidf score itself — the one log in the engine —
+    * is rounded to 6 dp in both dialects because libm and Math.log may
+    * differ in the last ulp.
+    */
+  private val tfidf = q("pipe_text_tfidf",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |wx AS (SELECT doc_id, len(w) AS n_words, unnest(w) AS word
+       |       FROM words WHERE len(w) > 0),
+       |tf AS (SELECT doc_id, word, max(n_words) AS n_words,
+       |         count(*)::BIGINT AS c
+       |       FROM wx GROUP BY doc_id, word),
+       |df AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM wx GROUP BY word),
+       |n AS (SELECT count(*)::BIGINT AS n_docs FROM words WHERE len(w) > 0),
+       |scored AS (
+       |  SELECT t.doc_id, t.word, t.c, d.df,
+       |    round((t.c::DOUBLE / t.n_words) * ln(n.n_docs::DOUBLE / d.df), 6) AS tfidf,
+       |    row_number() OVER (PARTITION BY t.doc_id
+       |      ORDER BY t.c DESC, d.df ASC, t.word ASC) AS rk
+       |  FROM tf t JOIN df d USING (word) CROSS JOIN n)
+       |SELECT doc_id, word, c, df, tfidf
+       |FROM scored WHERE rk <= 3 ORDER BY doc_id, word""".stripMargin) { (s, dir) =>
+    val wx = docWords(s, dir).filter(size(col("w")) > 0)
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        explode(col("w")).as("word"))
+    val tf = wx.groupBy("doc_id", "word")
+      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("c"))
+    val df = wx.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docWords(s, dir).filter(size(col("w")) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("c").desc, col("df").asc, col("word").asc)
+    tf.join(df, Seq("word")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("word"), col("c"), col("df"),
+        round((col("c").cast("double") / col("n_words"))
+          * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).drop("rk")
+      .orderBy("doc_id", "word")
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
-    rarity, pii)
+    rarity, pii, tfidf)
 }
