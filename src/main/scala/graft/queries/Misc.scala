@@ -322,6 +322,68 @@ object Misc {
       .orderBy("event_type")
   }
 
+  /** Rollup (hierarchical subtotals): flag → flag×status → grand total in
+    * one pass — the strict-hierarchy sibling of q09's cube. Same scale shape
+    * as any grouping-sets aggregate: Spark expands the sets map-side and
+    * still makes one exchange on the grouping keys.
+    */
+  private val rollup = q("agg_rollup_hier",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+    (s, dir) =>
+    Tables.t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Second-moment statistics (stddev, correlation) per group — computed from
+    * exact DECIMAL power sums (n, Σx, Σx², Σy, Σxy, Σy²) cast to DOUBLE only
+    * for the final closed-form arithmetic. The built-in `stddev`/`corr` are
+    * single-pass doubles whose partial-merge order varies run to run (and
+    * engine to engine); exact integer-scaled sums make the result
+    * bit-stable across both, and the partial aggregation is map-side — one
+    * exchange of 6 decimals per group at any scale.
+    */
+  private val moments = q("agg_stats_moments",
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    count(*)::BIGINT AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / (n::DOUBLE * (n - 1)::DOUBLE)), 6) AS sd_qty,
+      |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |    / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |       * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS corr_qty_price
+      |FROM s ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val agg = Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    def d(name: String) = col(name).cast("double")
+    val varX = d("n") * d("sxx") - d("sx") * d("sx")
+    val varY = d("n") * d("syy") - d("sy") * d("sy")
+    agg.select(col("l_returnflag"), col("n"),
+      round(sqrt(varX / (d("n") * (col("n") - 1).cast("double"))), 6).as("sd_qty"),
+      round((d("n") * d("sxy") - d("sx") * d("sy"))
+        / (sqrt(varX) * sqrt(varY)), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
-    wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles)
+    wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
+    rollup, moments)
 }
