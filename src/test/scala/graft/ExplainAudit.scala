@@ -89,6 +89,35 @@ class ExplainAudit extends AnyFunSuite {
     assert(p.contains("min_k"), "expected the MinK aggregate in the plan")
   }
 
+  test("grouping-set aggregates are one Expand + one aggregate pass, no join") {
+    // cube/rollup/pivot all lower to a single (partial → final) hash
+    // aggregate; a join or window would mean subtotals are computed by
+    // re-scanning the fact table
+    Seq("q09_cube", "agg_rollup_hier", "agg_pivot_matrix").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name re-scans via a join:\n${p.take(2000)}")
+      assert(!p.contains("Window"), s"$name uses a window:\n${p.take(2000)}")
+      assert(name == "agg_pivot_matrix" || p.contains("Expand"),
+        s"$name lost its Expand lowering")
+    }
+  }
+
+  test("second-moment stats are one scan, one aggregate — no built-in corr") {
+    // the six decimal power sums ride ONE partial/final aggregate; the
+    // closed-form stddev/corr math is pure projection afterward
+    val p = plan("agg_stats_moments")
+    assert(!p.contains("Join"), s"moments joins:\n${p.take(2000)}")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"moments scans lineitem more than once:\n${p.take(2000)}")
+  }
+
+  test("tfidf ranks via a window; df join is a real join, not an NLJ") {
+    val p = plan("pipe_text_tfidf")
+    assert(p.contains("Window"), "tfidf lost its row_number ranking")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "tfidf's word-keyed df join vanished")
+  }
+
   test("stateful CDC plans a grouped-state operator, enrichment is a hash join") {
     // batch mode lowers flatMapGroupsWithState to MapGroups (empty state);
     // the streaming plan's FlatMapGroupsWithStateExec is pinned by StreamSpec
