@@ -11,7 +11,7 @@ object SparkEntry {
   /** All registered queries, one per implemented operator (SURVEY.md §2). */
   private lazy val registry: Seq[GQuery] =
     Relational.all ++ Jql.all ++ Cdc.all ++ Epic.all ++ Sink.all ++
-      Profiles.all ++ Misc.all ++
+      Profiles.all ++ Misc.all ++ Graph.all ++
       pipeline.Dedup.all ++ pipeline.Similarity.all ++
       pipeline.TextAnalysis.all ++ pipeline.Multimodal.all ++
       pipeline.Curation.all

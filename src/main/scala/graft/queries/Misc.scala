@@ -383,7 +383,45 @@ object Misc {
       .orderBy("l_returnflag")
   }
 
+  /** Analytic window functions over per-user event streams: lag/lead
+    * neighbors, a cumulative (running) sum, ntile quartiles, and
+    * percent_rank — the offset/frame/distribution families in one ordered
+    * pass. One exchange on `user_id`, one sort per partition, every function
+    * shares the same window. The running sum accumulates in DECIMAL (a
+    * cumulative double sum is fold-order-dependent; decimal is exact in both
+    * engines), and the ordering key (ts, event_id) is total so frames are
+    * identical cross-engine.
+    */
+  private val analytics = q("agg_window_analytics",
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      |SELECT user_id, event_id,
+      |  lag(event_id) OVER w AS prev_event,
+      |  lead(event_id) OVER w AS next_event,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pr
+      |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        sum(col("value").cast("decimal(18,2)")).over(run)
+          .cast("double").as("running_value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
-    rollup, moments)
+    rollup, moments, analytics)
 }
