@@ -421,7 +421,33 @@ object Misc {
       .orderBy("user_id", "event_id")
   }
 
+  /** Sketch-based approximate distinct count — the 100 TB cardinality path
+    * (HyperLogLog partials are tiny and mergeable; exact distinct is a full
+    * shuffle of every key). Sketch estimates differ by engine (Spark HLL++
+    * rsd 0.05 vs DuckDB HLL), so the hash-checked contract is the exact
+    * count plus a ±15% acceptance bound on the estimate (3σ of Spark's
+    * default 5% rsd) — the property a pipeline actually relies on, asserted
+    * in both engines over their own sketches.
+    */
+  private val approxDistinct = q("agg_distinct_sketch",
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_exact,
+      |  approx_count_distinct(user_id)
+      |    BETWEEN 0.85 * count(DISTINCT user_id)
+      |        AND 1.15 * count(DISTINCT user_id) AS est_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id")).as("est"))
+      .select(col("event_type"), col("n_exact"),
+        col("est").between(lit(0.85) * col("n_exact"), lit(1.15) * col("n_exact"))
+          .as("est_ok"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
-    rollup, moments, analytics)
+    rollup, moments, analytics, approxDistinct)
 }

@@ -228,6 +228,34 @@ class StreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: clicks attribute to impressions in-window") {
+    // two live streams joined on key + a time-bound — the streaming twin of
+    // the batch range join. Both sides watermarked; the interval condition
+    // bounds each side's state so Spark can evict (no unbounded buffers).
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val impDf = imps.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "10 minutes")
+    val clkDf = clicks.toDF().toDF("c_ad_id", "click_ts").withWatermark("click_ts", "10 minutes")
+    val joined = impDf.join(clkDf,
+      col("ad_id") === col("c_ad_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("ad_id", "imp_ts", "click_ts")
+    val query = joined.writeStream
+      .outputMode("append").format("memory").queryName("attrib_out").start()
+    try {
+      imps.addData((7L, ts("2024-01-01 10:00:00")), (8L, ts("2024-01-01 10:05:00")))
+      clicks.addData((7L, ts("2024-01-01 10:20:00")), // in window → joins
+        (8L, ts("2024-01-01 11:00:00"))) // 55 min after imp → outside window
+      query.processAllAvailable()
+      val rows = spark.table("attrib_out")
+        .select("ad_id").as[Long].collect().toSeq
+      assert(rows == Seq(7L))
+    } finally query.stop()
+  }
+
   test("streaming exact dedup: within-watermark duplicates dropped, state expires") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
