@@ -153,6 +153,13 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-(chunk, key) population above which a SimHash LSH bucket is dropped
+    * from candidate generation (mirrored exactly in the oracle). At sf0.1
+    * the largest bucket holds ~5% of the corpus — a fraction, not a count,
+    * so without the cap its pair count grows quadratically with data size.
+    */
+  private val SimhashBucketCap = 64
+
   /** SimHash: 60-bit signature from per-word bit votes; candidates via 4
     * 15-bit chunk buckets (hamming ≤ 3 ⇒ at least one chunk equal by
     * pigeonhole when distance is spread); closest 20 pairs reported.
@@ -175,9 +182,12 @@ object Dedup {
        |chunks AS (
        |  SELECT doc_id, simhash, c, (simhash >> (15 * c)) & 32767 AS ck
        |  FROM sig, generate_series(0, 3) t(c)),
+       |small AS (
+       |  SELECT c, ck FROM chunks GROUP BY c, ck HAVING count(*) <= $SimhashBucketCap),
+       |kept AS (SELECT ch.* FROM chunks ch JOIN small USING (c, ck)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS ha, b.doc_id AS doc_b, b.simhash AS hb
-       |  FROM chunks a JOIN chunks b
+       |  FROM kept a JOIN kept b
        |    ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
        |FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) { (s, dir) =>
@@ -192,9 +202,19 @@ object Dedup {
     val chunks = sig
       .withColumn("c", explode(sequence(lit(0), lit(3))))
       .withColumn("ck", expr("(simhash >> (15 * c)) & 32767"))
-    val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+      .persist() // feeds the bucket census AND both join sides
+    // LSH bucket cap: a 15-bit chunk shared by a constant FRACTION of the
+    // corpus (common at scale — boilerplate-heavy docs concentrate) makes
+    // that bucket's pair count quadratic in corpus size. Over-full buckets
+    // carry no dedup signal (members share one chunk, not similarity), so
+    // both engines drop them identically and the candidate join's worst
+    // case is bounded at cap² per bucket.
+    val small = chunks.groupBy("c", "ck").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= SimhashBucketCap).select("c", "ck")
+    val kept = chunks.join(small, Seq("c", "ck"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
       col("c"), col("ck"))
-    val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+    val b = kept.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
       col("c"), col("ck"))
     a.join(b, Seq("c", "ck")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "ha", "hb").distinct()

@@ -356,6 +356,42 @@ object TextAnalysis {
       .orderBy("doc_id", "word")
   }
 
+  /** Bigram language-model familiarity — the n-gram LM scoring stage of a
+    * data-quality pipeline (fluent prose reuses common word transitions;
+    * boilerplate/gibberish doesn't): score each doc by the mean corpus
+    * frequency of its word bigrams. Two shuffles (bigram count, per-doc
+    * rollup) + one join on the bigram key; hot bigrams skew that join at
+    * 100 TB — AQE skew-split handles it, and the count side is
+    * map-side-combined so the hot key ships one partial per partition, not
+    * one row per occurrence. Exactness: `sum_freq` and `n_bigrams` are exact
+    * BIGINTs, one double division at the end → bit-identical cross-engine.
+    */
+  private val bigramLm = q("pipe_text_bigram_lm",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |bgs AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+       |  FROM words WHERE len(w) >= 2),
+       |cnt AS (SELECT bg, count(*)::BIGINT AS c FROM bgs GROUP BY bg)
+       |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+       |  sum(c.c)::BIGINT AS sum_freq,
+       |  sum(c.c)::DOUBLE / count(*) AS familiarity
+       |FROM bgs b JOIN cnt c USING (bg)
+       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bgs = docWords(s, dir).filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+        .as("bg"))
+    val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c"))
+    bgs.join(cnt, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
+        (col("sum_freq").cast("double") / col("n_bigrams")).as("familiarity"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
-    rarity, pii, tfidf)
+    rarity, pii, tfidf, bigramLm)
 }

@@ -265,6 +265,48 @@ object Cdc {
       .orderBy("issue", "file_path")
   }
 
+  /** C2/C3 generalized: SCD-type-2 history build — compress each key's event
+    * stream into validity intervals (`valid_from`, `valid_to`) that change
+    * only when the tracked attribute changes. Two window passes per key
+    * (lag to find change points, lead to close intervals), each ONE shuffle
+    * on `user_id` — Spark plans consecutive windows over the same
+    * (partition, order) as a single exchange + sort. Deterministic under
+    * same-timestamp events via the `event_id` tiebreak. This is the batch
+    * twin of what `flatMapGroupsWithState` maintains incrementally in
+    * [[graft.streaming.StatefulCdc]].
+    */
+  private val scd2 = q("cdc_scd2_intervals",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM ev),
+      |st AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vto
+      |  FROM st)
+      |SELECT user_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(vto, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |  event_id
+      |FROM iv ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("vto", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("vto"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[GQuery] = Seq(changed, upsert, stats, enrich, stateful, history,
-    validate)
+    validate, scd2)
 }
