@@ -36,22 +36,16 @@ object Bench {
       i.unpersist()
     } catch { case _: Throwable => }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    val total = results.map(_._2).sum
     // end-to-end sync throughput vs BASELINE's issues/sec: a bounded slice
-    // (~5k issues at any SF) through the full pipeline — JQL plan, YAML files,
+    // (~60k issues) through the full pipeline — JQL plan, YAML files,
     // edge parquet, git commit, state merge — then an incremental no-op rerun
     // over the same slice (pure change-detection scan).
+    // Measured FIRST, right after warmup: the query sweep below ages the JVM
+    // (100+ generated codegen classes, promoted heap, fragmented metaspace),
+    // and measuring sync after it made the number drift DOWN every time a
+    // round added queries (29k → 19k → 9.6k local with zero SyncEngine
+    // changes). The engine's rate is a property of the engine, not of how
+    // many unrelated queries ran earlier in the same JVM.
     val (syncIps, incrIps) = try {
       val work = java.nio.file.Files.createTempDirectory("graft-bench-sync").toString
       // a 60k-issue slice: large enough that the per-run fixed costs (git
@@ -93,6 +87,18 @@ object Bench {
       errors("sync_bench") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       (0.0, 0.0)
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    val total = results.map(_._2).sum
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     // The driver captures only the last ~2000 chars of stdout and parses the
