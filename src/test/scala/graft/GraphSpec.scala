@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-7 operators (the oracle gate checks
+  * cross-engine equality; these check the MATH means what it claims).
+  */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def edgeSlice = Tables.links(spark, sf)
+    .filter(col("link_type") === "blocks" && col("project_key") === "P1")
+
+  test("components histogram covers every node exactly once") {
+    val hist = SparkEntry.queries("graph_components")(spark, sf).collect()
+    val nodesInHist = hist.map(r =>
+      r.getAs[Long]("n_members") * r.getAs[Long]("n_labels")).sum
+    val nodes = edgeSlice.select(col("src").as("n"))
+      .union(edgeSlice.select(col("dst").as("n"))).distinct().count()
+    assert(nodesInHist == nodes,
+      s"histogram accounts for $nodesInHist nodes, graph has $nodes")
+  }
+
+  test("pagerank ranks are >= base, sorted desc, and decode to valid keys") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val prs = rows.map(_.getAs[Long]("pr"))
+    assert(prs.forall(_ >= 150000000L), "a rank fell below the base mass")
+    assert(prs.sameElements(prs.sortBy(-_)), "output not sorted by rank desc")
+    rows.map(_.getAs[String]("node_key")).foreach { k =>
+      assert(k.matches("^P\\d-\\d+$"), s"un-decodable node key $k")
+    }
+  }
+
+  test("pagerank receives mass: some node ranks strictly above base") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+    assert(rows.exists(_.getAs[Long]("pr") > 150000000L),
+      "no node accumulated inbound mass — contribution join is broken")
+  }
+
+  test("scd2 intervals chain: valid_to equals the next valid_from per key") {
+    import org.apache.spark.sql.expressions.Window
+    val iv = SparkEntry.queries("cdc_scd2_intervals")(spark, sf)
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val broken = iv
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("valid_to") =!= col("next_from"))
+      .count()
+    assert(broken == 0, s"$broken intervals do not chain")
+    // exactly one open (null valid_to) interval per key — the current state
+    val users = iv.select("user_id").distinct().count()
+    val open = iv.filter(col("valid_to").isNull).count()
+    assert(open == users, s"$open open intervals for $users keys")
+  }
+
+  test("scd2 compresses: consecutive intervals never repeat the same state") {
+    import org.apache.spark.sql.expressions.Window
+    val iv = SparkEntry.queries("cdc_scd2_intervals")(spark, sf)
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val dup = iv.withColumn("prev_t", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_t") === col("event_type")).count()
+    assert(dup == 0, s"$dup uncompressed change-points")
+  }
+
+  test("bigram familiarity is >= 1 and counts match the doc's word count") {
+    val bg = SparkEntry.queries("pipe_text_bigram_lm")(spark, sf)
+    assert(bg.filter(col("familiarity") < 1.0).count() == 0,
+      "a bigram must at least match its own occurrence")
+    val words = pipeline.docWords(spark, sf)
+      .select(col("doc_id"), (size(col("w")) - 1).as("expect_bg"))
+      .filter(col("expect_bg") >= 1)
+    val mismatch = bg.join(words, Seq("doc_id"))
+      .filter(col("n_bigrams") =!= col("expect_bg")).count()
+    assert(mismatch == 0, "per-doc bigram count != word count - 1")
+  }
+}
