@@ -447,7 +447,37 @@ object Misc {
       .orderBy("event_type")
   }
 
+  /** Arbitrary GROUPING SETS — the general form behind cube/rollup (both are
+    * sugar for specific set lists): three unrelated breakdowns (by status,
+    * by priority, by line number) in ONE Expand + ONE partial→final hash
+    * aggregate pass instead of three scans + a union. `grouping_id()`
+    * disambiguates which set produced each row (NULL data values vs NULL
+    * subtotal markers — the classic grouping-sets trap).
+    */
+  private val groupingSets = q("agg_grouping_sets",
+    """SELECT l_returnflag, l_linenumber, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linenumber) * 2
+      |    + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber), (l_linestatus))
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linenumber NULLS FIRST,
+      |  l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linenumber, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linenumber) * 2
+        |    + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linenumber NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin)
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
-    rollup, moments, analytics, approxDistinct)
+    rollup, moments, analytics, approxDistinct, groupingSets)
 }
