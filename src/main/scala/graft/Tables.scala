@@ -17,15 +17,26 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table ships TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and truncate to micros (matches DuckDB's
-    * `CAST(ts AS TIMESTAMP)` truncation). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set once at session build
-    * (Verify/Bench/TestSpark) — never mutated per-call here.
+  /** The events table's `ts` physical type has varied across testdata
+    * generations (TIMESTAMP(NANOS) read as long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, later TIMESTAMP(MICROS)
+    * read as TIMESTAMP_NTZ), so normalize from whatever the file actually
+    * holds to a session-local TIMESTAMP at micros precision — the exact
+    * value DuckDB's `CAST(ts AS TIMESTAMP)` yields in the oracle. Schema
+    * inspection happens on the driver against the parquet footer; no data
+    * pass.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session TZ is pinned to UTC everywhere, so NTZ→LTZ is value-exact
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
 
   /** Domain `issues` table derived from `orders` (narrow projection, no
     * shuffle). Key format `P{custkey%7}-{orderkey}` matches the reference's

