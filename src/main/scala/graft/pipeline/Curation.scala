@@ -291,6 +291,55 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Token-length histogram in power-of-two buckets with the cumulative
+    * document share — the report that picks a packing sequence length
+    * (pair of [[pack]]): "what max_len covers 99% of documents without
+    * truncation". The bucket id is the BINARY DIGIT COUNT of the token
+    * count (floor(log2)+1) computed by integer base conversion in both
+    * engines — never floating log2, whose values at exact powers of two
+    * land ulp-below the integer and bucket those docs differently per
+    * engine. One scan + a |buckets|-row aggregate; the cumulative window
+    * runs over ~60 rows at any corpus size.
+    */
+  private val lenHist = q("pipe_len_histogram",
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tokens
+       |  FROM documents WHERE len(text) > 0),
+       |b AS (SELECT doc_id, tokens, length(bin(tokens))::BIGINT AS bucket FROM t),
+       |g AS (
+       |  SELECT bucket, count(*)::BIGINT AS n_docs, sum(tokens)::BIGINT AS total_tokens,
+       |    min(tokens) AS min_tokens, max(tokens) AS max_tokens
+       |  FROM b GROUP BY bucket)
+       |SELECT bucket, (1::BIGINT << (bucket - 1)) AS lo,
+       |  (1::BIGINT << bucket) - 1 AS hi, n_docs, total_tokens,
+       |  min_tokens, max_tokens,
+       |  sum(n_docs) OVER (ORDER BY bucket)::BIGINT AS cum_docs,
+       |  sum(n_docs) OVER (ORDER BY bucket)::DOUBLE
+       |    / sum(n_docs) OVER () AS cum_frac
+       |FROM g ORDER BY bucket""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.Tables.t(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(size(org.apache.spark.sql.functions.split(col("text"), " ", -1))
+        .cast("long").as("tokens"))
+      .withColumn("bucket", length(conv(col("tokens").cast("string"), 10, 2)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("total_tokens"),
+        min("tokens").as("min_tokens"), max("tokens").as("max_tokens"))
+    g.select(
+        col("bucket"),
+        expr("shiftleft(cast(1 as bigint), cast(bucket as int) - 1)").as("lo"),
+        (expr("shiftleft(cast(1 as bigint), cast(bucket as int))") - 1).as("hi"),
+        col("n_docs"), col("total_tokens"), col("min_tokens"), col("max_tokens"))
+      .withColumn("cum_docs",
+        sum("n_docs").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_frac", col("cum_docs").cast("double") /
+        sum("n_docs").over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .orderBy("bucket")
+  }
+
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
-    stats)
+    stats, lenHist)
 }

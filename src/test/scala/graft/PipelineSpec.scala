@@ -282,6 +282,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(byPos.sameElements(byPos.sorted))
   }
 
+  test("gopher rules: passes is the conjunction of its rules; metrics bounded") {
+    val g = run("pipe_gopher_rules").cache()
+    assert(g.count() > 0)
+    // passes must equal the AND of the four rule columns on every row
+    assert(g.filter(col("passes") =!=
+      (col("r_wordcount") && col("r_wordlen") && col("r_stopwords")
+        && col("r_dominance"))).count() == 0)
+    // dominance ratio is a frequency share: (0, 1]; and the dominant word's
+    // count can't be below the uniform floor 1/n_words
+    assert(g.filter(col("dom_ratio") <= 0 || col("dom_ratio") > 1).count() == 0)
+    assert(g.filter(col("dom_ratio") * col("n_words") < 1).count() == 0)
+    // both verdicts occur on this corpus (the gate isn't degenerate)
+    assert(g.filter(col("passes")).count() > 0)
+    assert(g.select("r_dominance").distinct().count() == 2)
+  }
+
+  test("length histogram: buckets partition docs; cum_frac ends at 1") {
+    val h = run("pipe_len_histogram").orderBy("bucket").collect()
+    assert(h.nonEmpty)
+    // bucket bounds are the binary-digit ranges: lo = 2^(b-1), hi = 2^b - 1,
+    // and observed min/max token counts stay inside them
+    h.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("lo") == (1L << (b - 1)))
+      assert(r.getAs[Long]("hi") == (1L << b) - 1)
+      assert(r.getAs[Long]("min_tokens") >= r.getAs[Long]("lo"))
+      assert(r.getAs[Long]("max_tokens") <= r.getAs[Long]("hi"))
+    }
+    // cumulative docs is monotone and ends at the total; final share is 1.0
+    val cum = h.map(_.getAs[Long]("cum_docs"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a < b } || cum.length == 1)
+    assert(cum.last == h.map(_.getAs[Long]("n_docs")).sum)
+    assert(math.abs(h.last.getAs[Double]("cum_frac") - 1.0) < 1e-12)
+  }
+
   test("corpus mix: up-weighted source keeps a larger share; subset of corpus") {
     val mix = run("pipe_corpus_mix").cache()
     val docs = Tables.t(spark, sf, "documents")
