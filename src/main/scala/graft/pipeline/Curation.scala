@@ -340,6 +340,45 @@ object Curation {
       .orderBy("bucket")
   }
 
+  /** The full curation pipeline as ONE query — what actually ships to
+    * training: per near-dup cluster (MinHash+LSH candidates → bounded label
+    * propagation) keep only the highest-quality member, then require it to
+    * clear the Gopher rule gate. Upgrades [[corpus]]'s exact-fingerprint ∧
+    * score-threshold composition to near-dup ∧ hard-rules — the two stages
+    * every production pretraining pipeline runs.
+    *
+    * Plan shape: the near-dup resolution is the bounded-rounds machinery
+    * already analyzed in [[Dedup]]; quality and the gate add one doc-keyed
+    * join each (co-partitioned after the first shuffle) and the survivor
+    * pick is a per-cluster window over near-dup-sized groups. Nothing here
+    * is corpus × corpus.
+    */
+  private val corpusFinal = q("pipe_corpus_final",
+    withDocs(s""", ${Dedup.minhashSql},
+       |${Dedup.resolveCtes},
+       |${TextAnalysis.qualitySql},
+       |${TextAnalysis.gopherCtes},
+       |surv AS (
+       |  SELECT l.doc_id, l.cluster, q.quality,
+       |    row_number() OVER (PARTITION BY l.cluster
+       |      ORDER BY q.quality DESC, l.doc_id) = 1 AS survivor
+       |  FROM l${Dedup.ResolveRounds} l JOIN quality q ON q.doc_id = l.doc_id)
+       |SELECT s.doc_id, s.cluster, s.quality, g.n_words
+       |FROM surv s JOIN gate g ON g.doc_id = s.doc_id
+       |WHERE s.survivor AND g.passes
+       |ORDER BY s.doc_id""".stripMargin)) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(desc("quality"), col("doc_id"))
+    Dedup.clusterLabels(s, dir)
+      .join(TextAnalysis.qualityDf(s, dir).select("doc_id", "quality"), Seq("doc_id"))
+      .withColumn("survivor", row_number().over(w) === 1)
+      .join(TextAnalysis.gopherDf(s, dir).select("doc_id", "n_words", "passes"),
+        Seq("doc_id"))
+      .filter(col("survivor") && col("passes"))
+      .select("doc_id", "cluster", "quality", "n_words")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
-    stats, lenHist)
+    stats, lenHist, corpusFinal)
 }

@@ -47,7 +47,7 @@ object Dedup {
   private def mhB(i: Int): Long = (1103515245L * i + 12345L) % MhP
 
   /** MinHash signature: 16 permutations of the shingle digest, min per seed. */
-  private def minhashSql: String =
+  private[pipeline] def minhashSql: String =
     s"""minh AS (
        |  SELECT doc_id, seed,
        |    min(((2654435761 * (seed + 1)) % $MhP * h0
@@ -253,12 +253,12 @@ object Dedup {
     * bound hasn't fully converged; LSH-band clusters are near-cliques in
     * practice and converge in 1-2 rounds.
     */
-  private val ResolveRounds = 5
+  private[pipeline] val ResolveRounds = 5
 
   /** The label-propagation CTE chain shared by resolve and survivor:
     * `e`/`l0`/`l1..lN` over the minhash candidates.
     */
-  private def resolveCtes: String = {
+  private[pipeline] def resolveCtes: String = {
     val oracleRounds = (1 to ResolveRounds).map { i =>
       val prev = s"l${i - 1}"
       s"""l$i AS (
@@ -287,7 +287,7 @@ object Dedup {
     }
 
   /** `(doc_id, cluster)` labels after the bounded label propagation. */
-  private def clusterLabels(s: org.apache.spark.sql.SparkSession,
+  private[pipeline] def clusterLabels(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
       val rounds = ResolveRounds
       val cand = minhashCandidates(docShingleArrays(s, dir))

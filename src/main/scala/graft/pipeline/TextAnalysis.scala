@@ -406,56 +406,71 @@ object TextAnalysis {
     * arithmetic in one scan; the doc-keyed join is co-partitioned with the
     * aggregate output.
     */
-  private val gopher = {
+  /** The rule-gate CTE chain (expects `docs`/`words` in scope; CTE names are
+    * g-prefixed to compose beside [[qualitySql]]): per-(doc, word) counts →
+    * per-doc dominant-word count → the `gate` table with every metric, every
+    * rule verdict, and the conjunction `passes`.
+    */
+  val gopherCtes: String =
+    s"""gwc AS (
+       |  SELECT doc_id, word, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(w) AS word FROM words)
+       |  GROUP BY doc_id, word),
+       |gdom AS (SELECT doc_id, max(c) AS mx FROM gwc GROUP BY doc_id),
+       |gm AS (
+       |  SELECT d.doc_id,
+       |    len(w.w) AS n_words,
+       |    len(replace(d.norm, ' ', ''))::DOUBLE / len(w.w) AS avg_word_len,
+       |    len(list_filter(['the', 'a', 'of', 'and', 'to'],
+       |      x -> list_contains(w.w, x)))::BIGINT AS n_stop_distinct,
+       |    gdom.mx::DOUBLE / len(w.w) AS dom_ratio
+       |  FROM docs d
+       |  JOIN words w ON w.doc_id = d.doc_id
+       |  JOIN gdom ON gdom.doc_id = d.doc_id
+       |  WHERE len(w.w) > 0),
+       |gate AS (
+       |  SELECT doc_id, n_words, avg_word_len, n_stop_distinct, dom_ratio,
+       |    n_words BETWEEN 50 AND 100000 AS r_wordcount,
+       |    avg_word_len BETWEEN 3.0 AND 10.0 AS r_wordlen,
+       |    n_stop_distinct >= 2 AS r_stopwords,
+       |    dom_ratio <= 0.1 AS r_dominance,
+       |    (n_words BETWEEN 50 AND 100000) AND (avg_word_len BETWEEN 3.0 AND 10.0)
+       |      AND n_stop_distinct >= 2 AND dom_ratio <= 0.1 AS passes
+       |  FROM gm)""".stripMargin
+
+  /** Spark twin of [[gopherCtes]]' `gate` table. */
+  def gopherDf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val stopsList = "('the', 'a', 'of', 'and', 'to')"
-    q("pipe_gopher_rules",
-      s"""WITH $docsNormCte,
-         |$wordsCte,
-         |wc AS (
-         |  SELECT doc_id, word, count(*) AS c
-         |  FROM (SELECT doc_id, unnest(w) AS word FROM words)
-         |  GROUP BY doc_id, word),
-         |dom AS (SELECT doc_id, max(c) AS mx FROM wc GROUP BY doc_id),
-         |m AS (
-         |  SELECT d.doc_id,
-         |    len(w.w) AS n_words,
-         |    len(replace(d.norm, ' ', ''))::DOUBLE / len(w.w) AS avg_word_len,
-         |    len(list_filter(['the', 'a', 'of', 'and', 'to'],
-         |      x -> list_contains(w.w, x)))::BIGINT AS n_stop_distinct,
-         |    dom.mx::DOUBLE / len(w.w) AS dom_ratio
-         |  FROM docs d
-         |  JOIN words w ON w.doc_id = d.doc_id
-         |  JOIN dom ON dom.doc_id = d.doc_id
-         |  WHERE len(w.w) > 0)
-         |SELECT doc_id, n_words, avg_word_len, n_stop_distinct, dom_ratio,
-         |  n_words BETWEEN 50 AND 100000 AS r_wordcount,
-         |  avg_word_len BETWEEN 3.0 AND 10.0 AS r_wordlen,
-         |  n_stop_distinct >= 2 AS r_stopwords,
-         |  dom_ratio <= 0.1 AS r_dominance,
-         |  (n_words BETWEEN 50 AND 100000) AND (avg_word_len BETWEEN 3.0 AND 10.0)
-         |    AND n_stop_distinct >= 2 AND dom_ratio <= 0.1 AS passes
-         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val words = docWords(s, dir).filter(size(col("w")) > 0)
-      val dom = words.select(col("doc_id"), explode(col("w")).as("word"))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("mx"))
-      words.join(dom, Seq("doc_id"))
-        .select(
-          col("doc_id"),
-          size(col("w")).as("n_words"),
-          (length(regexp_replace(col("norm"), " ", "")).cast("double") / size(col("w")))
-            .as("avg_word_len"),
-          size(expr(s"filter(array$stopsList, x -> array_contains(w, x))"))
-            .cast("long").as("n_stop_distinct"),
-          (col("mx").cast("double") / size(col("w"))).as("dom_ratio"))
-        .withColumn("r_wordcount", col("n_words").between(50, 100000))
-        .withColumn("r_wordlen", col("avg_word_len").between(3.0, 10.0))
-        .withColumn("r_stopwords", col("n_stop_distinct") >= 2)
-        .withColumn("r_dominance", col("dom_ratio") <= 0.1)
-        .withColumn("passes",
-          col("r_wordcount") && col("r_wordlen") && col("r_stopwords") && col("r_dominance"))
-        .orderBy("doc_id")
-    }
+    val words = docWords(s, dir).filter(size(col("w")) > 0)
+    val dom = words.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("mx"))
+    words.join(dom, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        (length(regexp_replace(col("norm"), " ", "")).cast("double") / size(col("w")))
+          .as("avg_word_len"),
+        size(expr(s"filter(array$stopsList, x -> array_contains(w, x))"))
+          .cast("long").as("n_stop_distinct"),
+        (col("mx").cast("double") / size(col("w"))).as("dom_ratio"))
+      .withColumn("r_wordcount", col("n_words").between(50, 100000))
+      .withColumn("r_wordlen", col("avg_word_len").between(3.0, 10.0))
+      .withColumn("r_stopwords", col("n_stop_distinct") >= 2)
+      .withColumn("r_dominance", col("dom_ratio") <= 0.1)
+      .withColumn("passes",
+        col("r_wordcount") && col("r_wordlen") && col("r_stopwords") && col("r_dominance"))
+  }
+
+  private val gopher = q("pipe_gopher_rules",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |$gopherCtes
+       |SELECT doc_id, n_words, avg_word_len, n_stop_distinct, dom_ratio,
+       |  r_wordcount, r_wordlen, r_stopwords, r_dominance, passes
+       |FROM gate ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    gopherDf(s, dir).orderBy("doc_id")
   }
 
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,

@@ -317,6 +317,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(h.last.getAs[Double]("cum_frac") - 1.0) < 1e-12)
   }
 
+  test("corpus final: survivors of resolve that pass gopher, one per cluster") {
+    val cf = run("pipe_corpus_final").cache()
+    assert(cf.count() > 0)
+    // at most one survivor per near-dup cluster
+    assert(cf.groupBy("cluster").count().filter(col("count") > 1).count() == 0)
+    // every selected doc passes the rule gate
+    val gatePass = run("pipe_gopher_rules").filter(col("passes")).select("doc_id")
+    assert(cf.join(gatePass, Seq("doc_id"), "left_anti").count() == 0)
+    // strictly tighter than the gate alone (dedup removed something), and
+    // every selected doc is its cluster's survivor per the resolve labels
+    assert(cf.count() <= gatePass.count())
+    val surv = run("pipe_dedup_survivor").filter(col("survivor"))
+      .select(col("doc_id"), col("cluster").as("sc"))
+    assert(cf.join(surv, Seq("doc_id")).filter(col("cluster") =!= col("sc")).count() == 0)
+    assert(cf.join(surv, Seq("doc_id")).count() == cf.count())
+  }
+
   test("corpus mix: up-weighted source keeps a larger share; subset of corpus") {
     val mix = run("pipe_corpus_mix").cache()
     val docs = Tables.t(spark, sf, "documents")
