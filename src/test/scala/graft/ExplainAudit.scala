@@ -118,6 +118,20 @@ class ExplainAudit extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), "tfidf's word-keyed df join vanished")
   }
 
+  test("gopher dominance is two hash aggregates, not a per-row nested scan") {
+    val p = plan("pipe_gopher_rules")
+    // explode → (doc, word) count → per-doc max: both levels hash aggregates
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("Generate explode"), "dominance must explode words")
+    assert(!p.contains("Window"), "no window machinery in the gate")
+  }
+
+  test("length histogram is one scan to a tiny aggregate — no join") {
+    val p = plan("pipe_len_histogram")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("stateful CDC plans a grouped-state operator, enrichment is a hash join") {
     // batch mode lowers flatMapGroupsWithState to MapGroups (empty state);
     // the streaming plan's FlatMapGroupsWithStateExec is pinned by StreamSpec
