@@ -477,7 +477,46 @@ object Misc {
         |  l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  /** Metadata-only table statistics via parquet AGGREGATE pushdown: the scan
+    * node itself returns COUNT/MIN/MAX from parquet footers — zero data pages
+    * read. At 100 TB this answers "how big is the table, what is the key
+    * range" from ~row-group-count × 100 bytes of footer I/O instead of a full
+    * scan; it is the planner's row-count source for join sizing too. Requires
+    * the DSv2 parquet path (pushdown doesn't exist in the V1 reader), so the
+    * query plans in a cloned session scoped to this read — the engine-wide
+    * default stays V1, whose plan shapes the rest of the suite pins.
+    * ExplainAudit asserts `PushedAggregation` is present so a regression back
+    * to a full scan fails the suite.
+    */
+  private val tableKeys = Seq(
+    "documents" -> "doc_id", "embeddings" -> "vec_id",
+    "events" -> "event_id", "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey")
+
+  private[graft] def tableStatsDf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    tableKeys.map { case (t, k) =>
+      s2.read.parquet(s"$dir/$t.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col(k)).cast("long").as("min_key"),
+          max(col(k)).cast("long").as("max_key"))
+        .select(lit(t).as("table_name"), col("n_rows"), col("min_key"),
+          col("max_key"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val tableStats = q("meta_table_stats",
+    tableKeys.map { case (t, k) =>
+      s"SELECT '$t' AS table_name, count(*)::BIGINT AS n_rows, " +
+        s"min($k)::BIGINT AS min_key, max($k)::BIGINT AS max_key FROM $t"
+    }.mkString("", "\nUNION ALL ", "\nORDER BY table_name")) { (s, dir) =>
+    tableStatsDf(s, dir).orderBy("table_name")
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
-    rollup, moments, analytics, approxDistinct, groupingSets)
+    rollup, moments, analytics, approxDistinct, groupingSets, tableStats)
 }

@@ -132,6 +132,11 @@ class ExplainAudit extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("table stats push COUNT/MIN/MAX into the parquet scan (footer-only)") {
+    val p = plan("meta_table_stats")
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p.take(2000))
+  }
+
   test("stateful CDC plans a grouped-state operator, enrichment is a hash join") {
     // batch mode lowers flatMapGroupsWithState to MapGroups (empty state);
     // the streaming plan's FlatMapGroupsWithStateExec is pinned by StreamSpec
