@@ -200,5 +200,57 @@ object Graph {
     }
   }
 
-  val all: Seq[GQuery] = Seq(components, pagerank)
+  /** Blast radius: bounded multi-source BFS — for every seed node (a
+    * deterministic ~5% slice), the count of nodes reachable in ≤ k directed
+    * hops. This is the "what breaks if X slips" walk over `blocks` edges,
+    * the per-seed generalization of the hierarchy levels op. Each round is
+    * one (frontier ⨝ edges) shuffle join + a distinct — O(k·|reached|) rows
+    * total, with per-round dedup so a dense cycle can't re-expand the same
+    * (seed, node) pair; lineage truncated per round like [[components]].
+    * At 100 TB the reached set of hub seeds saturates toward the component
+    * size — the k bound plus per-round distinct is what keeps the frontier
+    * linear in the true reach instead of exponential in path count.
+    */
+  private val khopRounds = 3
+  private val khop = {
+    val stepSql = (1 to khopRounds).map { i =>
+      s"""r$i AS (
+         |  SELECT seed, node FROM r${i - 1}
+         |  UNION
+         |  SELECT DISTINCT r.seed, e.b AS node
+         |  FROM r${i - 1} r JOIN e ON e.a = r.node)""".stripMargin
+    }.mkString(",\n")
+    q("graph_khop",
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |e AS (SELECT DISTINCT a, b FROM eint),
+         |seeds AS (
+         |  SELECT DISTINCT a AS seed FROM e WHERE a % 100 < 5),
+         |r0 AS (SELECT seed, seed AS node FROM seeds),
+         |$stepSql
+         |SELECT 'P' || CAST(seed // 1000000000000 AS STRING) || '-'
+         |    || CAST(seed % 1000000000000 AS STRING) AS seed_key,
+         |  (count(*) - 1)::BIGINT AS n_reached
+         |FROM r$khopRounds GROUP BY seed ORDER BY seed_key""".stripMargin) { (s, dir) =>
+      val e = edgesInt(s, dir).distinct().localCheckpoint()
+      val seeds = e.filter(col("a") % 100 < 5).select(col("a").as("seed")).distinct()
+      var reached = seeds.select(col("seed"), col("seed").as("node"))
+        .localCheckpoint()
+      (1 to khopRounds).foreach { _ =>
+        reached = reached.unionByName(
+            e.join(reached.select(col("seed"), col("node").as("a")), Seq("a"))
+              .select(col("seed"), col("b").as("node")))
+          .distinct()
+          .localCheckpoint()
+      }
+      reached.groupBy("seed")
+        .agg((count(lit(1)) - 1).as("n_reached"))
+        .select(concat(lit("P"), expr("seed div 1000000000000").cast("string"),
+          lit("-"), (col("seed") % lit(1000000000000L)).cast("string")).as("seed_key"),
+          col("n_reached"))
+        .orderBy("seed_key")
+    }
+  }
+
+  val all: Seq[GQuery] = Seq(components, pagerank, khop)
 }

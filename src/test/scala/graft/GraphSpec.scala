@@ -39,6 +39,25 @@ class GraphSpec extends AnyFunSuite {
       "no node accumulated inbound mass — contribution join is broken")
   }
 
+  test("khop: reach is monotone in k and bounded by the seed's component") {
+    import org.apache.spark.sql.functions._
+    val k3 = SparkEntry.queries("graph_khop")(spark, sf).cache()
+    assert(k3.count() > 0)
+    // n_reached counts OTHER nodes: non-negative, and someone reaches > 0
+    assert(k3.filter(col("n_reached") < 0).count() == 0)
+    assert(k3.filter(col("n_reached") > 0).count() > 0)
+    // 1-hop reach (out-degree of the seed slice) can never exceed 3-hop reach
+    val links = Tables.links(spark, sf)
+      .filter(col("link_type") === "blocks" && col("project_key") === "P1")
+      .select(col("src"), col("dst")).distinct()
+    val oneHop = links.filter(
+        element_at(split(col("src"), "-"), 2).cast("long") % 100 < 5)
+      .groupBy(col("src").as("sk")).agg(countDistinct("dst").as("d1"))
+    val joined = k3.join(oneHop, col("seed_key") === col("sk"))
+    assert(joined.filter(col("n_reached") < col("d1") - 1).count() == 0,
+      "3-hop reach below the seed's out-degree")
+  }
+
   test("scd2 intervals chain: valid_to equals the next valid_from per key") {
     import org.apache.spark.sql.expressions.Window
     val iv = SparkEntry.queries("cdc_scd2_intervals")(spark, sf)
