@@ -423,6 +423,99 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product quantization + asymmetric-distance search — the compressed-
+    * domain ANN path a 100 TB embedding store actually serves from: each
+    * 64-dim vector is encoded as M=4 sub-space codes (8 codewords per
+    * sub-space, taken training-free from the first vectors like the IVF
+    * centroids), i.e. 4 small ints instead of 512 bytes of doubles; a query
+    * probes with one 32-entry lookup table of exact sub-distances, so
+    * ranking touches only codes + the lut, never the original vectors.
+    *
+    * Scale shape: ENCODE is map-side — codewords are inlined literals and
+    * each row folds its own argmin per sub-space (no ×K row explosion, no
+    * per-vector window shuffle). SEARCH is the wide codes table joined to
+    * the broadcast lut once per sub-space with an explicitly-parenthesized
+    * 4-term sum (aggregate SUM over doubles is merge-order-dependent and
+    * would not hash-match cross-engine), then global top-k. All distances
+    * in both engines use the same `dss + dcc - 2*dsc` sequential-fold
+    * arithmetic, so ADC values are bit-identical.
+    */
+  private val pq = {
+    val M = 4; val sub = 16; val K = 8
+    val d2Sql = (s: String, c: String) =>
+      s"list_dot_product($s, $s) + list_dot_product($c, $c) - 2*list_dot_product($s, $c)"
+    q("pipe_ann_pq",
+      s"""WITH $embCte,
+         |cb AS (
+         |  SELECT m, vec_id AS code, list_slice(e, (m-1)*$sub+1, m*$sub) AS ce
+         |  FROM emb, generate_series(1, $M) t(m) WHERE vec_id < $K),
+         |sub AS (
+         |  SELECT vec_id, m, list_slice(e, (m-1)*$sub+1, m*$sub) AS sv
+         |  FROM emb, generate_series(1, $M) t(m)),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${d2Sql("s.sv", "c.ce")}, c.code) AS rn
+         |    FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1),
+         |codes AS (
+         |  SELECT vec_id,
+         |    ${(1 to M).map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m")
+              .mkString(",\n    ")}
+         |  FROM enc GROUP BY vec_id),
+         |qlut AS (
+         |  SELECT c.m, c.code, ${d2Sql("qs.sv", "c.ce")} AS d2
+         |  FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) qs
+         |    ON qs.m = c.m)
+         |SELECT v.vec_id, ((l1.d2 + l2.d2) + l3.d2) + l4.d2 AS adc
+         |FROM codes v
+         |${(1 to M).map(m =>
+              s"JOIN qlut l$m ON l$m.m = $m AND l$m.code = v.c$m")
+              .mkString("\n")}
+         |WHERE v.vec_id <> 0
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = embD(s, dir)
+      // codebook: K sub-vectors per sub-space, collected (bounded: a PQ
+      // system ships its codebook with the job) and inlined as literals
+      val cl = e.filter(col("vec_id") < K).select("vec_id", "e").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+      def sv(c: org.apache.spark.sql.Column, m: Int) =
+        slice(c, (m - 1) * sub + 1, sub)
+      def d2(svCol: org.apache.spark.sql.Column, ce: Seq[Double]) = {
+        val lc = typedLit(ce)
+        dotD(svCol, svCol) + dotD(lc, lc) - lit(2.0) * dotD(svCol, lc)
+      }
+      // encode map-side: per row, argmin (d2, code) over inlined codewords
+      val codes = (1 to M).foldLeft(e) { (df, m) =>
+        val cands = array(cl.map { case (code, full) =>
+          val ce = full.slice((m - 1) * sub, m * sub)
+          struct(d2(sv(col("e"), m), ce).as("d2"), lit(code).as("code"))
+        }: _*)
+        df.withColumn(s"c$m", array_min(cands).getField("code"))
+      }.select(col("vec_id") +: (1 to M).map(m => col(s"c$m")): _*)
+      // query lut: 32 rows of exact sub-distances from the query row
+      val qv = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      import s.implicits._
+      val cb = cl.flatMap { case (code, full) =>
+        (1 to M).map(m => (m, code, full.slice((m - 1) * sub, m * sub)))
+      }.toSeq.toDF("m", "code", "ce")
+      val qlut = cb.crossJoin(broadcast(qv))
+        .select(col("m"), col("code"),
+          (dotD(expr("slice(qe, (m-1)*16+1, 16)"), expr("slice(qe, (m-1)*16+1, 16)"))
+            + dotD(col("ce"), col("ce"))
+            - lit(2.0) * dotD(expr("slice(qe, (m-1)*16+1, 16)"), col("ce"))).as("d2"))
+      val joined = (1 to M).foldLeft(codes) { (df, m) =>
+        df.join(broadcast(qlut.filter(col("m") === m)
+            .select(col("code").as(s"c$m"), col("d2").as(s"d$m"))),
+          Seq(s"c$m"))
+      }
+      joined.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (((col("d1") + col("d2")) + col("d3")) + col("d4")).as("adc"))
+        .orderBy(col("adc"), col("vec_id")).limit(10)
+    }
+  }
+
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
-    quantize)
+    quantize, pq)
 }

@@ -132,6 +132,13 @@ class ExplainAudit extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("pq encode is map-side: no Generate, no Window; search is top-k") {
+    val p = plan("pipe_ann_pq")
+    assert(!p.contains("Generate"), "PQ encode must not explode rows")
+    assert(!p.contains("Window"), "PQ encode must not window-shuffle")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("table stats push COUNT/MIN/MAX into the parquet scan (footer-only)") {
     val p = plan("meta_table_stats")
     assert(p.contains("PushedAggregation: [COUNT(*)"), p.take(2000))

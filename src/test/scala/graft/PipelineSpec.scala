@@ -317,6 +317,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(h.last.getAs[Double]("cum_frac") - 1.0) < 1e-12)
   }
 
+  test("pq: top-10 by asymmetric distance, non-negative, query excluded") {
+    val pq = run("pipe_ann_pq").collect()
+    assert(pq.length == 10)
+    assert(pq.map(_.getAs[Long]("vec_id")).distinct.length == 10)
+    assert(!pq.exists(_.getAs[Long]("vec_id") == 0L))
+    val adcs = pq.map(_.getAs[Double]("adc"))
+    // ADC is a sum of four squared L2 sub-distances: >= 0 (fp slack), sorted
+    assert(adcs.forall(_ >= -1e-9))
+    assert(adcs.sameElements(adcs.sorted))
+    // codewords are real vectors (vec_id < 8): their own ADC to the query is
+    // small — sanity that the lut geometry is meaningful: the best ADC must
+    // not exceed the worst by construction of the sort (already checked),
+    // and at least one of the true brute-force top-10 should surface here
+    val brute = run("pipe_ann_brute").collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(pq.map(_.getAs[Long]("vec_id")).count(brute.contains) >= 1,
+      "PQ top-10 shares nothing with exact top-10 — encode or lut broken")
+  }
+
   test("corpus final: survivors of resolve that pass gopher, one per cluster") {
     val cf = run("pipe_corpus_final").cache()
     assert(cf.count() > 0)
