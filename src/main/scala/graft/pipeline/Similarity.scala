@@ -516,6 +516,123 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ — the production composition: the IVF cell id prunes partitions
+    * (probe nprobe/C of the corpus), PQ codes rank the survivors from the
+    * broadcast lookup table, and only the final short-list would ever read
+    * original vectors (the re-rank step, elided here — ADC is the output).
+    * Plan: map-side assign + map-side encode in ONE scan stage, a semi-join
+    * on the probed cells, the lut joins, top-k. Zero exchanges before the
+    * cell semi-join.
+    */
+  private val ivfpq = {
+    val M = 4; val sub = 16; val K = 8
+    val d2Sql = (s: String, c: String) =>
+      s"list_dot_product($s, $s) + list_dot_product($c, $c) - 2*list_dot_product($s, $c)"
+    q("pipe_ann_ivfpq",
+      s"""WITH $embCte,
+         |$querySql,
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${sqlCosine("v.e", "c.ce")} DESC, c.cid) AS rn
+         |    FROM emb v, cents c) WHERE rn = 1),
+         |probe AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid,
+         |      row_number() OVER (ORDER BY ${sqlCosine("q.qe", "c.ce")} DESC, c.cid) AS rn
+         |    FROM cents c, q) WHERE rn <= 2),
+         |cb AS (
+         |  SELECT m, vec_id AS code, list_slice(e, (m-1)*$sub+1, m*$sub) AS ce
+         |  FROM emb, generate_series(1, $M) t(m) WHERE vec_id < $K),
+         |sub AS (
+         |  SELECT vec_id, m, list_slice(e, (m-1)*$sub+1, m*$sub) AS sv
+         |  FROM emb, generate_series(1, $M) t(m)),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT s.vec_id, s.m, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${d2Sql("s.sv", "c.ce")}, c.code) AS rn
+         |    FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1),
+         |codes AS (
+         |  SELECT vec_id,
+         |    ${(1 to M).map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m")
+              .mkString(",\n    ")}
+         |  FROM enc GROUP BY vec_id),
+         |qlut AS (
+         |  SELECT c.m, c.code, ${d2Sql("qs.sv", "c.ce")} AS d2
+         |  FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) qs
+         |    ON qs.m = c.m)
+         |SELECT v.vec_id, ((l1.d2 + l2.d2) + l3.d2) + l4.d2 AS adc
+         |FROM codes v
+         |JOIN assign a ON a.vec_id = v.vec_id
+         |JOIN probe p ON p.cid = a.cid
+         |${(1 to M).map(m =>
+              s"JOIN qlut l$m ON l$m.m = $m AND l$m.code = v.c$m")
+              .mkString("\n")}
+         |WHERE v.vec_id <> 0
+         |ORDER BY adc, v.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val en = embDN(s, dir)
+      val e = en.select("vec_id", "e")
+      val cents = embDN(s, dir).filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+      val qv = embDN(s, dir).filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("nrm").as("qn"))
+      val cl = e.filter(col("vec_id") < K).select("vec_id", "e").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+      // probe cells resolved at plan build from the collected codebook rows
+      // (centroids ARE codebook vectors here; the query is row 0): the same
+      // sequential-fold dot product both engines run, so the top-2 ranking
+      // is identical — and the probe becomes a literal isin PARTITION FILTER
+      // on the cell id, the partition-pruning form the 100 TB layout wants
+      def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val qvec = cl.find(_._1 == 0L).get._2
+      val qn = math.sqrt(sdot(qvec, qvec))
+      val probeCids: Seq[Long] = cl
+        .map { case (cid, ce) =>
+          (cid, sdot(ce, qvec) / (math.sqrt(sdot(ce, ce)) * qn)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1).toSeq
+      def svc(c: org.apache.spark.sql.Column, m: Int) =
+        slice(c, (m - 1) * sub + 1, sub)
+      def d2(svCol: org.apache.spark.sql.Column, ce: Seq[Double]) = {
+        val lc = typedLit(ce)
+        dotD(svCol, svCol) + dotD(lc, lc) - lit(2.0) * dotD(svCol, lc)
+      }
+      // ONE scan stage appends the cell id AND the 4 codes per row
+      val encoded = (1 to M).foldLeft(assignMapSide(en, cents)) { (df, m) =>
+        val cands = array(cl.map { case (code, full) =>
+          val ce = full.slice((m - 1) * sub, m * sub)
+          struct(d2(svc(col("e"), m), ce).as("d2"), lit(code).as("code"))
+        }: _*)
+        df.withColumn(s"c$m", array_min(cands).getField("code"))
+      }.select(col("vec_id") +: col("cid") +: (1 to M).map(m => col(s"c$m")): _*)
+      import s.implicits._
+      val cb = cl.flatMap { case (code, full) =>
+        (1 to M).map(m => (m, code, full.slice((m - 1) * sub, m * sub)))
+      }.toSeq.toDF("m", "code", "ce")
+      val qlut = cb.crossJoin(broadcast(qv))
+        .select(col("m"), col("code"),
+          (dotD(expr("slice(qe, (m-1)*16+1, 16)"), expr("slice(qe, (m-1)*16+1, 16)"))
+            + dotD(col("ce"), col("ce"))
+            - lit(2.0) * dotD(expr("slice(qe, (m-1)*16+1, 16)"), col("ce"))).as("d2"))
+      val pruned = encoded.filter(col("cid").isin(probeCids: _*))
+      val joined = (1 to M).foldLeft(pruned) { (df, m) =>
+        df.join(broadcast(qlut.filter(col("m") === m)
+            .select(col("code").as(s"c$m"), col("d2").as(s"d$m"))),
+          Seq(s"c$m"))
+      }
+      joined.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (((col("d1") + col("d2")) + col("d3")) + col("d4")).as("adc"))
+        .orderBy(col("adc"), col("vec_id")).limit(10)
+    }
+  }
+
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
-    quantize, pq)
+    quantize, pq, ivfpq)
 }

@@ -139,6 +139,17 @@ class ExplainAudit extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("ivfpq: probe is a literal cell filter, assign+encode in one scan") {
+    val p = plan("pipe_ann_ivfpq")
+    assert(!p.contains("Generate") && !p.contains("Window"), p.take(2000))
+    // the probe is a literal IN filter on the (inlined) cell-id expression,
+    // pushed into the scan-stage Filter — never a join against a probe table
+    assert(p.contains("IN ("), "cell probe must be a literal IN filter")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4,
+      "exactly the four lut joins expected")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("table stats push COUNT/MIN/MAX into the parquet scan (footer-only)") {
     val p = plan("meta_table_stats")
     assert(p.contains("PushedAggregation: [COUNT(*)"), p.take(2000))

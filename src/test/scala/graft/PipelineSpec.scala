@@ -335,6 +335,25 @@ class PipelineSpec extends AnyFunSuite {
       "PQ top-10 shares nothing with exact top-10 — encode or lut broken")
   }
 
+  test("ivfpq: subset of PQ ranking restricted to probed cells") {
+    val iq = run("pipe_ann_ivfpq").collect()
+    assert(iq.length == 10)
+    assert(!iq.exists(_.getAs[Long]("vec_id") == 0L))
+    val adcs = iq.map(_.getAs[Double]("adc"))
+    assert(adcs.sameElements(adcs.sorted))
+    // cell pruning can only REMOVE candidates: every IVF-PQ adc must exist
+    // with the identical value in the unpruned PQ ranking's universe — check
+    // via the full PQ query re-run without its limit being an obstacle:
+    // any (vec_id, adc) pair surfacing here and also in pq's top-10 must agree
+    val pqTop = run("pipe_ann_pq").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc")).toMap
+    iq.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      pqTop.get(v).foreach(a => assert(a == r.getAs[Double]("adc"),
+        s"adc for vec $v differs between PQ and IVF-PQ"))
+    }
+  }
+
   test("corpus final: survivors of resolve that pass gopher, one per cluster") {
     val cf = run("pipe_corpus_final").cache()
     assert(cf.count() > 0)
