@@ -138,16 +138,42 @@ object Curation {
     }
   }
 
+  /** Number of range buckets for the distributed prefix-sum machinery. On a
+    * real cluster this would track `spark.sql.shuffle.partitions`; a fixed
+    * power of two keeps the bucketing expression (and therefore the oracle
+    * hash) independent of session conf.
+    */
+  private val PrefixBuckets = 64
+
+  /** Per-bucket cumulative offsets WITHOUT a global window: given the
+    * |buckets|-row `(pid, tot)` aggregate, compute for each bucket the sum of
+    * `tot` over all LOWER buckets via a triangular broadcast join — at most
+    * buckets² = 4096 joined rows regardless of corpus size, and no
+    * single-partition WindowExec anywhere in the plan.
+    */
+  private def bucketBases(perBucket: org.apache.spark.sql.DataFrame) = {
+    val rhs = perBucket.select(col("pid").as("pid2"), col("tot").as("tot2"))
+    perBucket.join(broadcast(rhs), col("pid2") < col("pid"), "left")
+      .groupBy("pid")
+      .agg(coalesce(sum("tot2"), lit(0L)).as("base"))
+  }
+
   /** Sequence packing (concatenate-and-chunk): the corpus is one token
     * stream in doc_id order, cut into fixed 2048-token training sequences;
     * each document reports the sequence span it lands in. This is how
     * GPT-style pretraining actually packs documents — no padding, documents
-    * may straddle a sequence boundary. The oracle-parity form uses one
-    * global running sum for cross-engine determinism; the 100 TB shape runs
-    * the identical arithmetic per output shard (shard-local offsets over
-    * already-sorted shard files), which is embarrassingly parallel — the
-    * running sum never needs to be global in production because sequence
-    * ids only need to be unique, not dense across shards.
+    * may straddle a sequence boundary.
+    *
+    * Scale design — the global running sum is computed WITHOUT a global
+    * window (which would move the whole corpus through one WindowExec task):
+    * (1) bucket each row by exact integer range arithmetic on `doc_id`
+    * (deterministic — no RangePartitioner sampling, so the two uses of the
+    * bucketed frame agree without a persist); (2) a per-bucket running sum,
+    * parallel across [[PrefixBuckets]] tasks; (3) the |buckets|-row totals
+    * fold into cumulative bases via [[bucketBases]] and broadcast back.
+    * `off = base + local_run − tokens` is exactly the global prefix sum
+    * because the bucket id is monotone in `doc_id` — so results stay
+    * hash-identical to the oracle's single `sum() OVER (ORDER BY doc_id)`.
     */
   private val SeqBudget = 2048L
   private val pack = q("pipe_pack_sequences",
@@ -165,15 +191,25 @@ object Curation {
        |  (off + tokens - 1) // $SeqBudget AS seq_last,
        |  (off + tokens - 1) // $SeqBudget - off // $SeqBudget + 1 AS n_seqs
        |FROM offs ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    graft.Tables.t(s, dir, "documents")
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.Tables.t(s, dir, "documents")
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
           .cast("long").as("tokens"))
-      .withColumn("off", sum("tokens").over(w) - col("tokens"))
+    // deterministic range bucket: pid ∈ [0, PrefixBuckets), monotone in doc_id
+    val bounds = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val bucketed = toks.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        expr(s"cast(((doc_id - lo) * $PrefixBuckets) div (hi - lo + 1) as int)"))
+      .drop("lo", "hi")
+    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = bucketBases(bucketed.groupBy("pid").agg(sum("tokens").as("tot")))
+    bucketed
+      .withColumn("run", sum("tokens").over(wLocal))
+      .join(broadcast(bases), Seq("pid"))
+      .withColumn("off", col("base") + col("run") - col("tokens"))
       .select(col("doc_id"), col("tokens"), col("off"),
         expr(s"off div $SeqBudget").as("seq_first"),
         expr(s"(off + tokens - 1) div $SeqBudget").as("seq_last"),
@@ -223,9 +259,16 @@ object Curation {
   /** Deterministic corpus shuffle: training order = rank under a seeded
     * content-independent hash of the stable id — reproducible on any
     * cluster, any partitioning, any re-run, unlike RNG `orderBy(rand())`.
-    * At 100 TB this IS the plan you want: sorting by the hash key is one
-    * range-partitioned sort (what any global shuffle costs), and epochs
-    * re-shuffle by changing the seed, not by re-reading state.
+    * Epochs re-shuffle by changing the seed, not by re-reading state.
+    *
+    * Scale design — same two-phase construction as [[pack]]: the global
+    * `row_number() OVER (ORDER BY hkey, doc_id)` never materializes as a
+    * single-partition window. The 60-bit [[hash64]] key is uniform in
+    * [0, 2⁶⁰), so its top bits ARE a deterministic range bucket
+    * (`pid = hkey div 2^54`, monotone in hkey); each bucket ranks locally in
+    * parallel and the |buckets|-row counts broadcast back as rank bases.
+    * `pos = base + local_rank` equals the global rank exactly (equal hkeys
+    * share a bucket), so the result is hash-identical to the oracle.
     */
   private val ShuffleSeed = ":42"
   private val shuffle = q("pipe_shuffle",
@@ -235,11 +278,19 @@ object Curation {
        |SELECT doc_id, hkey,
        |  row_number() OVER (ORDER BY hkey, doc_id) AS pos
        |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val w = org.apache.spark.sql.expressions.Window.orderBy("hkey", "doc_id")
-    graft.Tables.t(s, dir, "documents")
+    import org.apache.spark.sql.expressions.Window
+    // top log2(PrefixBuckets) bits of the 60-bit hash key
+    val shift = 1L << (60 - (63 - java.lang.Long.numberOfLeadingZeros(PrefixBuckets.toLong)))
+    val h = graft.Tables.t(s, dir, "documents")
       .select(col("doc_id"),
         hash64(concat(col("doc_id").cast("string"), lit(ShuffleSeed))).as("hkey"))
-      .withColumn("pos", row_number().over(w))
+      .withColumn("pid", expr(s"cast(hkey div ${shift}L as int)"))
+    val wLocal = Window.partitionBy("pid").orderBy("hkey", "doc_id")
+    val bases = bucketBases(h.groupBy("pid").agg(count(lit(1)).as("tot")))
+    h.withColumn("rn", row_number().over(wLocal))
+      .join(broadcast(bases), Seq("pid"))
+      .withColumn("pos", (col("base") + col("rn")).cast("int"))
+      .select("doc_id", "hkey", "pos")
       .orderBy("doc_id")
   }
 

@@ -150,6 +150,20 @@ class ExplainAudit extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("pack/shuffle prefix sums are bucketed windows, never single-partition") {
+    // the global running sum / rank is computed per range-bucket (pid) with
+    // broadcast cumulative bases — a windowspecdefinition whose first column
+    // is the order key would be the old whole-corpus single-task WindowExec
+    Seq("pipe_pack_sequences", "pipe_shuffle").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("windowspecdefinition(pid"),
+        s"$n lost its bucketed window:\n${p.take(2000)}")
+      assert(!p.contains("windowspecdefinition(doc_id") &&
+        !p.contains("windowspecdefinition(hkey"),
+        s"$n plans a global (single-partition) window:\n${p.take(2000)}")
+    }
+  }
+
   test("table stats push COUNT/MIN/MAX into the parquet scan (footer-only)") {
     val p = plan("meta_table_stats")
     assert(p.contains("PushedAggregation: [COUNT(*)"), p.take(2000))
