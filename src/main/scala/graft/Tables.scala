@@ -88,6 +88,16 @@ object Tables {
         .as("parent_issue"))
   }
 
+  /** The full-parity issue table: [[issues]] enriched with the reference's
+    * relationship arrays (`subtasks`, `issue_links` — pkg/client/client.go:
+    * 59-73), the shape an API fetch delivers to the sync loop. Derivation is
+    * two keyed aggregations + two left joins ([[graft.sink.Yaml.withRelationships]]);
+    * sync consumers materialize it once per corpus snapshot, the way the
+    * reference holds fetched issues in memory.
+    */
+  def issuesFull(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sink.Yaml.withRelationships(issues(spark, sfDir), links(spark, sfDir))
+
   /** Domain `links` edge table derived from lineitem⨝orders: each lineitem
     * becomes one typed, directed edge from its order's issue. Replaces the
     * reference's symlink edges (reference: pkg/links/links.go:31-95).

@@ -205,7 +205,12 @@ object SyncEngine {
       }
       try {
 
-      val wr = Yaml.writeIssuesWithBlobs(
+      // YAML records persist whatever relationship columns the input carries
+      // (subtasks / issue_links arrays, like the reference's API-fetched
+      // Issue struct — see Tables.issuesFull / Yaml.withRelationships);
+      // the engine itself derives nothing, mirroring the reference's sync
+      // loop, which serializes the relationships the fetch already returned
+      val wr = Yaml.writeIssuesWithBlobsManifest(
         toSync.repartition(spark.sparkContext.defaultParallelism, col("key")), repoDir)
       val attempted = wr.written + wr.failed
 
@@ -215,6 +220,7 @@ object SyncEngine {
       // table by now, so its failure must SURFACE (the catch below quiesces
       // and rethrows) — not be swallowed by quiesce's awaitQuiet.
       if (attempted == 0) {
+        wr.delete()
         scala.concurrent.Await.result(edgesDone,
           scala.concurrent.duration.Duration.Inf)
         quiesce()
@@ -229,13 +235,17 @@ object SyncEngine {
 
       // one git commit per batch (S9), retried with backoff (C7). The blobs
       // are already in the object store — this is index metadata + tree
-      // build only, and re-feeding the index info on retry is idempotent.
+      // build only, streamed from the on-disk manifest (never materialized
+      // on the driver); a retry re-feeds the identical lines from disk.
       // Runs while the edge/state cluster jobs drain.
       progress.step("committing", 80)
-      withRetry(opts.maxRetries, opts.backoffBaseMs, opts.backoffCapMs) { () =>
-        GitRepo.commitIndexInfo(repoDir,
-          s"feat(sync): sync $written issues ($opId)", wr.entries)
-      }
+      try {
+        withRetry(opts.maxRetries, opts.backoffBaseMs, opts.backoffCapMs) { () =>
+          GitRepo.feedIndexInfo(repoDir, wr.entries)
+          GitRepo.commitFedIndex(repoDir,
+            s"feat(sync): sync $written issues ($opId)")
+        }
+      } finally wr.delete()
 
       // rare path: some file writes failed — restage the state without the
       // failed keys (the optimistic stage must finish first; stage()

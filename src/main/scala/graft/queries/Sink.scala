@@ -16,16 +16,28 @@ import graft.sink.Yaml
 object Sink {
 
   private val roundtrip = q("sink_yaml_roundtrip",
-    Oracle.withIssues(
-      """SELECT key, project_key, summary, status_name, priority, issuetype,
+    Oracle.withIssuesAndLinks(
+      """, sub AS (
+        |  SELECT parent_issue AS pkey, string_agg(key, ',' ORDER BY key) AS subtasks_s
+        |  FROM issues WHERE parent_issue IS NOT NULL GROUP BY parent_issue),
+        |lnk AS (
+        |  SELECT src AS lkey,
+        |    string_agg(link_type || '|' || direction || '|' || dst, ';'
+        |      ORDER BY link_type, direction, dst) AS links_s
+        |  FROM links GROUP BY src)
+        |SELECT key, project_key, summary, status_name, priority, issuetype,
         |  strftime(created, '%Y-%m-%d %H:%M:%S') AS created_s,
         |  strftime(updated, '%Y-%m-%d %H:%M:%S') AS updated_s,
         |  coalesce(epic_link, '') AS epic_link,
-        |  coalesce(parent_issue, '') AS parent_issue
+        |  coalesce(parent_issue, '') AS parent_issue,
+        |  coalesce(sub.subtasks_s, '') AS subtasks_s,
+        |  coalesce(lnk.links_s, '') AS links_s
         |FROM issues
+        |LEFT JOIN sub ON sub.pkey = issues.key
+        |LEFT JOIN lnk ON lnk.lkey = issues.key
         |WHERE project_key = 'P1' AND string_split(key, '-')[2]::INT < 2000
         |ORDER BY key""".stripMargin)) { (s, dir) =>
-    val slice = Tables.issues(s, dir)
+    val slice = Yaml.withRelationships(Tables.issues(s, dir), Tables.links(s, dir))
       .filter(col("project_key") === "P1" &&
         expr("cast(element_at(split(key, '-'), 2) as int) < 2000"))
     val repo = Files.createTempDirectory("graft-yaml-rt").toString
@@ -36,7 +48,11 @@ object Sink {
         date_format(col("created"), "yyyy-MM-dd HH:mm:ss").as("created_s"),
         date_format(col("updated"), "yyyy-MM-dd HH:mm:ss").as("updated_s"),
         coalesce(col("epic_link"), lit("")).as("epic_link"),
-        coalesce(col("parent_issue"), lit("")).as("parent_issue"))
+        coalesce(col("parent_issue"), lit("")).as("parent_issue"),
+        array_join(col("subtasks"), ",").as("subtasks_s"),
+        array_join(expr(
+          "transform(issue_links, l -> concat(l.link_type, '|', l.direction, '|', l.issue_key))"),
+          ";").as("links_s"))
       .orderBy("key")
   }
 

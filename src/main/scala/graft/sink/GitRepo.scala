@@ -32,6 +32,82 @@ object GitRepo {
     (code, out.result())
   }
 
+  /** Run git with stdin produced incrementally by `write` — the streaming
+    * variant of [[runWithInput]] for inputs too large to materialize (a huge
+    * batch's index-info lines).
+    */
+  private def runStreamingInput(dir: File, write: java.io.OutputStream => Unit,
+      args: String*): (Int, String) = {
+    val out = new StringBuilder
+    val sync = new Object
+    def drain(is: java.io.InputStream): Unit = {
+      val src = scala.io.Source.fromInputStream(is)(scala.io.Codec.UTF8)
+      try src.getLines().foreach(l => sync.synchronized {
+        out.append(l).append('\n'); ()
+      })
+      finally src.close()
+    }
+    val io = new ProcessIO(
+      in => try write(in) finally in.close(),
+      drain, drain)
+    val p = Process("git" +: args.toSeq, dir).run(io)
+    val code = p.exitValue()
+    (code, sync.synchronized(out.result()))
+  }
+
+  /** Stream `100644 <sha> 0\t<path>` lines into `update-index --index-info`
+    * without materializing the entry list. Safe to re-run with the same
+    * entries (index adds are idempotent).
+    */
+  def feedIndexInfo(repoDir: String, entries: Iterator[(String, String)]): Unit = {
+    if (!entries.hasNext) return
+    val (code, out) = runStreamingInput(new File(repoDir), os => {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(os, StandardCharsets.UTF_8), 1 << 16)
+      entries.foreach { case (path, sha) =>
+        w.write("100644 "); w.write(sha); w.write(" 0\t"); w.write(path); w.write("\n")
+      }
+      w.flush()
+    }, "update-index", "--index-info")
+    require(code == 0, s"git update-index failed: $out")
+  }
+
+  /** Turn the already-fed index into a commit (write-tree → commit-tree →
+    * update-ref), returning None when the tree is unchanged. The index-feed /
+    * commit split lets a retry re-run the cheap metadata steps — or re-feed
+    * from a persistent manifest — without re-materializing anything.
+    */
+  def commitFedIndex(repoDir: String, message: String): Option[String] = {
+    val dir = new File(repoDir)
+    val (wtCode, wtOut) = run(dir, "write-tree")
+    require(wtCode == 0, s"git write-tree failed: $wtOut")
+    val tree = wtOut.trim
+    val (pCode, pOut) = run(dir, "rev-parse", "--verify", "-q", "HEAD")
+    val parent = if (pCode == 0) Some(pOut.trim) else None
+    val unchanged = parent.exists { p =>
+      val (tc, tOut) = run(dir, "rev-parse", s"$p^{tree}")
+      tc == 0 && tOut.trim == tree
+    }
+    if (unchanged) None
+    else {
+      val msgFile = File.createTempFile("graft-commit", ".txt")
+      try {
+        java.nio.file.Files.write(msgFile.toPath,
+          message.getBytes(StandardCharsets.UTF_8))
+        val args = Seq("-c", "user.name=graft-sync",
+          "-c", "user.email=graft-sync@localhost", "commit-tree", tree) ++
+          parent.toSeq.flatMap(p => Seq("-p", p)) ++
+          Seq("-F", msgFile.getAbsolutePath)
+        val (cCode, cOut) = run(dir, args: _*)
+        require(cCode == 0, s"git commit-tree failed: $cOut")
+        val commit = cOut.trim
+        val (rCode, rOut) = run(dir, "update-ref", "HEAD", commit)
+        require(rCode == 0, s"git update-ref failed: $rOut")
+        Some(commit)
+      } finally msgFile.delete()
+    }
+  }
+
   /** Initialize the repo if absent (reference: pkg/git/git.go:61-95).
     * Loose-object compression is disabled for the sync store: staging a
     * 20k-file batch is zlib-bound (measured 3.3s → 0.9s with compression
@@ -104,39 +180,8 @@ object GitRepo {
   def commitIndexInfo(repoDir: String, message: String,
       entries: Seq[(String, String)]): Option[String] = {
     if (entries.isEmpty) return None
-    val dir = new File(repoDir)
-    val info = entries.iterator
-      .map { case (path, sha) => s"100644 $sha 0\t$path" }
-      .mkString("", "\n", "\n")
-    val (uiCode, uiOut) = runWithInput(dir, info, "update-index", "--index-info")
-    require(uiCode == 0, s"git update-index failed: $uiOut")
-    val (wtCode, wtOut) = run(dir, "write-tree")
-    require(wtCode == 0, s"git write-tree failed: $wtOut")
-    val tree = wtOut.trim
-    val (pCode, pOut) = run(dir, "rev-parse", "--verify", "-q", "HEAD")
-    val parent = if (pCode == 0) Some(pOut.trim) else None
-    val unchanged = parent.exists { p =>
-      val (tc, tOut) = run(dir, "rev-parse", s"$p^{tree}")
-      tc == 0 && tOut.trim == tree
-    }
-    if (unchanged) None
-    else {
-      val msgFile = File.createTempFile("graft-commit", ".txt")
-      try {
-        java.nio.file.Files.write(msgFile.toPath,
-          message.getBytes(StandardCharsets.UTF_8))
-        val args = Seq("-c", "user.name=graft-sync",
-          "-c", "user.email=graft-sync@localhost", "commit-tree", tree) ++
-          parent.toSeq.flatMap(p => Seq("-p", p)) ++
-          Seq("-F", msgFile.getAbsolutePath)
-        val (cCode, cOut) = run(dir, args: _*)
-        require(cCode == 0, s"git commit-tree failed: $cOut")
-        val commit = cOut.trim
-        val (rCode, rOut) = run(dir, "update-ref", "HEAD", commit)
-        require(rCode == 0, s"git update-ref failed: $rOut")
-        Some(commit)
-      } finally msgFile.delete()
-    }
+    feedIndexInfo(repoDir, entries.iterator)
+    commitFedIndex(repoDir, message)
   }
 
   /** Stage deletions for paths already removed from the worktree

@@ -27,12 +27,69 @@ object Yaml {
     "reporter_email", "created", "updated", "priority", "issuetype", "sprint",
     "epic_link", "parent_issue")
 
+  /** Relationship-array columns (the reference's Relationships block beyond
+    * the two scalar pointers): persisted when present, null-filled otherwise.
+    */
+  val relColumns: Seq[String] = Seq("subtasks", "issue_links")
+
+  /** Spark SQL type of an optional relationship-array column, used to
+    * null-fill partial schemas (the reference's Relationships block,
+    * pkg/client/client.go:59-73: subtasks []string + issue_links []IssueLink).
+    */
+  private def relType(c: String): String = c match {
+    case "subtasks" => "array<string>"
+    case "issue_links" =>
+      "array<struct<link_type:string,direction:string,issue_key:string>>"
+    case "created" | "updated" => "timestamp"
+    case _ => "string"
+  }
+
+  /** Enrich a flat issues frame with the reference's relationship arrays:
+    * `subtasks` = keys whose parent_issue is this issue (one self-aggregation
+    * on parent_issue), `issue_links` = the typed edge table grouped by source
+    * key. Both arrays are sorted so YAML bytes — and therefore blob shas and
+    * oracle hashes — are deterministic under any partitioning. Plan shape:
+    * two keyed aggregations + two left joins on the issue key; at 100 TB all
+    * four shuffles share the same key, so AQE/co-partitioning folds them onto
+    * one exchange of each side.
+    */
+  def withRelationships(issues: DataFrame, links: DataFrame,
+      allIssues: DataFrame = null): DataFrame = {
+    // `allIssues` lets an incremental sync enrich a small batch with
+    // subtask children drawn from the FULL corpus: both aggregation inputs
+    // are pruned by a semi-join on the batch's keys first, so the work is
+    // batch-proportional, not corpus-proportional. Rows whose parent key is
+    // not an enrichment target would never survive the final left join, so
+    // the semi-join is a pure pruning step — results are identical with or
+    // without it.
+    val base = Option(allIssues).getOrElse(issues)
+    val keys = issues.select(col("key").as("__rk"))
+    // tolerate partial CDC schemas: a batch carrying no parent_issue column
+    // simply has no subtask derivation to offer
+    val withSubs =
+      if (!base.columns.contains("parent_issue")) issues
+      else {
+        val subs = base.filter(col("parent_issue").isNotNull)
+          .join(keys, col("parent_issue") === col("__rk"), "left_semi")
+          .groupBy(col("parent_issue").as("key"))
+          .agg(sort_array(collect_list(col("key"))).as("subtasks"))
+        issues.join(subs, Seq("key"), "left")
+      }
+    val lnks = links
+      .join(keys, col("src") === col("__rk"), "left_semi")
+      .groupBy(col("src").as("key"))
+      .agg(sort_array(collect_list(struct(
+        col("link_type"), col("direction"), col("dst").as("issue_key"))))
+        .as("issue_links"))
+    withSubs.join(lnks, Seq("key"), "left")
+  }
+
   /** YAML double-quoted scalar escapes. Newlines and control characters must
     * be escaped explicitly — a literal newline inside a double-quoted scalar
     * is folded to a space by YAML parsers (silent content change on a
     * multi-line description).
     */
-  private def esc(s: String): String = {
+  private[graft] def esc(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '\\' => sb ++= "\\\\"
@@ -51,7 +108,7 @@ object Yaml {
     (sb += '"').result()
   }
 
-  private val wire = java.time.format.DateTimeFormatter
+  private[graft] val wire = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
   private def fmtTs(r: Row, field: String): String = r.get(r.fieldIndex(field)) match {
@@ -86,11 +143,36 @@ object Yaml {
     sb ++= s"priority: ${esc(s("priority"))}\n"
     sb ++= s"issuetype: ${esc(s("issuetype"))}\n"
     sb ++= s"sprint: ${esc(s("sprint"))}\n"
-    val hasRel = s("epic_link").nonEmpty || s("parent_issue").nonEmpty
+    // relationships block ordered as the reference's struct: epic_link,
+    // parent_issue, subtasks, issue_links (pkg/client/client.go:59-73);
+    // empty members are omitted like yaml:"...,omitempty"
+    def seqOf[T](f: String): Seq[T] =
+      Option(r.getAs[scala.collection.Seq[T]](f)).map(_.toSeq).getOrElse(Seq.empty)
+    val subtasks =
+      if (r.schema.fieldNames.contains("subtasks")) seqOf[String]("subtasks")
+      else Seq.empty
+    val issueLinks =
+      if (r.schema.fieldNames.contains("issue_links")) seqOf[Row]("issue_links")
+      else Seq.empty
+    val hasRel = s("epic_link").nonEmpty || s("parent_issue").nonEmpty ||
+      subtasks.nonEmpty || issueLinks.nonEmpty
     if (hasRel) {
       sb ++= "relationships:\n"
       if (s("epic_link").nonEmpty) sb ++= s"  epic_link: ${esc(s("epic_link"))}\n"
       if (s("parent_issue").nonEmpty) sb ++= s"  parent_issue: ${esc(s("parent_issue"))}\n"
+      if (subtasks.nonEmpty) {
+        sb ++= "  subtasks:\n"
+        subtasks.foreach(st => sb ++= s"    - ${esc(st)}\n")
+      }
+      if (issueLinks.nonEmpty) {
+        sb ++= "  issue_links:\n"
+        issueLinks.foreach { l =>
+          def ls(f: String): String = Option(l.getAs[String](f)).getOrElse("")
+          sb ++= s"    - type: ${esc(ls("link_type"))}\n"
+          sb ++= s"      direction: ${esc(ls("direction"))}\n"
+          sb ++= s"      issue_key: ${esc(ls("issue_key"))}\n"
+        }
+      }
     }
     sb.result()
   }
@@ -117,19 +199,23 @@ object Yaml {
       .collectionAccumulator[String]("yaml_failed")
     // tolerate partial schemas (e.g. a CDC stream carrying only changed
     // fields): absent columns persist as empty/null
-    val complete = columns.foldLeft(issues) { (df, c) =>
+    val complete = (columns ++ relColumns).foldLeft(issues) { (df, c) =>
       if (df.columns.contains(c)) df
-      else df.withColumn(c,
-        lit(null).cast(if (c == "created" || c == "updated") "timestamp" else "string"))
+      else df.withColumn(c, lit(null).cast(relType(c)))
     }
-    complete.select(columns.map(col): _*).foreachPartition { rows: Iterator[Row] =>
+    // render the YAML document in the projection (native YamlRender, stays in
+    // codegen over unsafe rows) — the writer task converts three flat strings
+    // per issue, never the relationship arrays
+    val rendered = complete.select(col("key"), col("project_key"),
+      graft.functions.YamlRender.forIssue(complete).as("yaml"))
+    rendered.foreachPartition { rows: Iterator[Row] =>
       // per-partition directory cache: one createDirectories syscall per
       // project, not per row
       val made = new java.util.HashMap[String, java.nio.file.Path]()
       rows.foreach { r =>
-        val key = r.getAs[String]("key")
+        val key = r.getString(0)
         try {
-          val proj = r.getAs[String]("project_key")
+          val proj = r.getString(1)
           var dir = made.get(proj)
           if (dir == null) {
             dir = Paths.get(repoDir, "projects", proj, "issues")
@@ -137,7 +223,7 @@ object Yaml {
             made.put(proj, dir)
           }
           Files.write(dir.resolve(s"$key.yaml"),
-            toYamlString(r).getBytes(StandardCharsets.UTF_8))
+            r.getString(2).getBytes(StandardCharsets.UTF_8))
           counter.add(1)
         } catch { case _: java.io.IOException => failures.add(key) }
       }
@@ -178,27 +264,28 @@ object Yaml {
     * Requires an initialized repo ([[GitRepo.init]]) at `repoDir`.
     */
   def writeIssuesWithBlobs(issues: DataFrame, repoDir: String): BlobWriteResult = {
-    val complete = columns.foldLeft(issues) { (df, c) =>
+    val complete = (columns ++ relColumns).foldLeft(issues) { (df, c) =>
       if (df.columns.contains(c)) df
-      else df.withColumn(c,
-        lit(null).cast(if (c == "created" || c == "updated") "timestamp" else "string"))
+      else df.withColumn(c, lit(null).cast(relType(c)))
     }
     import issues.sparkSession.implicits._
-    val results = complete.select(columns.map(col): _*)
+    val rendered = complete.select(col("key"), col("project_key"),
+      graft.functions.YamlRender.forIssue(complete).as("yaml"))
+    val results = rendered
       .mapPartitions { rows: Iterator[Row] =>
         val made = new java.util.HashMap[String, java.nio.file.Path]()
         val gitDir = Paths.get(repoDir, ".git")
         rows.map { r =>
-          val key = r.getAs[String]("key")
+          val key = r.getString(0)
           try {
-            val proj = r.getAs[String]("project_key")
+            val proj = r.getString(1)
             var dir = made.get(proj)
             if (dir == null) {
               dir = Paths.get(repoDir, "projects", proj, "issues")
               Files.createDirectories(dir)
               made.put(proj, dir)
             }
-            val bytes = toYamlString(r).getBytes(StandardCharsets.UTF_8)
+            val bytes = r.getString(2).getBytes(StandardCharsets.UTF_8)
             Files.write(dir.resolve(s"$key.yaml"), bytes)
             val sha = GitObjects.writeBlob(gitDir, bytes)
             (key, s"projects/$proj/issues/$key.yaml", sha, true)
@@ -208,6 +295,116 @@ object Yaml {
     BlobWriteResult(
       results.collect { case (_, path, sha, true) => (path, sha) }.toSeq,
       results.collect { case (key, _, _, false) => key }.distinct.toSeq)
+  }
+
+  /** One parsed issue link (the reference's IssueLink,
+    * pkg/client/client.go:69-75; `type` on the wire → `link_type` in the
+    * schema, matching the links edge table).
+    */
+  final case class YamlLink(link_type: String, direction: String,
+      issue_key: String)
+
+  /** Handle to a distributed blob-write's on-disk manifest: per-partition
+    * entry files under `.git/graft-manifest/<token>/`. The driver never holds
+    * the entry list in memory — `written`/`failedKeys` come from one
+    * streaming scan at construction, and [[entries]] re-opens the files on
+    * demand (so a commit retry can re-feed `git update-index` byte-for-byte).
+    */
+  final case class BlobManifest(dir: java.nio.file.Path, written: Long,
+      failedKeys: Seq[String]) {
+    def failed: Long = failedKeys.length.toLong
+    /** `(path, sha)` pairs, streamed from the manifest files. */
+    def entries: Iterator[(String, String)] =
+      BlobManifest.scan(dir).collect { case Right(e) => e }
+    def delete(): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.isDirectory(dir)) {
+        Files.list(dir).iterator().asScala.foreach(Files.deleteIfExists(_))
+        Files.deleteIfExists(dir)
+      }
+      ()
+    }
+  }
+
+  object BlobManifest {
+    /** Lazily stream manifest lines: `Left(failedKey)` / `Right((path, sha))`.
+      * Files are read in partition order; each is closed before the next
+      * opens.
+      */
+    private[sink] def scan(
+        dir: java.nio.file.Path): Iterator[Either[String, (String, String)]] = {
+      import scala.jdk.CollectionConverters._
+      val parts = Files.list(dir).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      parts.iterator.flatMap { p =>
+        Files.readAllLines(p, StandardCharsets.UTF_8).asScala.iterator.flatMap { line =>
+          val f = line.split('\t')
+          if (f.length >= 3 && f(0) == "ok") Some(Right((f(2), f(1))))
+          else if (f.length >= 2 && f(0) == "fail") Some(Left(f(1)))
+          else None
+        }
+      }
+    }
+  }
+
+  /** [[writeIssuesWithBlobs]] with a MANIFEST handoff instead of a driver
+    * collect: each task spills its partition's `(sha, path)` outcomes to a
+    * manifest file (temp + atomic rename — a retried or speculative attempt
+    * republishes identical content, so the winning file is always
+    * well-formed). Driver memory is bounded by one partition's manifest, not
+    * the batch; the manifest feeds `git update-index` by streaming
+    * ([[GitRepo.feedIndexInfo]]) and persists until [[BlobManifest.delete]],
+    * so commit retries re-feed from disk.
+    */
+  def writeIssuesWithBlobsManifest(issues: DataFrame, repoDir: String): BlobManifest = {
+    val complete = (columns ++ relColumns).foldLeft(issues) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(relType(c)))
+    }
+    val manifestDir = Paths.get(repoDir, ".git", "graft-manifest",
+      java.util.UUID.randomUUID().toString)
+    Files.createDirectories(manifestDir)
+    val manifestDirStr = manifestDir.toString
+    val rendered = complete.select(col("key"), col("project_key"),
+      graft.functions.YamlRender.forIssue(complete).as("yaml"))
+    rendered.foreachPartition { rows: Iterator[Row] =>
+      val taskManifestDir = Paths.get(manifestDirStr)
+      val tc = org.apache.spark.TaskContext.get()
+      val part = f"part-${tc.partitionId()}%05d"
+      val tmp = taskManifestDir.resolve(s"$part.attempt-${tc.taskAttemptId()}")
+      val made = new java.util.HashMap[String, java.nio.file.Path]()
+      val gitDir = Paths.get(repoDir, ".git")
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        Files.newOutputStream(tmp), StandardCharsets.UTF_8), 1 << 16)
+      try {
+        rows.foreach { r =>
+          val key = r.getString(0)
+          try {
+            val proj = r.getString(1)
+            var dir = made.get(proj)
+            if (dir == null) {
+              dir = Paths.get(repoDir, "projects", proj, "issues")
+              Files.createDirectories(dir)
+              made.put(proj, dir)
+            }
+            val bytes = r.getString(2).getBytes(StandardCharsets.UTF_8)
+            Files.write(dir.resolve(s"$key.yaml"), bytes)
+            val sha = GitObjects.writeBlob(gitDir, bytes)
+            w.write(s"ok\t$sha\tprojects/$proj/issues/$key.yaml\n")
+          } catch { case _: java.io.IOException => w.write(s"fail\t$key\n") }
+        }
+      } finally w.close()
+      Files.move(tmp, taskManifestDir.resolve(part),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+    var written = 0L
+    val failedKeys = scala.collection.mutable.LinkedHashSet.empty[String]
+    BlobManifest.scan(manifestDir).foreach {
+      case Right(_) => written += 1
+      case Left(k) => failedKeys += k
+    }
+    BlobManifest(manifestDir, written, failedKeys.toSeq)
   }
 
   /** Flat issue record parsed back from YAML (timestamps re-parsed from the
@@ -220,7 +417,8 @@ object Yaml {
       reporter_name: String, reporter_email: String,
       created: java.sql.Timestamp, updated: java.sql.Timestamp,
       priority: String, issuetype: String, sprint: Option[String],
-      epic_link: Option[String], parent_issue: Option[String])
+      epic_link: Option[String], parent_issue: Option[String],
+      subtasks: Seq[String], issue_links: Seq[YamlLink])
 
   /** S7: read the YAML tree back into the flat issue schema. */
   def readIssues(spark: SparkSession, repoDir: String): DataFrame = {
@@ -247,6 +445,25 @@ object Yaml {
           case _ => ""
         }
         def opt(s: String): Option[String] = if (s.isEmpty) None else Some(s)
+        val rel = m.get("relationships") match {
+          case Some(sub: java.util.Map[_, _]) =>
+            sub.asInstanceOf[java.util.Map[String, Object]].asScala
+          case _ => scala.collection.mutable.Map.empty[String, Object]
+        }
+        val subtasks = rel.get("subtasks") match {
+          case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
+          case _ => Seq.empty[String]
+        }
+        val issueLinks = rel.get("issue_links") match {
+          case Some(l: java.util.List[_]) => l.asScala.collect {
+            case lm: java.util.Map[_, _] =>
+              val lmm = lm.asInstanceOf[java.util.Map[String, Object]]
+              def lf(k: String): String =
+                Option(lmm.get(k)).map(_.toString).getOrElse("")
+              YamlLink(lf("type"), lf("direction"), lf("issue_key"))
+          }.toSeq
+          case _ => Seq.empty[YamlLink]
+        }
         YamlIssue(
           str("key"), str("project"), str("summary"), str("description"),
           nested("status", "name"), nested("status", "category"),
@@ -255,7 +472,8 @@ object Yaml {
           parseTs(str("created")), parseTs(str("updated")),
           str("priority"), str("issuetype"), opt(str("sprint")),
           opt(nested("relationships", "epic_link")),
-          opt(nested("relationships", "parent_issue")))
+          opt(nested("relationships", "parent_issue")),
+          subtasks, issueLinks)
       }
     }.toDF()
   }

@@ -19,8 +19,9 @@ object SyncProfile {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft-sync-prof").toString
     val limit = sys.env.getOrElse("SPARK_GRAFT_SYNC_LIMIT", "20000").toLong
-    val issues = graft.Tables.issues(spark, sfDir).filter(
-      expr(s"cast(element_at(split(key, '-'), 2) as int) < $limit"))
+    val issues = graft.Tables.issuesFull(spark, sfDir).filter(
+      expr(s"cast(element_at(split(key, '-'), 2) as int) < $limit")).cache()
+    issues.count()
     val links = graft.Tables.links(spark, sfDir)
     val now1 = java.sql.Timestamp.valueOf("2002-01-01 00:00:00")
     // warm
@@ -28,7 +29,7 @@ object SyncProfile {
       issues.filter(expr("cast(element_at(split(key, '-'), 2) as int) < 1000")),
       links, s"$work/warm_repo", s"$work/warm_state",
       graft.engine.SyncEngine.SyncOptions(), now = now1)
-    for (i <- 1 to 3) {
+    for (i <- 1 to 6) {
       val t0 = System.nanoTime()
       var last = t0
       val rep = new graft.engine.SyncEngine.ProgressReporter {

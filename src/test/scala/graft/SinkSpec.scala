@@ -32,6 +32,48 @@ class SinkSpec extends AnyFunSuite {
     }
   }
 
+  test("relationship arrays (subtasks, issue_links) round-trip through YAML") {
+    val repo = Files.createTempDirectory("graft-rel").toString
+    val enriched = Yaml.withRelationships(
+      Tables.issues(spark, sf), Tables.links(spark, sf))
+      .filter(col("project_key") === "P5")
+      .limit(300).cache()
+    Yaml.writeIssues(enriched, repo)
+    val back = Yaml.readIssues(spark, repo).cache()
+    // normalize both sides to sorted flat strings (write sorts the arrays)
+    def flat(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("key"),
+      array_join(coalesce(col("subtasks"), array()), ",").as("st"),
+      array_join(expr(
+        "transform(coalesce(issue_links, array()), l -> concat(l.link_type, '|', l.direction, '|', l.issue_key))"),
+        ";").as("il")).orderBy("key").collect()
+    val a = flat(enriched)
+    val b = flat(back)
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+    // at least some rows exercise each array shape
+    assert(back.filter(size(col("subtasks")) > 0).count() > 0)
+    assert(back.filter(size(col("issue_links")) > 0).count() > 0)
+  }
+
+  test("native YamlRender is byte-identical to toYamlString on every issue") {
+    val enriched = Yaml.withRelationships(
+      Tables.issues(spark, sf), Tables.links(spark, sf)).limit(2000)
+    val complete = (Yaml.columns ++ Yaml.relColumns).foldLeft(enriched) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast("string"))
+    }
+    val both = complete.select(
+      graft.functions.YamlRender.forIssue(complete).as("fast"),
+      struct((Yaml.columns ++ Yaml.relColumns).map(col): _*).as("row"))
+      .collect()
+    assert(both.length > 0)
+    both.foreach { r =>
+      val slow = Yaml.toYamlString(r.getStruct(1))
+      assert(r.getString(0) == slow,
+        s"render mismatch:\n${r.getString(0)}\n--- vs ---\n$slow")
+    }
+  }
+
   test("YAML escaping survives quotes and backslashes") {
     import spark.implicits._
     val repo = Files.createTempDirectory("graft-esc").toString
