@@ -6,6 +6,21 @@ import org.apache.spark.sql.SparkSession
   * silently timed as ~0s — a failure must not look like a speedup).
   */
 object Bench {
+
+  /** `spark.read.text` on a glob probes for a streaming-sink metadata dir and
+    * logs a full FileNotFoundException stack at WARN — pure noise that eats
+    * the driver's bounded stdout-tail parse window. Pin that one logger to
+    * ERROR (both the Spark 3 and Spark 4 class locations).
+    */
+  private[graft] def muteStreamProbe(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      java.util.Map.of(
+        "org.apache.spark.sql.execution.streaming.FileStreamSink",
+        org.apache.logging.log4j.Level.ERROR,
+        "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+        org.apache.logging.log4j.Level.ERROR))
+    catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,6 +32,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    muteStreamProbe()
     // warm the session once (codegen compiler, parquet footers) so the first
     // timed query doesn't absorb several seconds of one-time init
     Seq("orders", "lineitem", "documents", "embeddings", "events")

@@ -282,29 +282,30 @@ object SyncEngine {
     * (reference: pkg/state/manager.go:553-591 RecoverState). Returns the
     * issue report; `repair` removes orphaned files and drops state rows whose
     * files are missing (a later sync re-writes them).
+    *
+    * The checksum pass is the reference's ValidateState content check: every
+    * file on disk is parsed back (distributed — one scan of the YAML tree)
+    * and its record checksum recomputed; a mismatch against the checksum
+    * recorded at sync time means the file was modified outside of sync
+    * (reference: pkg/state/manager.go:497-500). Mismatches are report-only,
+    * like the reference's warnings — repair touches only structural issues.
     */
   def recover(spark: SparkSession, repoDir: String, statePath: String,
       repair: Boolean = false): DataFrame = {
     import spark.implicits._
     val state = StateStore.load(spark, statePath)
-    val filesOnDisk = {
-      val root = java.nio.file.Paths.get(repoDir, "projects")
-      if (java.nio.file.Files.isDirectory(root)) {
-        val found = scala.collection.mutable.ArrayBuffer.empty[String]
-        java.nio.file.Files.walk(root).forEach { p =>
-          if (p.toString.endsWith(".yaml"))
-            found += java.nio.file.Paths.get(repoDir).relativize(p).toString
-        }
-        found.toSeq.toDF("file_path")
-      } else Seq.empty[String].toDF("file_path")
-    }
-    // checksum comparison is skipped here (would require re-reading files);
-    // the structural anti-joins are the recovery signal
-    val report = StateStore.validate(state,
-      filesOnDisk.withColumn("checksum", lit(null).cast("string"))).cache()
+    val filesOnDisk = Yaml.fileRecordChecksums(spark, repoDir)
+    // materialize the findings: the report is a SNAPSHOT of the tree at scan
+    // time (the reference returns in-memory result lists the same way,
+    // pkg/state/manager.go:473-486). Returning the lazy plan instead would
+    // (a) re-scan a post-repair tree on later use and (b) collide with
+    // Spark's canonicalized-plan cache across recover calls, serving stale
+    // findings. Findings are the exceptional set — bounded like the
+    // reference's lists, not corpus-proportional.
+    val findings = StateStore.validate(state, filesOnDisk).collect().toSeq
     if (repair) {
-      val orphaned = report.filter(col("issue") === "orphaned_file").collect()
-        .map(_.getAs[String]("file_path")).toSeq
+      val orphaned = findings.filter(_.getAs[String]("issue") == "orphaned_file")
+        .map(_.getAs[String]("file_path"))
       orphaned.foreach { p =>
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(repoDir, p))
       }
@@ -312,11 +313,13 @@ object SyncEngine {
       // from the index here or they resurface in every future tree
       if (new java.io.File(repoDir, ".git").exists())
         GitRepo.removeFromIndex(repoDir, orphaned)
-      val missingKeys = report.filter(col("issue") === "missing_file").select("key")
+      val missingKeys = findings.filter(_.getAs[String]("issue") == "missing_file")
+        .map(_.getAs[String]("key")).toDF("key")
       StateStore.save(
         StateStore.load(spark, statePath)
           .join(missingKeys, Seq("key"), "left_anti"), statePath)
     }
-    report
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(findings, 1), StateStore.validateSchema)
   }
 }

@@ -40,12 +40,24 @@ object Cdc {
       |      THEN updated + INTERVAL 5 DAY ELSE updated END AS updated)
       |  FROM issues)""".stripMargin
 
-  /** SQL mirror of [[StateStore.fromIssues]] over a source CTE. */
+  /** SQL mirror of [[StateStore.fromIssues]] over a source CTE. The checksum
+    * expression is the oracle twin of [[StateStore.recordChecksum]] — every
+    * YAML-persisted scalar in Yaml.columns order, null-coalesced, timestamps
+    * through the VARCHAR cast. The two must change in lockstep.
+    */
   private def stateSql(src: String, syncedAt: Timestamp): String =
     s"""SELECT key, project_key, TIMESTAMP '$syncedAt' AS last_synced,
        |  updated AS last_updated,
        |  'projects/' || project_key || '/issues/' || key || '.yaml' AS file_path,
-       |  sha256(key || '|' || summary || '|' || updated::VARCHAR) AS checksum,
+       |  sha256(coalesce(key,'') || '|' || coalesce(project_key,'') || '|' ||
+       |    coalesce(summary,'') || '|' || coalesce(description,'') || '|' ||
+       |    coalesce(status_name,'') || '|' || coalesce(status_category,'') || '|' ||
+       |    coalesce(assignee_name,'') || '|' || coalesce(assignee_email,'') || '|' ||
+       |    coalesce(reporter_name,'') || '|' || coalesce(reporter_email,'') || '|' ||
+       |    coalesce(created::VARCHAR,'') || '|' || coalesce(updated::VARCHAR,'') || '|' ||
+       |    coalesce(priority,'') || '|' || coalesce(issuetype,'') || '|' ||
+       |    coalesce(sprint,'') || '|' || coalesce(epic_link,'') || '|' ||
+       |    coalesce(parent_issue,'')) AS checksum,
        |  'synced' AS sync_status, 1 AS sync_count
        |FROM $src""".stripMargin
 

@@ -478,6 +478,61 @@ object Yaml {
     }.toDF()
   }
 
+  /** `(file_path, checksum)` for every YAML record on disk: each file is
+    * parsed back and its persisted scalar fields re-hashed with the state
+    * ledger's record formula ([[graft.state.StateStore.recordChecksumJvm]]),
+    * so recovery can detect content edited outside of sync by comparing
+    * against the checksum recorded at sync time — the reference's
+    * ValidateState checksum pass (pkg/state/manager.go:473-550), distributed.
+    * An unparseable file yields a sentinel checksum that can never match, so
+    * corruption surfaces as drift instead of aborting the scan.
+    */
+  def fileRecordChecksums(spark: SparkSession, repoDir: String): DataFrame = {
+    import spark.implicits._
+    if (!new java.io.File(s"$repoDir/projects").isDirectory)
+      return Seq.empty[(String, String)].toDF("file_path", "checksum")
+    val raw = spark.read.option("wholetext", "true")
+      .text(s"$repoDir/projects/*/issues/*.yaml")
+      .select(input_file_name().as("src"), col("value"))
+      .as[(String, String)]
+    raw.mapPartitions { docs =>
+      val yaml = new org.yaml.snakeyaml.Yaml()
+      val wireFmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      docs.map { case (src, doc) =>
+        val rel = src.replaceFirst("^.*?(projects/[^/]+/issues/[^/]+\\.yaml)$", "$1")
+        val checksum = try {
+          val m = yaml.load[java.util.Map[String, Object]](doc).asScala
+          def str(k: String): String =
+            Option(m.get(k).orNull).map(_.toString).getOrElse("")
+          def nested(k: String, f: String): String = m.get(k) match {
+            case Some(sub: java.util.Map[_, _]) =>
+              Option(sub.asInstanceOf[java.util.Map[String, Object]].get(f))
+                .map(_.toString).getOrElse("")
+            case _ => ""
+          }
+          def ts(k: String): String = {
+            val s = str(k)
+            if (s.isEmpty) ""
+            else graft.state.StateStore.tsCastString(
+              java.time.LocalDateTime.parse(s, wireFmt))
+          }
+          // StateStore.checksumColumns (= Yaml.columns) order
+          graft.state.StateStore.recordChecksumJvm(Array(
+            str("key"), str("project"), str("summary"), str("description"),
+            nested("status", "name"), nested("status", "category"),
+            nested("assignee", "name"), nested("assignee", "email"),
+            nested("reporter", "name"), nested("reporter", "email"),
+            ts("created"), ts("updated"),
+            str("priority"), str("issuetype"), str("sprint"),
+            nested("relationships", "epic_link"),
+            nested("relationships", "parent_issue")))
+        } catch { case scala.util.control.NonFatal(_) => s"unparseable:$rel" }
+        (rel, checksum)
+      }
+    }.toDF("file_path", "checksum")
+  }
+
   /** F9: conventional-commit message column — `{type}({project}): {action}
     * issue {key}` with the reference's issue-type → commit-type mapping
     * (reference: pkg/git/git.go:293-327 message format, :343-358 Bug→fix etc.).

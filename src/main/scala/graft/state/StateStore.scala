@@ -33,6 +33,12 @@ object StateStore {
     StructField("sync_status", StringType, nullable = false),
     StructField("sync_count", IntegerType, nullable = false)))
 
+  /** Schema of [[validate]]'s findings rows. */
+  val validateSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = true),
+    StructField("file_path", StringType, nullable = true),
+    StructField("issue", StringType, nullable = false)))
+
   def empty(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
@@ -148,12 +154,62 @@ object StateStore {
     }
   }
 
-  /** Build state rows from a batch of synced issues. `syncedAt` is the run's
-    * logical sync time; checksum is SHA-256 of the record content
-    * (reference: pkg/state/manager.go:649-662).
+  /** Columns covered by the record checksum: every YAML-persisted scalar, in
+    * `Yaml.columns` order. The reference checksums the whole file
+    * (pkg/state/manager.go:649-662); hashing the persisted record fields is
+    * the form that can be recomputed BOTH from the source row at sync time
+    * (no file read-back) and from a parsed file at recovery time
+    * (byte-format-independent), which is what lets
+    * [[graft.engine.SyncEngine.recover]] detect out-of-band content edits.
     */
-  def fromIssues(batch: DataFrame, syncedAt: java.sql.Timestamp): DataFrame =
-    batch.select(
+  val checksumColumns: Seq[String] = graft.sink.Yaml.columns
+
+  /** SHA-256 over the `|`-joined, null-coalesced checksum fields (timestamps
+    * via their Spark string cast). Oracle twin: the `sha256(...)` expression
+    * in the CDC queries' state CTE — the two must change in lockstep.
+    */
+  def recordChecksum(field: String => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sha2(concat_ws("|",
+      checksumColumns.map(c => coalesce(field(c).cast("string"), lit(""))): _*), 256)
+
+  /** Spark's `cast(timestamp as string)` rendering for the JVM twin:
+    * seconds-precision wall time, fractional part only when non-zero,
+    * trailing zeros trimmed.
+    */
+  def tsCastString(t: java.time.LocalDateTime): String = {
+    val base = t.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    if (t.getNano == 0) base
+    else {
+      val frac = f"${t.getNano / 1000}%06d".reverse.dropWhile(_ == '0').reverse
+      s"$base.$frac"
+    }
+  }
+
+  /** JVM twin of [[recordChecksum]] for executor-side recomputation from a
+    * parsed YAML file: `fields` in [[checksumColumns]] order, null → "",
+    * timestamps pre-rendered with [[tsCastString]].
+    */
+  def recordChecksumJvm(fields: Array[String]): String = {
+    val joined = fields.iterator.map(f => if (f == null) "" else f).mkString("|")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** Build state rows from a batch of synced issues. `syncedAt` is the run's
+    * logical sync time; checksum is SHA-256 of the persisted record content
+    * ([[recordChecksum]]; reference: pkg/state/manager.go:649-662). Partial
+    * CDC schemas are tolerated — absent fields checksum as empty, matching
+    * what the YAML writer persists for them.
+    */
+  def fromIssues(batch: DataFrame, syncedAt: java.sql.Timestamp): DataFrame = {
+    val complete = checksumColumns.foldLeft(batch) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(
+        if (c == "created" || c == "updated") "timestamp" else "string"))
+    }
+    complete.select(
       col("key"),
       col("project_key"),
       lit(syncedAt).as("last_synced"),
@@ -161,10 +217,10 @@ object StateStore {
       concat(lit("projects/"), col("project_key"), lit("/issues/"), col("key"),
         lit(".yaml")).as("file_path"),
       lit(null).cast(LongType).as("file_size"),
-      sha2(concat_ws("|", col("key"), col("summary"), col("updated").cast("string")), 256)
-        .as("checksum"),
+      recordChecksum(complete.apply).as("checksum"),
       lit("synced").as("sync_status"),
       lit(1).as("sync_count"))
+  }
 
   /** Upsert-on-newer merge (C2): one batch of freshly-synced issue state into
     * the existing table. Keyed full-outer join on `key`; the batch side wins

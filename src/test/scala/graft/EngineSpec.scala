@@ -139,6 +139,34 @@ class EngineSpec extends AnyFunSuite {
     assert(reReport.count() == 0)
   }
 
+  test("recover flags files whose content was edited outside of sync") {
+    val work = Files.createTempDirectory("graft-drift").toString
+    val repo = s"$work/repo"
+    val statePath = s"$work/state"
+    SyncEngine.run(spark, Tables.issues(spark, sf), Tables.links(spark, sf),
+      repo, statePath, SyncOptions(jql = Some("project = P3")), now = now1)
+    // a clean tree reconciles with zero findings — including the checksum pass
+    assert(SyncEngine.recover(spark, repo, statePath).count() == 0)
+    // tamper: rewrite one file's summary out-of-band
+    val dir = java.nio.file.Paths.get(repo, "projects", "P3", "issues")
+    val victim = Files.list(dir).iterator().next()
+    val edited = new String(Files.readAllBytes(victim), "UTF-8")
+      .replaceFirst("summary: \"", "summary: \"EDITED ")
+    Files.write(victim, edited.getBytes("UTF-8"))
+    // and corrupt a second file beyond parsing
+    val it = Files.list(dir).iterator(); it.next()
+    val garbled = it.next()
+    Files.write(garbled, "::: not yaml {{{\n".getBytes("UTF-8"))
+    val report = SyncEngine.recover(spark, repo, statePath).cache()
+    val drifted = report.filter(col("issue") === "checksum_mismatch")
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(drifted == Set(victim, garbled).map(p =>
+      java.nio.file.Paths.get(repo).relativize(p).toString))
+    // drift is report-only: repair leaves the files in place
+    SyncEngine.recover(spark, repo, statePath, repair = true)
+    assert(Files.exists(victim) && Files.exists(garbled))
+  }
+
   test("empty full-run selection leaves the edge table untouched") {
     val work = Files.createTempDirectory("graft-emptyfull").toString
     val repo = s"$work/repo"
