@@ -440,17 +440,27 @@ object Similarity {
     * in both engines use the same `dss + dcc - 2*dsc` sequential-fold
     * arithmetic, so ADC values are bit-identical.
     */
-  private val pq = {
-    val M = 4; val sub = 16; val K = 8
-    val d2Sql = (s: String, c: String) =>
+  /** Shared product-quantization machinery for [[pq]] and [[ivfpq]]: ONE
+    * definition of the codebook / encode / lookup-table arithmetic on both
+    * the oracle-SQL and the Spark side, so the two queries cannot drift —
+    * IVF-PQ must produce the identical ADC value for any candidate the
+    * unpruned PQ ranking also surfaces (pinned by PipelineSpec).
+    */
+  private[pipeline] object Pq {
+    import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+    val M = 4; val Sub = 16; val K = 8
+
+    def d2Sql(s: String, c: String): String =
       s"list_dot_product($s, $s) + list_dot_product($c, $c) - 2*list_dot_product($s, $c)"
-    q("pipe_ann_pq",
-      s"""WITH $embCte,
-         |cb AS (
-         |  SELECT m, vec_id AS code, list_slice(e, (m-1)*$sub+1, m*$sub) AS ce
+
+    /** The cb/sub/enc/codes/qlut CTE block (`emb` CTE must be in scope). */
+    val ctesSql: String =
+      s"""cb AS (
+         |  SELECT m, vec_id AS code, list_slice(e, (m-1)*$Sub+1, m*$Sub) AS ce
          |  FROM emb, generate_series(1, $M) t(m) WHERE vec_id < $K),
          |sub AS (
-         |  SELECT vec_id, m, list_slice(e, (m-1)*$sub+1, m*$sub) AS sv
+         |  SELECT vec_id, m, list_slice(e, (m-1)*$Sub+1, m*$Sub) AS sv
          |  FROM emb, generate_series(1, $M) t(m)),
          |enc AS (
          |  SELECT vec_id, m, code FROM (
@@ -461,49 +471,64 @@ object Similarity {
          |codes AS (
          |  SELECT vec_id,
          |    ${(1 to M).map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m")
-              .mkString(",\n    ")}
+                .mkString(",\n    ")}
          |  FROM enc GROUP BY vec_id),
          |qlut AS (
          |  SELECT c.m, c.code, ${d2Sql("qs.sv", "c.ce")} AS d2
          |  FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) qs
-         |    ON qs.m = c.m)
-         |SELECT v.vec_id, ((l1.d2 + l2.d2) + l3.d2) + l4.d2 AS adc
-         |FROM codes v
-         |${(1 to M).map(m =>
-              s"JOIN qlut l$m ON l$m.m = $m AND l$m.code = v.c$m")
-              .mkString("\n")}
-         |WHERE v.vec_id <> 0
-         |ORDER BY adc, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
-      val e = embD(s, dir)
-      // codebook: K sub-vectors per sub-space, collected (bounded: a PQ
-      // system ships its codebook with the job) and inlined as literals
-      val cl = e.filter(col("vec_id") < K).select("vec_id", "e").collect()
+         |    ON qs.m = c.m)""".stripMargin
+
+    /** Explicitly-parenthesized 4-term ADC sum (aggregate SUM over doubles
+      * is merge-order-dependent and would not hash-match cross-engine). */
+    val adcSql: String = "((l1.d2 + l2.d2) + l3.d2) + l4.d2 AS adc"
+
+    /** One lut join per sub-space against the `codes v` relation. */
+    val lutJoinsSql: String =
+      (1 to M).map(m => s"JOIN qlut l$m ON l$m.m = $m AND l$m.code = v.c$m")
+        .mkString("\n")
+
+    /** Codebook rows (vec_id < K), collected and sorted — bounded by
+      * construction: a PQ system ships its codebook with the job. */
+    def codebook(e: DataFrame): Array[(Long, Seq[Double])] =
+      e.filter(col("vec_id") < K).select("vec_id", "e").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
-      def sv(c: org.apache.spark.sql.Column, m: Int) =
-        slice(c, (m - 1) * sub + 1, sub)
-      def d2(svCol: org.apache.spark.sql.Column, ce: Seq[Double]) = {
-        val lc = typedLit(ce)
-        dotD(svCol, svCol) + dotD(lc, lc) - lit(2.0) * dotD(svCol, lc)
-      }
-      // encode map-side: per row, argmin (d2, code) over inlined codewords
-      val codes = (1 to M).foldLeft(e) { (df, m) =>
+
+    private def svc(c: Column, m: Int): Column = slice(c, (m - 1) * Sub + 1, Sub)
+
+    private def d2(svCol: Column, ce: Seq[Double]): Column = {
+      val lc = typedLit(ce)
+      dotD(svCol, svCol) + dotD(lc, lc) - lit(2.0) * dotD(svCol, lc)
+    }
+
+    /** Map-side encode: append codes c1..cM, each the per-row argmin
+      * (d2, code) over the inlined codewords — no ×K explosion, no window. */
+    def encode(df: DataFrame, cl: Array[(Long, Seq[Double])]): DataFrame =
+      (1 to M).foldLeft(df) { (acc, m) =>
         val cands = array(cl.map { case (code, full) =>
-          val ce = full.slice((m - 1) * sub, m * sub)
-          struct(d2(sv(col("e"), m), ce).as("d2"), lit(code).as("code"))
+          val ce = full.slice((m - 1) * Sub, m * Sub)
+          struct(d2(svc(col("e"), m), ce).as("d2"), lit(code).as("code"))
         }: _*)
-        df.withColumn(s"c$m", array_min(cands).getField("code"))
-      }.select(col("vec_id") +: (1 to M).map(m => col(s"c$m")): _*)
-      // query lut: 32 rows of exact sub-distances from the query row
-      val qv = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
+        acc.withColumn(s"c$m", array_min(cands).getField("code"))
+      }
+
+    /** The 32-row exact sub-distance lookup table for the query row `qv`
+      * (one column `qe`). */
+    def qlutDf(s: SparkSession, cl: Array[(Long, Seq[Double])],
+        qv: DataFrame): DataFrame = {
       import s.implicits._
       val cb = cl.flatMap { case (code, full) =>
-        (1 to M).map(m => (m, code, full.slice((m - 1) * sub, m * sub)))
+        (1 to M).map(m => (m, code, full.slice((m - 1) * Sub, m * Sub)))
       }.toSeq.toDF("m", "code", "ce")
-      val qlut = cb.crossJoin(broadcast(qv))
+      val qs = expr(s"slice(qe, (m-1)*$Sub+1, $Sub)")
+      cb.crossJoin(broadcast(qv))
         .select(col("m"), col("code"),
-          (dotD(expr("slice(qe, (m-1)*16+1, 16)"), expr("slice(qe, (m-1)*16+1, 16)"))
-            + dotD(col("ce"), col("ce"))
-            - lit(2.0) * dotD(expr("slice(qe, (m-1)*16+1, 16)"), col("ce"))).as("d2"))
+          (dotD(qs, qs) + dotD(col("ce"), col("ce"))
+            - lit(2.0) * dotD(qs, col("ce"))).as("d2"))
+    }
+
+    /** Rank codes by ADC from the broadcast lut: one join per sub-space,
+      * the parenthesized 4-term sum, global top-k. */
+    def adcTopK(codes: DataFrame, qlut: DataFrame, k: Int): DataFrame = {
       val joined = (1 to M).foldLeft(codes) { (df, m) =>
         df.join(broadcast(qlut.filter(col("m") === m)
             .select(col("code").as(s"c$m"), col("d2").as(s"d$m"))),
@@ -512,8 +537,24 @@ object Similarity {
       joined.filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           (((col("d1") + col("d2")) + col("d3")) + col("d4")).as("adc"))
-        .orderBy(col("adc"), col("vec_id")).limit(10)
+        .orderBy(col("adc"), col("vec_id")).limit(k)
     }
+  }
+
+  private val pq = q("pipe_ann_pq",
+    s"""WITH $embCte,
+       |${Pq.ctesSql}
+       |SELECT v.vec_id, ${Pq.adcSql}
+       |FROM codes v
+       |${Pq.lutJoinsSql}
+       |WHERE v.vec_id <> 0
+       |ORDER BY adc, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val e = embD(s, dir)
+    val cl = Pq.codebook(e)
+    val codes = Pq.encode(e, cl)
+      .select(col("vec_id") +: (1 to Pq.M).map(m => col(s"c$m")): _*)
+    val qv = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    Pq.adcTopK(codes, Pq.qlutDf(s, cl, qv), 10)
   }
 
   /** IVF-PQ — the production composition: the IVF cell id prunes partitions
@@ -525,9 +566,7 @@ object Similarity {
     * cell semi-join.
     */
   private val ivfpq = {
-    val M = 4; val sub = 16; val K = 8
-    val d2Sql = (s: String, c: String) =>
-      s"list_dot_product($s, $s) + list_dot_product($c, $c) - 2*list_dot_product($s, $c)"
+    import Pq.{M, K}
     q("pipe_ann_ivfpq",
       s"""WITH $embCte,
          |$querySql,
@@ -543,34 +582,12 @@ object Similarity {
          |    SELECT c.cid,
          |      row_number() OVER (ORDER BY ${sqlCosine("q.qe", "c.ce")} DESC, c.cid) AS rn
          |    FROM cents c, q) WHERE rn <= 2),
-         |cb AS (
-         |  SELECT m, vec_id AS code, list_slice(e, (m-1)*$sub+1, m*$sub) AS ce
-         |  FROM emb, generate_series(1, $M) t(m) WHERE vec_id < $K),
-         |sub AS (
-         |  SELECT vec_id, m, list_slice(e, (m-1)*$sub+1, m*$sub) AS sv
-         |  FROM emb, generate_series(1, $M) t(m)),
-         |enc AS (
-         |  SELECT vec_id, m, code FROM (
-         |    SELECT s.vec_id, s.m, c.code,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.m
-         |        ORDER BY ${d2Sql("s.sv", "c.ce")}, c.code) AS rn
-         |    FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1),
-         |codes AS (
-         |  SELECT vec_id,
-         |    ${(1 to M).map(m => s"max(CASE WHEN m = $m THEN code END) AS c$m")
-              .mkString(",\n    ")}
-         |  FROM enc GROUP BY vec_id),
-         |qlut AS (
-         |  SELECT c.m, c.code, ${d2Sql("qs.sv", "c.ce")} AS d2
-         |  FROM cb c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) qs
-         |    ON qs.m = c.m)
-         |SELECT v.vec_id, ((l1.d2 + l2.d2) + l3.d2) + l4.d2 AS adc
+         |${Pq.ctesSql}
+         |SELECT v.vec_id, ${Pq.adcSql}
          |FROM codes v
          |JOIN assign a ON a.vec_id = v.vec_id
          |JOIN probe p ON p.cid = a.cid
-         |${(1 to M).map(m =>
-              s"JOIN qlut l$m ON l$m.m = $m AND l$m.code = v.c$m")
-              .mkString("\n")}
+         |${Pq.lutJoinsSql}
          |WHERE v.vec_id <> 0
          |ORDER BY adc, v.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       val en = embDN(s, dir)
@@ -579,8 +596,7 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
       val qv = embDN(s, dir).filter(col("vec_id") === 0)
         .select(col("e").as("qe"), col("nrm").as("qn"))
-      val cl = e.filter(col("vec_id") < K).select("vec_id", "e").collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+      val cl = Pq.codebook(e)
       // probe cells resolved at plan build from the collected codebook rows
       // (centroids ARE codebook vectors here; the query is row 0): the same
       // sequential-fold dot product both engines run, so the top-2 ranking
@@ -597,39 +613,11 @@ object Similarity {
         .map { case (cid, ce) =>
           (cid, sdot(ce, qvec) / (math.sqrt(sdot(ce, ce)) * qn)) }
         .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1).toSeq
-      def svc(c: org.apache.spark.sql.Column, m: Int) =
-        slice(c, (m - 1) * sub + 1, sub)
-      def d2(svCol: org.apache.spark.sql.Column, ce: Seq[Double]) = {
-        val lc = typedLit(ce)
-        dotD(svCol, svCol) + dotD(lc, lc) - lit(2.0) * dotD(svCol, lc)
-      }
       // ONE scan stage appends the cell id AND the 4 codes per row
-      val encoded = (1 to M).foldLeft(assignMapSide(en, cents)) { (df, m) =>
-        val cands = array(cl.map { case (code, full) =>
-          val ce = full.slice((m - 1) * sub, m * sub)
-          struct(d2(svc(col("e"), m), ce).as("d2"), lit(code).as("code"))
-        }: _*)
-        df.withColumn(s"c$m", array_min(cands).getField("code"))
-      }.select(col("vec_id") +: col("cid") +: (1 to M).map(m => col(s"c$m")): _*)
-      import s.implicits._
-      val cb = cl.flatMap { case (code, full) =>
-        (1 to M).map(m => (m, code, full.slice((m - 1) * sub, m * sub)))
-      }.toSeq.toDF("m", "code", "ce")
-      val qlut = cb.crossJoin(broadcast(qv))
-        .select(col("m"), col("code"),
-          (dotD(expr("slice(qe, (m-1)*16+1, 16)"), expr("slice(qe, (m-1)*16+1, 16)"))
-            + dotD(col("ce"), col("ce"))
-            - lit(2.0) * dotD(expr("slice(qe, (m-1)*16+1, 16)"), col("ce"))).as("d2"))
+      val encoded = Pq.encode(assignMapSide(en, cents), cl)
+        .select(col("vec_id") +: col("cid") +: (1 to M).map(m => col(s"c$m")): _*)
       val pruned = encoded.filter(col("cid").isin(probeCids: _*))
-      val joined = (1 to M).foldLeft(pruned) { (df, m) =>
-        df.join(broadcast(qlut.filter(col("m") === m)
-            .select(col("code").as(s"c$m"), col("d2").as(s"d$m"))),
-          Seq(s"c$m"))
-      }
-      joined.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-          (((col("d1") + col("d2")) + col("d3")) + col("d4")).as("adc"))
-        .orderBy(col("adc"), col("vec_id")).limit(10)
+      Pq.adcTopK(pruned, Pq.qlutDf(s, cl, qv.select("qe")), 10)
     }
   }
 

@@ -97,21 +97,25 @@ object Graph {
       // are all distinct (one per round-depth), so a single cold run paid
       // ~5s of janino compile for this tiny graph; the truncated rounds
       // generate identical source and hit the codegen cache after round 1
-      // (measured 7.4s → 2.3s of non-compile work). On a multi-executor
-      // cluster the same structure holds with reliable checkpoint or
-      // persist+count — the point is bounding plan depth, which no AQE or
-      // optimizer setting does for iterative algorithms.
+      // (measured 7.4s → 2.3s of non-compile work). LAZY (eager = false):
+      // building the DataFrame must not run Spark jobs — plan audits and
+      // explains would otherwise execute the whole iteration just to print
+      // a plan; materialization happens on the first real action. On a
+      // multi-executor cluster with dynamic allocation, local checkpoints
+      // die with their executor — swap for reliable checkpoint or
+      // persist+count there; the point is bounding plan depth, which no AQE
+      // or optimizer setting does for iterative algorithms.
       val e = edgesInt(s, dir)
       val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
       val a = und.union(und.select(col("a"), col("a").as("b")).distinct())
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       var labels = a.select(col("a").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
       (1 to rounds).foreach { _ =>
         labels = a.join(labels.withColumnRenamed("node", "b"), Seq("b"))
           .groupBy(col("a").as("node"))
           .agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("n_members"))
@@ -178,14 +182,14 @@ object Graph {
       // components above (cold run measured 21s → 3s: the un-truncated
       // 3-round plan compiled a distinct whole-stage class per depth).
       val ed = e.join(outd.withColumnRenamed("node", "a"), Seq("a"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       var contrib = ed.groupBy(col("b").as("node"))
-        .agg(sum(expr(s"$SCALE div d")).as("s")).localCheckpoint()
+        .agg(sum(expr(s"$SCALE div d")).as("s")).localCheckpoint(eager = false)
       (2 to prRounds).foreach { _ =>
         contrib = ed.join(contrib.withColumnRenamed("node", "a"), Seq("a"), "left")
           .groupBy(col("b").as("node"))
           .agg(sum(expr(s"($BASE + (85 * coalesce(s, 0L)) div 100) div d")).as("s"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       val nodes = ed.select(col("a").as("node"))
         .union(ed.select(col("b").as("node"))).distinct()
@@ -232,16 +236,16 @@ object Graph {
          |    || CAST(seed % 1000000000000 AS STRING) AS seed_key,
          |  (count(*) - 1)::BIGINT AS n_reached
          |FROM r$khopRounds GROUP BY seed ORDER BY seed_key""".stripMargin) { (s, dir) =>
-      val e = edgesInt(s, dir).distinct().localCheckpoint()
+      val e = edgesInt(s, dir).distinct().localCheckpoint(eager = false)
       val seeds = e.filter(col("a") % 100 < 5).select(col("a").as("seed")).distinct()
       var reached = seeds.select(col("seed"), col("seed").as("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       (1 to khopRounds).foreach { _ =>
         reached = reached.unionByName(
             e.join(reached.select(col("seed"), col("node").as("a")), Seq("a"))
               .select(col("seed"), col("b").as("node")))
           .distinct()
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       reached.groupBy("seed")
         .agg((count(lit(1)) - 1).as("n_reached"))

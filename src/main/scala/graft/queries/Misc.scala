@@ -493,14 +493,48 @@ object Misc {
     "events" -> "event_id", "lineitem" -> "l_orderkey",
     "orders" -> "o_orderkey")
 
+  /** The footer-stats session is derived from the parent once and memoized:
+    * bench/verify rebuild query DataFrames repeatedly, and `newSession()` per
+    * call would spin up a fresh SessionState (catalog, conf, planner) each
+    * time. Keyed weakly by the parent session so test harnesses that cycle
+    * SparkSessions don't pin dead ones.
+    */
+  private val statsSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]()
+
+  private def statsSession(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    statsSessions.synchronized {
+      var s2 = statsSessions.get(s)
+      if (s2 == null) {
+        s2 = s.newSession()
+        s2.conf.set("spark.sql.sources.useV1SourceList", "")
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        statsSessions.put(s, s2)
+      }
+      s2
+    }
+
   private[graft] def tableStatsDf(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.sources.useV1SourceList", "")
-    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val s2 = statsSession(s)
     tableKeys.map { case (t, k) =>
-      s2.read.parquet(s"$dir/$t.parquet")
-        .agg(count(lit(1)).as("n_rows"),
+      val df = s2.read.parquet(s"$dir/$t.parquet")
+      // min/max pushdown silently falls back — and DuckDB's lexicographic
+      // min over strings would diverge from a numeric cast — if a testdata
+      // regeneration ever turns a key column non-numeric: fail loudly instead
+      val keyType = df.schema(k).dataType
+      val integral = keyType match {
+        case _: org.apache.spark.sql.types.ByteType |
+             _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(integral,
+        s"meta_table_stats expects integral key $t.$k, got ${keyType.sql}")
+      df.agg(count(lit(1)).as("n_rows"),
           min(col(k)).cast("long").as("min_key"),
           max(col(k)).cast("long").as("max_key"))
         .select(lit(t).as("table_name"), col("n_rows"), col("min_key"),

@@ -326,13 +326,36 @@ class PipelineSpec extends AnyFunSuite {
     // ADC is a sum of four squared L2 sub-distances: >= 0 (fp slack), sorted
     assert(adcs.forall(_ >= -1e-9))
     assert(adcs.sameElements(adcs.sorted))
-    // codewords are real vectors (vec_id < 8): their own ADC to the query is
-    // small — sanity that the lut geometry is meaningful: the best ADC must
-    // not exceed the worst by construction of the sort (already checked),
-    // and at least one of the true brute-force top-10 should surface here
-    val brute = run("pipe_ann_brute").collect().map(_.getAs[Long]("vec_id")).toSet
-    assert(pq.map(_.getAs[Long]("vec_id")).count(brute.contains) >= 1,
-      "PQ top-10 shares nothing with exact top-10 — encode or lut broken")
+    // structural check (dataset-independent, unlike recall-vs-brute which is
+    // a data property the regenerated testdata need not preserve): recompute
+    // the whole encode→lut→ADC ranking driver-side with the identical
+    // sequential-fold arithmetic and require the exact (vec_id, adc) top-10
+    val emb = Tables.t(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def sdot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def d2(s: Array[Double], c: Array[Double]): Double =
+      sdot(s, s) + sdot(c, c) - 2.0 * sdot(s, c)
+    val codebook = emb.filter(_._1 < 8)
+    val qv = emb.find(_._1 == 0L).get._2
+    def sub(v: Array[Double], m: Int): Array[Double] = v.slice((m - 1) * 16, m * 16)
+    val lut = (1 to 4).map { m =>
+      m -> codebook.map { case (code, ce) => code -> d2(sub(qv, m), sub(ce, m)) }.toMap
+    }.toMap
+    val expected = emb.filter(_._1 != 0L).map { case (vid, v) =>
+      val ds = (1 to 4).map { m =>
+        lut(m)(codebook.map { case (code, ce) =>
+          (d2(sub(v, m), sub(ce, m)), code) }.min._2)
+      }
+      (vid, ((ds(0) + ds(1)) + ds(2)) + ds(3))
+    }.sortBy { case (vid, adc) => (adc, vid) }.take(10)
+    val got = pq.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc")))
+    assert(got.sameElements(expected),
+      s"PQ ranking diverged from driver recomputation:\n got=${got.toSeq}\n exp=${expected.toSeq}")
   }
 
   test("ivfpq: subset of PQ ranking restricted to probed cells") {
