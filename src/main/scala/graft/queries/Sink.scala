@@ -37,9 +37,15 @@ object Sink {
         |LEFT JOIN lnk ON lnk.lkey = issues.key
         |WHERE project_key = 'P1' AND string_split(key, '-')[2]::INT < 2000
         |ORDER BY key""".stripMargin)) { (s, dir) =>
-    val slice = Yaml.withRelationships(Tables.issues(s, dir), Tables.links(s, dir))
-      .filter(col("project_key") === "P1" &&
-        expr("cast(element_at(split(key, '-'), 2) as int) < 2000"))
+    // slice FIRST, then enrich: withRelationships semi-join-prunes both
+    // aggregations to the slice's keys (subtask children still drawn from
+    // the full table via allIssues), so the enrichment work is
+    // slice-proportional instead of corpus-proportional
+    val issues = Tables.issues(s, dir)
+    val slice = Yaml.withRelationships(
+      issues.filter(col("project_key") === "P1" &&
+        expr("cast(element_at(split(key, '-'), 2) as int) < 2000")),
+      Tables.links(s, dir), allIssues = issues)
     val repo = Files.createTempDirectory("graft-yaml-rt").toString
     Yaml.writeIssues(slice, repo)
     Yaml.readIssues(s, repo)

@@ -44,6 +44,11 @@ object SyncProfile {
         graft.engine.SyncEngine.SyncOptions(), now = now1, progress = rep)
       println(s"[prof$i] issues=${r.total} ips=${r.issues_per_sec}")
     }
+    // remove the ~100k temp files: leftover profiling repos accumulate and
+    // degrade filesystem metadata performance for every later run
+    scala.util.Try(java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () }))
     spark.stop()
   }
 }
