@@ -244,6 +244,84 @@ object Dedup {
       .orderBy(desc("cosine"), col("vec_a"), col("vec_b")).limit(20)
   }
 
+  /** Semantic deduplication (the SemDeDup shape: cluster the embedding
+    * space, then drop near-identical members within each cluster): vectors
+    * are bucketed by map-side IVF cell assignment, within-cell pairs with
+    * cosine ≥ τ form an undirected similarity graph, bounded min-label
+    * propagation resolves duplicate groups, and one survivor (smallest id)
+    * is kept per group. Singletons survive as their own cluster.
+    *
+    * Scale shape: cell assignment is the map-side argmax fold (no ×C
+    * explosion); the pair join is an equi-join on the cell id, so the pair
+    * count is bounded by Σ|cell|² — in production the centroid count grows
+    * with the corpus (cells of ~√N) exactly as in the IVF family, and the
+    * propagation rounds are the bounded-iteration machinery of
+    * graph_components. Nothing is corpus × corpus.
+    */
+  private val SemanticTau = 0.35
+  private val SemanticRounds = 3
+  private val semantic = {
+    val steps = (1 to SemanticRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT adj.a AS node, min(p.lbl) AS lbl
+         |  FROM adj JOIN l${i - 1} p ON p.node = adj.b
+         |  GROUP BY adj.a)""".stripMargin
+    }.mkString(",\n")
+    q("pipe_dedup_semantic",
+      s"""WITH $embCte,
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${sqlCosine("v.e", "c.ce")} DESC, c.cid) AS rn
+         |    FROM emb v, cents c) WHERE rn = 1),
+         |cells AS (SELECT e.vec_id, e.e, a.cid FROM emb e JOIN assign a ON a.vec_id = e.vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCosine("a.e", "b.e")} >= $SemanticTau),
+         |und AS (SELECT va AS a, vb AS b FROM pairs
+         |  UNION ALL SELECT vb AS a, va AS b FROM pairs),
+         |adj AS (SELECT a, b FROM und
+         |  UNION ALL SELECT vec_id AS a, vec_id AS b FROM emb),
+         |l0 AS (SELECT vec_id AS node, vec_id AS lbl FROM emb),
+         |$steps
+         |SELECT node AS vec_id, lbl AS cluster,
+         |  row_number() OVER (PARTITION BY lbl ORDER BY node) = 1 AS survivor
+         |FROM l$SemanticRounds ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val en = embDN(s, dir)
+      val cents = en.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+      val cells = Similarity.assignMapSide(en, cents)
+        .select("vec_id", "e", "nrm", "cid")
+      val a = cells.select(col("vec_id").as("va"), col("e").as("ea"),
+        col("nrm").as("na"), col("cid"))
+      val b = cells.select(col("vec_id").as("vb"), col("e").as("eb"),
+        col("nrm").as("nb"), col("cid"))
+      val pairs = a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+        .filter(dotD(col("ea"), col("eb")) / (col("na") * col("nb")) >= SemanticTau)
+        .select("va", "vb")
+      val und = pairs.select(col("va").as("a"), col("vb").as("b"))
+        .unionByName(pairs.select(col("vb").as("a"), col("va").as("b")))
+      val adj = und.unionByName(
+        en.select(col("vec_id").as("a"), col("vec_id").as("b")))
+        .localCheckpoint(eager = false)
+      var labels = en.select(col("vec_id").as("node"), col("vec_id").as("lbl"))
+        .localCheckpoint(eager = false)
+      for (_ <- 1 to SemanticRounds)
+        labels = adj.join(labels, col("node") === col("b"))
+          .groupBy(col("a")).agg(min("lbl").as("lbl"))
+          .withColumnRenamed("a", "node")
+          .localCheckpoint(eager = false)
+      val w = Window.partitionBy("lbl").orderBy("node")
+      labels
+        .select(col("node").as("vec_id"), col("lbl").as("cluster"),
+          (row_number().over(w) === 1).as("survivor"))
+        .orderBy("vec_id")
+    }
+  }
+
   /** Cluster resolution — the survivor-selection step that completes the
     * near-dup pipeline: candidate pairs form an undirected graph; each doc
     * takes the minimum doc_id reachable in ≤ 5 label-propagation rounds as
@@ -470,5 +548,5 @@ object Dedup {
   }
 
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, simhash, embedding, resolve,
-    incremental, decontaminate, survivor)
+    incremental, decontaminate, survivor, semantic)
 }

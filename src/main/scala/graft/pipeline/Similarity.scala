@@ -31,7 +31,7 @@ object Similarity {
     * C copies of a 100 TB corpus. Ties pick the smallest cid (struct max on
     * (sim, -cid)), matching the oracle's window-rank tiebreak.
     */
-  private def assignMapSide(vecs: org.apache.spark.sql.DataFrame,
+  private[pipeline] def assignMapSide(vecs: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cl = cents.select("cid", "ce", "cn").collect()
     val centArr = array(cl.map { r =>

@@ -317,6 +317,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(h.last.getAs[Double]("cum_frac") - 1.0) < 1e-12)
   }
 
+  test("semantic dedup: clusters partition the space, one minimal survivor each") {
+    val sd = run("pipe_dedup_semantic").cache()
+    val n = Tables.t(spark, sf, "embeddings").count()
+    assert(sd.count() == n)
+    assert(sd.select("vec_id").distinct().count() == n)
+    // the cluster label is a reachable member id, never above the member
+    assert(sd.filter(col("cluster") > col("vec_id")).count() == 0)
+    // exactly one survivor per cluster, and it is the smallest member
+    val byCluster = sd.groupBy("cluster").agg(
+      sum(when(col("survivor"), 1L).otherwise(0L)).as("nsurv"),
+      min("vec_id").as("mn")).cache()
+    assert(byCluster.filter(col("nsurv") =!= 1).count() == 0)
+    val survivors = sd.filter(col("survivor"))
+      .select(col("cluster"), col("vec_id").as("sv"))
+    assert(byCluster.join(survivors, Seq("cluster"))
+      .filter(col("sv") =!= col("mn")).count() == 0)
+  }
+
   test("pq: top-10 by asymmetric distance, non-negative, query excluded") {
     val pq = run("pipe_ann_pq").collect()
     assert(pq.length == 10)
