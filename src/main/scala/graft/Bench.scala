@@ -52,6 +52,22 @@ object Bench {
       i.unpersist()
     } catch { case _: Throwable => }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // defensive sweep: stale graft-* temp trees from earlier crashed runs
+    // (~100k small files each) measurably throttle filesystem metadata
+    // performance — 2-5x swings on the sync number were traced to exactly
+    // this. Only our own prefix, only dirs idle for over an hour.
+    try {
+      import scala.jdk.CollectionConverters._
+      val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      java.nio.file.Files.list(tmpRoot).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("graft-") &&
+          scala.util.Try(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            .getOrElse(Long.MaxValue) < cutoff)
+        .foreach(p => scala.util.Try(java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })))
+    } catch { case _: Throwable => () }
     // end-to-end sync throughput vs BASELINE's issues/sec: a bounded slice
     // (~60k issues) through the full pipeline — JQL plan, YAML files,
     // edge parquet, git commit, state merge — then an incremental no-op rerun
