@@ -93,6 +93,39 @@ class SinkSpec extends AnyFunSuite {
     assert(back.getAs[String]("summary") == """He said "hi" \ bye""")
   }
 
+  test("property: arbitrary strings survive esc → snakeyaml parse exactly") {
+    import org.scalacheck.Gen
+    // bias toward the hostile ranges: C0/C1 controls, YAML specials, quotes,
+    // backslashes, unicode line separators, surrogate-free high planes
+    val hostileChar: Gen[Char] = Gen.oneOf(
+      Gen.choose(0.toChar, 0x1f.toChar),
+      Gen.oneOf('"', '\\', '\n', '\r', '\t', '\u007f', '\u0085',
+        '\u2028', '\u2029', ':', '#', '-', '\'', '{', '}', '[', ']'),
+      Gen.choose(0x80.toChar, 0x9f.toChar),
+      Gen.alphaNumChar,
+      Gen.choose(0x00a0.toChar, 0xd7ff.toChar))
+    val genStr: Gen[String] =
+      Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, hostileChar)).map(_.mkString)
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    Iterator.continually(genStr.sample).flatten.take(300).foreach { s =>
+      val rendered = {
+        // drive through the real record renderer, not esc() in isolation
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any]("K-1", "K", s, s, "", "", "", "", "", "", null, null,
+            "", "", null, null, null, null, null),
+          org.apache.spark.sql.types.StructType(
+            (Yaml.columns ++ Yaml.relColumns).map(c =>
+              org.apache.spark.sql.types.StructField(c,
+                org.apache.spark.sql.types.StringType))))
+        Yaml.toYamlString(row)
+      }
+      val m = yaml.load[java.util.Map[String, Object]](rendered)
+      assert(Option(m.get("summary")).map(_.toString).getOrElse("") == s,
+        s"summary mangled for ${s.map(_.toInt).mkString("[", ",", "]")}")
+      assert(Option(m.get("description")).map(_.toString).getOrElse("") == s)
+    }
+  }
+
   test("YAML 1.1 unicode line breaks (NEL/LS/PS) and C1 controls round-trip") {
     import spark.implicits._
     val repo = Files.createTempDirectory("graft-u").toString
