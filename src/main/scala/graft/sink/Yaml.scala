@@ -489,7 +489,16 @@ object Yaml {
     */
   def fileRecordChecksums(spark: SparkSession, repoDir: String): DataFrame = {
     import spark.implicits._
-    if (!new java.io.File(s"$repoDir/projects").isDirectory)
+    // a missing projects/ root OR an initialized-but-empty tree must yield an
+    // empty frame, not a path-does-not-exist AnalysisException from the glob
+    // (the walk short-circuits at the first .yaml, so it is O(dirs) not O(files))
+    val root = Paths.get(repoDir, "projects")
+    val anyYaml = Files.isDirectory(root) && {
+      val walk = Files.walk(root)
+      try walk.anyMatch(p => p.toString.endsWith(".yaml"))
+      finally walk.close()
+    }
+    if (!anyYaml)
       return Seq.empty[(String, String)].toDF("file_path", "checksum")
     val raw = spark.read.option("wholetext", "true")
       .text(s"$repoDir/projects/*/issues/*.yaml")

@@ -139,6 +139,15 @@ class EngineSpec extends AnyFunSuite {
     assert(reReport.count() == 0)
   }
 
+  test("recover handles an initialized-but-empty tree and a missing tree") {
+    val work = Files.createTempDirectory("graft-empty-tree").toString
+    // no projects/ at all
+    assert(SyncEngine.recover(spark, s"$work/norepo", s"$work/nostate").count() == 0)
+    // projects/ exists but holds no yaml files
+    Files.createDirectories(java.nio.file.Paths.get(work, "repo2", "projects", "P1", "issues"))
+    assert(SyncEngine.recover(spark, s"$work/repo2", s"$work/nostate2").count() == 0)
+  }
+
   test("recover flags files whose content was edited outside of sync") {
     val work = Files.createTempDirectory("graft-drift").toString
     val repo = s"$work/repo"
