@@ -430,6 +430,41 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Source-calibrated quality selection: rank each document's quality
+    * WITHIN its source (percent_rank) and keep the top half per source —
+    * the domain-balancing move every mixed-corpus pipeline needs, because
+    * one absolute quality threshold over heterogeneous sources just deletes
+    * the hardest domain (a web-crawl doc and a reference-manual doc don't
+    * share a quality scale).
+    *
+    * Plan shape: one doc-keyed join (quality ⨝ source) then a window
+    * PARTITIONED BY source — per-source sorts, never a global one. Sources
+    * are numerous and individually bounded in a real corpus; a pathological
+    * single-source corpus would swap percent_rank for an approx-quantile
+    * threshold join (same output contract, no exact per-partition sort).
+    * Ties are broken by doc_id so rank — and therefore the percentile and
+    * the hash gate — is deterministic cross-engine.
+    */
+  private val qualityCalibrated = q("pipe_quality_calibrated",
+    withDocs(s""", ${TextAnalysis.qualitySql}
+       |SELECT q.doc_id, d.source, q.quality,
+       |  percent_rank() OVER (PARTITION BY d.source
+       |    ORDER BY q.quality, q.doc_id) AS src_pctl,
+       |  percent_rank() OVER (PARTITION BY d.source
+       |    ORDER BY q.quality, q.doc_id) >= 0.5 AS selected
+       |FROM quality q JOIN documents d ON d.doc_id = q.doc_id
+       |ORDER BY q.doc_id""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    TextAnalysis.qualityDf(s, dir).select("doc_id", "quality")
+      .join(graft.Tables.t(s, dir, "documents").select("doc_id", "source"),
+        Seq("doc_id"))
+      .withColumn("src_pctl", percent_rank().over(w))
+      .withColumn("selected", col("src_pctl") >= 0.5)
+      .select("doc_id", "source", "quality", "src_pctl", "selected")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
-    stats, lenHist, corpusFinal)
+    stats, lenHist, corpusFinal, qualityCalibrated)
 }

@@ -104,25 +104,24 @@ object Dedup {
     (s, dir) => minhashCandidates(docShingleArrays(s, dir)).orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard, verified ONLY on the banded candidate pairs
-    * (the verify step of MinHash dedup — candidate count × shingle sets, not
-    * n² pairs).
+  /** sizes + inter CTEs over the banded candidates — the shared verify core
+    * of [[jaccard]] and [[containment]] (shared so the two oracles cannot
+    * drift).
     */
-  private val jaccard = q("pipe_dedup_jaccard",
-    withDocs(s""", $minhashSql,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-       |inter AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS i
-       |  FROM cand c
-       |  JOIN shingles sa ON sa.doc_id = c.doc_a
-       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-       |  GROUP BY c.doc_a, c.doc_b)
-       |SELECT i.doc_a, i.doc_b,
-       |  i::DOUBLE / (na.n + nb.n - i) AS jaccard
-       |FROM inter i
-       |JOIN sizes na ON na.doc_id = i.doc_a
-       |JOIN sizes nb ON nb.doc_id = i.doc_b
-       |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+  private val pairCtes: String =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS i
+      |  FROM cand c
+      |  JOIN shingles sa ON sa.doc_id = c.doc_a
+      |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
+
+  /** Spark twin of [[pairCtes]]: banded candidate pairs with exact shingle
+    * intersection and set sizes — `(doc_a, doc_b, i, na, nb)`.
+    */
+  private def verifiedPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     // the rolled-up shingle arrays feed the minhash candidate pipeline AND
     // the verify step. NOT persisted: since signatures fold per row the
     // array build is a cheap map-only pass, and caching 100+ MB of string
@@ -148,8 +147,51 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
         col("n").as("nb")), Seq("doc_b"))
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select("doc_a", "doc_b", "i", "na", "nb")
+  }
+
+  /** Exact n-gram Jaccard, verified ONLY on the banded candidate pairs
+    * (the verify step of MinHash dedup — candidate count × shingle sets, not
+    * n² pairs).
+    */
+  private val jaccard = q("pipe_dedup_jaccard",
+    withDocs(s""", $minhashSql,
+       |$pairCtes
+       |SELECT i.doc_a, i.doc_b,
+       |  i::DOUBLE / (na.n + nb.n - i) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON na.doc_id = i.doc_a
+       |JOIN sizes nb ON nb.doc_id = i.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+    verifiedPairs(s, dir)
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Asymmetric containment on the same banded candidates: |A∩B|/|A| and
+    * |A∩B|/|B|. Jaccard under-scores SUBSET near-dups — a short doc quoted
+    * whole inside a long one has tiny Jaccard but containment ≈ 1 on the
+    * short side — so production dedup gates on max(containment, jaccard).
+    * Same scale shape as [[jaccard]]: candidate-count work, never n².
+    */
+  private val containment = q("pipe_dedup_containment",
+    withDocs(s""", $minhashSql,
+       |$pairCtes
+       |SELECT i.doc_a, i.doc_b,
+       |  i::DOUBLE / na.n AS cont_a,
+       |  i::DOUBLE / nb.n AS cont_b,
+       |  greatest(i::DOUBLE / na.n, i::DOUBLE / nb.n) AS containment
+       |FROM inter i
+       |JOIN sizes na ON na.doc_id = i.doc_a
+       |JOIN sizes nb ON nb.doc_id = i.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin)) { (s, dir) =>
+    verifiedPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / col("na")).as("cont_a"),
+        (col("i").cast("double") / col("nb")).as("cont_b"),
+        greatest(col("i").cast("double") / col("na"),
+          col("i").cast("double") / col("nb")).as("containment"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -547,6 +589,70 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GQuery] = Seq(exact, minhash, jaccard, simhash, embedding, resolve,
-    incremental, decontaminate, survivor, semantic)
+  /** Segment granularity for [[lines]] — 3 normalized words per segment. */
+  private val SegLen = 3
+
+  /** Cross-document "line"-level dedup (the C4/RefinedWeb boilerplate
+    * remover): drop every text span that repeats ≥ 3 times ACROSS the whole
+    * corpus, keep the rest of each document intact. Real web corpora key
+    * this on newline-delimited lines; the synthetic docs have no newlines,
+    * so the unit here is deterministic non-overlapping [[SegLen]]-word
+    * segments — same pipeline shape, honest proxy.
+    *
+    * 100 TB shape: segments never leave their scan until the count — the
+    * global frequency table is a hash aggregate on the 64-bit segment hash
+    * (map-side combinable, so a segment repeated 10^6 times costs one
+    * partial per task, not 10^6 shuffle rows), and flagging is one
+    * shuffle hash join back on that uniform hash key (no skew by
+    * construction). Reassembly is a per-doc sort of only the SURVIVING
+    * segments inside a hash aggregate — no window, no global sort.
+    */
+  private val lines = q("pipe_dedup_lines",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |segs AS (
+       |  SELECT doc_id, i,
+       |    array_to_string(w[$SegLen*i+1 : $SegLen*i+$SegLen], ' ') AS seg
+       |  FROM words, unnest(generate_series(0, (len(w)-1)//$SegLen)) t(i)),
+       |cnt AS (SELECT ${sqlHash64("seg")} AS h, count(*) AS c
+       |        FROM segs GROUP BY 1),
+       |flagged AS (
+       |  SELECT s.doc_id, s.i, s.seg, c.c >= 3 AS dup
+       |  FROM segs s JOIN cnt c ON c.h = ${sqlHash64("s.seg")}),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_seg,
+       |    sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |    coalesce(string_agg(seg, ' ' ORDER BY i) FILTER (WHERE NOT dup),
+       |             '') AS clean
+       |  FROM flagged GROUP BY doc_id)
+       |SELECT doc_id, n_seg, n_dropped,
+       |  length(clean)::BIGINT AS clean_len,
+       |  ${sqlHash64("clean")} AS clean_fp
+       |FROM per ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val segs = docWords(s, dir).select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, (size(w)-1) div $SegLen),
+           |  i -> concat_ws(' ', slice(w, int(i)*$SegLen + 1, $SegLen)))"""
+          .stripMargin)))
+      .toDF("doc_id", "i", "seg")
+    val cnt = segs.groupBy(hash64(col("seg")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val flagged = segs.withColumn("h", hash64(col("seg")))
+      .join(cnt, Seq("h"))
+      .withColumn("dup", col("c") >= 3)
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(col("dup").cast("long")).as("n_dropped"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(!col("dup"),
+            struct(col("i"), col("seg"))))),
+          x => x.getField("seg"))).as("clean"))
+      .select(col("doc_id"), col("n_seg"), col("n_dropped"),
+        length(col("clean")).cast("long").as("clean_len"),
+        hash64(col("clean")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
+    embedding, resolve, incremental, decontaminate, survivor, semantic, lines)
 }

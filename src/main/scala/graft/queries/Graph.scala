@@ -256,5 +256,56 @@ object Graph {
     }
   }
 
+  /** Connected components run TO CONVERGENCE — the engine-API form of
+    * [[components]], which stays at a fixed round count only so the DuckDB
+    * oracle can replay it as chained CTEs. Use this one when the answer
+    * matters more than cross-engine hashability.
+    *
+    * `edges` is any two-column long edge list `(a, b)`; it is symmetrized
+    * and self-looped here, so callers pass raw directed edges. Each round
+    * is the same one-join-one-aggregate step as [[components]]. The
+    * convergence check adds NO join and NO extra shuffle: min-label
+    * propagation only ever lowers a node's label, so the total label sum
+    * strictly decreases every round until the fixpoint and is invariant
+    * exactly there — one map-side-combinable `sum` per round is the whole
+    * test. The sum runs in decimal(38,0): at 10^12 nodes × 10^13-scale
+    * encoded labels a long sum overflows, a 38-digit decimal does not.
+    * Lineage is truncated per round like every iterative op here (same
+    * executor-loss caveat as [[components]] — swap localCheckpoint for a
+    * reliable checkpoint on a real cluster).
+    *
+    * Returns the converged `(node, lbl)` labels and the number of
+    * propagation rounds run (the last one is the confirming round whose
+    * label sum matched its predecessor's).
+    */
+  def componentsConverged(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    val e = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val adj = und.union(und.select(col("a"), col("a").as("b")).distinct())
+      .localCheckpoint(eager = false)
+    var labels = und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(eager = false)
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prev = lblSum(labels)
+    if (prev.signum == 0 && labels.isEmpty) return (labels, 0)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      labels = adj.join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(eager = false)
+      rounds += 1
+      val cur = lblSum(labels)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+    }
+    (labels, rounds)
+  }
+
   val all: Seq[GQuery] = Seq(components, pagerank, khop)
 }

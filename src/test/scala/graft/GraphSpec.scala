@@ -83,6 +83,31 @@ class GraphSpec extends AnyFunSuite {
     assert(dup == 0, s"$dup uncompressed change-points")
   }
 
+  test("componentsConverged: reaches a fixpoint where no edge crosses labels") {
+    // same injective encoding the queries use: project digit * 1e12 + suffix
+    val enc = (c: String) =>
+      expr(s"substring($c, 2, 1)").cast("long") * lit(1000000000000L) +
+        element_at(split(col(c), "-"), 2).cast("long")
+    val edges = edgeSlice.select(enc("src").as("a"), enc("dst").as("b"))
+    val (labels, rounds) = queries.Graph.componentsConverged(edges, maxRounds = 50)
+    assert(rounds > 0 && rounds < 50, s"did not converge in $rounds rounds")
+    val lab = labels.cache()
+    // defining property of CONVERGED components: both endpoints of every
+    // edge carry the same label (the fixed-round query can't promise this)
+    val la = lab.withColumnRenamed("node", "a").withColumnRenamed("lbl", "la")
+    val lb = lab.withColumnRenamed("node", "b").withColumnRenamed("lbl", "lb")
+    val crossing = edges.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("la") =!= col("lb")).count()
+    assert(crossing == 0, s"$crossing edges still cross component labels")
+    // labels are min-of-component: every label is <= its node and is itself
+    // a node whose label is itself (the component representative)
+    assert(lab.filter(col("lbl") > col("node")).count() == 0)
+    val reps = lab.select(col("lbl").as("node"), col("lbl"))
+    assert(reps.distinct().except(lab).count() == 0,
+      "a component label is not its own representative")
+    lab.unpersist()
+  }
+
   test("bigram familiarity is >= 1 and counts match the doc's word count") {
     val bg = SparkEntry.queries("pipe_text_bigram_lm")(spark, sf)
     assert(bg.filter(col("familiarity") < 1.0).count() == 0,

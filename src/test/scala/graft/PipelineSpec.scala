@@ -32,6 +32,58 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup: counts bound each other; untouched docs round-trip") {
+    val df = run("pipe_dedup_lines").cache()
+    val docs = Tables.t(spark, sf, "documents").count()
+    assert(df.count() == docs, "one output row per document")
+    assert(df.filter(col("n_dropped") > col("n_seg")).count() == 0)
+    assert(df.filter(col("n_dropped") > 0).count() > 0,
+      "corpus has boilerplate segments by construction; none were dropped")
+    assert(df.filter(col("n_dropped") < col("n_seg") &&
+      col("clean_len") === 0).count() == 0,
+      "docs with surviving segments must keep text")
+    // segments partition the word list, so a doc with nothing dropped must
+    // reassemble to EXACTLY its normalized text
+    val norm = pipeline.docsNorm(spark, sf)
+      .select(col("doc_id"), pipeline.hash64(col("norm")).as("nfp"),
+        length(col("norm")).cast("long").as("nlen"))
+    val broken = df.filter(col("n_dropped") === 0).join(norm, Seq("doc_id"))
+      .filter(col("clean_fp") =!= col("nfp") || col("clean_len") =!= col("nlen"))
+      .count()
+    assert(broken == 0, s"$broken untouched docs failed to round-trip")
+    df.unpersist()
+  }
+
+  test("quality calibration selects exactly the top half of every source") {
+    val df = run("pipe_quality_calibrated").cache()
+    assert(df.filter(col("src_pctl") < 0 || col("src_pctl") > 1).count() == 0)
+    // ties are broken by doc_id, so ranks are distinct and the >= 0.5 gate
+    // admits exactly ceil(n/2) docs per source (0 for a singleton source,
+    // whose only percent_rank is 0)
+    df.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("selected").cast("long")).as("sel"))
+      .collect().foreach { r =>
+        val n = r.getAs[Long]("n")
+        val expected = if (n == 1) 0L else n - n / 2
+        assert(r.getAs[Long]("sel") == expected,
+          s"source ${r.get(0)}: selected ${r.get(2)} of $n, expected $expected")
+      }
+    df.unpersist()
+  }
+
+  test("containment dominates jaccard on every candidate pair") {
+    val c = run("pipe_dedup_containment").cache()
+    assert(c.filter(col("cont_a") <= 0 || col("cont_a") > 1 ||
+      col("cont_b") <= 0 || col("cont_b") > 1).count() == 0)
+    // i/min(na,nb) >= i/(na+nb-i) always: containment can only exceed jaccard
+    val j = run("pipe_dedup_jaccard")
+    val below = c.join(j, Seq("doc_a", "doc_b"))
+      .filter(col("containment") < col("jaccard") - 1e-12).count()
+    assert(below == 0, s"$below pairs where containment < jaccard")
+    assert(c.count() == j.count(), "both verify the same candidate set")
+    c.unpersist()
+  }
+
   test("simhash hamming distances are in [0, 60] and sorted ascending") {
     val rows = run("pipe_dedup_simhash").select("hamming").collect().map(_.getLong(0))
     assert(rows.forall(h => h >= 0 && h <= 60))
