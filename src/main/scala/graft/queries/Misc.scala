@@ -550,7 +550,101 @@ object Misc {
     tableStatsDf(s, dir).orderBy("table_name")
   }
 
+  /** Ordered conversion funnel over the event stream: users who signed up,
+    * then clicked strictly AFTER their first signup, then purchased strictly
+    * after that first qualifying click. The strict ordering is the point —
+    * a per-type min-timestamp pivot would count a purchase that happened
+    * before the signup.
+    *
+    * Plan shape: a chain of user-keyed aggregate → join steps, one per
+    * stage. Every shuffle is on user_id, so after the first exchange the
+    * stage joins are co-partitioned (AQE reuses the partitioning); stage
+    * tables only ever shrink. No window, no ordering beyond per-user mins —
+    * this is the funnel shape that survives a billion-user event log.
+    */
+  private val funnel = q("stream_funnel",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+      |       JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+      |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+      |       JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+      |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage, 'signup' AS event_type, count(*)::BIGINT AS n_users FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'click', count(*)::BIGINT FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', count(*)::BIGINT FROM s3)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").as("e")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(n: Int, t: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage"), lit(t).as("event_type"), col("n_users"))
+    stage(1, "signup", s1)
+      .unionByName(stage(2, "click", s2))
+      .unionByName(stage(3, "purchase", s3))
+      .orderBy("stage")
+  }
+
+  /** Weekly retention cohorts: users grouped by first-seen ISO week, then
+    * for each cohort the share still active N weeks later — the
+    * (cohort × age) triangle every growth dashboard draws. Weeks (not days)
+    * keep the output |weeks|² regardless of corpus size.
+    *
+    * Plan shape: two user-keyed aggregates (first-seen; distinct active
+    * weeks) and one user-keyed join, then a tiny (cohort, age) aggregate.
+    * The distinct-active-week dedup happens BEFORE the join, so the join
+    * input is one row per (user, week), not per event.
+    */
+  private val retention = q("stream_retention_cohorts",
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |fs AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+      |       FROM ev GROUP BY user_id),
+      |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM ev),
+      |cs AS (SELECT cw, count(*) AS cohort_n FROM fs GROUP BY cw),
+      |j AS (SELECT f.cw, date_diff('day', f.cw, a.aw) // 7 AS age_weeks,
+      |        a.user_id
+      |      FROM act a JOIN fs f ON f.user_id = a.user_id)
+      |SELECT strftime(j.cw, '%Y-%m-%d') AS cohort_week_s,
+      |  j.age_weeks::BIGINT AS age_weeks,
+      |  count(*)::BIGINT AS n_active,
+      |  count(*)::DOUBLE / cs.cohort_n AS retention
+      |FROM j JOIN cs ON cs.cw = j.cw
+      |GROUP BY j.cw, j.age_weeks, cs.cohort_n
+      |ORDER BY cohort_week_s, age_weeks""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select("user_id", "ts")
+    val fs = ev.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cw"))
+    val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .distinct()
+    val cs = fs.groupBy("cw").agg(count(lit(1)).as("cohort_n"))
+    act.join(fs, Seq("user_id"))
+      .select(col("cw"),
+        expr("datediff(aw, cw) div 7").as("age_weeks"))
+      .groupBy("cw", "age_weeks").agg(count(lit(1)).as("n_active"))
+      .join(cs, Seq("cw"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week_s"),
+        col("age_weeks"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_n")).as("retention"))
+      .orderBy("cohort_week_s", "age_weeks")
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
-    rollup, moments, analytics, approxDistinct, groupingSets, tableStats)
+    rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
+    funnel, retention)
 }

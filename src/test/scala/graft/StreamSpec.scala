@@ -228,6 +228,32 @@ class StreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("funnel stages are monotone non-increasing and strictly ordered in time") {
+    val rows = SparkEntry.queries("stream_funnel")(spark, sf)
+      .orderBy("stage").collect()
+    assert(rows.length == 3)
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel widened downstream: ${counts.mkString(",")}")
+    assert(counts(0) > 0, "no signups in the event table")
+  }
+
+  test("retention: age 0 is exactly 1.0 and cohort activity never exceeds it") {
+    val df = SparkEntry.queries("stream_retention_cohorts")(spark, sf).cache()
+    import org.apache.spark.sql.functions._
+    // a cohort's first-seen week IS an active week, so age-0 retention = 1
+    assert(df.filter(col("age_weeks") === 0 && col("retention") =!= 1.0)
+      .count() == 0, "age-0 retention must be exactly 1.0")
+    assert(df.filter(col("age_weeks") === 0).count() ==
+      df.select("cohort_week_s").distinct().count(),
+      "every cohort must have an age-0 row")
+    assert(df.filter(col("retention") <= 0 || col("retention") > 1.0)
+      .count() == 0)
+    assert(df.filter(col("age_weeks") < 0).count() == 0,
+      "activity before the cohort's first week is impossible")
+    df.unpersist()
+  }
+
   test("stream-stream interval join: clicks attribute to impressions in-window") {
     // two live streams joined on key + a time-bound — the streaming twin of
     // the batch range join. Both sides watermarked; the interval condition
