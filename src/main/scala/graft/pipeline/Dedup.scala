@@ -653,6 +653,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/val/test assignment: split by the near-dup CLUSTER
+    * label, not the document id, so a near-duplicate pair can never straddle
+    * train and test — the eval-contamination hole `pipe_split_assign`'s
+    * per-doc hashing leaves open. Same 80/10/10 hash-mod rule (same
+    * thresholds as split_assign, applied to the cluster representative), so
+    * singleton docs land exactly where split_assign puts them.
+    *
+    * Plan shape: the cluster labels are the bounded label propagation
+    * already analyzed in [[resolve]]; the split is then one map-side
+    * hash-mod on the label — assignment itself adds zero shuffles.
+    */
+  private val splitSafe = q("pipe_split_leakage_safe",
+    withDocs(s""", $minhashSql,
+       |$resolveCtes
+       |SELECT doc_id, cluster,
+       |  CASE WHEN ${sqlHash64("cluster::VARCHAR")} % 100 < 80 THEN 'train'
+       |       WHEN ${sqlHash64("cluster::VARCHAR")} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM l$ResolveRounds ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    val bucket = hash64(col("cluster").cast("string")) % 100
+    clusterLabels(s, dir)
+      .select(col("doc_id"), col("cluster"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
-    embedding, resolve, incremental, decontaminate, survivor, semantic, lines)
+    embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
+    splitSafe)
 }

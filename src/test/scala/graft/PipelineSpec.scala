@@ -84,6 +84,23 @@ class PipelineSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("leakage-safe split: one split per cluster; singletons match split_assign") {
+    val df = run("pipe_split_leakage_safe").cache()
+    assert(df.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    // the whole point: a cluster (near-dup group) never straddles splits
+    val straddling = df.groupBy("cluster")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddling == 0, s"$straddling clusters straddle splits")
+    // docs that are their own cluster get the identical split the per-doc
+    // rule assigns (same hash, same thresholds)
+    val perDoc = run("pipe_split_assign").withColumnRenamed("split", "doc_split")
+    val diverged = df.filter(col("doc_id") === col("cluster"))
+      .join(perDoc, Seq("doc_id"))
+      .filter(col("split") =!= col("doc_split")).count()
+    assert(diverged == 0, s"$diverged singleton docs diverge from split_assign")
+    df.unpersist()
+  }
+
   test("simhash hamming distances are in [0, 60] and sorted ascending") {
     val rows = run("pipe_dedup_simhash").select("hamming").collect().map(_.getLong(0))
     assert(rows.forall(h => h >= 0 && h <= 60))

@@ -254,6 +254,33 @@ class StreamSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("streaming funnel over two ordered micro-batches matches the batch query") {
+    import spark.implicits._
+    import graft.streaming.Funnel
+    implicit val ctx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[Funnel.Event].collect().sortBy(_.ts.getTime)
+    // split by event time so batches arrive in order — the regime where the
+    // streaming machine is exact (cross-batch late data is the documented gap)
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val mem = MemoryStream[Funnel.Event]
+    val query = Funnel.advances(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("funnel_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); query.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+    val reached = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("stage").as("m"))
+      .collect().map(_.getAs[Int]("m"))
+    val streamed = (1 to 3).map(k => reached.count(_ >= k).toLong)
+    val batch = SparkEntry.queries("stream_funnel")(spark, sf)
+      .orderBy("stage").collect().map(_.getAs[Long]("n_users")).toSeq
+    assert(streamed == batch,
+      s"streaming funnel $streamed diverges from batch $batch")
+  }
+
   test("stream-stream interval join: clicks attribute to impressions in-window") {
     // two live streams joined on key + a time-bound — the streaming twin of
     // the batch range join. Both sides watermarked; the interval condition
