@@ -179,4 +179,46 @@ class ExplainAudit extends AnyFunSuite {
       p.contains("BroadcastHashJoin"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("line dedup: census + flag are hash aggregates/joins, no window") {
+    // the segment frequency census must be a (partial -> final) hash
+    // aggregate on the segment hash and the per-doc reassembly a hash
+    // aggregate — a Window or a global Sort before the final ORDER BY
+    // would mean the corpus is being moved through one task again
+    val p = plan("pipe_dedup_lines")
+    assert(!p.contains("Window"), s"line dedup planned a window:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), "census/reassembly must hash-aggregate")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "flag join must be a hash/merge join")
+  }
+
+  test("funnel is a chain of per-user hash aggregates and joins, no window") {
+    val p = plan("stream_funnel")
+    assert(!p.contains("Window"), s"funnel planned a window:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("retention deduplicates (user, week) before the cohort join") {
+    // the distinct must sit below the join in the plan: the join input is
+    // users x weeks, never raw events
+    val p = plan("stream_retention_cohorts")
+    assert(!p.contains("Window"))
+    val joinAt = p.indexOf("Join")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(joinAt >= 0 && lastAgg > joinAt,
+      "expected aggregates (incl. the week dedup) below the cohort join")
+  }
+
+  test("quality calibration windows are partitioned by source") {
+    val p = plan("pipe_quality_calibrated")
+    assert(p.contains("windowspecdefinition(source"),
+      s"calibration window must partition by source:\n${p.take(2000)}")
+  }
+
+  test("leakage-safe split adds no shuffle beyond cluster resolution") {
+    // the split itself is a map-side hash-mod projection on the cluster
+    // label; no window, no extra aggregate past the resolve machinery
+    val p = plan("pipe_split_leakage_safe")
+    assert(!p.contains("Window"), s"split planned a window:\n${p.take(2000)}")
+  }
 }

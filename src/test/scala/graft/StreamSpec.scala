@@ -281,6 +281,44 @@ class StreamSpec extends AnyFunSuite {
       s"streaming funnel $streamed diverges from batch $batch")
   }
 
+  test("property: funnel folding is chunk-invariant over ordered batches") {
+    import org.scalacheck.Gen
+    import graft.streaming.Funnel
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val types = Gen.oneOf("signup", "click", "purchase", "view", "error")
+    val genEvents: Gen[List[Funnel.Event]] = for {
+      n <- Gen.chooseNum(0, 30)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 50L))
+      ty <- Gen.listOfN(n, types)
+    } yield ts.zip(ty).map { case (t, y) =>
+      Funnel.Event(1L, y, new Timestamp(t * 1000)) }
+    def foldChunks(chunks: Seq[Seq[Funnel.Event]]): (Seq[Int], Option[Funnel.UserStage]) = {
+      var st: Option[Funnel.UserStage] = None
+      val advances = chunks.flatMap { c =>
+        val gs = TestGroupState.create[Funnel.UserStage](
+          org.apache.spark.api.java.Optional.fromNullable(st.orNull),
+          GroupStateTimeout.NoTimeout, 0L,
+          org.apache.spark.api.java.Optional.absent[Long](),
+          hasTimedOut = false)
+        val out = Funnel.step(1L, c.iterator, gs).toList
+        if (gs.exists) st = Some(gs.get)
+        out
+      }
+      (advances.map(_.stage), st)
+    }
+    Iterator.continually(genEvents.sample).flatten.take(200).foreach { evs =>
+      val sorted = evs.sortBy(_.ts.getTime)
+      val whole = foldChunks(Seq(sorted))
+      // any cut into event-time-ordered chunks must fold identically
+      val cut = scala.util.Random.nextInt(sorted.length + 1)
+      val split = foldChunks(Seq(sorted.take(cut), sorted.drop(cut)))
+      assert(split == whole,
+        s"chunked fold $split != one-shot $whole for ${sorted.map(e => (e.event_type, e.ts.getTime))}")
+      // stages advance strictly 1,2,3 in order
+      assert(whole._1 == (1 to whole._1.length))
+    }
+  }
+
   test("stream-stream interval join: clicks attribute to impressions in-window") {
     // two live streams joined on key + a time-bound — the streaming twin of
     // the batch range join. Both sides watermarked; the interval condition
