@@ -348,14 +348,14 @@ object Dedup {
         .unionByName(pairs.select(col("vb").as("a"), col("va").as("b")))
       val adj = und.unionByName(
         en.select(col("vec_id").as("a"), col("vec_id").as("b")))
-        .localCheckpoint(eager = false)
+        .transform(graft.Iterative.truncate)
       var labels = en.select(col("vec_id").as("node"), col("vec_id").as("lbl"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Iterative.truncate)
       for (_ <- 1 to SemanticRounds)
         labels = adj.join(labels, col("node") === col("b"))
           .groupBy(col("a")).agg(min("lbl").as("lbl"))
           .withColumnRenamed("a", "node")
-          .localCheckpoint(eager = false)
+          .transform(graft.Iterative.truncate)
       val w = Window.partitionBy("lbl").orderBy("node")
       labels
         .select(col("node").as("vec_id"), col("lbl").as("cluster"),

@@ -102,20 +102,21 @@ object Graph {
       // explains would otherwise execute the whole iteration just to print
       // a plan; materialization happens on the first real action. On a
       // multi-executor cluster with dynamic allocation, local checkpoints
-      // die with their executor — swap for reliable checkpoint or
-      // persist+count there; the point is bounding plan depth, which no AQE
+      // die with their executor — set spark.graft.checkpointDir and
+      // Iterative.truncate switches every iterative op to a reliable
+      // checkpoint; the point is bounding plan depth, which no AQE
       // or optimizer setting does for iterative algorithms.
       val e = edgesInt(s, dir)
       val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
       val a = und.union(und.select(col("a"), col("a").as("b")).distinct())
-        .localCheckpoint(eager = false)
+        .transform(graft.Iterative.truncate)
       var labels = a.select(col("a").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
       (1 to rounds).foreach { _ =>
         labels = a.join(labels.withColumnRenamed("node", "b"), Seq("b"))
           .groupBy(col("a").as("node"))
           .agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(eager = false)
+          .transform(graft.Iterative.truncate)
       }
       labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("n_members"))
@@ -182,14 +183,14 @@ object Graph {
       // components above (cold run measured 21s → 3s: the un-truncated
       // 3-round plan compiled a distinct whole-stage class per depth).
       val ed = e.join(outd.withColumnRenamed("node", "a"), Seq("a"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Iterative.truncate)
       var contrib = ed.groupBy(col("b").as("node"))
-        .agg(sum(expr(s"$SCALE div d")).as("s")).localCheckpoint(eager = false)
+        .agg(sum(expr(s"$SCALE div d")).as("s")).transform(graft.Iterative.truncate)
       (2 to prRounds).foreach { _ =>
         contrib = ed.join(contrib.withColumnRenamed("node", "a"), Seq("a"), "left")
           .groupBy(col("b").as("node"))
           .agg(sum(expr(s"($BASE + (85 * coalesce(s, 0L)) div 100) div d")).as("s"))
-          .localCheckpoint(eager = false)
+          .transform(graft.Iterative.truncate)
       }
       val nodes = ed.select(col("a").as("node"))
         .union(ed.select(col("b").as("node"))).distinct()
@@ -236,16 +237,16 @@ object Graph {
          |    || CAST(seed % 1000000000000 AS STRING) AS seed_key,
          |  (count(*) - 1)::BIGINT AS n_reached
          |FROM r$khopRounds GROUP BY seed ORDER BY seed_key""".stripMargin) { (s, dir) =>
-      val e = edgesInt(s, dir).distinct().localCheckpoint(eager = false)
+      val e = edgesInt(s, dir).distinct().transform(graft.Iterative.truncate)
       val seeds = e.filter(col("a") % 100 < 5).select(col("a").as("seed")).distinct()
       var reached = seeds.select(col("seed"), col("seed").as("node"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Iterative.truncate)
       (1 to khopRounds).foreach { _ =>
         reached = reached.unionByName(
             e.join(reached.select(col("seed"), col("node").as("a")), Seq("a"))
               .select(col("seed"), col("b").as("node")))
           .distinct()
-          .localCheckpoint(eager = false)
+          .transform(graft.Iterative.truncate)
       }
       reached.groupBy("seed")
         .agg((count(lit(1)) - 1).as("n_reached"))
@@ -270,9 +271,9 @@ object Graph {
     * exactly there — one map-side-combinable `sum` per round is the whole
     * test. The sum runs in decimal(38,0): at 10^12 nodes × 10^13-scale
     * encoded labels a long sum overflows, a 38-digit decimal does not.
-    * Lineage is truncated per round like every iterative op here (same
-    * executor-loss caveat as [[components]] — swap localCheckpoint for a
-    * reliable checkpoint on a real cluster).
+    * Lineage is truncated per round like every iterative op here
+    * ([[graft.Iterative.truncate]] — set `spark.graft.checkpointDir` on a
+    * real cluster for executor-loss-safe reliable checkpoints).
     *
     * Returns the converged `(node, lbl)` labels and the number of
     * propagation rounds run (the last one is the confirming round whose
@@ -283,10 +284,10 @@ object Graph {
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
     val adj = und.union(und.select(col("a"), col("a").as("b")).distinct())
-      .localCheckpoint(eager = false)
+      .transform(graft.Iterative.truncate)
     var labels = und.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Iterative.truncate)
     def lblSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
@@ -298,7 +299,7 @@ object Graph {
       labels = adj.join(labels.withColumnRenamed("node", "b"), Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Iterative.truncate)
       rounds += 1
       val cur = lblSum(labels)
       converged = cur.compareTo(prev) == 0

@@ -108,6 +108,22 @@ class GraphSpec extends AnyFunSuite {
     lab.unpersist()
   }
 
+  test("Iterative.truncate uses reliable checkpoints when the conf is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(Iterative.CheckpointDirKey, dir)
+    try {
+      val df = Iterative.truncate(spark.range(10).toDF("a"))
+      assert(df.count() == 10)
+      import scala.jdk.CollectionConverters._
+      val entries = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.size
+      assert(entries > 1, "no reliable checkpoint data written under the dir")
+    } finally spark.conf.unset(Iterative.CheckpointDirKey)
+    // with the conf unset the helper must fall back to local checkpoints
+    val local = Iterative.truncate(spark.range(5).toDF("a"))
+    assert(local.count() == 5)
+  }
+
   test("bigram familiarity is >= 1 and counts match the doc's word count") {
     val bg = SparkEntry.queries("pipe_text_bigram_lm")(spark, sf)
     assert(bg.filter(col("familiarity") < 1.0).count() == 0,
