@@ -261,6 +261,12 @@ object Yaml {
     * accumulators), so a retried or speculatively-executed task cannot
     * double-count: only the winning attempt's rows are collected.
     *
+    * The returned entry list lives in driver memory — fine for bounded
+    * batches; a corpus-scale first sync should use
+    * [[writeIssuesWithBlobsManifest]], which streams the entries through
+    * on-disk per-partition manifests instead (what [[graft.engine.SyncEngine]]
+    * runs).
+    *
     * Requires an initialized repo ([[GitRepo.init]]) at `repoDir`.
     */
   def writeIssuesWithBlobs(issues: DataFrame, repoDir: String): BlobWriteResult = {

@@ -22,13 +22,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(cand.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
-  test("jaccard on candidates is within (0, 1]") {
+  test("jaccard on candidates is within (0, 1] and matches a local recompute") {
     val j = run("pipe_dedup_jaccard").cache()
     assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
-    // identical shingle sets would give 1.0; near-dups should score high
-    if (j.count() > 0) {
-      val mx = j.agg(max("jaccard")).head.getDouble(0)
-      assert(mx > 0.3, s"expected some high-jaccard near-dup, max=$mx")
+    // STRUCTURAL check (not a data-dependent score threshold, which could
+    // flake on regenerated testdata): recompute jaccard in plain Scala from
+    // the shingle sets for a handful of pairs and require exact agreement
+    val sample = j.limit(5).collect()
+    if (sample.nonEmpty) {
+      val ids = sample.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val sets = pipeline.docShingleArrays(spark, sf)
+        .filter(col("doc_id").isin(ids: _*))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[String](1).toSet).toMap
+      sample.foreach { r =>
+        val (a, b) = (sets(r.getLong(0)), sets(r.getLong(1)))
+        val expect = (a & b).size.toDouble / (a | b).size
+        assert(math.abs(r.getAs[Double]("jaccard") - expect) < 1e-12,
+          s"pair (${r.getLong(0)},${r.getLong(1)}): " +
+            s"query=${r.getAs[Double]("jaccard")} local=$expect")
+      }
     }
   }
 
