@@ -643,8 +643,74 @@ object Misc {
       .orderBy("cohort_week_s", "age_weeks")
   }
 
+  /** Join-key skew report for the edge table: the ten heaviest `src` keys
+    * with their row share and multiple-of-mean — the diagnosis run before
+    * any big join to decide between AQE skew-split, salting, or filtering a
+    * hub key outright. One hash aggregate on the key plus a 1-row global
+    * aggregate broadcast over the top-k; the listing folds to
+    * TakeOrderedAndProject, so the report costs one scan at any scale.
+    */
+  private val joinSkew = q("meta_join_skew",
+    Oracle.withIssuesAndLinks(
+      """, k AS (SELECT src AS key, count(*) AS n FROM links GROUP BY src),
+        |tot AS (SELECT sum(n) AS t, count(*) AS nk FROM k)
+        |SELECT k.key, k.n::BIGINT AS n_rows,
+        |  k.n::DOUBLE / tot.t AS share,
+        |  k.n::DOUBLE * tot.nk / tot.t AS x_mean
+        |FROM k, tot ORDER BY n_rows DESC, key LIMIT 10""".stripMargin)) {
+    (s, dir) =>
+    val k = Tables.links(s, dir).groupBy(col("src").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = k.agg(sum("n").as("t"), count(lit(1)).as("nk"))
+    k.crossJoin(broadcast(tot))
+      .select(col("key"), col("n").as("n_rows"),
+        (col("n").cast("double") / col("t")).as("share"),
+        (col("n").cast("double") * col("nk") / col("t")).as("x_mean"))
+      .orderBy(desc("n_rows"), col("key")).limit(10)
+  }
+
+  /** Conversion-lag statistics for the funnel's full converters: exact
+    * microsecond lag from first signup to first qualifying purchase, as
+    * count/min/max/mean. Integer microsecond differences keep the mean a
+    * deterministic double cross-engine (same ints, one division). Same
+    * user-keyed join chain as [[funnel]]; the stats are one 1-row aggregate.
+    */
+  private val conversionLag = q("stream_conversion_lag",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+      |       JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+      |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+      |       JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+      |       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |lag AS (
+      |  SELECT s3.user_id, date_diff('microsecond', s1.t1, s3.t3) AS us
+      |  FROM s3 JOIN s1 ON s1.user_id = s3.user_id)
+      |SELECT count(*)::BIGINT AS n_converted,
+      |  min(us)::BIGINT AS min_us, max(us)::BIGINT AS max_us,
+      |  CAST(sum(us) AS DOUBLE) / count(*) AS mean_us
+      |FROM lag""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s3.join(s1, Seq("user_id"))
+      .select((unix_micros(col("t3")) - unix_micros(col("t1"))).as("us"))
+      .agg(count(lit(1)).as("n_converted"),
+        min("us").as("min_us"), max("us").as("max_us"),
+        (sum("us").cast("double") / count(lit(1))).as("mean_us"))
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
-    funnel, retention)
+    funnel, retention, joinSkew, conversionLag)
 }

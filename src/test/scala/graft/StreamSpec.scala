@@ -281,6 +281,20 @@ class StreamSpec extends AnyFunSuite {
       s"streaming funnel $streamed diverges from batch $batch")
   }
 
+  test("conversion lag: converters match funnel stage 3 and lags are positive") {
+    val lag = SparkEntry.queries("stream_conversion_lag")(spark, sf).head
+    val funnel = SparkEntry.queries("stream_funnel")(spark, sf)
+      .orderBy("stage").collect()
+    assert(lag.getAs[Long]("n_converted") == funnel(2).getAs[Long]("n_users"),
+      "lag population must be exactly the stage-3 cohort")
+    if (lag.getAs[Long]("n_converted") > 0) {
+      assert(lag.getAs[Long]("min_us") > 0, "a conversion cannot predate its signup")
+      assert(lag.getAs[Long]("min_us") <= lag.getAs[Long]("max_us"))
+      val mean = lag.getAs[Double]("mean_us")
+      assert(mean >= lag.getAs[Long]("min_us") && mean <= lag.getAs[Long]("max_us"))
+    }
+  }
+
   test("property: funnel folding is chunk-invariant over ordered batches") {
     import org.scalacheck.Gen
     import graft.streaming.Funnel
