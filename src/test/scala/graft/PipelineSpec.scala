@@ -114,6 +114,50 @@ class PipelineSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("corpus sink: hive layout, right-sized files, exact round-trip") {
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus-out").toString
+    val docs = Tables.t(spark, sf, "documents")
+    pipeline.CorpusSink.write(docs, out, partitionCols = Seq("lang"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // hive-style lang=... directories exist for partition pruning
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).toSet
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(dirs == langs.map(l => s"lang=$l"))
+    // rebalance must coalesce the 32 shuffle slivers: tiny data ends up as
+    // ONE file per partition directory, not one per task per directory
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$out/$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files <= 2, s"$d holds $files files — rebalance did not coalesce")
+    }
+    // pruned read only touches the one directory
+    val one = spark.read.parquet(out).filter(col("lang") === langs.head)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(lang"),
+      "lang filter must prune partitions at the scan")
+  }
+
+  test("bloom prefilter: zero false negatives, bounded false positives") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val fps = pipeline.Dedup.fingerprints(docs).cache()
+    // index = docs 0..249; batch = 200..499 (50 seen, 300 candidates)
+    val index = fps.filter(col("doc_id") < 250).select("fp")
+    val batch = fps.filter(col("doc_id") >= 200)
+    val flagged = pipeline.Dedup.bloomPrefilter(index, batch, fpp = 0.001).cache()
+    // one-sided guarantee: every batch fp genuinely in the index is flagged
+    val missed = flagged.join(index, Seq("fp"), "left_semi")
+      .filter(!col("maybe_dup")).count()
+    assert(missed == 0, s"$missed indexed fingerprints escaped the filter")
+    // docs definitely not in the index are mostly unflagged (fpp-bounded;
+    // 5% is 50x the configured 0.1% — structural headroom, not a tight bound)
+    val fresh = flagged.join(index, Seq("fp"), "left_anti")
+    val fp = fresh.filter(col("maybe_dup")).count().toDouble /
+      math.max(1, fresh.count())
+    assert(fp < 0.05, s"false-positive rate $fp implausible for fpp=0.001")
+    flagged.unpersist(); fps.unpersist()
+  }
+
   test("simhash hamming distances are in [0, 60] and sorted ascending") {
     val rows = run("pipe_dedup_simhash").select("hamming").collect().map(_.getLong(0))
     assert(rows.forall(h => h >= 0 && h <= 60))
