@@ -158,6 +158,29 @@ class PipelineSpec extends AnyFunSuite {
     flagged.unpersist(); fps.unpersist()
   }
 
+  test("end-to-end curation: final corpus ⨝ leakage-safe split ⨝ sized output") {
+    // the composition a real job runs: near-dup survivor + rule gate
+    // (pipe_corpus_final), split by cluster label (leakage-safe), written
+    // with sized files — every stage is the already-verified operator, this
+    // pins that they COMPOSE (shared doc_id keys, no row loss, no split leak)
+    val corpus = run("pipe_corpus_final").select("doc_id", "cluster", "quality")
+    val split = run("pipe_split_leakage_safe").select("doc_id", "split")
+    val joined = corpus.join(split, Seq("doc_id")).cache()
+    assert(joined.count() == corpus.count(),
+      "every surviving doc must receive a split")
+    // survivors are cluster representatives, so by construction none of the
+    // final corpus shares a near-dup cluster across train/test
+    val leaks = joined.groupBy("cluster")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(leaks == 0, s"$leaks clusters leak across splits in the final corpus")
+    val out = java.nio.file.Files.createTempDirectory("graft-e2e-out").toString
+    pipeline.CorpusSink.write(joined, out, partitionCols = Seq("split"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == joined.count())
+    assert(back.select("doc_id").except(joined.select("doc_id")).count() == 0)
+    joined.unpersist()
+  }
+
   test("simhash hamming distances are in [0, 60] and sorted ascending") {
     val rows = run("pipe_dedup_simhash").select("hamming").collect().map(_.getLong(0))
     assert(rows.forall(h => h >= 0 && h <= 60))
