@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives [[Cli.run]] in-process (it reuses the test session via
+  * getOrCreate): the command surface is parsing + wiring, so the tests
+  * assert exit codes and on-disk effects, not engine semantics — those are
+  * EngineSpec's and the oracle gate's job.
+  */
+class CliSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("sync: full run writes the repo and state, prints metrics, exits 0") {
+    spark // force session init so Cli's getOrCreate joins it
+    val repo = tmp("graft-cli-repo")
+    val state = s"${tmp("graft-cli-state")}/state"
+    val rc = Cli.run(Array("sync", "--source", sf, "--repo", repo,
+      "--state", state, "--projects", "P1"))
+    assert(rc == 0)
+    assert(Files.isDirectory(Paths.get(repo, "projects", "P1", "issues")),
+      "sync must materialize the YAML tree")
+    assert(Files.exists(Paths.get(state)), "sync must persist state")
+    // a second incremental run over unchanged input skips everything
+    val rc2 = Cli.run(Array("sync", "--source", sf, "--repo", repo,
+      "--state", state, "--projects", "P1", "--incremental"))
+    assert(rc2 == 0)
+  }
+
+  test("recover reports cleanly after a sync; repair flag accepted") {
+    spark
+    val repo = tmp("graft-cli-repo2")
+    val state = s"${tmp("graft-cli-state2")}/state"
+    assert(Cli.run(Array("sync", "--source", sf, "--repo", repo,
+      "--state", state, "--projects", "P2")) == 0)
+    assert(Cli.run(Array("recover", "--source", sf, "--repo", repo,
+      "--state", state)) == 0)
+    assert(Cli.run(Array("recover", "--source", sf, "--repo", repo,
+      "--state", state, "--repair")) == 0)
+  }
+
+  test("validate: good JQL exits 0, bad JQL 1, missing args 2") {
+    assert(Cli.run(Array("validate", "--jql", "project = P1 ORDER BY key ASC")) == 0)
+    assert(Cli.run(Array("validate", "--jql", "project = ")) == 1)
+    assert(Cli.run(Array("validate")) == 2)
+    assert(Cli.run(Array("sync")) == 2)
+    assert(Cli.run(Array("nonsense")) == 2)
+    assert(Cli.run(Array.empty[String]) == 2)
+  }
+}
