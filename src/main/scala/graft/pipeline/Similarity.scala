@@ -621,6 +621,32 @@ object Similarity {
     }
   }
 
+  /** Filtered vector search: top-10 cosine restricted to a metadata
+    * predicate (`label = 1`) — the "retrieve only from this tenant /
+    * language / license class" query every production vector store serves.
+    * The design point: the predicate applies BEFORE ranking, so the scan is
+    * pruned to the matching slice and the result always holds k matching
+    * rows; rank-then-filter (the naive composition) both scores the full
+    * corpus and can return fewer than k survivors. The filter reaches the
+    * parquet scan as a pushed predicate, and at scale the same shape
+    * composes with the IVF cell probe (filter ∧ cell, both pushed).
+    */
+  private val filtered = q("pipe_ann_filtered",
+    s"""WITH $embCte,
+       |$querySql
+       |SELECT vec_id, label, ${sqlCosine("e", "qe")} AS score
+       |FROM emb, q WHERE vec_id <> 0 AND label = 1
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val e = embDN(s, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("nrm").as("qn"))
+    e.filter(col("vec_id") =!= 0 && col("label") === 1)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
+      .orderBy(desc("score"), col("vec_id")).limit(10)
+  }
+
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
-    quantize, pq, ivfpq)
+    quantize, pq, ivfpq, filtered)
 }

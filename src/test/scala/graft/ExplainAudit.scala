@@ -180,6 +180,14 @@ class ExplainAudit extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("filtered ANN pushes the predicate into the scan and folds to top-k") {
+    val p = plan("pipe_ann_filtered")
+    assert(p.contains("PushedFilters: [IsNotNull(label)") ||
+      p.contains("EqualTo(label,1)"),
+      s"label predicate must reach the parquet scan:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("line dedup: census + flag are hash aggregates/joins, no window") {
     // the segment frequency census must be a (partial -> final) hash
     // aggregate on the segment hash and the per-doc reassembly a hash

@@ -202,6 +202,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf.subsetOf(brute) || (ivf & brute).nonEmpty)
   }
 
+  test("filtered ANN: every hit matches the predicate and ranking is consistent") {
+    val f = run("pipe_ann_filtered").cache()
+    assert(f.filter(col("label") =!= 1).count() == 0, "predicate leaked")
+    assert(f.filter(col("vec_id") === 0).count() == 0, "query vector excluded")
+    val scores = f.orderBy(desc("score"), col("vec_id"))
+      .collect().map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    // filter-then-rank equals brute ranking restricted to the slice: any
+    // label-1 vector in brute's top-10 must appear here with the same score
+    val brute = run("pipe_ann_brute")
+      .join(Tables.t(spark, sf, "embeddings").select("vec_id", "label"), Seq("vec_id"))
+      .filter(col("label") === 1).select("vec_id", "score")
+    val mismatched = brute.join(f.select(col("vec_id"), col("score").as("fs")),
+      Seq("vec_id"), "left")
+      .filter(col("fs").isNull || abs(col("fs") - col("score")) > 1e-12).count()
+    assert(mismatched == 0, "a label-1 brute hit is missing or rescored")
+    f.unpersist()
+  }
+
   test("batch kNN join: ≤3 neighbors per query, no self-matches, valid scores") {
     val df = run("pipe_ann_knn_join").cache()
     assert(df.filter(col("qid") === col("vec_id")).count() == 0)
