@@ -257,6 +257,83 @@ object Graph {
     }
   }
 
+  /** Triangle count + wedge closure over the undirected edge slice, via the
+    * DEGREE-ORDERED orientation: every edge points from its (degree, id)-
+    * smaller endpoint, so each node's out-degree is bounded by the graph
+    * degeneracy (≈√|E| worst case) and the wedge self-join — the step that
+    * explodes quadratically per hub on a naive formulation — generates
+    * O(Σ outdeg²) ≤ O(|E|^1.5) candidates instead of O(Σ deg²), which a
+    * single celebrity node makes corpus-quadratic. Closure check is an
+    * equi-join against the canonical (a < b) edge form — never an OR-join,
+    * never a cross product. The tie-break on ids makes the orientation (and
+    * both counts) deterministic cross-engine.
+    */
+  private val triangles = {
+    val orientSql =
+      """und2 AS (
+        |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM eint WHERE a <> b),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM und2 UNION ALL SELECT b FROM und2)
+        |  GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und2.a < und2.b)
+        |         THEN und2.a ELSE und2.b END AS s,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND und2.a < und2.b)
+        |         THEN und2.b ELSE und2.a END AS t
+        |  FROM und2
+        |  JOIN deg da ON da.n = und2.a
+        |  JOIN deg db ON db.n = und2.b),
+        |w AS (
+        |  SELECT least(o1.t, o2.t) AS v, greatest(o1.t, o2.t) AS x
+        |  FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),
+        |wc AS (SELECT count(*) AS n_wedges FROM w),
+        |tc AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM w JOIN und2 ON und2.a = w.v AND und2.b = w.x)""".stripMargin
+    q("graph_triangles",
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |$orientSql
+         |SELECT wc.n_wedges::BIGINT AS n_wedges,
+         |  tc.n_triangles::BIGINT AS n_triangles,
+         |  CASE WHEN wc.n_wedges = 0 THEN 0.0
+         |       ELSE tc.n_triangles::DOUBLE / wc.n_wedges END AS closure
+         |FROM wc, tc""".stripMargin) { (s, dir) =>
+      val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
+      val und = e.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+        .transform(graft.Iterative.truncate)
+      val deg = und.select(col("a").as("n"))
+        .unionByName(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val o = und
+        .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("s"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("t"))
+      val w = o.select(col("s"), col("t").as("t1"))
+        .join(o.select(col("s"), col("t").as("t2")), Seq("s"))
+        .filter(col("t1") < col("t2"))
+        .select(least(col("t1"), col("t2")).as("a"),
+          greatest(col("t1"), col("t2")).as("b"))
+      val wc = w.agg(count(lit(1)).as("n_wedges"))
+      val tc = w.join(und, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      wc.crossJoin(tc)
+        .select(col("n_wedges"), col("n_triangles"),
+          when(col("n_wedges") === 0, lit(0.0))
+            .otherwise(col("n_triangles").cast("double") / col("n_wedges"))
+            .as("closure"))
+    }
+  }
+
   /** Connected components run TO CONVERGENCE — the engine-API form of
     * [[components]], which stays at a fixed round count only so the DuckDB
     * oracle can replay it as chained CTEs. Use this one when the answer
@@ -308,5 +385,5 @@ object Graph {
     (labels, rounds)
   }
 
-  val all: Seq[GQuery] = Seq(components, pagerank, khop)
+  val all: Seq[GQuery] = Seq(components, pagerank, khop, triangles)
 }

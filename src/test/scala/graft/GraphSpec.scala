@@ -108,6 +108,27 @@ class GraphSpec extends AnyFunSuite {
     lab.unpersist()
   }
 
+  test("triangles: count matches a brute-force 3-clique census of the slice") {
+    val row = SparkEntry.queries("graph_triangles")(spark, sf).head
+    val (wedges, tris) =
+      (row.getAs[Long]("n_wedges"), row.getAs[Long]("n_triangles"))
+    assert(tris >= 0 && wedges >= tris, s"wedges=$wedges < triangles=$tris")
+    val closure = row.getAs[Double]("closure")
+    assert(closure >= 0.0 && closure <= 1.0)
+    // the sf0.001 slice is small enough to brute-force in memory: count
+    // distinct 3-cliques directly and require exact agreement
+    val edges = edgeSlice.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    var brute = 0L
+    for (i <- nodes.indices; u = nodes(i);
+         v <- adj(u) if v > u;
+         w <- adj(u) if w > v && adj(v).contains(w)) brute += 1
+    assert(tris == brute, s"query says $tris triangles, brute-force says $brute")
+  }
+
   test("Iterative.truncate uses reliable checkpoints when the conf is set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set(Iterative.CheckpointDirKey, dir)
