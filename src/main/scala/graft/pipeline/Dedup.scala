@@ -707,7 +707,10 @@ object Dedup {
   def bloomPrefilter(index: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame,
       fpp: Double = 0.001): org.apache.spark.sql.DataFrame = {
-    val n = math.max(1L, index.count())
+    val n = index.count()
+    // first sync of a fresh corpus: an empty index contains nothing, and
+    // Spark's stat.bloomFilter NPEs on an empty frame (null agg buffer)
+    if (n == 0L) return batch.withColumn("maybe_dup", lit(false))
     val bf = index.stat.bloomFilter("fp", n, fpp)
     val bc = batch.sparkSession.sparkContext.broadcast(bf)
     val probe = udf((fp: String) => bc.value.mightContainString(fp))

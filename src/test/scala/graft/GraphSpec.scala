@@ -129,6 +129,13 @@ class GraphSpec extends AnyFunSuite {
     assert(tris == brute, s"query says $tris triangles, brute-force says $brute")
   }
 
+  test("componentsConverged on an empty edge list returns no labels, zero rounds") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val (labels, rounds) = queries.Graph.componentsConverged(empty)
+    assert(rounds == 0 && labels.isEmpty)
+  }
+
   test("Iterative.truncate uses reliable checkpoints when the conf is set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set(Iterative.CheckpointDirKey, dir)

@@ -138,6 +138,16 @@ class PipelineSpec extends AnyFunSuite {
       "lang filter must prune partitions at the scan")
   }
 
+  test("bloom prefilter with an empty index flags nothing") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text").limit(20)
+    val emptyIndex = Seq.empty[String].toDF("fp")
+    val flagged = pipeline.Dedup.bloomPrefilter(emptyIndex,
+      pipeline.Dedup.fingerprints(docs))
+    assert(flagged.filter(col("maybe_dup")).count() == 0,
+      "an empty index cannot contain anything")
+  }
+
   test("bloom prefilter: zero false negatives, bounded false positives") {
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
     val fps = pipeline.Dedup.fingerprints(docs).cache()
