@@ -182,9 +182,15 @@ class ExplainAudit extends AnyFunSuite {
 
   test("filtered ANN pushes the predicate into the scan and folds to top-k") {
     val p = plan("pipe_ann_filtered")
+    // If another suite has the embeddings projection cached, the scan is an
+    // InMemoryTableScan — the label predicate must then appear in ITS filter
+    // list (still applied at the scan, before any scoring).
+    val cachedScanFiltered =
+      """InMemoryTableScan \[[^\]]*\], \[[^\]]*\(label#\d+ = 1\)""".r
+        .findFirstIn(p).isDefined
     assert(p.contains("PushedFilters: [IsNotNull(label)") ||
-      p.contains("EqualTo(label,1)"),
-      s"label predicate must reach the parquet scan:\n${p.take(2000)}")
+      p.contains("EqualTo(label,1)") || cachedScanFiltered,
+      s"label predicate must reach the scan:\n${p.take(2000)}")
     assert(p.contains("TakeOrderedAndProject"))
   }
 
@@ -228,5 +234,29 @@ class ExplainAudit extends AnyFunSuite {
     // label; no window, no extra aggregate past the resolve machinery
     val p = plan("pipe_split_leakage_safe")
     assert(!p.contains("Window"), s"split planned a window:\n${p.take(2000)}")
+  }
+
+  test("no registered query windows the corpus through a single partition") {
+    // A logical Window with an EMPTY partition spec executes as one
+    // WindowExec task holding every input row — the classic silent
+    // scale-killer ("WARN WindowExec: No Partition Defined"). The only
+    // sanctioned uses are windows whose input is bounded BY CONSTRUCTION
+    // (row count independent of corpus size), listed here with the bound.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val boundedInputs = Map(
+      // ~60 rows: one per power-of-two token-length bucket
+      "pipe_len_histogram" -> "log2(max_tokens) buckets",
+      // |queries| × 8 centroid-similarity rows in the probe rank
+      "pipe_ann_recall" -> "query-batch × centroids probe",
+      // 8 centroid-similarity rows in the single-query probe rank
+      "pipe_ann_ivf" -> "8 centroid rows")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val globals = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (globals.isEmpty || boundedInputs.contains(name)) None
+      else Some(s"$name: ${globals.map(_.windowExpressions.mkString(", ")).mkString("; ")}")
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned Windows over corpus-scale inputs:\n" + offenders.mkString("\n"))
   }
 }

@@ -272,7 +272,12 @@ class PipelineSpec extends AnyFunSuite {
   test("incremental IVF index: upsert + probe match the full recompute") {
     import graft.pipeline.Similarity
     import graft.pipeline.{embDN}
+    // cache() registers this plan fragment in the session-wide cache manager;
+    // without the unpersist below, EVERY later embDN-derived plan (including
+    // ExplainAudit's pushed-filter checks) silently resolves through the
+    // InMemoryRelation instead of the parquet scan.
     val e = embDN(spark, sf).cache()
+    try {
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
     val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/ivf"
@@ -295,6 +300,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(probe.filter(col("qid") === col("vec_id")).count() == 0)
     assert(probe.groupBy("qid").count().filter(col("count") > 3).count() == 0)
     assert(probe.filter(col("score") < -1.0001 || col("score") > 1.0001).count() == 0)
+    } finally e.unpersist()
   }
 
   test("language ID emits a guess for every doc with valid scores") {
