@@ -1,0 +1,109 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memoization of shared plan fragments.
+  *
+  * Several pipeline queries are compositions over the same expensive
+  * sub-plans (MinHash band signatures, banded candidate pairs, the quality
+  * scorer). Before round 9 each query builder persisted its own copy of
+  * those fragments and never released them: every rebuild re-registered the
+  * same plan with the session `CacheManager` ("Asked to cache already cached
+  * data" warn spam) and a long-lived driver accumulated storage-memory
+  * pressure one dead entry at a time.
+  *
+  * This registry is the single cache lifecycle authority instead:
+  *   - [[fragment]] builds + persists a fragment ONCE per (session, dir,
+  *     name) and hands every later consumer the same DataFrame, so the
+  *     `CacheManager` holds exactly one entry per distinct fragment — by
+  *     construction, no re-persist warnings and no unbounded growth.
+  *   - The registry is enumerable: [[fragments]] is the allowlist the
+  *     cache-hygiene audit checks `CacheManager` contents against, and
+  *     [[clear]] releases everything for a session (tests; or a driver
+  *     retiring a dataset directory).
+  *   - Entries whose SparkContext has stopped are pruned on the next call,
+  *     so harnesses that cycle sessions don't pin dead plans.
+  *
+  * Fragments must be DETERMINISTIC functions of (session, dir) — nothing
+  * keyed by batch state belongs here (the incremental index pipelines manage
+  * their own per-batch frames and release them eagerly).
+  *
+  * Two escape hatches, both honored at call time:
+  *   - conf `spark.graft.fragmentCache=false` disables memoization for a
+  *     session (one-shot batch jobs that run each query once gain nothing
+  *     from long-lived caches);
+  *   - [[bypassed]] disables it for the current thread — plan-shape audits
+  *     use this so they always see the raw construction, never an
+  *     `InMemoryTableScan` over a previously cached fragment.
+  */
+object Caches {
+
+  /** Conf key: set "false" to disable fragment memoization for a session. */
+  val EnabledKey = "spark.graft.fragmentCache"
+
+  private final case class Entry(df: DataFrame, persisted: Boolean)
+
+  // keyed strongly; stopped-context entries are pruned on the next access
+  // (a WeakHashMap would never evict anyway: the DataFrame value holds a
+  // strong reference back to its session key)
+  private val reg = mutable.LinkedHashMap[(SparkSession, String, String), Entry]()
+
+  private val bypass = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Run `body` with fragment memoization disabled on this thread. */
+  def bypassed[T](body: => T): T = {
+    bypass.set(java.lang.Boolean.TRUE)
+    try body finally bypass.set(java.lang.Boolean.FALSE)
+  }
+
+  /** The memoized fragment `name` for (`s`, `dir`), building (and, when
+    * `persisted`, caching) it on first use. `persisted = false` memoizes
+    * only the DataFrame handle — for fragments whose materialization is
+    * corpus-sized but whose CONSTRUCTION is expensive driver-side work
+    * (e.g. the collected label-propagation mapping).
+    */
+  def fragment(s: SparkSession, dir: String, name: String,
+      persisted: Boolean = true)(build: => DataFrame): DataFrame = {
+    if (bypass.get() || s.conf.get(EnabledKey, "true") == "false") return build
+    synchronized {
+      reg.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+      val key = (s, dir, name)
+      reg.get(key) match {
+        case Some(e) => e.df
+        case None =>
+          // build OUTSIDE reg.getOrElseUpdate: nested fragment() calls
+          // (candidates build on top of band signatures) re-enter this map
+          val df = build
+          val out = if (persisted) df.persist() else df
+          reg.put(key, Entry(out, persisted))
+          out
+      }
+    }
+  }
+
+  /** Live PERSISTED fragments registered under `s` — `(name, df)` pairs.
+    * This is the audit allowlist: after any registered query runs, the
+    * session `CacheManager` must contain these entries and nothing else.
+    */
+  def fragments(s: SparkSession): Seq[(String, DataFrame)] = synchronized {
+    reg.collect {
+      case ((sess, dir, name), Entry(df, true)) if sess eq s =>
+        (s"$dir#$name", df)
+    }.toSeq
+  }
+
+  /** Unpersist and forget every fragment registered under `s`. */
+  def clear(s: SparkSession): Unit = synchronized {
+    reg.filterInPlace { case ((sess, _, _), e) =>
+      if (sess eq s) {
+        if (e.persisted && !sess.sparkContext.isStopped)
+          e.df.unpersist(blocking = false)
+        false
+      } else true
+    }
+  }
+}

@@ -84,16 +84,25 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  private def minhashCandidates(shingles: org.apache.spark.sql.DataFrame) = {
-    // persist before the self-join: otherwise both sides recompute the full
-    // shingle→minhash pipeline (visible as a doubled plan in explain)
-    val bands = minhashBands(shingles).persist()
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+  private def minhashCandidates(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    // the candidate pairs (and the band signatures under them) feed SIX
+    // registered queries (minhash/jaccard/containment verify, resolve,
+    // survivor, leakage-safe split, corpus_final) — memoized fragments, so
+    // the sweep computes each once and the CacheManager holds exactly one
+    // entry per fragment (see graft.Caches)
+    graft.Caches.fragment(s, dir, "minhash_cand") {
+      // cached before the self-join: otherwise both sides recompute the full
+      // shingle→minhash pipeline (visible as a doubled plan in explain)
+      val bands = graft.Caches.fragment(s, dir, "minhash_bands") {
+        minhashBands(docShingleArrays(s, dir))
+      }
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+      a.join(b, Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }
 
   /** MinHash+LSH near-dup candidates: shingle → 16 minhashes → 4 bands of 4 →
     * bucket-join on (band, signature). Never all-pairs.
@@ -101,7 +110,7 @@ object Dedup {
   private val minhash = q("pipe_dedup_minhash",
     withDocs(s""", $minhashSql
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)) {
-    (s, dir) => minhashCandidates(docShingleArrays(s, dir)).orderBy("doc_a", "doc_b")
+    (s, dir) => minhashCandidates(s, dir).orderBy("doc_a", "doc_b")
   }
 
   /** sizes + inter CTEs over the banded candidates — the shared verify core
@@ -123,24 +132,27 @@ object Dedup {
   private def verifiedPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     // the rolled-up shingle arrays feed the minhash candidate pipeline AND
-    // the verify step. NOT persisted: since signatures fold per row the
+    // the verify step. NOT cached: since signatures fold per row the
     // array build is a cheap map-only pass, and caching 100+ MB of string
     // arrays costs more than the second scan it saves.
     val sh = docShingleArrays(s, dir)
-    val cand = minhashCandidates(sh).persist()
+    val cand = minhashCandidates(s, dir)
     // only docs that appear in a candidate pair need their shingle set in
     // the verify join — near-dup candidates are orders of magnitude fewer
     // than the corpus. The semi-join broadcasts when the candidate-doc set
     // is genuinely small (size-gated, not assumed).
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct().persist()
+    val candDocs = graft.Caches.fragment(s, dir, "minhash_cand_docs") {
+      cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    }
     val cd = if (candDocs.count() < 1000000) broadcast(candDocs) else candDocs
     // verify on per-doc shingle ARRAYS (bounded: shingles ∝ doc length), so
     // the intersection is one array_intersect per candidate pair — the set
     // is already an array row, no collect_list rebuild needed
-    val sets = sh.join(cd, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
-      .persist()
+    val sets = graft.Caches.fragment(s, dir, "minhash_cand_sets") {
+      sh.join(cd, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
+    }
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
         col("n").as("na")), Seq("doc_a"))
@@ -239,12 +251,13 @@ object Dedup {
     // match). No explode, no aggregate: the declarative 60-column
     // conditional-sum version spent ~8s of janino compile on its generated
     // class every cold run. First exchange is the candidate bucket join.
-    val sig = docWords(s, dir)
-      .select(col("doc_id"), graft.functions.SimhashSig(col("w")).as("simhash"))
-    val chunks = sig
-      .withColumn("c", explode(sequence(lit(0), lit(3))))
-      .withColumn("ck", expr("(simhash >> (15 * c)) & 32767"))
-      .persist() // feeds the bucket census AND both join sides
+    val chunks = graft.Caches.fragment(s, dir, "simhash_chunks") {
+      // feeds the bucket census AND both join sides
+      docWords(s, dir)
+        .select(col("doc_id"), graft.functions.SimhashSig(col("w")).as("simhash"))
+        .withColumn("c", explode(sequence(lit(0), lit(3))))
+        .withColumn("ck", expr("(simhash >> (15 * c)) & 32767"))
+    }
     // LSH bucket cap: a 15-bit chunk shared by a constant FRACTION of the
     // corpus (common at scale — boilerplate-heavy docs concentrate) makes
     // that bucket's pair count quadratic in corpus size. Over-full buckets
@@ -406,14 +419,21 @@ object Dedup {
         .orderBy("doc_id")
     }
 
-  /** `(doc_id, cluster)` labels after the bounded label propagation. */
+  /** `(doc_id, cluster)` labels after the bounded label propagation.
+    * Memoized unpersisted: the frame itself is corpus-sized (one map-side
+    * join over `documents` — cheap to re-run), but building it costs two
+    * driver jobs (edge-count gate + collected label propagation) that the
+    * four consuming queries shouldn't each repeat.
+    */
   private[pipeline] def clusterLabels(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.fragment(s, dir, "minhash_cluster_labels", persisted = false) {
       val rounds = ResolveRounds
-      val cand = minhashCandidates(docShingleArrays(s, dir))
+      val cand = minhashCandidates(s, dir)
+      // map-only derivation of the already-cached candidate fragment — a
+      // second cache entry here would just shadow minhash_cand
       val edges = cand.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(cand.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .persist()
       // Near-dup edge lists are orders of magnitude smaller than the corpus.
       // When the persisted edge set measures small (size-gated, not assumed),
       // run the bounded rounds over the collected edge list — the same move a
@@ -450,17 +470,20 @@ object Dedup {
             val nbrMin = edges
               .join(l.select(col("doc_id").as("b"), col("cluster")), Seq("b"))
               .groupBy(col("a").as("doc_id")).agg(min("cluster").as("nm"))
-            // each round reads `l` twice (neighbor scan + outer join) —
-            // persist so round i computes once instead of doubling per round
+            // each round reads `l` twice (neighbor scan + outer join), and
+            // the plan deepens by one join per round — truncate lineage like
+            // every other iterative operator. Checkpoint blocks release on
+            // GC via the ContextCleaner instead of pinning CacheManager
+            // entries per round forever (the round-8 hygiene leak).
             l = l.join(nbrMin, Seq("doc_id"), "left")
               .select(col("doc_id"),
                 least(col("cluster"), coalesce(col("nm"), col("cluster"))).as("cluster"))
-              .persist()
+              .transform(graft.Iterative.truncate)
           }
           l
         }
       lab
-  }
+    }
 
   /** Quality-aware survivor selection — real pipelines keep the BEST
     * duplicate, not the smallest id: per near-dup cluster, the surviving

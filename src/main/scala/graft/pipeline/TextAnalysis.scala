@@ -82,9 +82,14 @@ object TextAnalysis {
        |  FROM base)""".stripMargin
 
   /** Spark twin of [[qualitySql]]: (doc_id, n_chars, n_words, avg_word_len,
-    * stopword_ratio, punct_ratio, quality).
+    * stopword_ratio, punct_ratio, quality). Memoized fragment — five
+    * registered queries (quality itself, survivor, corpus_final, calibrated
+    * selection, corpus select) compose over it; the cached frame is a few
+    * narrow numeric columns per doc, far cheaper than re-tokenizing the
+    * corpus per consumer.
     */
-  def qualityDf(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  def qualityDf(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.fragment(s, dir, "text_quality") {
     val d = graft.Tables.t(s, dir, "documents").select("doc_id", "text")
     d.join(docWords(s, dir), Seq("doc_id"))
       .filter(size(col("w")) > 0 && length(col("text")) > 0)

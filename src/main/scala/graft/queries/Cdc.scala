@@ -261,19 +261,25 @@ object Cdc {
          |ORDER BY issue, file_path""".stripMargin)) { (s, dir) =>
     val issues = Tables.issues(s, dir)
     // validate() reads each side three times (two anti-joins + drift) —
-    // persist so the sha256-bearing state derivation computes once
-    val st = StateStore.fromIssues(issues.filter(col("updated") <= lit(W)), W)
-      .persist()
-    val sfx = expr("cast(element_at(split(key, '-'), 2) as int)")
-    val present = st.filter(sfx % 13 =!= 0)
-      .select(col("file_path"),
-        when(sfx % 17 === 0, sha2(col("key"), 256))
-          .otherwise(col("checksum")).as("checksum"))
-    val orphans = st.filter(sfx % 97 === 0)
-      .select(concat(lit("projects/"), col("project_key"), lit("/issues/orphan-"),
-        col("key"), lit(".yaml")).as("file_path"),
-        sha2(col("key"), 256).as("checksum"))
-    StateStore.validate(st, present.unionByName(orphans).persist())
+    // cache so the sha256-bearing state derivation computes once. Memoized
+    // fragments (deterministic in (s, dir)), so repeated builds reuse ONE
+    // CacheManager entry instead of stacking a new pair per run.
+    val st = graft.Caches.fragment(s, dir, "cdc_validate_state") {
+      StateStore.fromIssues(issues.filter(col("updated") <= lit(W)), W)
+    }
+    val files = graft.Caches.fragment(s, dir, "cdc_validate_files") {
+      val sfx = expr("cast(element_at(split(key, '-'), 2) as int)")
+      val present = st.filter(sfx % 13 =!= 0)
+        .select(col("file_path"),
+          when(sfx % 17 === 0, sha2(col("key"), 256))
+            .otherwise(col("checksum")).as("checksum"))
+      val orphans = st.filter(sfx % 97 === 0)
+        .select(concat(lit("projects/"), col("project_key"), lit("/issues/orphan-"),
+          col("key"), lit(".yaml")).as("file_path"),
+          sha2(col("key"), 256).as("checksum"))
+      present.unionByName(orphans)
+    }
+    StateStore.validate(st, files)
       .orderBy("issue", "file_path")
   }
 

@@ -34,7 +34,11 @@ object Epic {
          |    WHERE r.level < $MaxDepth)
          |  SELECT * FROM r)
          |SELECT key, level FROM h ORDER BY key""".stripMargin)) { (s, dir) =>
-    val issues = Tables.issues(s, dir).select("key", "parent_issue").cache()
+    // read MaxDepth+1 times by the frontier loop — memoized fragment so the
+    // cache entry is registered (and releasable) instead of a one-off leak
+    val issues = graft.Caches.fragment(s, dir, "epic_hierarchy_issues") {
+      Tables.issues(s, dir).select("key", "parent_issue")
+    }
     val roots = issues.filter(col("parent_issue").isNull)
       .select(col("key"), lit(0).as("level"))
     var frontier = roots
@@ -149,10 +153,12 @@ object Epic {
         |UNION ALL SELECT 'status', status_name, count(*) FROM f GROUP BY status_name
         |UNION ALL SELECT 'type', issuetype, count(*) FROM f GROUP BY issuetype
         |ORDER BY dimension, value""".stripMargin)) { (s, dir) =>
-    val f = Tables.issues(s, dir)
-      .filter(lower(col("project_key")) === "p1" &&
-        lower(col("status_name")).isin("to do", "in progress"))
-      .cache()
+    // read four times (total + three breakdown dims) — memoized fragment
+    val f = graft.Caches.fragment(s, dir, "epic_preview_filtered") {
+      Tables.issues(s, dir)
+        .filter(lower(col("project_key")) === "p1" &&
+          lower(col("status_name")).isin("to do", "in progress"))
+    }
     val total = f.agg(count(lit(1)).as("n"))
       .select(lit("total").as("dimension"), lit("all").as("value"), col("n"))
     def dim(name: String, c: String) = f.groupBy(col(c).as("value"))

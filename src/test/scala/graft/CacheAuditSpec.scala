@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cache lifecycle audit: the session `CacheManager` is a shared, unbounded
+  * resource — a query builder that persists a frame and never releases it
+  * taxes every later query in a long-lived driver. The rule enforced here:
+  * after ANY registered query executes, the cache holds exactly the
+  * fragments memoized through [[Caches]] (the deliberate, enumerable,
+  * releasable long-lived caches) and nothing else.
+  */
+class CacheAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  private def cm = session.sharedState.cacheManager
+
+  private def classicDf(df: org.apache.spark.sql.DataFrame) =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+
+  test("every registered query leaves only memoized fragments cached") {
+    Caches.clear(spark)
+    spark.catalog.clearCache()
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).collect()
+        val frags = Caches.fragments(spark)
+        // distinct CachedData entries accounted for by live fragments (two
+        // fragment names could in principle canonicalize to one plan)
+        val accounted = frags
+          .flatMap { case (_, f) => cm.lookupCachedData(classicDf(f)) }
+          .map(System.identityHashCode).toSet.size
+        if (org.apache.spark.sql.GraftCacheProbe.numCachedEntries(session) == accounted) None
+        else Some(s"$name: ${org.apache.spark.sql.GraftCacheProbe.numCachedEntries(session)} cached entries but only " +
+          s"$accounted accounted for by fragments " +
+          s"[${frags.map(_._1).mkString(", ")}]")
+    }
+    assert(offenders.isEmpty,
+      "queries left unregistered cache entries:\n" + offenders.mkString("\n"))
+  }
+
+  test("clear releases every fragment and empties the cache") {
+    // touch a fragment-heavy query so something is definitely cached
+    SparkEntry.queries("pipe_dedup_jaccard")(spark, sf).collect()
+    assert(Caches.fragments(spark).nonEmpty)
+    assert(!cm.isEmpty)
+    Caches.clear(spark)
+    assert(Caches.fragments(spark).isEmpty)
+    assert(cm.isEmpty,
+      "CacheManager still holds entries after Caches.clear — a builder is " +
+        "persisting outside the fragment registry")
+  }
+
+  test("bypass builds register nothing and memoization is referentially stable") {
+    Caches.clear(spark)
+    spark.catalog.clearCache()
+    Caches.bypassed {
+      SparkEntry.queries("pipe_dedup_minhash")(spark, sf)
+    }
+    assert(Caches.fragments(spark).isEmpty && cm.isEmpty,
+      "bypassed build memoized or cached a fragment")
+    val a = SparkEntry.queries("pipe_dedup_minhash")(spark, sf)
+    val n = Caches.fragments(spark).size
+    val b = SparkEntry.queries("pipe_dedup_minhash")(spark, sf)
+    assert(Caches.fragments(spark).size == n,
+      "rebuilding the same query grew the fragment registry")
+    a.collect(); b.collect()
+    assert(org.apache.spark.sql.GraftCacheProbe.numCachedEntries(session) == Caches.fragments(spark)
+      .flatMap { case (_, f) => cm.lookupCachedData(classicDf(f)) }
+      .map(System.identityHashCode).toSet.size)
+  }
+}

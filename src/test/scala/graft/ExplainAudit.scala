@@ -10,14 +10,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExplainAudit extends AnyFunSuite {
   import TestSpark._
 
+  /** Audits must see the RAW construction: drop every cached plan (other
+    * suites legitimately memoize shared fragments) so nothing resolves
+    * through an InMemoryTableScan, and bypass fragment memoization so
+    * building the query registers no new cache entries.
+    */
+  private def raw[T](body: => T): T = {
+    Caches.clear(spark)
+    spark.catalog.clearCache()
+    Caches.bypassed(body)
+  }
+
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    raw(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString)
 
   test("no query plans a CartesianProduct") {
-    SparkEntry.queries.keys.foreach { name =>
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"),
-        s"$name plans a CartesianProduct:\n${p.take(2000)}")
+    raw {
+      SparkEntry.queries.keys.foreach { name =>
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n${p.take(2000)}")
+      }
     }
   }
 
@@ -181,16 +195,12 @@ class ExplainAudit extends AnyFunSuite {
   }
 
   test("filtered ANN pushes the predicate into the scan and folds to top-k") {
+    // raw() guarantees a parquet scan (no cached-relation substitution), so
+    // the predicate must appear in the pushed-filter list — no fallback
     val p = plan("pipe_ann_filtered")
-    // If another suite has the embeddings projection cached, the scan is an
-    // InMemoryTableScan — the label predicate must then appear in ITS filter
-    // list (still applied at the scan, before any scoring).
-    val cachedScanFiltered =
-      """InMemoryTableScan \[[^\]]*\], \[[^\]]*\(label#\d+ = 1\)""".r
-        .findFirstIn(p).isDefined
     assert(p.contains("PushedFilters: [IsNotNull(label)") ||
-      p.contains("EqualTo(label,1)") || cachedScanFiltered,
-      s"label predicate must reach the scan:\n${p.take(2000)}")
+      p.contains("EqualTo(label,1)"),
+      s"label predicate must reach the parquet scan:\n${p.take(2000)}")
     assert(p.contains("TakeOrderedAndProject"))
   }
 
@@ -243,20 +253,29 @@ class ExplainAudit extends AnyFunSuite {
     // sanctioned uses are windows whose input is bounded BY CONSTRUCTION
     // (row count independent of corpus size), listed here with the bound.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // name -> (exact number of sanctioned global windows, the input bound).
+    // The count is pinned so an allowlisted query that grows a NEW global
+    // window (over a possibly unbounded input) still fails here instead of
+    // hiding behind its exemption.
     val boundedInputs = Map(
-      // ~60 rows: one per power-of-two token-length bucket
-      "pipe_len_histogram" -> "log2(max_tokens) buckets",
-      // |queries| × 8 centroid-similarity rows in the probe rank
-      "pipe_ann_recall" -> "query-batch × centroids probe",
+      // ~60 rows: one per power-of-two token-length bucket (cumulative sum
+      // + grand-total share over the same bounded bucket frame)
+      "pipe_len_histogram" -> (2, "log2(max_tokens) buckets"),
       // 8 centroid-similarity rows in the single-query probe rank
-      "pipe_ann_ivf" -> "8 centroid rows")
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
-      val globals = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
-      if (globals.isEmpty || boundedInputs.contains(name)) None
-      else Some(s"$name: ${globals.map(_.windowExpressions.mkString(", ")).mkString("; ")}")
+      "pipe_ann_ivf" -> (1, "8 centroid rows"))
+    val offenders = raw {
+      SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+        val globals = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        val allowed = boundedInputs.get(name).map(_._1).getOrElse(0)
+        if (globals.size == allowed) None
+        else Some(s"$name: expected $allowed global window(s), found " +
+          s"${globals.size}: " +
+          globals.map(_.windowExpressions.mkString(", ")).mkString("; "))
+      }
     }
     assert(offenders.isEmpty,
-      "unpartitioned Windows over corpus-scale inputs:\n" + offenders.mkString("\n"))
+      "unpartitioned-Window count drifted from the sanctioned bounds:\n" +
+        offenders.mkString("\n"))
   }
 }
