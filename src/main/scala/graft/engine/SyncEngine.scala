@@ -290,36 +290,55 @@ object SyncEngine {
     * (reference: pkg/state/manager.go:497-500). Mismatches are report-only,
     * like the reference's warnings — repair touches only structural issues.
     */
+  /** Paths removed from the git index per exec — caps driver memory at one
+    * batch of paths during a mass-drift repair.
+    */
+  private val RepairIndexBatch = 10000
+
   def recover(spark: SparkSession, repoDir: String, statePath: String,
       repair: Boolean = false): DataFrame = {
-    import spark.implicits._
     val state = StateStore.load(spark, statePath)
     val filesOnDisk = Yaml.fileRecordChecksums(spark, repoDir)
-    // materialize the findings: the report is a SNAPSHOT of the tree at scan
+    // Materialize the findings as a parquet SNAPSHOT of the tree at scan
     // time (the reference returns in-memory result lists the same way,
     // pkg/state/manager.go:473-486). Returning the lazy plan instead would
     // (a) re-scan a post-repair tree on later use and (b) collide with
     // Spark's canonicalized-plan cache across recover calls, serving stale
-    // findings. Findings are the exceptional set — bounded like the
-    // reference's lists, not corpus-proportional.
-    val findings = StateStore.validate(state, filesOnDisk).collect().toSeq
+    // findings. The snapshot is written DISTRIBUTED, never collected:
+    // findings are usually the exceptional set, but a restored backup or
+    // mass corruption makes them corpus-proportional, and a driver collect
+    // there is fatal at scale.
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-recover").toString + "/findings"
+    StateStore.validate(state, filesOnDisk).write.parquet(outDir)
+    val findings = spark.read.schema(StateStore.validateSchema).parquet(outDir)
     if (repair) {
-      val orphaned = findings.filter(_.getAs[String]("issue") == "orphaned_file")
-        .map(_.getAs[String]("file_path"))
-      orphaned.foreach { p =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(repoDir, p))
+      // orphaned files: stream the subset — one partition's rows in driver
+      // memory at a time — deleting as we go and batching the git index
+      // removals (commitIndexInfo never stages deletions, so skipping the
+      // index here would resurface the paths in every future tree)
+      val haveGit = new java.io.File(repoDir, ".git").exists()
+      val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(): Unit = if (pending.nonEmpty) {
+        if (haveGit) GitRepo.removeFromIndex(repoDir, pending.toSeq)
+        pending.clear()
       }
-      // commitIndexInfo never stages deletions, so drop the removed paths
-      // from the index here or they resurface in every future tree
-      if (new java.io.File(repoDir, ".git").exists())
-        GitRepo.removeFromIndex(repoDir, orphaned)
-      val missingKeys = findings.filter(_.getAs[String]("issue") == "missing_file")
-        .map(_.getAs[String]("key")).toDF("key")
+      val it = findings.filter(col("issue") === "orphaned_file")
+        .select("file_path").toLocalIterator()
+      while (it.hasNext) {
+        val p = it.next().getString(0)
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(repoDir, p))
+        pending += p
+        if (pending.size >= RepairIndexBatch) flush()
+      }
+      flush()
+      // missing-file keys: a distributed anti-join against the snapshot —
+      // the mass-drift case never passes through the driver at all
       StateStore.save(
-        StateStore.load(spark, statePath)
-          .join(missingKeys, Seq("key"), "left_anti"), statePath)
+        StateStore.load(spark, statePath).join(
+          findings.filter(col("issue") === "missing_file").select("key"),
+          Seq("key"), "left_anti"), statePath)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(findings, 1), StateStore.validateSchema)
+    findings
   }
 }

@@ -194,6 +194,32 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$repo/relationships").count() == edges)
   }
 
+  test("mass drift: corpus-proportional findings stay snapshot-stable across repair") {
+    val work = Files.createTempDirectory("graft-massdrift").toString
+    val repo = s"$work/repo"
+    val statePath = s"$work/state"
+    SyncEngine.run(spark, Tables.issues(spark, sf), Tables.links(spark, sf),
+      repo, statePath, SyncOptions(jql = Some("project = P1")), now = now1)
+    val n = StateStore.load(spark, statePath).count()
+    assert(n > 0)
+    // wipe the state: EVERY synced file becomes an orphan at once — the
+    // corpus-proportional findings shape (restored backup / mass corruption)
+    // that recover must absorb without a driver-side full collect
+    StateStore.save(StateStore.load(spark, statePath).limit(0), statePath)
+    val report = SyncEngine.recover(spark, repo, statePath, repair = true)
+    // the report is a SNAPSHOT: repair already deleted the files, yet the
+    // returned frame still lists every one of them
+    assert(report.filter(col("issue") === "orphaned_file").count() == n)
+    assert(Files.list(java.nio.file.Paths.get(repo, "projects", "P1", "issues"))
+      .count() == 0)
+    // the git index converged with the tree (no resurfacing paths)
+    val lsFiles = scala.sys.process.Process(
+      Seq("git", "ls-files"), new java.io.File(repo)).!!
+    assert(!lsFiles.contains("projects/P1/issues/"))
+    // and a post-repair recover finds a clean tree
+    assert(SyncEngine.recover(spark, repo, statePath).count() == 0)
+  }
+
   test("repair drops orphaned files from the git index, tree reconverges") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-repairidx").toString
