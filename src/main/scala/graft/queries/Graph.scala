@@ -385,5 +385,60 @@ object Graph {
     (labels, rounds)
   }
 
-  val all: Seq[GQuery] = Seq(components, pagerank, khop, triangles)
+  /** The PRODUCTION form of components — [[componentsConverged]], run to
+    * fixpoint — as a registered, oracle-gated query with its convergence
+    * telemetry: one row per component `(component, n_nodes)` carrying
+    * `rounds`, the number of propagation rounds the label-sum test ran
+    * (fixed input slice ⇒ deterministic count).
+    *
+    * The oracle replays the SEMANTICS, not the algorithm: true components
+    * via a transitive-closure recursive CTE (fine on the bounded slice;
+    * the Spark side never materializes a closure), and the round count
+    * from first principles — min-label propagation converges after
+    * `R* = max_v dist(m_v, v)` rounds (each round r gives every node the
+    * min id within distance r, so the last label settles at the graph
+    * eccentricity from each component's min-id node) plus the one
+    * sum-confirming round the telemetry counts, i.e. `rounds = R* + 1`.
+    * A drift in either the fixpoint labels or the round accounting breaks
+    * the hash.
+    */
+  private val componentsConvergedQ = q("graph_components_converged",
+    s"""WITH ${Oracle.linksCte},
+       |$edgesIntSql,
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)),
+       |comp AS (
+       |  WITH RECURSIVE reach AS (
+       |    SELECT node, r FROM (
+       |      SELECT a AS node, a AS r FROM und
+       |      UNION SELECT a AS node, b AS r FROM und)
+       |    UNION
+       |    SELECT reach.node, und.b AS r
+       |    FROM reach JOIN und ON und.a = reach.r)
+       |  SELECT node, min(r) AS component FROM reach GROUP BY node),
+       |bfs AS (
+       |  WITH RECURSIVE walk AS (
+       |    SELECT DISTINCT component AS m, component AS node, 0 AS d FROM comp
+       |    UNION
+       |    SELECT walk.m, und.b AS node, walk.d + 1
+       |    FROM walk JOIN und ON und.a = walk.node
+       |    WHERE walk.d < 50)
+       |  SELECT m, node, min(d) AS d FROM walk GROUP BY m, node),
+       |ecc AS (
+       |  SELECT max(b.d) AS r_star
+       |  FROM comp c JOIN bfs b ON b.m = c.component AND b.node = c.node)
+       |SELECT c.component, count(*)::BIGINT AS n_nodes,
+       |  (SELECT r_star + 1 FROM ecc)::BIGINT AS rounds
+       |FROM comp c GROUP BY c.component
+       |ORDER BY component""".stripMargin) { (s, dir) =>
+    val (labels, rounds) = componentsConverged(edgesInt(s, dir))
+    labels.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .withColumn("rounds", lit(rounds.toLong))
+      .orderBy("component")
+  }
+
+  val all: Seq[GQuery] = Seq(components, pagerank, khop, triangles,
+    componentsConvergedQ)
 }

@@ -129,6 +129,32 @@ class GraphSpec extends AnyFunSuite {
     assert(tris == brute, s"query says $tris triangles, brute-force says $brute")
   }
 
+  test("componentsConverged round count is deterministic: eccentricity + 1") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (dist from min node 1 to node 5 is 4) plus triangle
+    // 10-11-12 (dist 1): the label-sum test needs max-dist rounds to settle
+    // plus ONE confirming round, so rounds must be exactly 4 + 1 = 5
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("a", "b")
+    val (labels, rounds) = queries.Graph.componentsConverged(edges)
+    assert(rounds == 5, s"expected ecc+1 = 5 rounds, got $rounds")
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(m(_) == 1L), s"path labels wrong: $m")
+    assert(Seq(10L, 11L, 12L).forall(m(_) == 10L), s"triangle labels wrong: $m")
+  }
+
+  test("registered converged-components query carries the telemetry column") {
+    val rows = SparkEntry.queries("graph_components_converged")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val rounds = rows.map(_.getAs[Long]("rounds")).distinct
+    assert(rounds.length == 1 && rounds.head >= 1,
+      s"every row must carry the one deterministic round count, got ${rounds.toSeq}")
+    // components partition the node set: sizes are positive, labels distinct
+    assert(rows.map(_.getAs[Long]("n_nodes")).forall(_ >= 1))
+    assert(rows.map(_.getAs[Long]("component")).distinct.length == rows.length)
+  }
+
   test("componentsConverged on an empty edge list returns no labels, zero rounds") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
