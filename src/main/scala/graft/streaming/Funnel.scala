@@ -39,6 +39,15 @@ object Funnel {
   /** One group invocation: fold this batch's events (sorted by event time)
     * through the stage machine. Multiple stages can advance inside one
     * batch; each advance emits one row.
+    *
+    * Memory bound: `rows.toArray` buffers ONE user's events from ONE
+    * micro-batch (Spark hands groups per (key, batch)) — bounded in any
+    * sane trigger cadence, but a single user emitting millions of events
+    * inside one micro-batch would materialize them all here. The batch twin
+    * (`stream_funnel`) has no such bound; a production guard would cap the
+    * per-trigger intake (`maxOffsetsPerTrigger`-style) or pre-aggregate the
+    * per-batch candidate events (first event per stage type) before the
+    * group fold.
     */
   def step(user: Long, rows: Iterator[Event],
       state: GroupState[UserStage]): Iterator[Advance] = {

@@ -281,6 +281,37 @@ class StreamSpec extends AnyFunSuite {
       s"streaming funnel $streamed diverges from batch $batch")
   }
 
+  test("streaming funnel pins its documented late-arrival divergence from batch") {
+    import spark.implicits._
+    import graft.streaming.Funnel
+    implicit val ctx = spark.sqlContext
+    def ev(ty: String, t: Long) = Funnel.Event(1L, ty, new Timestamp(t * 1000))
+    // click and purchase arrive in an EARLY batch; the signup that would
+    // unlock them arrives late, in a later batch, with an earlier event time
+    val early = Seq(ev("click", 2), ev("purchase", 3))
+    val late = Seq(ev("signup", 1))
+    val mem = MemoryStream[Funnel.Event]
+    val query = Funnel.advances(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("funnel_late").start()
+    try {
+      mem.addData(early); query.processAllAvailable()
+      mem.addData(late); query.processAllAvailable()
+    } finally query.stop()
+    // the DOCUMENTED semantics gap (Funnel scaladoc): the late signup
+    // advances stage 1, but the click/purchase it would retroactively
+    // unlock are NOT replayed — the stream stops at stage 1
+    val streamed = spark.table("funnel_late").as[Funnel.Advance]
+      .collect().map(_.stage).toSeq
+    assert(streamed == Seq(1),
+      s"late-arrival divergence drifted: streamed advances $streamed")
+    // the batch twin over the same history reaches stage 3 — the divergence
+    // is exactly non-replay of prior stages, not data loss
+    val batchStages = Funnel.advances((early ++ late).toDS())
+      .collect().map(_.stage).sorted.toSeq
+    assert(batchStages == Seq(1, 2, 3),
+      s"batch twin must fold the full ordered history, got $batchStages")
+  }
+
   test("conversion lag: converters match funnel stage 3 and lags are positive") {
     val lag = SparkEntry.queries("stream_conversion_lag")(spark, sf).head
     val funnel = SparkEntry.queries("stream_funnel")(spark, sf)
