@@ -138,6 +138,58 @@ class PipelineSpec extends AnyFunSuite {
       "lang filter must prune partitions at the scan")
   }
 
+  test("corpus sink sizes files under skew: no oversize, no sliver storm") {
+    // the sink's actual promise is FILE SIZING, not just layout: a skewed
+    // partition column must split into ~advisory-sized files instead of one
+    // straggler file, and small partitions must not shatter into slivers.
+    // Payload is chained-md5 hex — incompressible enough that on-disk bytes
+    // track shuffle bytes, so the advisory meaningfully bounds file size.
+    val out = java.nio.file.Files.createTempDirectory("graft-sizing").toString
+    val advisoryMB = 1
+    val payload = concat_ws("",
+      (0 until 32).map(i => md5(concat(col("id"), lit(i)))): _*)
+    // 90% of rows land in source=web (~12 MB), the rest spread over 5 tiny
+    // sources — the classic skew a curation job writes
+    val df = spark.range(13000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 50 < 45, "web")
+        .otherwise(concat(lit("s"), (col("id") % 50).cast("string"))).as("source"),
+      payload.as("text"))
+    pipeline.CorpusSink.write(df, out, partitionCols = Seq("source"),
+      advisoryMB = advisoryMB)
+    assert(spark.read.parquet(out).count() == 13000)
+    val advisoryBytes = advisoryMB * 1024L * 1024L
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("source="))
+    assert(dirs.map(_.getName).toSet.size == 6)
+    val sizes = dirs.map { d =>
+      d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).toSeq
+    }.toMap
+    // band 1: no file more than 2x the advisory (oversize = AQE failed to
+    // split the skewed slice)
+    sizes.foreach { case (d, fs) =>
+      fs.foreach(sz => assert(sz <= 2 * advisoryBytes,
+        s"$d holds a ${sz / 1024 / 1024} MB file — advisory not applied"))
+    }
+    // band 2: the skewed partition splits into multiple files, but the count
+    // stays proportional to its volume (no per-task sliver storm)
+    val webFiles = sizes("source=web")
+    val webBytes = webFiles.sum
+    assert(webFiles.length >= 3,
+      s"web wrote ${webFiles.length} file(s) for ${webBytes / 1024 / 1024} MB — skew not split")
+    // the census budgets on UNCOMPRESSED (json-proxy) bytes, so file count
+    // can run up to the compression ratio above the on-disk ideal — allow
+    // 3x; a real sliver storm (files per map task per directory) is 10-100x
+    val expected = math.ceil(webBytes.toDouble / advisoryBytes).toInt
+    assert(webFiles.length <= 3 * expected + 2,
+      s"web shattered into ${webFiles.length} files for ~$expected advisory units")
+    // band 3: each tiny source coalesces to a file or two, not one per task
+    (sizes - "source=web").foreach { case (d, fs) =>
+      assert(fs.length <= 2, s"$d holds ${fs.length} sliver files")
+    }
+  }
+
   test("bloom prefilter with an empty index flags nothing") {
     import spark.implicits._
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "text").limit(20)
