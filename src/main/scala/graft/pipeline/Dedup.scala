@@ -740,6 +740,78 @@ object Dedup {
     batch.withColumn("maybe_dup", probe(col("fp")))
   }
 
+  /** Deterministic shard of a sha256-hex fingerprint: top 32 bits, modulo
+    * the shard count. Build and probe MUST agree on this, so both sides call
+    * this one function.
+    */
+  private[graft] def fpShard(fp: String, shards: Int): Int =
+    ((java.lang.Long.parseLong(fp.substring(0, 8), 16) % shards).toInt)
+
+  /** [[bloomPrefilter]], sharded by fingerprint prefix — the documented 100×
+    * path: one monolithic filter over 10^11 fingerprints would be a ~180 GB
+    * broadcast, but `shards` filters of index/shards fingerprints each are
+    * built in parallel (one shuffle of the fp column, grouped by the prefix
+    * shard) and broadcast together as independently-sized blobs. The flag
+    * semantics are IDENTICAL to the single filter: a fingerprint is probed
+    * against exactly the shard that indexed it, so the no-false-negative
+    * guarantee is preserved shard-locally and therefore globally.
+    *
+    * Sizing: sha256 prefixes are uniform, so each shard sees ~n/shards
+    * fingerprints; filters are sized with 1.5× slack (an over-full shard
+    * only drifts fpp upward — the maybe-join re-checks exactly anyway).
+    * On a real cluster the broadcast stays one object (a map of shard →
+    * filter); executors fault in all shards once, as with any broadcast.
+    */
+  def bloomPrefilterSharded(index: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      fpp: Double = 0.001, shards: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val n = index.count()
+    if (n == 0L) return batch.withColumn("maybe_dup", lit(false))
+    val spark = index.sparkSession
+    import spark.implicits._
+    val perShard = math.max(64L, (n / shards) * 3 / 2)
+    val built = index.select(col("fp")).as[String]
+      .groupByKey(fp => fpShard(fp, shards))
+      .mapGroups { (shard, fps) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp)
+        fps.foreach(bf.putString)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (shard, bos.toByteArray)
+      }
+      .collect()
+    val filters: Map[Int, org.apache.spark.util.sketch.BloomFilter] =
+      built.map { case (shard, bytes) =>
+        shard -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+      }.toMap
+    val bc = spark.sparkContext.broadcast(filters)
+    val nShards = shards
+    val probe = udf { (fp: String) =>
+      // a shard with no indexed fingerprints built no filter: definitely new
+      bc.value.get(fpShard(fp, nShards)).exists(_.mightContainString(fp))
+    }
+    batch.withColumn("maybe_dup", probe(col("fp")))
+  }
+
+  /** Size-gated front door for the pre-filter (same pattern as
+    * `clusterLabels`' driver/distributed gate): small indexes take the
+    * single-aggregation single-broadcast path, large ones shard by prefix.
+    * The default gate (2^27 ≈ 134M fingerprints ≈ 250 MB of filter at 0.1%
+    * fpp) keeps the monolithic broadcast under typical
+    * `maxResultSize`/broadcast budgets.
+    */
+  def bloomPrefilterAuto(index: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, fpp: Double = 0.001,
+      shardGateRows: Long = 1L << 27): org.apache.spark.sql.DataFrame = {
+    val n = index.count()
+    if (n == 0L) batch.withColumn("maybe_dup", lit(false))
+    else if (n <= shardGateRows) bloomPrefilter(index, batch, fpp)
+    else bloomPrefilterSharded(index, batch, fpp,
+      shards = math.max(2, math.ceil(n.toDouble / shardGateRows).toInt))
+  }
+
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
     splitSafe)

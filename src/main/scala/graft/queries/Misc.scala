@@ -503,7 +503,7 @@ object Misc {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.SparkSession]()
 
-  private def statsSession(
+  private[graft] def statsSession(
       s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     statsSessions.synchronized {
       var s2 = statsSessions.get(s)

@@ -220,6 +220,38 @@ class PipelineSpec extends AnyFunSuite {
     flagged.unpersist(); fps.unpersist()
   }
 
+  test("sharded bloom prefilter preserves the single-filter guarantee") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val fps = pipeline.Dedup.fingerprints(docs).cache()
+    val index = fps.filter(col("doc_id") < 250).select("fp")
+    val batch = fps.filter(col("doc_id") >= 200)
+    // forced multi-shard build (4 prefix shards over a tiny index)
+    val sharded = pipeline.Dedup
+      .bloomPrefilterSharded(index, batch, fpp = 0.001, shards = 4).cache()
+    // the no-false-negative guarantee must hold shard-locally
+    val missed = sharded.join(index, Seq("fp"), "left_semi")
+      .filter(!col("maybe_dup")).count()
+    assert(missed == 0, s"$missed indexed fingerprints escaped the shards")
+    // fresh docs stay mostly unflagged, same structural bound as monolithic
+    val fresh = sharded.join(index, Seq("fp"), "left_anti")
+    val fpRate = fresh.filter(col("maybe_dup")).count().toDouble /
+      math.max(1, fresh.count())
+    assert(fpRate < 0.05, s"sharded false-positive rate $fpRate implausible")
+    // every fp the monolithic filter marks definitely-new, the sharded one
+    // must too (both one-sided; positives may differ only within fpp noise)
+    val mono = pipeline.Dedup.bloomPrefilter(index, batch, fpp = 0.001)
+      .withColumnRenamed("maybe_dup", "mono_dup")
+    val disagree = sharded.join(mono, Seq("doc_id", "fp"))
+      .filter(col("maybe_dup") =!= col("mono_dup")).count()
+    assert(disagree <= 3,
+      s"$disagree flag disagreements beyond fpp noise between sharded and mono")
+    // and the size-gated front door routes a small index to a working path
+    val auto = pipeline.Dedup.bloomPrefilterAuto(index, batch)
+    assert(auto.join(index, Seq("fp"), "left_semi")
+      .filter(!col("maybe_dup")).count() == 0)
+    sharded.unpersist(); fps.unpersist()
+  }
+
   test("end-to-end curation: final corpus ⨝ leakage-safe split ⨝ sized output") {
     // the composition a real job runs: near-dup survivor + rule gate
     // (pipe_corpus_final), split by cluster label (leakage-safe), written
