@@ -465,6 +465,83 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** DSIR-shaped importance selection (hashed-n-gram importance resampling:
+    * score raw-pool documents by how much more likely their hashed word
+    * features are under a small TARGET domain's unigram distribution than
+    * under the rest of the pool, then keep the ones that lean target-ward).
+    * Target here is the `src0` source; every other source is the raw pool.
+    *
+    * Scale shape — this is the whole reason DSIR works at corpus scale:
+    * the model is just two hashed-feature histograms. One map-combinable
+    * aggregate builds the 256-bucket target/pool census, the per-bucket
+    * smoothed log-ratio table is 256 rows (broadcast), and scoring is a
+    * map-side broadcast join + one doc-keyed aggregate. Two passes over the
+    * corpus total, no wide shuffle beyond the per-doc rollup.
+    *
+    * Exactness: the only transcendental (ln) runs once per BUCKET (256
+    * evals, not per word), is rounded to 6 decimals, and lands in
+    * DECIMAL(18,6); per-doc scores are exact decimal sums of those — fully
+    * order-independent, so both engines hash-match bit for bit. The final
+    * DOUBLE cast is one deterministic conversion per row.
+    */
+  private val dsir = {
+    val B = 256
+    val target = "src0"
+    q("pipe_select_dsir",
+      s"""WITH ddocs AS (
+         |  SELECT doc_id, source = '$target' AS tgt,
+         |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |dfeat AS (
+         |  SELECT doc_id, tgt, ${sqlHash64("word")} % $B AS f
+         |  FROM (SELECT doc_id, tgt, unnest(string_split(norm, ' ')) AS word
+         |        FROM ddocs)),
+         |bc AS (
+         |  SELECT f,
+         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+         |    sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END)::BIGINT AS cs
+         |  FROM dfeat GROUP BY f),
+         |tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cs)::BIGINT AS ns FROM bc),
+         |lr AS (
+         |  SELECT f, round(ln(((ct + 1)::DOUBLE / (nt + $B))
+         |      / ((cs + 1)::DOUBLE / (ns + $B))), 6)::DECIMAL(18,6) AS lr
+         |  FROM bc, tot)
+         |SELECT d.doc_id, count(*)::BIGINT AS n_feats,
+         |  sum(lr.lr)::DOUBLE AS dsir_score,
+         |  sum(lr.lr) > 0 AS selected
+         |FROM dfeat d JOIN lr USING (f)
+         |WHERE NOT d.tgt
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val feat = graft.Tables.t(s, dir, "documents")
+        .select(col("doc_id"), (col("source") === target).as("tgt"),
+          explode(org.apache.spark.sql.functions.split(
+            normText(col("text")), " ")).as("word"))
+        .select(col("doc_id"), col("tgt"),
+          (hash64(col("word")) % B).as("f"))
+      // the 256-row census feeds both the totals and the log-ratio table;
+      // memoized so the corpus is scanned once for it, not twice
+      val bc = graft.Caches.fragment(s, dir, "dsirCensus") {
+        feat.groupBy("f").agg(
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+          sum(when(!col("tgt"), 1L).otherwise(0L)).as("cs"))
+      }
+      val tot = bc.agg(sum("ct").as("nt"), sum("cs").as("ns"))
+      val lr = bc.crossJoin(broadcast(tot))
+        .select(col("f"),
+          round(log(((col("ct") + 1).cast("double") / (col("nt") + B))
+            / ((col("cs") + 1).cast("double") / (col("ns") + B))), 6)
+            .cast("decimal(18,6)").as("lr"))
+      feat.filter(!col("tgt"))
+        .join(broadcast(lr), Seq("f"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("s"))
+        .select(col("doc_id"), col("n_feats"),
+          col("s").cast("double").as("dsir_score"),
+          (col("s") > 0).as("selected"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
-    stats, lenHist, corpusFinal, qualityCalibrated)
+    stats, lenHist, corpusFinal, qualityCalibrated, dsir)
 }

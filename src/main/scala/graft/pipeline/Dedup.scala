@@ -703,6 +703,86 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Window width for [[spans]] — 5 normalized words per sliding span. */
+  private val SpanLen = 5
+
+  /** Cross-document repeated-SPAN detection — the distributed shape of
+    * exact-substring dedup (the suffix-array pass of "Deduplicating
+    * Training Data Makes Language Models Better": find every ≥k-token
+    * substring shared verbatim between documents). A true suffix array is a
+    * single-machine structure; the scalable equivalent is the rolling
+    * window: every [[SpanLen]]-word SLIDING window (unlike [[lines]]' fixed
+    * segments — overlapping windows catch duplicated passages at any
+    * alignment), hashed and censused corpus-wide; a span seen in ≥2
+    * DISTINCT documents marks all its occurrences. Per doc this reports the
+    * duplicated-span count and the exact token coverage of the union of
+    * duplicated windows — the "fraction of this doc that is verbatim
+    * elsewhere" signal a curation gate thresholds on.
+    *
+    * 100 TB shape: same skeleton as [[lines]] — census is a map-side-
+    * combinable hash aggregate on the 64-bit span hash (distinct-doc count
+    * = two-level aggregate), flagging is one equi-join back on that uniform
+    * key, and token coverage is an explode of the ≤[[SpanLen]] positions of
+    * DUPLICATED windows only (bounded ×5 blowup on the dup subset, not the
+    * corpus) into a per-doc distinct-count — window-free end to end. The
+    * census subtree feeds both rollups; within one plan Spark's
+    * ReuseExchange dedupes the shuffle.
+    */
+  private val spans = q("pipe_dedup_spans",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |sp AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, len(w) - ${SpanLen - 1})) AS pos,
+       |    unnest(list_transform(generate_series(1, len(w) - ${SpanLen - 1}),
+       |      i -> ${sqlHash64(s"array_to_string(w[i:i+${SpanLen - 1}], ' ')")}))
+       |      AS h
+       |  FROM words WHERE len(w) >= $SpanLen),
+       |census AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h),
+       |flagged AS (
+       |  SELECT s.doc_id, s.pos, c.nd >= 2 AS dup
+       |  FROM sp s JOIN census c USING (h)),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_spans,
+       |    sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+       |  FROM flagged GROUP BY doc_id),
+       |cov AS (
+       |  SELECT doc_id, count(DISTINCT p)::BIGINT AS covered
+       |  FROM (SELECT doc_id, unnest(generate_series(pos, pos + ${SpanLen - 1})) AS p
+       |        FROM flagged WHERE dup)
+       |  GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_spans, p.n_dup_spans,
+       |  coalesce(c.covered, 0)::BIGINT AS covered_tokens,
+       |  len(w.w)::BIGINT AS n_words,
+       |  coalesce(c.covered, 0)::DOUBLE / len(w.w) AS covered_frac
+       |FROM per p JOIN words w USING (doc_id) LEFT JOIN cov c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sp = docWords(s, dir).filter(size(col("w")) >= SpanLen)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(1, size(w) - ${SpanLen - 1})")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        hash64(expr(s"concat_ws(' ', slice(w, pos, $SpanLen))")).as("h"))
+    val census = sp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    val flagged = sp.join(census, Seq("h")).withColumn("dup", col("nd") >= 2)
+    val per = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("dup").cast("long")).as("n_dup_spans"))
+    val cov = flagged.filter(col("dup"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${SpanLen - 1})")).as("p"))
+      .groupBy("doc_id").agg(countDistinct("p").as("covered"))
+    per
+      .join(docWords(s, dir).select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words")), Seq("doc_id"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        col("n_words"),
+        (coalesce(col("covered"), lit(0L)).cast("double") / col("n_words"))
+          .as("covered_frac"))
+      .orderBy("doc_id")
+  }
+
   /** `(doc_id, fp)` exact-dedup fingerprints for an arbitrary
     * `(doc_id, text)` batch — the probe side of [[bloomPrefilter]].
     */
@@ -814,5 +894,5 @@ object Dedup {
 
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
-    splitSafe)
+    spans, splitSafe)
 }

@@ -216,6 +216,25 @@ class ExplainAudit extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), "flag join must be a hash/merge join")
   }
 
+  test("span dedup: window-free census + hash flag join, like line dedup") {
+    val p = plan("pipe_dedup_spans")
+    assert(!p.contains("Window"), s"span dedup planned a window:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), "census must hash-aggregate")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "flag join must be a hash/merge join")
+  }
+
+  test("dsir: pool filter pushed to scan, ratio table broadcast, no window") {
+    val p = plan("pipe_select_dsir")
+    // scoring only reads the pool: the source<>target predicate must reach
+    // the parquet scan, not filter post-explode
+    assert(p.contains("Not(EqualTo(source,src0))"),
+      s"pool predicate must be pushed into the scan:\n${p.take(2000)}")
+    // the 256-row log-ratio table rides a broadcast; scoring is map-side
+    assert(p.contains("BroadcastHashJoin"), "scoring join must be broadcast")
+    assert(!p.contains("Window"), s"dsir planned a window:\n${p.take(2000)}")
+  }
+
   test("funnel is a chain of per-user hash aggregates and joins, no window") {
     val p = plan("stream_funnel")
     assert(!p.contains("Window"), s"funnel planned a window:\n${p.take(2000)}")

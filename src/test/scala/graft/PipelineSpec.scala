@@ -220,6 +220,73 @@ class PipelineSpec extends AnyFunSuite {
     flagged.unpersist(); fps.unpersist()
   }
 
+  test("span dedup: coverage bounded by dup windows; near-dup docs covered") {
+    val df = run("pipe_dedup_spans").cache()
+    // structural invariants of the sliding-window census
+    assert(df.filter(col("n_dup_spans") > col("n_spans")).count() == 0)
+    assert(df.filter(col("covered_tokens") > col("n_words")).count() == 0)
+    assert(df.filter(col("covered_frac") < 0 || col("covered_frac") > 1)
+      .count() == 0)
+    // coverage and dup counts imply each other exactly at the edges:
+    // no dup spans -> zero coverage; k dup spans cover in [SpanLen, 5k]
+    assert(df.filter(col("n_dup_spans") === 0 && col("covered_tokens") =!= 0)
+      .count() == 0)
+    assert(df.filter(col("n_dup_spans") > 0 &&
+      (col("covered_tokens") < 5 ||
+        col("covered_tokens") > col("n_dup_spans") * 5)).count() == 0)
+    // the fixture seeds near-duplicate docs: verbatim overlap must surface
+    assert(df.filter(col("n_dup_spans") > 0).count() > 0,
+      "no cross-doc repeated spans found in a corpus with seeded near-dups")
+    df.unpersist()
+  }
+
+  test("dsir: pool docs only, exact feature accounting, sign drives selection") {
+    val df = run("pipe_select_dsir").cache()
+    val docs = Tables.t(spark, sf, "documents")
+    // target docs are the model, never the scored pool
+    assert(df.join(docs.filter(col("source") === "src0"), Seq("doc_id"),
+      "left_semi").count() == 0)
+    // every scored feature is one word occurrence: per-doc n_feats must
+    // reconcile with the doc's word count
+    val words = pipeline.docWords(spark, sf)
+      .select(col("doc_id"), size(col("w")).cast("long").as("nw"))
+    assert(df.join(words, Seq("doc_id"))
+      .filter(col("n_feats") =!= col("nw")).count() == 0)
+    // selection is exactly the sign of the importance score
+    assert(df.filter(col("selected") =!= (col("dsir_score") > 0)).count() == 0)
+    // the score discriminates (not a constant), and an undistinctive pool
+    // doc leans negative (the target is a small slice, so most buckets do)
+    assert(df.select(countDistinct("dsir_score")).head.getLong(0) > 1)
+    assert(df.agg(min("dsir_score")).head.getDouble(0) < 0)
+    // exactness: recompute one doc's score from first principles — rebuild
+    // the 256-bucket log-ratio table and the doc's hashed features locally,
+    // sum in BigDecimal like the decimal plan does
+    val feat = pipeline.docWords(spark, sf)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), (col("source") === "src0").as("tgt"),
+        explode(col("w")).as("word"))
+      .select(col("doc_id"), col("tgt"),
+        (pipeline.hash64(col("word")) % 256).as("f"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val ct = feat.filter(_._2).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cs = feat.filter(!_._2).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val nt = ct.values.sum; val ns = cs.values.sum
+    val lr: Map[Long, BigDecimal] = (ct.keySet ++ cs.keySet).map { f =>
+      val pt = (ct.getOrElse(f, 0L) + 1).toDouble / (nt + 256)
+      val ps = (cs.getOrElse(f, 0L) + 1).toDouble / (ns + 256)
+      f -> BigDecimal(math.log(pt / ps))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.toMap
+    val someDoc = df.orderBy("doc_id").head
+    val expected = feat.filter(r => r._1 == someDoc.getLong(0) && !r._2)
+      .map(r => lr(r._3)).sum
+    assert(math.abs(someDoc.getAs[Double]("dsir_score") -
+      expected.toDouble) < 1e-9,
+      s"doc ${someDoc.getLong(0)}: engine ${someDoc.getAs[Double]("dsir_score")}" +
+        s" vs local ${expected.toDouble}")
+    df.unpersist()
+  }
+
   test("sharded bloom prefilter preserves the single-filter guarantee") {
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
     val fps = pipeline.Dedup.fingerprints(docs).cache()
