@@ -220,6 +220,35 @@ class PipelineSpec extends AnyFunSuite {
     flagged.unpersist(); fps.unpersist()
   }
 
+  test("approx-quantile calibration matches the exact window off-boundary") {
+    val exact = run("pipe_quality_calibrated")
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("src_pctl"), col("selected").as("sel_exact"))
+    val joined = exact.join(
+      pipeline.Curation.qualityCalibratedApprox(spark, sf)
+        .select(col("doc_id"), col("selected").as("sel_approx")),
+      Seq("doc_id")).cache()
+    assert(joined.count() == exact.count(),
+      "approx variant must score every doc the window form scores")
+    // off the percentile boundary the two selections must agree exactly;
+    // the sketch may only flip docs whose exact percentile sits near q=0.5
+    val offBoundary = joined.filter(
+      col("src_pctl") < 0.45 || col("src_pctl") > 0.55)
+    assert(offBoundary.filter(col("sel_exact") =!= col("sel_approx"))
+      .count() == 0,
+      "approx threshold flipped a doc far from the percentile boundary")
+    // both keep roughly the top half of every source
+    val shares = pipeline.Curation.qualityCalibratedApprox(spark, sf)
+      .groupBy("source")
+      .agg((sum(col("selected").cast("long")) / count(lit(1))).as("share"))
+      .collect()
+    shares.foreach { r =>
+      val sh = r.getAs[Double]("share")
+      assert(sh > 0.2 && sh < 0.8, s"${r.getString(0)}: share $sh off-contract")
+    }
+    joined.unpersist()
+  }
+
   test("span dedup: coverage bounded by dup windows; near-dup docs covered") {
     val df = run("pipe_dedup_spans").cache()
     // structural invariants of the sliding-window census
