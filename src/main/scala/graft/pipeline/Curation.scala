@@ -498,6 +498,55 @@ object Curation {
         col("q_threshold"), (col("quality") >= col("q_threshold")).as("selected"))
   }
 
+  /** Temperature-flattened source mixing — the multilingual/multi-domain
+    * rebalancing rule (sample sources ∝ size^α, α = 1/2 here): raw
+    * proportional sampling lets the largest source drown the rest, uniform
+    * sampling over-trains tiny ones; the α-power compromise is the standard
+    * curriculum knob. Emits per source its doc/token mass, the flattened
+    * sampling share, and the effective epochs over that source when filling
+    * a 1M-token training budget at that share — epochs > 1 is the "this
+    * source will be memorized" warning a mix designer reads off.
+    *
+    * Scale shape: one corpus pass folding to a |sources|-row aggregate
+    * (map-side combinable count/sum), then arithmetic on the tiny table —
+    * nothing corpus-sized moves. Exactness: α = 1/2 is applied as the
+    * INTEGER sqrt (floor(sqrt(tokens)) — IEEE sqrt is correctly rounded,
+    * floor is exact), so weights and their sum are exact BIGINTs and the
+    * final shares/epochs are single deterministic double divisions — no
+    * order-dependent float accumulation anywhere.
+    */
+  private val mixTemperature = q("pipe_mix_temperature",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |agg AS (
+       |  SELECT d.source, count(*)::BIGINT AS n_docs,
+       |    sum(len(w.w))::BIGINT AS n_tokens
+       |  FROM words w JOIN documents d ON d.doc_id = w.doc_id
+       |  GROUP BY d.source),
+       |wt AS (SELECT source, n_docs, n_tokens,
+       |         floor(sqrt(n_tokens::DOUBLE))::BIGINT AS weight FROM agg),
+       |tot AS (SELECT sum(weight)::BIGINT AS wsum FROM wt)
+       |SELECT source, n_docs, n_tokens, weight,
+       |  weight::DOUBLE / wsum AS share,
+       |  weight::DOUBLE / wsum * 1000000 / n_tokens AS epochs_at_1m
+       |FROM wt, tot ORDER BY source""".stripMargin) { (s, dir) =>
+    val agg = docWords(s, dir)
+      .select(col("doc_id"), size(col("w")).cast("long").as("t"))
+      .join(graft.Tables.t(s, dir, "documents").select("doc_id", "source"),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
+    val wt = agg.withColumn("weight",
+      floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = wt.agg(sum("weight").as("wsum"))
+    wt.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        (col("weight").cast("double") / col("wsum")).as("share"),
+        (col("weight").cast("double") / col("wsum") * 1000000 / col("n_tokens"))
+          .as("epochs_at_1m"))
+      .orderBy("source")
+  }
+
   /** DSIR-shaped importance selection (hashed-n-gram importance resampling:
     * score raw-pool documents by how much more likely their hashed word
     * features are under a small TARGET domain's unigram distribution than
@@ -576,5 +625,5 @@ object Curation {
   }
 
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
-    stats, lenHist, corpusFinal, qualityCalibrated, dsir)
+    stats, lenHist, corpusFinal, qualityCalibrated, dsir, mixTemperature)
 }

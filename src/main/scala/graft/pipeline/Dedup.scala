@@ -728,16 +728,35 @@ object Dedup {
     * census subtree feeds both rollups; within one plan Spark's
     * ReuseExchange dedupes the shuffle.
     */
-  private val spans = q("pipe_dedup_spans",
-    s"""WITH $docsNormCte,
-       |$wordsCte,
-       |sp AS (
+  /** `(doc_id, pos, h)` sliding-window span hashes of an arbitrary
+    * `(doc_id, text)` batch — the shared core of [[spans]] and the
+    * incremental index, so the two paths cannot drift.
+    */
+  def spanHashes(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.split(normText(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= SpanLen)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(1, size(w) - ${SpanLen - 1})")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        hash64(expr(s"concat_ws(' ', slice(w, pos, $SpanLen))")).as("h"))
+
+  /** DuckDB spelling of [[spanHashes]] as a CTE named `sp` (expects
+    * `words` in scope).
+    */
+  private val spanCte: String =
+    s"""sp AS (
        |  SELECT doc_id,
        |    unnest(generate_series(1, len(w) - ${SpanLen - 1})) AS pos,
        |    unnest(list_transform(generate_series(1, len(w) - ${SpanLen - 1}),
        |      i -> ${sqlHash64(s"array_to_string(w[i:i+${SpanLen - 1}], ' ')")}))
        |      AS h
-       |  FROM words WHERE len(w) >= $SpanLen),
+       |  FROM words WHERE len(w) >= $SpanLen)""".stripMargin
+
+  private val spans = q("pipe_dedup_spans",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |$spanCte,
        |census AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h),
        |flagged AS (
        |  SELECT s.doc_id, s.pos, c.nd >= 2 AS dup
@@ -757,11 +776,8 @@ object Dedup {
        |  coalesce(c.covered, 0)::DOUBLE / len(w.w) AS covered_frac
        |FROM per p JOIN words w USING (doc_id) LEFT JOIN cov c USING (doc_id)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val sp = docWords(s, dir).filter(size(col("w")) >= SpanLen)
-      .select(col("doc_id"), col("w"),
-        explode(expr(s"sequence(1, size(w) - ${SpanLen - 1})")).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        hash64(expr(s"concat_ws(' ', slice(w, pos, $SpanLen))")).as("h"))
+    val sp = spanHashes(
+      graft.Tables.t(s, dir, "documents").select("doc_id", "text"))
     val census = sp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     val flagged = sp.join(census, Seq("h")).withColumn("dup", col("nd") >= 2)
     val per = flagged.groupBy("doc_id")
@@ -781,6 +797,102 @@ object Dedup {
         (coalesce(col("covered"), lit(0L)).cast("double") / col("n_words"))
           .as("covered_frac"))
       .orderBy("doc_id")
+  }
+
+  /** Maintain a persisted span-hash index incrementally: replace the
+    * `(doc_id, pos, h)` rows of every doc in `docs`, keep everyone else's —
+    * the [[upsertSignatures]] discipline applied to span dedup, so verbatim
+    * -overlap detection under continuous ingest costs one span pass over
+    * the changed batch, never a corpus re-census. Same crash-recoverable
+    * tmp+rename commit via the state store.
+    */
+  def upsertSpans(docs: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    val sp = spanHashes(docs)
+    val out = graft.state.StateStore.loadTable(spark, path, sp.schema)
+      .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(sp)
+    graft.state.StateStore.save(out, path)
+  }
+
+  /** Span-coverage stats for a changed batch via the persisted index —
+    * [[spans]]' output contract restricted to the batch. The corpus-wide
+    * distinct-doc census collapses to an EXISTENCE probe: a batch span is
+    * duplicated iff some OTHER document's row in the index carries the same
+    * hash, which is one left-semi equi-join on the uniform 64-bit span key
+    * sized |batch spans| — CDC-proportional, never corpus×corpus. Call
+    * after [[upsertSpans]] so verbatim overlap WITHIN the batch counts too
+    * (and the stats then match the one-shot [[spans]] census exactly,
+    * which PipelineSpec pins).
+    */
+  def incrementalSpanStats(changedDocs: org.apache.spark.sql.DataFrame,
+      path: String): org.apache.spark.sql.DataFrame = {
+    val spark = changedDocs.sparkSession
+    val probe = spanHashes(changedDocs)
+    val index = graft.state.StateStore.loadTable(spark, path, probe.schema)
+      .select(col("h").as("ih"), col("doc_id").as("doc_i"))
+    val dupSpans = probe.join(index,
+      col("h") === col("ih") && col("doc_id") =!= col("doc_i"), "left_semi")
+    val per = probe.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dupPer = dupSpans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"))
+    val cov = dupSpans
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${SpanLen - 1})")).as("p"))
+      .groupBy("doc_id").agg(countDistinct("p").as("covered"))
+    val nw = changedDocs.select(col("doc_id"),
+      size(org.apache.spark.sql.functions.split(normText(col("text")), " "))
+        .cast("long").as("n_words"))
+    per.join(nw, Seq("doc_id"))
+      .join(dupPer, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        col("n_words"),
+        (coalesce(col("covered"), lit(0L)).cast("double") / col("n_words"))
+          .as("covered_frac"))
+  }
+
+  /** The incremental span path as an oracle-checked query, mirroring
+    * [[incremental]]: index the 90% "existing corpus", upsert the 10%
+    * "late batch", probe the batch. After the upsert the persisted index
+    * equals the full span set, so DuckDB replays the probe as
+    * late-spans ⋈ all-spans existence on the hash — exact parity for the
+    * whole upsert→probe cycle, filesystem state included.
+    */
+  private val spansIncremental = q("pipe_spans_incremental",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |$spanCte,
+       |late AS (SELECT doc_id, pos, h FROM sp WHERE doc_id % 10 = 0),
+       |dup AS (
+       |  SELECT DISTINCT l.doc_id, l.pos FROM late l
+       |  JOIN sp o ON o.h = l.h AND o.doc_id <> l.doc_id),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS n_spans
+       |        FROM late GROUP BY doc_id),
+       |dper AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans
+       |         FROM dup GROUP BY doc_id),
+       |cov AS (
+       |  SELECT doc_id, count(DISTINCT p)::BIGINT AS covered
+       |  FROM (SELECT doc_id, unnest(generate_series(pos, pos + ${SpanLen - 1})) AS p
+       |        FROM dup)
+       |  GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_spans,
+       |  coalesce(d.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       |  coalesce(c.covered, 0)::BIGINT AS covered_tokens,
+       |  len(w.w)::BIGINT AS n_words,
+       |  coalesce(c.covered, 0)::DOUBLE / len(w.w) AS covered_frac
+       |FROM per p JOIN words w USING (doc_id)
+       |LEFT JOIN dper d USING (doc_id) LEFT JOIN cov c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = graft.Tables.t(s, dir, "documents").select("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-incr-spans").toString + "/spans"
+    upsertSpans(docs.filter(col("doc_id") % 10 =!= 0), path)
+    val late = docs.filter(col("doc_id") % 10 === 0)
+    upsertSpans(late, path)
+    incrementalSpanStats(late, path).orderBy("doc_id")
   }
 
   /** `(doc_id, fp)` exact-dedup fingerprints for an arbitrary
@@ -818,6 +930,55 @@ object Dedup {
     val bc = batch.sparkSession.sparkContext.broadcast(bf)
     val probe = udf((fp: String) => bc.value.mightContainString(fp))
     batch.withColumn("maybe_dup", probe(col("fp")))
+  }
+
+  /** Maintain the persisted exact-dedup fingerprint index: replace the
+    * `(doc_id, fp)` rows of every doc in `docs`, keep everyone else's —
+    * the index is the canonical "what the corpus already contains" set the
+    * incremental flow probes. Same crash-recoverable swap as the signature
+    * and span indexes.
+    */
+  def upsertFingerprints(docs: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val fps = fingerprints(docs)
+    val out = graft.state.StateStore.loadTable(spark, path, fps.schema)
+      .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(fps)
+    graft.state.StateStore.save(out, path)
+  }
+
+  /** The complete incremental exact-dedup flow for one CDC batch, closing
+    * the loop the Bloom pre-filter opens: probe the HISTORICAL index
+    * map-side (`maybe_dup`), exact-recheck ONLY the fpp-bounded maybe set
+    * with a semi-join (a bloom positive is not proof), and resolve
+    * batch-internal duplicates keep-first. Verdict columns:
+    * `seen_before` (fp exists in the index — first-seen-wins, the CDC
+    * dedup contract, regardless of id order), `kept` (not seen before AND
+    * smallest doc_id among batch rows sharing the fp).
+    *
+    * Scale: the definitely-new majority of a CDC batch never enters any
+    * join — its cost is the map-side bloom probe; the semi-join is sized
+    * |maybe set| ≈ true dups + fpp·batch. Call BEFORE upserting, then
+    * [[upsertFingerprints]] the kept docs so the index stays the
+    * surviving-corpus set.
+    */
+  def incrementalExactDedup(changedDocs: org.apache.spark.sql.DataFrame,
+      path: String, fpp: Double = 0.001): org.apache.spark.sql.DataFrame = {
+    val spark = changedDocs.sparkSession
+    val probe = fingerprints(changedDocs)
+    val index = graft.state.StateStore.loadTable(spark, path, probe.schema)
+    val pre = bloomPrefilterAuto(index, probe, fpp)
+    val confirmed = pre.filter(col("maybe_dup"))
+      .join(index.select("fp").distinct(), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("seen_before"))
+    val firstInBatch = probe.groupBy("fp").agg(min("doc_id").as("first_id"))
+    pre.join(confirmed, Seq("doc_id"), "left")
+      .join(firstInBatch, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("maybe_dup"),
+        coalesce(col("seen_before"), lit(false)).as("seen_before"),
+        (!coalesce(col("seen_before"), lit(false)) &&
+          col("doc_id") === col("first_id")).as("kept"))
   }
 
   /** Deterministic shard of a sha256-hex fingerprint: top 32 bits, modulo
@@ -894,5 +1055,5 @@ object Dedup {
 
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
-    spans, splitSafe)
+    spans, spansIncremental, splitSafe)
 }

@@ -269,6 +269,37 @@ class PipelineSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("temperature mix: shares normalize and flatten toward the mean") {
+    val df = run("pipe_mix_temperature").cache()
+    val rows = df.collect()
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("weight") ==
+        math.sqrt(r.getAs[Long]("n_tokens").toDouble).toLong)
+    }
+    // α=1/2 flattens: the token-richest source loses share vs proportional
+    // sampling, the poorest gains
+    val totTok = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val rich = rows.maxBy(_.getAs[Long]("n_tokens"))
+    val poor = rows.minBy(_.getAs[Long]("n_tokens"))
+    assert(rich.getAs[Double]("share") < rich.getAs[Long]("n_tokens") / totTok)
+    assert(poor.getAs[Double]("share") > poor.getAs[Long]("n_tokens") / totTok)
+    df.unpersist()
+  }
+
+  test("incremental span index: probe equals the one-shot census on the batch") {
+    // the existence probe against the upserted index must reproduce the
+    // full census stats exactly for every batch doc (nd >= 2 distinct docs
+    // is the same predicate as "some other doc holds this hash")
+    val full = run("pipe_dedup_spans").filter(col("doc_id") % 10 === 0)
+      .collect().map(_.toSeq).toSet
+    val incr = run("pipe_spans_incremental").collect().map(_.toSeq).toSet
+    assert(incr == full,
+      s"incremental span stats diverge from the one-shot census: " +
+        s"${(incr diff full).take(3)} vs ${(full diff incr).take(3)}")
+    assert(incr.nonEmpty)
+  }
+
   test("dsir: pool docs only, exact feature accounting, sign drives selection") {
     val df = run("pipe_select_dsir").cache()
     val docs = Tables.t(spark, sf, "documents")
@@ -314,6 +345,58 @@ class PipelineSpec extends AnyFunSuite {
       s"doc ${someDoc.getLong(0)}: engine ${someDoc.getAs[Double]("dsir_score")}" +
         s" vs local ${expected.toDouble}")
     df.unpersist()
+  }
+
+  test("incremental exact dedup: verdicts match a first-seen local recompute") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-incr-fps").toString + "/fps"
+    // duplicate some batch docs' TEXT against existing corpus docs so the
+    // seen_before path is exercised, and against each other for keep-first
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    pipeline.Dedup.upsertFingerprints(existing, path)
+    // 5 re-sends of indexed docs (seen_before path) and 5 pairs of docs
+    // new to the corpus but duplicated WITHIN the batch (keep-first path)
+    val seenCopies = existing.limit(5)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val uniqBase = docs.filter(col("doc_id") % 10 === 0).limit(5)
+      .select(col("doc_id"), concat(col("text"), lit(" graftuniq")).as("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .unionByName(seenCopies)
+      .unionByName(uniqBase.select((col("doc_id") + 2000000).as("doc_id"),
+        col("text")))
+      .unionByName(uniqBase.select((col("doc_id") + 3000000).as("doc_id"),
+        col("text")))
+    val verdicts = pipeline.Dedup.incrementalExactDedup(batch, path).cache()
+    assert(verdicts.count() == batch.count())
+    // bloom one-sidedness: anything confirmed seen was flagged maybe
+    assert(verdicts.filter(col("seen_before") && !col("maybe_dup"))
+      .count() == 0)
+    // recompute every verdict locally from first principles
+    val oldFps = pipeline.Dedup.fingerprints(existing)
+      .collect().map(_.getString(1)).toSet
+    val batchFps = pipeline.Dedup.fingerprints(batch)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val firstIn = batchFps.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val expect = batchFps.map { case (id, fp) =>
+      (id, oldFps(fp), !oldFps(fp) && firstIn(fp) == id)
+    }.toSet
+    val got = verdicts.select("doc_id", "seen_before", "kept")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+      .toSet
+    assert(got == expect,
+      s"verdicts diverge: ${(got diff expect).take(3)} vs ${(expect diff got).take(3)}")
+    // the seeded copies must be caught: 5 seen-before, 5 batch-internal dups
+    assert(verdicts.filter(col("seen_before")).count() >= 5)
+    assert(verdicts.filter(!col("kept") && !col("seen_before")).count() >= 5)
+    // and the index upsert of kept docs round-trips
+    pipeline.Dedup.upsertFingerprints(
+      batch.join(verdicts.filter(col("kept")).select("doc_id"), Seq("doc_id")),
+      path)
+    val after = pipeline.Dedup.incrementalExactDedup(batch, path)
+    assert(after.filter(!col("seen_before")).count() == 0,
+      "every batch doc must be seen after its kept set is upserted")
+    verdicts.unpersist()
   }
 
   test("sharded bloom prefilter preserves the single-filter guarantee") {
