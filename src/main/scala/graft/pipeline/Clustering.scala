@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.queries.{q, GQuery}
+
+/** Embedding-space clustering for corpus curation: Lloyd's k-means over the
+  * `embeddings` table, run as real iterative training (assign → recompute
+  * centroids), unlike the deliberately training-free fixed centroids the ANN
+  * IVF index uses ([[Similarity]]). Clustering is the backbone of
+  * cluster-balanced sampling and SemDeDup-style pruning — the pieces that
+  * decide WHAT a 100 TB corpus keeps, not just how it's indexed.
+  *
+  * Cross-engine exactness (the oracle hash) comes from fixed-point integer
+  * arithmetic end to end:
+  *   - components quantize once: `floor(x * 1e6 + 0.5)::BIGINT` (identical
+  *     doubles in, identical longs out — no engine-specific round() rule);
+  *   - distances are integer squared-L2 (exact, order-independent);
+  *   - centroid updates are `sum(component) / count` in truncating integer
+  *     division (Scala `Long./` ≡ DuckDB `//`, verified on negatives);
+  *   - ties in assignment break to the smallest centroid id.
+  * Float k-means sums in partition order and drifts in the last ulp;
+  * integer k-means is bit-identical on any plan, any parallelism.
+  *
+  * Scale shape: centroids live on the driver between rounds — k×dim longs,
+  * bounded by construction, the same discipline as the IVF centroid
+  * broadcast. Assignment is a map-side argmin fold over a centroid literal
+  * (no ×k row explosion, no per-vector window); the update is ONE hash
+  * aggregate whose partial state is a dim-length array per (partition,
+  * cluster) via [[graft.functions.VecSum]] — the exchange carries k×dim
+  * longs total, so a round costs one scan + one k-row shuffle at any corpus
+  * size. Inertia sums fit comfortably in longs here (≤ ~2.6e14 per row at
+  * 1e6-scale components); at true corpus scale sum in decimal(38,0) like the
+  * components convergence test does.
+  */
+object Clustering {
+
+  private val K = 4
+  private val Iters = 2
+  private val Dim = 64
+
+  /** `floor(x * 1e6 + 0.5)` quantization of an array<double> column. */
+  private def quantize(c: Column): Column =
+    transform(c, x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** Exact integer squared L2 distance between two array<long> columns. */
+  private def sqd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** embeddings → (vec_id, label, v: array<long>) quantized vectors. */
+  private def qvecs(s: SparkSession, dir: String): DataFrame =
+    embD(s, dir).select(col("vec_id"), col("label").cast("long").as("label"),
+      quantize(col("e")).as("v"))
+
+  /** Map-side assignment: nearest centroid id + its exact distance, via an
+    * argmin fold over the inlined centroid array (struct min orders by
+    * (distance, cid), so ties pick the smallest cid — the oracle's
+    * `ORDER BY d, cid` tiebreak).
+    */
+  private def assign(vecs: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame = {
+    val centArr = array(cents.sortBy(_._1).map { case (cid, c) =>
+      struct(typedLit(c.toSeq).as("c"), lit(cid).as("cid"))
+    }: _*)
+    vecs.withColumn("__best",
+        array_min(transform(centArr, ct =>
+          struct(sqd(ct("c"), col("v")).as("d"), ct("cid").as("cid")))))
+      .withColumn("cid", col("__best.cid"))
+      .withColumn("d", col("__best.d"))
+      .drop("__best")
+  }
+
+  /** Run `iters` Lloyd rounds from centroids = vectors of the `k` smallest
+    * vec_ids; returns the final centroids. Each round: one scan-side assign,
+    * one [[graft.functions.VecSum]] aggregate, one k×dim driver collect.
+    * A cluster that captures no vectors drops out (both engines).
+    */
+  def train(vecs: DataFrame, k: Int = K, iters: Int = Iters): Seq[(Long, Array[Long])] = {
+    var cents: Seq[(Long, Array[Long])] =
+      vecs.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq.sortBy(_._1)
+    (1 to iters).foreach { _ =>
+      cents = assign(vecs, cents)
+        .groupBy("cid")
+        .agg(graft.functions.VecSum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(2)
+          r.getLong(0) -> r.getSeq[Long](1).map(_ / n).toArray
+        }.toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  // ---- DuckDB oracle fragments --------------------------------------------
+
+  private def sqlSqd(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+
+  private val qvCte =
+    s"""qv AS (
+       |  SELECT vec_id, label::BIGINT AS label,
+       |    list_transform(e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+       |  FROM emb)""".stripMargin
+
+  /** One oracle Lloyd round: assignment (argmin over the cross join of the
+    * k-row centroid table — k is tiny, this is the oracle not the engine)
+    * then the element-wise integer-mean update.
+    */
+  private def roundCtes(i: Int): String =
+    s"""a$i AS (
+       |  SELECT vec_id, label, v, cid, d FROM (
+       |    SELECT q.vec_id, q.label, q.v, c.cid,
+       |      ${sqlSqd("q.v", "c.c")} AS d,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlSqd("q.v", "c.c")}, c.cid) AS rn
+       |    FROM qv q, c${i - 1} c) WHERE rn = 1),
+       |c$i AS (
+       |  SELECT cid, list(comp ORDER BY i) AS c FROM (
+       |    SELECT cid, i, CAST(sum(v[i]) // count(*) AS BIGINT) AS comp
+       |    FROM a$i, generate_series(1, $Dim) t(i)
+       |    GROUP BY cid, i)
+       |  GROUP BY cid)""".stripMargin
+
+  /** Registered k-means: per-cluster size, exact integer inertia, majority
+    * label and its share — the telemetry a curation pipeline reads before
+    * deciding per-cluster sampling rates. Deterministic end to end (fixed
+    * init, fixed rounds, integer math), so the oracle replays training
+    * round by round and the hash pins both the algorithm and the stats.
+    */
+  private val kmeans = q("pipe_cluster_kmeans",
+    s"""WITH $embCte,
+       |$qvCte,
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM qv WHERE vec_id < $K),
+       |${(1 to Iters).map(roundCtes).mkString(",\n")},
+       |af AS (
+       |  SELECT vec_id, label, cid, d FROM (
+       |    SELECT q.vec_id, q.label, c.cid,
+       |      ${sqlSqd("q.v", "c.c")} AS d,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlSqd("q.v", "c.c")}, c.cid) AS rn
+       |    FROM qv q, c$Iters c) WHERE rn = 1),
+       |base AS (
+       |  SELECT cid, count(*)::BIGINT AS n_vecs,
+       |    CAST(sum(d) AS BIGINT) AS inertia
+       |  FROM af GROUP BY cid),
+       |lbl AS (
+       |  SELECT cid, cnt, label, tot FROM (
+       |    SELECT cid, label, cnt, sum(cnt) OVER (PARTITION BY cid) AS tot,
+       |      row_number() OVER (PARTITION BY cid
+       |        ORDER BY cnt DESC, label) AS rn
+       |    FROM (SELECT cid, label, count(*) AS cnt FROM af GROUP BY cid, label))
+       |  WHERE rn = 1)
+       |SELECT b.cid, b.n_vecs, b.inertia, l.label AS maj_label,
+       |  round(l.cnt::DOUBLE / l.tot, 6) AS maj_frac
+       |FROM base b JOIN lbl l ON l.cid = b.cid
+       |ORDER BY b.cid""".stripMargin) { (s, dir) =>
+    val vecs = qvecs(s, dir)
+    val fin = assign(vecs, train(vecs))
+    val base = fin.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("inertia"))
+    // majority label per cluster WITHOUT a per-cluster window: max over
+    // (count, -label) structs — one extra k×labels-row aggregate.
+    val lbl = fin.groupBy("cid", "label").agg(count(lit(1)).as("cnt"))
+      .groupBy("cid")
+      .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"),
+        sum(col("cnt")).as("tot"))
+      .select(col("cid"), (-col("m.nl")).as("maj_label"),
+        round(col("m.cnt").cast("double") / col("tot"), 6).as("maj_frac"))
+    base.join(lbl, Seq("cid")).orderBy("cid")
+  }
+
+  val all: Seq[GQuery] = Seq(kmeans)
+}

@@ -647,6 +647,125 @@ object Similarity {
       .orderBy(desc("score"), col("vec_id")).limit(10)
   }
 
+  /** Hybrid retrieval — the RAG-serving shape: a lexical BM25 ranking and a
+    * dense cosine ranking fused by reciprocal-rank fusion (RRF, the
+    * standard score-free combiner: `Σ 1/(60 + rank)` over the lists a doc
+    * appears in). Documents and embeddings share ids, so the fusion join is
+    * doc-keyed.
+    *
+    * Scale shape, stage by stage: BM25's corpus statistics (df per query
+    * term, N, Σdl) are term-count-sized — broadcast; per-doc term
+    * frequencies filter the exploded words to the query terms INSIDE the
+    * scan stage (one shuffle, by doc, map-side combinable). Each modality
+    * reduces to its top-50 via `TakeOrderedAndProject` (never a global
+    * sort), and ranks come from a window over that 50-row bounded frame —
+    * allowlisted in ExplainAudit with the bound. The RRF full-outer join
+    * touches ≤100 rows.
+    *
+    * Cross-engine hashability: BM25 term contributions quantize to
+    * `floor(score·1e9 + 0.5)` longs BEFORE the per-doc sum (exact integer
+    * sum — double addition order can never flip a rank); the cosine ranks
+    * ride [[dotD]]'s bit-identical fold; RRF adds two doubles in fixed
+    * expression order and quantizes the same way.
+    */
+  private val hybrid = {
+    val terms = Seq("spark", "window", "agg")
+    val termsSql = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    q("pipe_search_hybrid",
+      s"""WITH $docsNormCte,
+         |$wordsCte,
+         |$embCte,
+         |$querySql,
+         |dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM words),
+         |stats AS (
+         |  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+         |    SELECT doc_id, unnest(w) AS tok FROM words)
+         |  WHERE tok IN $termsSql
+         |  GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+         |contrib AS (
+         |  SELECT t.doc_id,
+         |    CAST(floor(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         |      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75
+         |        * (d.dl / (s.sum_dl::DOUBLE / s.n_docs)))))
+         |      * 1000000000 + 0.5) AS BIGINT) AS c
+         |  FROM tf t JOIN dl d ON d.doc_id = t.doc_id
+         |  JOIN dfreq f ON f.tok = t.tok, stats s),
+         |bm AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25
+         |  FROM contrib GROUP BY doc_id),
+         |topb AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS brank
+         |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
+         |topv AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS vrank
+         |  FROM (
+         |    SELECT vec_id, ${sqlCosine("e", "qe")} AS score
+         |    FROM emb, q WHERE vec_id <> 0
+         |    ORDER BY score DESC, vec_id LIMIT 50)),
+         |fused AS (
+         |  SELECT coalesce(b.doc_id, v.vec_id) AS doc_id,
+         |    coalesce(b.brank, 0)::BIGINT AS bm25_rank,
+         |    coalesce(v.vrank, 0)::BIGINT AS vec_rank,
+         |    CAST(floor((coalesce(1.0 / (60 + b.brank), 0.0)
+         |      + coalesce(1.0 / (60 + v.vrank), 0.0)) * 1000000000 + 0.5)
+         |      AS BIGINT) AS rrf
+         |  FROM topb b FULL OUTER JOIN topv v ON v.vec_id = b.doc_id)
+         |SELECT doc_id, bm25_rank, vec_rank, rrf
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // ---- lexical leg: BM25(k1 = 1.2, b = 0.75) over the query terms ----
+      val dw = docWords(s, dir)
+      val dl = dw.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val tf = dw.select(col("doc_id"), explode(col("w")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val contrib = tf.join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .join(broadcast(dfreq), Seq("tok"))
+        .select(col("doc_id"),
+          floor(log((col("n_docs") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)) + lit(1.0))
+            * ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * (col("dl") / avgdl))))
+            * lit(1000000000.0) + lit(0.5)).as("c"))
+      val topb = contrib.groupBy("doc_id").agg(sum(col("c")).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(50)
+        .withColumn("brank",
+          row_number().over(Window.orderBy(desc("bm25"), col("doc_id")))
+            .cast("long"))
+        .select("doc_id", "brank")
+      // ---- dense leg: cosine top-50 against the fixed query vector ----
+      val e = embDN(s, dir)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("nrm").as("qn"))
+      val topv = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(50)
+        .withColumn("vrank",
+          row_number().over(Window.orderBy(desc("score"), col("vec_id")))
+            .cast("long"))
+        .select("vec_id", "vrank")
+      // ---- RRF fusion over the two bounded rank lists ----
+      topb.join(topv.withColumnRenamed("vec_id", "doc_id"),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("brank"), lit(0L)).as("bm25_rank"),
+          coalesce(col("vrank"), lit(0L)).as("vec_rank"),
+          floor((coalesce(lit(1.0) / (lit(60) + col("brank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)))
+            * lit(1000000000.0) + lit(0.5)).as("rrf"))
+        .orderBy(desc("rrf"), col("doc_id")).limit(10)
+    }
+  }
+
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
-    quantize, pq, ivfpq, filtered)
+    quantize, pq, ivfpq, filtered, hybrid)
 }

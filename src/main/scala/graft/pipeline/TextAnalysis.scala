@@ -478,6 +478,112 @@ object TextAnalysis {
     gopherDf(s, dir).orderBy("doc_id")
   }
 
+  /** Model-based quality filtering — the fastText-shaped classifier gate
+    * every large pretraining corpus runs (GPT-3's WebText-vs-CommonCrawl
+    * logistic filter, LLaMA's Wikipedia-reference classifier): train a
+    * Naive-Bayes bag-of-words model on a labeled seed (here: "curated"
+    * sources src0–src9 vs the rest, 80% of docs by `doc_id % 5`), then
+    * score the held-out 20% and report per-source keep rates at the
+    * score>0 decision boundary.
+    *
+    * Log-odds weights with add-one smoothing are EXACTLY the closed form of
+    * NB — no gradient loop, so training is two aggregations: token-class
+    * counts (one shuffle keyed by token, map-side combinable) and the
+    * class totals. Everything downstream of the two `ln` calls is
+    * fixed-point: weights quantize to `floor(logit·1e6 + 0.5)` longs, doc
+    * scores are integer sums — order-independent, hash-identical cross-
+    * engine (the `ln` inputs are identical exact-integer ratios, same
+    * discipline as tfidf).
+    *
+    * Scale shape: the weight table is vocabulary-sized, not corpus-sized,
+    * but a web-scale vocab (1e8+ junk tokens) is too big to force-broadcast
+    * — the scoring join stays token-keyed and AQE-planned, like
+    * [[rarity]]'s frequency join. Scoring itself is explode → join →
+    * per-doc integer sum: one shuffle by token, one by doc_id.
+    */
+  private val qualityClassifier = q("pipe_quality_classifier",
+    """WITH d2 AS (
+      |  SELECT doc_id, source,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
+      |    CAST(substr(source, 4) AS INT) < 10 AS pos
+      |  FROM documents),
+      |ttoks AS (
+      |  SELECT doc_id, pos, unnest(string_split(norm, ' ')) AS tok
+      |  FROM d2 WHERE ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 5 < 4),
+      |counts AS (
+      |  SELECT tok, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cpos,
+      |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS cneg
+      |  FROM ttoks GROUP BY tok),
+      |tot AS (
+      |  SELECT sum(cpos)::BIGINT AS npos, sum(cneg)::BIGINT AS nneg,
+      |    count(*)::BIGINT AS v
+      |  FROM counts),
+      |w AS (
+      |  SELECT tok, CAST(floor((ln((cpos + 1.0) / (npos + v))
+      |      - ln((cneg + 1.0) / (nneg + v))) * 1000000 + 0.5) AS BIGINT) AS wt
+      |  FROM counts, tot),
+      |pri AS (
+      |  SELECT CAST(floor(ln((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0)
+      |      / (sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1.0))
+      |      * 1000000 + 0.5) AS BIGINT) AS prior
+      |  FROM d2 WHERE ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 5 < 4),
+      |htoks AS (
+      |  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+      |  FROM d2 WHERE ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 5 = 4),
+      |dsc AS (
+      |  SELECT h.doc_id, sum(coalesce(w.wt, 0))::BIGINT AS tw
+      |  FROM htoks h LEFT JOIN w ON w.tok = h.tok
+      |  GROUP BY h.doc_id),
+      |scored AS (
+      |  SELECT d.doc_id, d.source, coalesce(s.tw, 0) + p.prior AS score
+      |  FROM d2 d LEFT JOIN dsc s ON s.doc_id = d.doc_id, pri p
+      |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 5 = 4)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+      |  round(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+      |    AS keep_rate,
+      |  round(sum(score)::DOUBLE / count(*) / 1000000, 6) AS mean_score
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val base = graft.Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), normText(col("text")).as("norm"),
+        (expr("CAST(substring(source, 4, 10) AS INT)") < 10).as("pos"))
+    val trainSel = hash64(col("doc_id").cast("string")) % 5 < 4
+    val train = base.filter(trainSel)
+    val ttoks = train.select(col("doc_id"), col("pos"),
+      explode(split(col("norm"), " ")).as("tok"))
+    val counts = ttoks.groupBy("tok").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
+    val tot = counts.agg(sum("cpos").as("npos"), sum("cneg").as("nneg"),
+      count(lit(1)).as("v"))
+    val w = counts.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        floor((log((col("cpos") + 1.0) / (col("npos") + col("v")))
+          - log((col("cneg") + 1.0) / (col("nneg") + col("v"))))
+          * 1000000.0 + 0.5).as("wt"))
+    val pri = train.agg(
+      floor(log((sum(when(col("pos"), 1L).otherwise(0L)) + 1.0)
+        / (sum(when(!col("pos"), 1L).otherwise(0L)) + 1.0))
+        * 1000000.0 + 0.5).as("prior"))
+    val held = base.filter(!trainSel)
+    val htoks = held.select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
+    val dsc = htoks.join(w, Seq("tok"), "left")
+      .groupBy("doc_id").agg(sum(coalesce(col("wt"), lit(0L))).as("tw"))
+    val scored = held.select("doc_id", "source")
+      .join(dsc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(pri))
+      .select(col("source"),
+        (coalesce(col("tw"), lit(0L)) + col("prior")).as("score"))
+    scored.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
+        round(sum(when(col("score") > 0, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("keep_rate"),
+        round(sum(col("score")).cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("mean_score"))
+      .orderBy("source")
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
-    rarity, pii, tfidf, bigramLm, gopher)
+    rarity, pii, tfidf, bigramLm, gopher, qualityClassifier)
 }

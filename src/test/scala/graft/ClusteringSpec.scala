@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The iterative k-means trainer, its VecSum aggregate, and the NB quality
+  * classifier — each checked against an exact local (plain-Scala) replay of
+  * the same integer arithmetic, so a drift in EITHER the Spark plan or the
+  * fixed-point discipline fails here before the oracle gate sees it.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ---- VecSum -------------------------------------------------------------
+
+  private def vecDf(rows: Seq[(Long, Seq[Long])]) = {
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("v", ArrayType(LongType), nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, v) =>
+        Row(k, if (v == null) null else v)
+      }, 4), schema)
+  }
+
+  test("vec_sum matches a posexplode recompute and is partitioning-invariant") {
+    val rows = (0L until 100L).map(i => (i % 3, Seq(i, -i, i * 7, 1L)))
+    val df = vecDf(rows)
+    val got = df.groupBy("k").agg(functions.VecSum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val expect = rows.groupBy(_._1).view.mapValues(
+      _.map(_._2).reduce((a, b) => a.zip(b).map { case (x, y) => x + y })).toMap
+    assert(got == expect)
+    // the same aggregation over a different physical partitioning must be
+    // bit-identical (exact integer partials, any merge order)
+    val got1 = df.repartition(17).groupBy("k")
+      .agg(functions.VecSum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got1 == expect)
+  }
+
+  test("vec_sum skips null rows and returns null for all-null groups") {
+    val df = vecDf(Seq((0L, Seq(1L, 2L)), (0L, null), (1L, null)))
+    val got = df.groupBy("k").agg(functions.VecSum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_ => r.getSeq[Long](1).toSeq)).toMap
+    assert(got == Map(0L -> Some(Seq(1L, 2L)), 1L -> None))
+  }
+
+  test("vec_sum rejects ragged arrays instead of truncating") {
+    val df = vecDf(Seq((0L, Seq(1L, 2L)), (0L, Seq(1L, 2L, 3L))))
+    val e = intercept[Exception] {
+      df.groupBy("k").agg(functions.VecSum(col("v")).as("s")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  // ---- k-means ------------------------------------------------------------
+
+  /** Plain-Scala replay of the registered query's exact integer Lloyd. */
+  private def localKmeans(k: Int, iters: Int): Map[Long, (Long, Long, Long, Double)] = {
+    val vecs = pipeline.embD(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"), col("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).map(x => math.floor(x * 1e6 + 0.5).toLong).toArray))
+    def sqd(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def assign(cents: Seq[(Long, Array[Long])]) = vecs.map { case (id, lbl, v) =>
+      val best = cents.map { case (cid, c) => (sqd(c, v), cid) }.min
+      (id, lbl, v, best._2, best._1)
+    }
+    var cents: Seq[(Long, Array[Long])] =
+      vecs.filter(_._1 < k).sortBy(_._1).map(t => t._1 -> t._3).toSeq
+    (1 to iters).foreach { _ =>
+      cents = assign(cents).groupBy(_._4).map { case (cid, rows) =>
+        val n = rows.length
+        val s = rows.map(_._3).reduce((a, b) => a.zip(b).map(p => p._1 + p._2))
+        cid -> s.map(_ / n)
+      }.toSeq.sortBy(_._1)
+    }
+    assign(cents).groupBy(_._4).map { case (cid, rows) =>
+      val n = rows.length.toLong
+      val inertia = rows.map(_._5).sum
+      // .toSeq first: mapping a Map to (count, -label) tuples would re-key
+      // by count and silently drop tied labels
+      val byLbl = rows.groupBy(_._2).toSeq.map { case (l, rs) => (rs.length.toLong, -l) }
+      val m = byLbl.max
+      cid -> (n, inertia, -m._2, m._1.toDouble / n)
+    }
+  }
+
+  test("kmeans: cluster stats match an exact local replay of integer Lloyd") {
+    val got = run("pipe_cluster_kmeans").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val expect = localKmeans(k = 4, iters = 2)
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (cid, (n, inertia, majLbl, majFrac)) =>
+      val (en, ei, el, ef) = expect(cid)
+      assert(n == en && inertia == ei && majLbl == el,
+        s"cluster $cid: got ($n,$inertia,$majLbl) expected ($en,$ei,$el)")
+      assert(math.abs(majFrac - BigDecimal(ef)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // clusters partition the corpus
+    assert(got.values.map(_._1).sum ==
+      Tables.t(spark, sf, "embeddings").count())
+  }
+
+  test("kmeans training strictly reduces inertia vs the init centroids") {
+    // inertia under the trained centroids (query output) must not exceed
+    // inertia under the untrained init — Lloyd is monotone in exact
+    // arithmetic up to the integer floor on centroid means; compare against
+    // the local replay at iters = 0 for a data-independent sanity bound.
+    val trained = run("pipe_cluster_kmeans").agg(sum("inertia")).head.getLong(0)
+    val init = localKmeans(k = 4, iters = 0).values.map(_._2).sum
+    assert(trained <= init, s"trained=$trained init=$init")
+  }
+
+  // ---- NB quality classifier ---------------------------------------------
+
+  test("quality classifier matches an exact local NB replay per source") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def toks(text: String): Seq[String] =
+      text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ", -1).toSeq
+    val withCls = docs.map { case (id, src, text) =>
+      (id, src, toks(text), src.drop(3).toInt < 10, h64(id.toString) % 5 < 4)
+    }
+    val train = withCls.filter(_._5)
+    val held = withCls.filterNot(_._5)
+    val counts = train.flatMap(d => d._3.map(t => (t, d._4)))
+      .groupBy(_._1).view.mapValues { occ =>
+        (occ.count(_._2).toLong, occ.count(!_._2).toLong)
+      }.toMap
+    val npos = counts.values.map(_._1).sum
+    val nneg = counts.values.map(_._2).sum
+    val v = counts.size.toLong
+    val w = counts.map { case (t, (cp, cn)) =>
+      t -> math.floor((math.log((cp + 1.0) / (npos + v))
+        - math.log((cn + 1.0) / (nneg + v))) * 1e6 + 0.5).toLong
+    }
+    val prior = math.floor(math.log((train.count(_._4) + 1.0)
+      / (train.count(!_._4) + 1.0)) * 1e6 + 0.5).toLong
+    val perSource = held.map { d =>
+      (d._2, prior + d._3.map(t => w.getOrElse(t, 0L)).sum)
+    }.groupBy(_._1).view.mapValues { ss =>
+      val n = ss.length.toLong
+      val keep = ss.count(_._2 > 0).toLong
+      (n, keep, keep.toDouble / n, ss.map(_._2).sum.toDouble / n / 1e6)
+    }.toMap
+    val got = run("pipe_quality_classifier").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == perSource.keySet)
+    got.foreach { case (src, (n, keep, rate, mean)) =>
+      val (en, ek, er, em) = perSource(src)
+      assert(n == en && keep == ek, s"$src: got ($n,$keep) expected ($en,$ek)")
+      assert(math.abs(rate - er) < 1e-6 && math.abs(mean - em) < 1e-6, src)
+    }
+    // split covers everything
+    assert(train.length + held.length == docs.length)
+  }
+
+  // ---- hybrid retrieval ---------------------------------------------------
+
+  test("hybrid retrieval matches an exact local BM25 + cosine + RRF replay") {
+    val terms = Seq("spark", "window", "agg")
+    val words = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+          .split(" ", -1).toSeq)
+    val n = words.length.toLong
+    val sumDl = words.map(_._2.length.toLong).sum
+    val avgdl = sumDl.toDouble / n
+    val tf = words.flatMap { case (id, w) =>
+      w.filter(terms.contains).groupBy(identity).map {
+        case (t, occ) => (id, t, occ.length.toLong)
+      }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bm25 = tf.groupBy(_._1).view.mapValues { rows =>
+      rows.map { case (id, t, f) =>
+        val dl = words.find(_._1 == id).get._2.length.toLong
+        val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+        math.floor(idf * ((f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+          * 1e9 + 0.5).toLong
+      }.sum
+    }.toMap
+    val brank = bm25.toSeq.sortBy { case (id, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val vecs = pipeline.embD(spark, sf).select("vec_id", "e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qv = vecs.find(_._1 == 0).get._2
+    val qn = math.sqrt(dot(qv, qv))
+    val vrank = vecs.filter(_._1 != 0)
+      .map { case (id, e) => id -> dot(e, qv) / (math.sqrt(dot(e, e)) * qn) }
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val expect = (brank.keySet ++ vrank.keySet).toSeq.map { id =>
+      val rrf = math.floor((brank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        + vrank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)) * 1e9 + 0.5).toLong
+      (id, brank.getOrElse(id, 0L), vrank.getOrElse(id, 0L), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(10)
+    val got = run("pipe_search_hybrid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, s"got:\n${got.mkString("\n")}\nexpected:\n${expect.mkString("\n")}")
+  }
+}

@@ -194,6 +194,18 @@ class ExplainAudit extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("hybrid retrieval: both legs fold to top-k, fusion never sorts the corpus") {
+    // each leg must reduce via TakeOrderedAndProject BEFORE its rank window
+    // (the windows themselves are allowlisted below with their 50-row
+    // bound); a global Sort would mean a corpus-sized ranking
+    val p = plan("pipe_search_hybrid")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"legs must top-k via TakeOrderedAndProject:\n${p.take(2000)}")
+    // BM25's corpus stats (df / N / Σdl) ride broadcasts into the scoring
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "BM25 statistics must broadcast, not shuffle the corpus")
+  }
+
   test("filtered ANN pushes the predicate into the scan and folds to top-k") {
     // raw() guarantees a parquet scan (no cached-relation substitution), so
     // the predicate must appear in the pushed-filter list — no fallback
@@ -281,7 +293,9 @@ class ExplainAudit extends AnyFunSuite {
       // + grand-total share over the same bounded bucket frame)
       "pipe_len_histogram" -> (2, "log2(max_tokens) buckets"),
       // 8 centroid-similarity rows in the single-query probe rank
-      "pipe_ann_ivf" -> (1, "8 centroid rows"))
+      "pipe_ann_ivf" -> (1, "8 centroid rows"),
+      // two rank windows, each over its leg's LIMIT-50 top-k frame
+      "pipe_search_hybrid" -> (2, "two 50-row top-k frames"))
     val offenders = raw {
       SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
