@@ -54,6 +54,14 @@ object Caches {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
+  /** True when memoization is off for this (thread, session) — the check
+    * [[fragment]] applies, exposed for memo registries that cache non-
+    * DataFrame artifacts (e.g. the tokenizer's trained merge table) so they
+    * honor the same bypass/conf contract.
+    */
+  def disabled(s: SparkSession): Boolean =
+    bypass.get() || s.conf.get(EnabledKey, "true") == "false"
+
   /** Run `body` with fragment memoization disabled on this thread. */
   def bypassed[T](body: => T): T = {
     bypass.set(java.lang.Boolean.TRUE)

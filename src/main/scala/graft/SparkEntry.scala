@@ -14,7 +14,8 @@ object SparkEntry {
       Profiles.all ++ Misc.all ++ Graph.all ++
       pipeline.Dedup.all ++ pipeline.Similarity.all ++
       pipeline.TextAnalysis.all ++ pipeline.Multimodal.all ++
-      pipeline.Curation.all ++ pipeline.Clustering.all
+      pipeline.Curation.all ++ pipeline.Clustering.all ++
+      pipeline.Tokenizer.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
