@@ -39,12 +39,24 @@ object Similarity {
         typedLit(r.getSeq[Double](1).toSeq).as("ce"),
         lit(r.getDouble(2)).as("cn"))
     }: _*)
-    vecs.withColumn("__best",
-      array_max(transform(centArr, c =>
-        struct((dotD(c("ce"), col("e")) / (c("cn") * col("nrm"))).as("sim"),
-          (-c("cid")).as("negcid")))))
-      .withColumn("cid", -col("__best.negcid"))
-      .drop("__best")
+    // cid is ONE self-contained expression (fold + field extraction fused),
+    // and it is wrapped in an always-true nondeterministic guard: a
+    // deterministic `cid = <fold>` alias becomes an equality CONSTRAINT on
+    // the projection, and when the assignment later equi-joins a probe
+    // fragment on cid, constraint inference substitutes the fold across the
+    // join equivalence — producing a filter on the probe side that
+    // references this scan's `e`/`nrm` attributes and fails binding at
+    // execution (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — reproduced by
+    // pipe_ann_knn_join in isolation; survives even lineage truncation,
+    // since LogicalRDD carries origin constraints). Nondeterministic
+    // expressions generate no constraints, closing the hole; the VALUE is
+    // exactly as deterministic as before (a `shuffle` of a singleton array
+    // — a rand()-comparison guard gets constant-folded away, this doesn't).
+    val best = array_max(transform(centArr, c =>
+      struct((dotD(c("ce"), col("e")) / (c("cn") * col("nrm"))).as("sim"),
+        (-c("cid")).as("negcid"))))
+    vecs.withColumn("cid",
+      element_at(shuffle(array(-best.getField("negcid"))), 1))
   }
 
   private val brute = q("pipe_ann_brute",
@@ -163,7 +175,8 @@ object Similarity {
     * IVF assignment, a 20-query set, per-query top-2 bucket probe, and the
     * scored candidates.
     */
-  private val knnCtes =
+  private def knnCtesFor(negOnly: Boolean): String = {
+    val negPred = if (negOnly) " AND v.label <> s.ql" else ""
     s"""cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
        |assign AS (
        |  SELECT vec_id, cid FROM (
@@ -171,7 +184,8 @@ object Similarity {
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${sqlCosine("v.e", "c.ce")} DESC, c.cid) AS rn
        |    FROM emb v, cents c) WHERE rn = 1),
-       |qset AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 20),
+       |qset AS (
+       |  SELECT vec_id AS qid, label AS ql, e AS qe FROM emb WHERE vec_id < 20),
        |qprobe AS (
        |  SELECT qid, cid FROM (
        |    SELECT s.qid, c.cid,
@@ -179,16 +193,19 @@ object Similarity {
        |        ORDER BY ${sqlCosine("s.qe", "c.ce")} DESC, c.cid) AS rn
        |    FROM qset s, cents c) WHERE rn <= 2),
        |scored AS (
-       |  SELECT p.qid, a.vec_id, ${sqlCosine("v.e", "s.qe")} AS score
+       |  SELECT p.qid, a.vec_id, v.label, ${sqlCosine("v.e", "s.qe")} AS score
        |  FROM qprobe p JOIN assign a ON a.cid = p.cid
        |  JOIN emb v ON v.vec_id = a.vec_id
        |  JOIN qset s ON s.qid = p.qid
-       |  WHERE a.vec_id <> p.qid),
+       |  WHERE a.vec_id <> p.qid$negPred),
        |approx AS (
-       |  SELECT qid, vec_id, score FROM (
-       |    SELECT qid, vec_id, score,
+       |  SELECT qid, vec_id, label, score FROM (
+       |    SELECT qid, vec_id, label, score,
        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
        |    FROM scored) WHERE rn <= 3)""".stripMargin
+  }
+
+  private val knnCtes = knnCtesFor(negOnly = false)
 
   private val knnJoin = q("pipe_ann_knn_join",
     s"""WITH $embCte,
@@ -198,16 +215,47 @@ object Similarity {
     knnTop3(s, dir).orderBy("qid", "vec_id")
   }
 
+  /** Hard-negative mining — the contrastive-training data shape: for every
+    * query vector, the most-similar corpus vectors whose label DIFFERS from
+    * the query's (the negatives that actually move an embedding model,
+    * per in-batch/ANCE-style training). Identical machinery to the batch
+    * k-NN join — same IVF assignment, same broadcast bucket probe — with
+    * the label constraint applied BEFORE the per-query rank, so the top-3
+    * are guaranteed usable negatives rather than a post-filtered remnant.
+    * At scale this stays one bucket-keyed join + a per-query bounded rank;
+    * the label predicate rides the candidate scan for free.
+    */
+  private val hardNegatives = q("pipe_ann_hard_negatives",
+    s"""WITH $embCte,
+       |${knnCtesFor(negOnly = true)}
+       |SELECT qid, vec_id, label, score FROM approx
+       |ORDER BY qid, vec_id""".stripMargin) { (s, dir) =>
+    knnTop3(s, dir, negOnly = true).orderBy("qid", "vec_id")
+  }
+
   /** The batch k-NN top-3 as a DataFrame (shared by [[knnJoin]] and
     * [[recall]]).
     */
-  private def knnTop3(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def knnTop3(s: org.apache.spark.sql.SparkSession, dir: String,
+      negOnly: Boolean = false) = {
     val e = embDN(s, dir)
-    val cents = e.filter(col("vec_id") < 8)
+    // FRESH scan lineage for the probe-side fragments (cents/qset): sharing
+    // one lineage between the map-side assignment fold and the probe's
+    // cents/qset projections trips a CollapseProject self-join ambiguity in
+    // isolation (the fold's `e` reference gets bound against the probe
+    // window's output — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution).
+    // A second read is free: both sides prune to the same footer-driven
+    // column set, and cents/qset are 8/20-row slices.
+    val ep = embDN(s, dir)
+    val cents = ep.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
     val assign = assignMapSide(e, cents).select("vec_id", "cid")
-    val qset = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val qsBase = ep.filter(col("vec_id") < 20)
+    val qset =
+      if (negOnly) qsBase.select(col("vec_id").as("qid"), col("label").as("ql"),
+        col("e").as("qe"), col("nrm").as("qn"))
+      else qsBase.select(col("vec_id").as("qid"),
+        col("e").as("qe"), col("nrm").as("qn"))
     val qprobeW = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
     val qprobe = qset.crossJoin(broadcast(cents))
       .select(col("qid"), col("cid"),
@@ -221,14 +269,22 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id")
     val rankW = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
-    cand
-      .join(e.select(col("vec_id"), col("e"), col("nrm")), Seq("vec_id"))
-      .join(broadcast(qset), Seq("qid"))
-      .select(col("qid"), col("vec_id"),
-        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
+    val eCols =
+      if (negOnly) e.select(col("vec_id"), col("label"), col("e"), col("nrm"))
+      else e.select(col("vec_id"), col("e"), col("nrm"))
+    val scoredIn = cand.join(eCols, Seq("vec_id")).join(broadcast(qset), Seq("qid"))
+    // the hard-negative constraint prunes BEFORE the rank window, so the
+    // top-3 are always 3 usable negatives (when the probed buckets hold
+    // that many), not a post-filtered remnant
+    val outCols =
+      if (negOnly) Seq(col("qid"), col("vec_id"), col("label"))
+      else Seq(col("qid"), col("vec_id"))
+    (if (negOnly) scoredIn.filter(col("label") =!= col("ql")) else scoredIn)
+      .select(outCols :+
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"): _*)
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= 3)
-      .select("qid", "vec_id", "score")
+      .select(outCols :+ col("score"): _*)
   }
 
   /** Index-quality measurement: recall@3 of the IVF batch k-NN against
@@ -767,5 +823,5 @@ object Similarity {
   }
 
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
-    quantize, pq, ivfpq, filtered, hybrid)
+    quantize, pq, ivfpq, filtered, hybrid, hardNegatives)
 }

@@ -782,6 +782,38 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("sv") =!= col("mn")).count() == 0)
   }
 
+  test("hard negatives: every hit differs in label from its query, ≤3 each, ranked") {
+    val labels = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = run("pipe_ann_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, vid, lbl, _) =>
+      assert(lbl != labels(qid), s"query $qid got same-label neighbor $vid")
+      assert(lbl == labels(vid))
+      assert(vid != qid)
+    }
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.length <= 3, s"query $qid returned ${rs.length} negatives")
+      val scores = rs.sortBy(_._2).map(_._4)
+      assert(scores.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    }
+  }
+
+  test("knn join runs on a fresh isolated session (constraint-inference regression)") {
+    // pipe_ann_knn_join used to fail ONLY in isolation: constraint
+    // inference substituted the deterministic assignment fold across the
+    // cid join equivalence and the pushed predicate failed binding on the
+    // probe side (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). The fold is now
+    // constraint-opaque; this pins it on a session with no prior state.
+    val s2 = spark.newSession()
+    val n = SparkEntry.queries("pipe_ann_knn_join")(s2, sf).count()
+    assert(n > 0)
+    val hn = SparkEntry.queries("pipe_ann_hard_negatives")(s2, sf).count()
+    assert(hn > 0)
+  }
+
   test("pq: top-10 by asymmetric distance, non-negative, query excluded") {
     val pq = run("pipe_ann_pq").collect()
     assert(pq.length == 10)
