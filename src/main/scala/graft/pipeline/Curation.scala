@@ -624,6 +624,90 @@ object Curation {
     }
   }
 
+  /** Epoch-capped token-budget allocation — the sampling-proportions table
+    * a pretraining run is actually configured from: given a total token
+    * budget (half the corpus here) and temperature-flattened source weights
+    * (floor-sqrt, like [[mixTemperature]]), allocate tokens per source
+    * subject to a hard repeat cap (≤2 epochs of any source), water-filling
+    * in fixed rounds: each round hands the unallocated remainder to the
+    * still-uncapped sources in weight proportion, and sources that hit
+    * their cap drop out of the next round's denominator. Three rounds is
+    * the oracle-replayable fixed form; the fixpoint variant just loops the
+    * same step.
+    *
+    * Scale shape: ONE corpus pass builds the per-source token census; every
+    * round after that runs on the source table (sources, not documents —
+    * 20 rows here, thousands at worst) with two scalar aggregates riding
+    * broadcasts. Exactness: allocations stay integral — gives are
+    * `floor(remainder × weight / active_weight)` computed in decimal/
+    * hugeint so the product can't overflow at corpus scale, and the only
+    * doubles are the final reported epochs (one division, rounded).
+    */
+  private val tokenBudget = {
+    val roundSql = (i: Int) =>
+      s"""rem$i AS (
+         |  SELECT t.budget - sum(a.alloc) AS r FROM a${i - 1} a, tot t
+         |  GROUP BY t.budget),
+         |aw$i AS (
+         |  SELECT coalesce(sum(weight), 0)::BIGINT AS w
+         |  FROM a${i - 1} WHERE alloc < cap),
+         |a$i AS (
+         |  SELECT a.source, a.n_tokens, a.weight, a.cap,
+         |    CASE WHEN a.alloc >= a.cap OR aw.w = 0 THEN a.alloc
+         |         ELSE least(a.cap,
+         |           a.alloc + CAST((rem.r::HUGEINT * a.weight) // aw.w AS BIGINT))
+         |    END AS alloc
+         |  FROM a${i - 1} a, rem$i rem, aw$i aw)""".stripMargin
+    q("pipe_token_budget",
+      s"""WITH $docsNormCte,
+         |$wordsCte,
+         |agg AS (
+         |  SELECT d.source, sum(len(w.w))::BIGINT AS n_tokens
+         |  FROM words w JOIN documents d ON d.doc_id = w.doc_id
+         |  GROUP BY d.source),
+         |base AS (
+         |  SELECT source, n_tokens,
+         |    floor(sqrt(n_tokens::DOUBLE))::BIGINT AS weight,
+         |    2 * n_tokens AS cap
+         |  FROM agg),
+         |tot AS (SELECT (sum(n_tokens) // 2)::BIGINT AS budget FROM base),
+         |a0 AS (SELECT source, n_tokens, weight, cap, 0::BIGINT AS alloc FROM base),
+         |${(1 to 3).map(roundSql).mkString(",\n")}
+         |SELECT source, n_tokens, cap, alloc,
+         |  round(alloc::DOUBLE / n_tokens, 6) AS epochs,
+         |  alloc >= cap AS capped
+         |FROM a3 ORDER BY source""".stripMargin) { (s, dir) =>
+      val agg = docWords(s, dir)
+        .select(col("doc_id"), size(col("w")).cast("long").as("t"))
+        .join(graft.Tables.t(s, dir, "documents").select("doc_id", "source"),
+          Seq("doc_id"))
+        .groupBy("source").agg(sum("t").as("n_tokens"))
+      val base = agg.select(col("source"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long").as("weight"),
+        (lit(2) * col("n_tokens")).as("cap"))
+      val tot = base.agg(expr("sum(n_tokens) div 2").as("budget"))
+      var a = base.withColumn("alloc", lit(0L))
+      (1 to 3).foreach { _ =>
+        val rem = a.agg(sum("alloc").as("allocated"))
+          .crossJoin(broadcast(tot))
+          .select((col("budget") - col("allocated")).as("r"))
+        val aw = a.filter(col("alloc") < col("cap"))
+          .agg(coalesce(sum("weight"), lit(0L)).as("w"))
+        a = a.crossJoin(broadcast(rem)).crossJoin(broadcast(aw))
+          .select(col("source"), col("n_tokens"), col("weight"), col("cap"),
+            when(col("alloc") >= col("cap") || col("w") === 0, col("alloc"))
+              .otherwise(least(col("cap"), col("alloc") +
+                expr("(CAST(r AS DECIMAL(38,0)) * weight) div w")))
+              .as("alloc"))
+      }
+      a.select(col("source"), col("n_tokens"), col("cap"), col("alloc"),
+          round(col("alloc").cast("double") / col("n_tokens"), 6).as("epochs"),
+          (col("alloc") >= col("cap")).as("capped"))
+        .orderBy("source")
+    }
+  }
+
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
-    stats, lenHist, corpusFinal, qualityCalibrated, dsir, mixTemperature)
+    stats, lenHist, corpusFinal, qualityCalibrated, dsir, mixTemperature,
+    tokenBudget)
 }

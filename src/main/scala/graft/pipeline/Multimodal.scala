@@ -193,5 +193,68 @@ object Multimodal {
     }
   }
 
-  val all: Seq[GQuery] = Seq(meta, resize, frames, features)
+  /** Perceptual-hash near-duplicate detection for media — the image-side
+    * twin of text exact-dedup: a 60-bit average-hash per payload (sample 60
+    * evenly-spaced code units, threshold each against the integer mean —
+    * the aHash shape; a codec-backed decoder would feed downsampled pixels
+    * into the same thresholding), then a (kind, phash) census marks
+    * duplicate groups.
+    *
+    * Scale shape: the hash is computed in the batched per-partition decoder
+    * (one pass over the bytes, map-only), and the dup census is one hash
+    * aggregate keyed by (kind, phash) + a key-join back — exactly the
+    * exact-dedup plan, over a perceptual key instead of a content digest.
+    * All arithmetic is integer (byte values, truncating mean), so the
+    * oracle replays it from the text side bit-for-bit.
+    */
+  def phash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(length(col("content")) > 0)
+      .select(col("doc_id"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        val cells = 60
+        batch.map { case (id, kind, bytes) =>
+          val n = bytes.length
+          val s = Array.tabulate(cells)(i =>
+            (bytes((i.toLong * n / cells).toInt) & 0xff).toLong)
+          val mean = s.sum / cells
+          var h = 0L
+          var i = 0
+          while (i < cells) { if (s(i) > mean) h |= (1L << i); i += 1 }
+          (id, kind, h)
+        }
+      }.toDF("doc_id", "kind", "phash")
+  }
+
+  private val phashDedup = q("mm_phash_dedup",
+    s"""WITH m AS (
+       |  SELECT doc_id, $kindCase AS kind, text
+       |  FROM documents WHERE len(text) > 0),
+       |sm AS (
+       |  SELECT doc_id, kind,
+       |    list_transform(generate_series(0, 59), i ->
+       |      ascii(substr(text, CAST((i * len(text)) // 60 AS BIGINT) + 1, 1))::BIGINT) AS s
+       |  FROM m),
+       |ph AS (
+       |  SELECT doc_id, kind,
+       |    CAST(list_sum(list_transform(generate_series(1, 60), i ->
+       |      CASE WHEN s[i] > list_sum(s) // 60
+       |           THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT) AS phash
+       |  FROM sm),
+       |g AS (SELECT kind, phash, count(*)::BIGINT AS n_same
+       |      FROM ph GROUP BY kind, phash)
+       |SELECT p.doc_id, p.kind, p.phash, g.n_same, g.n_same > 1 AS is_dup
+       |FROM ph p JOIN g USING (kind, phash)
+       |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+    val ph = phash(mediaTable(s, dir))
+    val g = ph.groupBy("kind", "phash").agg(count(lit(1)).as("n_same"))
+    ph.join(g, Seq("kind", "phash"))
+      .select(col("doc_id"), col("kind"), col("phash"), col("n_same"),
+        (col("n_same") > 1).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GQuery] = Seq(meta, resize, frames, features, phashDedup)
 }

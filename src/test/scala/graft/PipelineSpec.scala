@@ -782,6 +782,41 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("sv") =!= col("mn")).count() == 0)
   }
 
+  test("token budget: exact water-filling replay; caps and budget respected") {
+    val toks = Tables.t(spark, sf, "documents").select("source", "text")
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1).toLowerCase
+        .replaceAll("[^a-z0-9]+", " ").trim.split(" ", -1).length.toLong)
+    val census = toks.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val budget = census.values.sum / 2
+    case class S(tokens: Long, weight: Long, cap: Long, var alloc: Long = 0L)
+    val st = census.map { case (src, t) =>
+      src -> S(t, math.floor(math.sqrt(t.toDouble)).toLong, 2 * t)
+    }
+    (1 to 3).foreach { _ =>
+      val rem = budget - st.values.map(_.alloc).sum
+      val aw = st.values.filter(s => s.alloc < s.cap).map(_.weight).sum
+      if (aw > 0) st.values.foreach { s =>
+        if (s.alloc < s.cap)
+          s.alloc = math.min(s.cap,
+            s.alloc + (BigInt(rem) * s.weight / aw).toLong)
+      }
+    }
+    val got = run("pipe_token_budget").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got.keySet == st.keySet)
+    got.foreach { case (src, (n, cap, alloc, epochs, capped)) =>
+      val e = st(src)
+      assert(n == e.tokens && cap == e.cap && alloc == e.alloc,
+        s"$src: got ($n,$cap,$alloc) expected (${e.tokens},${e.cap},${e.alloc})")
+      assert(capped == (alloc >= cap))
+      assert(math.abs(epochs - alloc.toDouble / n) < 1e-6)
+      assert(alloc <= cap && epochs <= 2.0 + 1e-9)
+    }
+    assert(got.values.map(_._3).sum <= budget)
+  }
+
   test("hard negatives: every hit differs in label from its query, ≤3 each, ranked") {
     val labels = Tables.t(spark, sf, "embeddings")
       .select("vec_id", "label").collect()
