@@ -643,7 +643,12 @@ object Curation {
     * hugeint so the product can't overflow at corpus scale, and the only
     * doubles are the final reported epochs (one division, rounded).
     */
-  private val tokenBudget = {
+  /** Oracle CTE chain ending in `a3 (source, n_tokens, weight, cap, alloc)` —
+    * the water-filled allocation table. Shared verbatim by
+    * `pipe_token_budget` and `pipe_budget_sample` so the two oracles cannot
+    * drift. Requires `docs`/`words` CTEs in scope.
+    */
+  private val allocCtes: String = {
     val roundSql = (i: Int) =>
       s"""rem$i AS (
          |  SELECT t.budget - sum(a.alloc) AS r FROM a${i - 1} a, tot t
@@ -658,56 +663,136 @@ object Curation {
          |           a.alloc + CAST((rem.r::HUGEINT * a.weight) // aw.w AS BIGINT))
          |    END AS alloc
          |  FROM a${i - 1} a, rem$i rem, aw$i aw)""".stripMargin
+    s"""agg AS (
+       |  SELECT d.source, sum(len(w.w))::BIGINT AS n_tokens
+       |  FROM words w JOIN documents d ON d.doc_id = w.doc_id
+       |  GROUP BY d.source),
+       |base AS (
+       |  SELECT source, n_tokens,
+       |    floor(sqrt(n_tokens::DOUBLE))::BIGINT AS weight,
+       |    2 * n_tokens AS cap
+       |  FROM agg),
+       |tot AS (SELECT (sum(n_tokens) // 2)::BIGINT AS budget FROM base),
+       |a0 AS (SELECT source, n_tokens, weight, cap, 0::BIGINT AS alloc FROM base),
+       |${(1 to 3).map(roundSql).mkString(",\n")}""".stripMargin
+  }
+
+  /** Per-doc token counts `(doc_id, source, t)` — the one corpus pass the
+    * budget queries share. */
+  private def docTokens(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    docWords(s, dir)
+      .select(col("doc_id"), size(col("w")).cast("long").as("t"))
+      .join(graft.Tables.t(s, dir, "documents").select("doc_id", "source"),
+        Seq("doc_id"))
+
+  /** Spark twin of [[allocCtes]]: `(source, n_tokens, weight, cap, alloc)`
+    * from a [[docTokens]]-shaped frame. Sources-table sized (the corpus
+    * pass is only the token census, and the caller supplies it so a
+    * consumer that also needs per-doc counts pays for it once). */
+  private def allocationOf(
+      dt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val agg = dt.groupBy("source").agg(sum("t").as("n_tokens"))
+    val base = agg.select(col("source"), col("n_tokens"),
+      floor(sqrt(col("n_tokens").cast("double"))).cast("long").as("weight"),
+      (lit(2) * col("n_tokens")).as("cap"))
+    val tot = base.agg(expr("sum(n_tokens) div 2").as("budget"))
+    var a = base.withColumn("alloc", lit(0L))
+    (1 to 3).foreach { _ =>
+      val rem = a.agg(sum("alloc").as("allocated"))
+        .crossJoin(broadcast(tot))
+        .select((col("budget") - col("allocated")).as("r"))
+      val aw = a.filter(col("alloc") < col("cap"))
+        .agg(coalesce(sum("weight"), lit(0L)).as("w"))
+      a = a.crossJoin(broadcast(rem)).crossJoin(broadcast(aw))
+        .select(col("source"), col("n_tokens"), col("weight"), col("cap"),
+          when(col("alloc") >= col("cap") || col("w") === 0, col("alloc"))
+            .otherwise(least(col("cap"), col("alloc") +
+              expr("(CAST(r AS DECIMAL(38,0)) * weight) div w")))
+            .as("alloc"))
+    }
+    a
+  }
+
+  private val tokenBudget =
     q("pipe_token_budget",
       s"""WITH $docsNormCte,
          |$wordsCte,
-         |agg AS (
-         |  SELECT d.source, sum(len(w.w))::BIGINT AS n_tokens
-         |  FROM words w JOIN documents d ON d.doc_id = w.doc_id
-         |  GROUP BY d.source),
-         |base AS (
-         |  SELECT source, n_tokens,
-         |    floor(sqrt(n_tokens::DOUBLE))::BIGINT AS weight,
-         |    2 * n_tokens AS cap
-         |  FROM agg),
-         |tot AS (SELECT (sum(n_tokens) // 2)::BIGINT AS budget FROM base),
-         |a0 AS (SELECT source, n_tokens, weight, cap, 0::BIGINT AS alloc FROM base),
-         |${(1 to 3).map(roundSql).mkString(",\n")}
+         |$allocCtes
          |SELECT source, n_tokens, cap, alloc,
          |  round(alloc::DOUBLE / n_tokens, 6) AS epochs,
          |  alloc >= cap AS capped
          |FROM a3 ORDER BY source""".stripMargin) { (s, dir) =>
-      val agg = docWords(s, dir)
-        .select(col("doc_id"), size(col("w")).cast("long").as("t"))
-        .join(graft.Tables.t(s, dir, "documents").select("doc_id", "source"),
-          Seq("doc_id"))
-        .groupBy("source").agg(sum("t").as("n_tokens"))
-      val base = agg.select(col("source"), col("n_tokens"),
-        floor(sqrt(col("n_tokens").cast("double"))).cast("long").as("weight"),
-        (lit(2) * col("n_tokens")).as("cap"))
-      val tot = base.agg(expr("sum(n_tokens) div 2").as("budget"))
-      var a = base.withColumn("alloc", lit(0L))
-      (1 to 3).foreach { _ =>
-        val rem = a.agg(sum("alloc").as("allocated"))
-          .crossJoin(broadcast(tot))
-          .select((col("budget") - col("allocated")).as("r"))
-        val aw = a.filter(col("alloc") < col("cap"))
-          .agg(coalesce(sum("weight"), lit(0L)).as("w"))
-        a = a.crossJoin(broadcast(rem)).crossJoin(broadcast(aw))
-          .select(col("source"), col("n_tokens"), col("weight"), col("cap"),
-            when(col("alloc") >= col("cap") || col("w") === 0, col("alloc"))
-              .otherwise(least(col("cap"), col("alloc") +
-                expr("(CAST(r AS DECIMAL(38,0)) * weight) div w")))
-              .as("alloc"))
-      }
-      a.select(col("source"), col("n_tokens"), col("cap"), col("alloc"),
+      allocationOf(docTokens(s, dir))
+        .select(col("source"), col("n_tokens"), col("cap"), col("alloc"),
           round(col("alloc").cast("double") / col("n_tokens"), 6).as("epochs"),
           (col("alloc") >= col("cap")).as("capped"))
         .orderBy("source")
     }
-  }
+
+  /** Materialize the [[tokenBudget]] allocation into the actual sampled
+    * epoch plan — per document, how many copies enter the training run.
+    * `alloc div n_tokens` full epochs go to every document of the source;
+    * the remainder (`alloc mod n_tokens`) is filled by the deterministic
+    * hash-order prefix of the source's documents: order by
+    * `(hash64(doc_id), doc_id)` and keep documents whose running token sum
+    * stays within the remainder. So `copies = full + (cum <= partial)`,
+    * and only docs with `copies > 0` appear — this is the document-level
+    * repetition plan (which docs repeat, which appear once, which are cut)
+    * that closes the loop from allocation table to corpus.
+    *
+    * Scale shape: one corpus pass for per-doc token counts, the
+    * allocation table rides a broadcast into the doc join, and the prefix
+    * sum is a window PARTITIONED BY source — per-source state, never a
+    * global window. A corpus that is one giant source would swap the
+    * window for the bucketed two-phase prefix sum ([[pack]]'s
+    * `bucketBases` machinery, Curation.scala:179) — same result, 64-way
+    * parallel.
+    */
+  private val budgetSample =
+    q("pipe_budget_sample",
+      s"""WITH $docsNormCte,
+         |$wordsCte,
+         |$allocCtes,
+         |dt AS (
+         |  SELECT d.doc_id, d.source, len(w.w)::BIGINT AS t,
+         |    ${sqlHash64("d.doc_id::VARCHAR")} AS h
+         |  FROM words w JOIN documents d ON d.doc_id = w.doc_id),
+         |cum AS (
+         |  SELECT dt.doc_id, dt.source, dt.t,
+         |    a.alloc // a.n_tokens AS n_full,
+         |    a.alloc % a.n_tokens AS n_partial,
+         |    sum(dt.t) OVER (PARTITION BY dt.source
+         |      ORDER BY dt.h, dt.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS c
+         |  FROM dt JOIN a3 a ON a.source = dt.source)
+         |SELECT doc_id, source, t AS n_tokens,
+         |  (n_full + CASE WHEN c <= n_partial THEN 1 ELSE 0 END)::BIGINT AS copies
+         |FROM cum
+         |WHERE n_full + CASE WHEN c <= n_partial THEN 1 ELSE 0 END > 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // ONE corpus pass: the same per-doc frame feeds both the census
+      // behind the allocation and the prefix-sum materialization
+      val dt = docTokens(s, dir)
+        .withColumn("h", hash64(col("doc_id").cast("string")))
+      val alloc = allocationOf(dt)
+        .select(col("source"), expr("alloc div n_tokens").as("n_full"),
+          (col("alloc") % col("n_tokens")).as("n_partial"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dt.join(broadcast(alloc), Seq("source"))
+        .withColumn("c", sum("t").over(w))
+        .withColumn("copies",
+          (col("n_full") + when(col("c") <= col("n_partial"), 1L).otherwise(0L))
+            .cast("long"))
+        .filter(col("copies") > 0)
+        .select(col("doc_id"), col("source"), col("t").as("n_tokens"),
+          col("copies"))
+        .orderBy("doc_id")
+    }
 
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
     stats, lenHist, corpusFinal, qualityCalibrated, dsir, mixTemperature,
-    tokenBudget)
+    tokenBudget, budgetSample)
 }

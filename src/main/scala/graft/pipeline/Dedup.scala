@@ -1053,7 +1053,89 @@ object Dedup {
       shards = math.max(2, math.ceil(n.toDouble / shardGateRows).toInt))
   }
 
+  /** Soft dedup — duplicate-aware loss weights instead of dropping. Real
+    * pretraining runs often keep every near-duplicate but downweight each
+    * copy so a cluster of n near-identical documents contributes one
+    * document's worth of gradient (the "count once" rule): per doc,
+    * `weight = 1/n_dups` where `n_dups` is its near-dup cluster size from
+    * the same resolve labels as [[survivor]]. The two variants compose:
+    * hard dedup keeps one doc per cluster, soft dedup keeps all at
+    * `1/n` — this query emits both the weight and the per-source
+    * effective mass a mixing step would consume.
+    *
+    * Scale shape: one hash aggregate on the cluster label (near-dup
+    * cluster count, map-combinable) and one label-keyed join back — the
+    * exact-dedup plan over the resolve labels. Weights are `1.0/n` with n
+    * an exact integer, so the doubles are bit-identical cross-engine.
+    */
+  private val weights = q("pipe_dedup_weights",
+    withDocs(s""", $minhashSql,
+       |$resolveCtes,
+       |cs AS (SELECT cluster, count(*)::BIGINT AS n_dups
+       |       FROM l$ResolveRounds GROUP BY cluster)
+       |SELECT l.doc_id, l.cluster, cs.n_dups,
+       |  1.0::DOUBLE / cs.n_dups AS weight
+       |FROM l$ResolveRounds l JOIN cs USING (cluster)
+       |ORDER BY l.doc_id""".stripMargin)) { (s, dir) =>
+    val lab = clusterLabels(s, dir)
+    val cs = lab.groupBy("cluster").agg(count(lit(1)).as("n_dups"))
+    lab.join(cs, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("n_dups"),
+        (lit(1.0) / col("n_dups")).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** Multi-benchmark decontamination report — [[decontaminate]] with the
+    * attribution a real pre-training audit needs: WHICH benchmark a
+    * training document collides with and HOW MUCH of the document the
+    * overlap covers. Eval docs (every 97th) are assigned round-robin to
+    * three benchmark suites; per (train doc, benchmark) the report carries
+    * the shared-shingle count, the doc's total distinct shingles, the
+    * coverage fraction, and the standard high-coverage contamination flag
+    * (>= 20% of the doc's shingles appear in that benchmark).
+    *
+    * Scale shape: the eval side is benchmark-suite sized, so its distinct
+    * (benchmark, shingle) set broadcasts; the train side is one map-side
+    * probe of the shingle stream and a (doc, benchmark)-keyed count; doc
+    * totals come from the same shingle pass. The corpus is never joined
+    * against itself, and nothing ranks globally.
+    */
+  private val decontaminateMulti = q("pipe_decontaminate_multi",
+    withDocs(s"""
+       |, ev AS (
+       |  SELECT DISTINCT 'bench_' || ((doc_id // 97) % 3) AS benchmark, sh
+       |  FROM shingles WHERE doc_id % 97 = 0),
+       |tot AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_total FROM shingles
+       |  WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+       |hits AS (
+       |  SELECT t.doc_id, e.benchmark, count(*)::BIGINT AS n_shared
+       |  FROM shingles t JOIN ev e ON e.sh = t.sh
+       |  WHERE t.doc_id % 97 <> 0
+       |  GROUP BY t.doc_id, e.benchmark)
+       |SELECT h.doc_id, h.benchmark, h.n_shared, tot.n_total,
+       |  h.n_shared::DOUBLE / tot.n_total AS coverage,
+       |  h.n_shared::DOUBLE / tot.n_total >= 0.2 AS contaminated
+       |FROM hits h JOIN tot USING (doc_id)
+       |ORDER BY h.doc_id, h.benchmark""".stripMargin)) { (s, dir) =>
+    val sh = docShingles(s, dir)
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(concat(lit("bench_"),
+        expr("(doc_id div 97) % 3")).as("benchmark"), col("sh"))
+      .distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    train.join(broadcast(ev), Seq("sh"))
+      .groupBy("doc_id", "benchmark").agg(count(lit(1)).as("n_shared"))
+      .join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("benchmark"), col("n_shared"), col("n_total"),
+        (col("n_shared").cast("double") / col("n_total")).as("coverage"),
+        (col("n_shared").cast("double") / col("n_total") >= 0.2)
+          .as("contaminated"))
+      .orderBy("doc_id", "benchmark")
+  }
+
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
-    spans, spansIncremental, splitSafe)
+    spans, spansIncremental, splitSafe, weights, decontaminateMulti)
 }

@@ -782,6 +782,65 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("sv") =!= col("mn")).count() == 0)
   }
 
+  test("budget sample: copies honor the allocation — per-source token mass " +
+      "within one doc of the alloc, repeats only when epochs > 1") {
+    val alloc = run("pipe_token_budget").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val got = run("pipe_budget_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.forall(_._4 > 0))
+    val bySrc = got.groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      val (nTokens, a) = alloc(src)
+      val mass = rows.map(r => r._3 * r._4).sum
+      val maxDoc = rows.map(_._3).max
+      // the hash-order prefix stops at the last doc that still fits, so the
+      // materialized mass sits within one document of the allocation
+      assert(mass <= a && a - mass <= maxDoc,
+        s"$src: mass $mass vs alloc $a (max doc $maxDoc)")
+      // a doc repeats only if the source is allocated beyond one epoch
+      if (a <= nTokens) assert(rows.forall(_._4 == 1))
+      assert(rows.forall(_._4 <= 2 + 1)) // cap is 2 epochs + partial prefix
+    }
+  }
+
+  test("dedup weights: cluster mass sums to 1, weights match cluster sizes") {
+    val rows = run("pipe_dedup_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == Tables.t(spark, sf, "documents").count())
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.forall(_._3 == ms.length), s"cluster $c size mismatch")
+      assert(math.abs(ms.map(_._4).sum - 1.0) < 1e-9,
+        s"cluster $c weights don't sum to 1")
+    }
+    // soft dedup's effective corpus mass == hard dedup's kept count
+    assert(math.abs(rows.map(_._4).sum - byCluster.size) < 1e-6)
+  }
+
+  test("multi-benchmark decontamination agrees with the single-set check") {
+    val multi = run("pipe_decontaminate_multi").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(multi.nonEmpty)
+    // coverage is shared/total and the flag is its threshold
+    multi.foreach { case (_, b, sh, tot, cov, fl) =>
+      assert(b.startsWith("bench_") && sh >= 1 && sh <= tot)
+      assert(math.abs(cov - sh.toDouble / tot) < 1e-12 && fl == (cov >= 0.2))
+    }
+    // summing per-benchmark hits over the 3 disjoint? NO — benchmarks can
+    // share shingles, so the union bound is >=, and every doc flagged by
+    // the single-set query must appear in the multi report
+    val single = run("pipe_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perDoc = multi.groupBy(_._1)
+    assert(perDoc.keySet == single.keySet)
+    perDoc.foreach { case (d, rs) =>
+      assert(rs.map(_._3).sum >= single(d), s"doc $d union bound violated")
+      assert(rs.map(_._3).max <= single(d))
+    }
+  }
+
   test("token budget: exact water-filling replay; caps and budget respected") {
     val toks = Tables.t(spark, sf, "documents").select("source", "text")
       .collect()
