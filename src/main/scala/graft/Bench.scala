@@ -122,10 +122,15 @@ object Bench {
           s"$work/$d", s"$work/state_${d}",
           graft.engine.SyncEngine.SyncOptions(), now = now1)
       }.maxBy(_.issues_per_sec)
-      val r2 = graft.engine.SyncEngine.run(spark, issues, links,
-        s"$work/repo", s"$work/state_repo",
-        graft.engine.SyncEngine.SyncOptions(incremental = true),
-        now = java.sql.Timestamp.valueOf("2002-01-02 00:00:00"))
+      // incremental no-op rescan: idempotent (state unchanged), so measure
+      // best-of-3 like the full sync — a single run showed 3x host-noise
+      // swings (43k..130k/sec) that had nothing to do with the engine
+      val r2 = (1 to 3).map { _ =>
+        graft.engine.SyncEngine.run(spark, issues, links,
+          s"$work/repo", s"$work/state_repo",
+          graft.engine.SyncEngine.SyncOptions(incremental = true),
+          now = java.sql.Timestamp.valueOf("2002-01-02 00:00:00"))
+      }.minBy(_.elapsed_ms)
       issues.unpersist()
       // clean up the ~20k temp files so repeated runs don't accumulate
       import scala.util.Try
