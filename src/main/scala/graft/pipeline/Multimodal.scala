@@ -228,8 +228,11 @@ object Multimodal {
       }.toDF("doc_id", "kind", "phash")
   }
 
-  private val phashDedup = q("mm_phash_dedup",
-    s"""WITH m AS (
+  /** Oracle CTE chain ending in `ph (doc_id, kind, phash)` — the text-side
+    * replay of [[phash]], shared by `mm_phash_dedup` and `mm_phash_near`
+    * so the two oracles cannot drift. */
+  private val phashCtes: String =
+    s"""m AS (
        |  SELECT doc_id, $kindCase AS kind, text
        |  FROM documents WHERE len(text) > 0),
        |sm AS (
@@ -242,7 +245,10 @@ object Multimodal {
        |    CAST(list_sum(list_transform(generate_series(1, 60), i ->
        |      CASE WHEN s[i] > list_sum(s) // 60
        |           THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT) AS phash
-       |  FROM sm),
+       |  FROM sm)""".stripMargin
+
+  private val phashDedup = q("mm_phash_dedup",
+    s"""WITH $phashCtes,
        |g AS (SELECT kind, phash, count(*)::BIGINT AS n_same
        |      FROM ph GROUP BY kind, phash)
        |SELECT p.doc_id, p.kind, p.phash, g.n_same, g.n_same > 1 AS is_dup
@@ -256,5 +262,62 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GQuery] = Seq(meta, resize, frames, features, phashDedup)
+  /** Per-(kind, chunk, key) population above which a phash LSH bucket is
+    * dropped — same rationale and value as the SimHash cap: an over-full
+    * bucket (a chunk pattern shared by a corpus FRACTION) carries no
+    * near-dup signal and would make the candidate join quadratic. */
+  private val PhashBucketCap = 64
+
+  /** Hamming-distance perceptual near-dup — exact-phash dedup only catches
+    * bit-identical hashes, but a re-encoded / slightly-cropped image moves
+    * a few aHash bits. Candidates come from 4 banded 15-bit chunks of the
+    * 60-bit hash within each media kind (pigeonhole: hamming ≤ 3 implies
+    * at least one identical chunk; larger distances are caught when the
+    * flips cluster), scored by exact Hamming distance, reported as the 20
+    * closest pairs with the `near` verdict (≤ 6 bits apart).
+    *
+    * Scale shape: identical to the SimHash text path — signature is
+    * map-side (the batched decoder emits it), the FIRST exchange is the
+    * (kind, chunk, key) band join, over-full buckets are dropped
+    * identically in both engines, and the output is LIMIT-bounded.
+    */
+  private val phashNear = q("mm_phash_near",
+    s"""WITH $phashCtes,
+       |chunks AS (
+       |  SELECT doc_id, kind, phash, c, (phash >> (15 * c)) & 32767 AS ck
+       |  FROM ph, generate_series(0, 3) t(c)),
+       |small AS (
+       |  SELECT kind, c, ck FROM chunks
+       |  GROUP BY kind, c, ck HAVING count(*) <= $PhashBucketCap),
+       |kept AS (SELECT ch.* FROM chunks ch JOIN small USING (kind, c, ck)),
+       |cand AS (
+       |  SELECT DISTINCT a.kind, a.doc_id AS doc_a, a.phash AS ha,
+       |    b.doc_id AS doc_b, b.phash AS hb
+       |  FROM kept a JOIN kept b
+       |    ON a.kind = b.kind AND a.c = b.c AND a.ck = b.ck
+       |    AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, kind, bit_count(xor(ha, hb))::BIGINT AS hamming,
+       |  bit_count(xor(ha, hb)) <= 6 AS near
+       |FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) {
+    (s, dir) =>
+    val chunks = phash(mediaTable(s, dir))
+      .withColumn("c", explode(sequence(lit(0), lit(3))))
+      .withColumn("ck", expr("(phash >> (15 * c)) & 32767"))
+    val small = chunks.groupBy("kind", "c", "ck").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= PhashBucketCap).select("kind", "c", "ck")
+    val kept = chunks.join(small, Seq("kind", "c", "ck"))
+    val a = kept.select(col("kind"), col("doc_id").as("doc_a"),
+      col("phash").as("ha"), col("c"), col("ck"))
+    val b = kept.select(col("kind"), col("doc_id").as("doc_b"),
+      col("phash").as("hb"), col("c"), col("ck"))
+    a.join(b, Seq("kind", "c", "ck")).filter(col("doc_a") < col("doc_b"))
+      .select("kind", "doc_a", "ha", "doc_b", "hb").distinct()
+      .select(col("doc_a"), col("doc_b"), col("kind"),
+        bit_count(expr("ha ^ hb")).cast("long").as("hamming"),
+        (bit_count(expr("ha ^ hb")) <= 6).as("near"))
+      .orderBy("hamming", "doc_a", "doc_b").limit(20)
+  }
+
+  val all: Seq[GQuery] = Seq(meta, resize, frames, features, phashDedup,
+    phashNear)
 }

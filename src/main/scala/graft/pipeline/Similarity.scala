@@ -621,12 +621,17 @@ object Similarity {
     * on the probed cells, the lut joins, top-k. Zero exchanges before the
     * cell semi-join.
     */
-  private val ivfpq = {
+  /** IVF-PQ shared plumbing for [[ivfpq]] and [[rerank]] — one definition
+    * of the prune + encode + lut machinery on both sides so the two
+    * queries cannot drift.
+    */
+  private object IvfPq {
     import Pq.{M, K}
-    q("pipe_ann_ivfpq",
-      s"""WITH $embCte,
-         |$querySql,
-         |cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+
+    /** Oracle CTE chain ending in `adcr (vec_id, adc)` — ADC-ranked,
+      * cell-pruned candidates (`emb`/`q` CTEs must be in scope). */
+    val ctesSql: String =
+      s"""cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
          |assign AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT v.vec_id, c.cid,
@@ -638,14 +643,19 @@ object Similarity {
          |    SELECT c.cid,
          |      row_number() OVER (ORDER BY ${sqlCosine("q.qe", "c.ce")} DESC, c.cid) AS rn
          |    FROM cents c, q) WHERE rn <= 2),
-         |${Pq.ctesSql}
-         |SELECT v.vec_id, ${Pq.adcSql}
-         |FROM codes v
-         |JOIN assign a ON a.vec_id = v.vec_id
-         |JOIN probe p ON p.cid = a.cid
-         |${Pq.lutJoinsSql}
-         |WHERE v.vec_id <> 0
-         |ORDER BY adc, v.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+         |${Pq.ctesSql},
+         |adcr AS (
+         |  SELECT v.vec_id, ${Pq.adcSql}
+         |  FROM codes v
+         |  JOIN assign a ON a.vec_id = v.vec_id
+         |  JOIN probe p ON p.cid = a.cid
+         |  ${Pq.lutJoinsSql}
+         |  WHERE v.vec_id <> 0)""".stripMargin
+
+    /** Spark twin: `(pruned codes, query lut, query vector (qe, qn))`. */
+    def prunedCodes(s: org.apache.spark.sql.SparkSession, dir: String):
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
       val en = embDN(s, dir)
       val e = en.select("vec_id", "e")
       val cents = embDN(s, dir).filter(col("vec_id") < K)
@@ -673,9 +683,52 @@ object Similarity {
       val encoded = Pq.encode(assignMapSide(en, cents), cl)
         .select(col("vec_id") +: col("cid") +: (1 to M).map(m => col(s"c$m")): _*)
       val pruned = encoded.filter(col("cid").isin(probeCids: _*))
-      Pq.adcTopK(pruned, Pq.qlutDf(s, cl, qv.select("qe")), 10)
+      (pruned, Pq.qlutDf(s, cl, qv.select("qe")), qv)
     }
   }
+
+  private val ivfpq =
+    q("pipe_ann_ivfpq",
+      s"""WITH $embCte,
+         |$querySql,
+         |${IvfPq.ctesSql}
+         |SELECT vec_id, adc FROM adcr
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val (pruned, qlut, _) = IvfPq.prunedCodes(s, dir)
+      Pq.adcTopK(pruned, qlut, 10)
+    }
+
+  /** Two-stage retrieval — the full production serving shape: the ADC
+    * ranking ([[ivfpq]]) is only a SHORTLIST; the final order comes from
+    * exact cosine against the original vectors, read for the shortlist
+    * rows alone. At 100 TB this is the design that makes PQ viable: the
+    * compressed codes (32 B/vector) drive a cheap cell-pruned scan to ~50
+    * candidates, then one point-lookup join fetches 50 raw vectors — the
+    * only full-precision reads in the whole query — and the top-10 is
+    * exact where it matters. The shortlist is LIMIT-bounded, so the
+    * rerank join broadcasts and the rank window is 50 rows.
+    */
+  private val rerank =
+    q("pipe_ann_rerank",
+      s"""WITH $embCte,
+         |$querySql,
+         |${IvfPq.ctesSql},
+         |short AS (
+         |  SELECT vec_id, adc FROM adcr ORDER BY adc, vec_id LIMIT 50)
+         |SELECT s.vec_id, s.adc,
+         |  ${sqlCosine("e.e", "q.qe")} AS cos_exact
+         |FROM short s JOIN emb e ON e.vec_id = s.vec_id, q
+         |ORDER BY cos_exact DESC, s.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val (pruned, qlut, qv) = IvfPq.prunedCodes(s, dir)
+      val short = Pq.adcTopK(pruned, qlut, 50)
+      val en = embDN(s, dir).select("vec_id", "e", "nrm")
+      en.join(broadcast(short), Seq("vec_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("adc"),
+          (dotD(col("e"), col("qe")) / (col("nrm") * col("qn")))
+            .as("cos_exact"))
+        .orderBy(desc("cos_exact"), col("vec_id")).limit(10)
+    }
 
   /** Filtered vector search: top-10 cosine restricted to a metadata
     * predicate (`label = 1`) — the "retrieve only from this tenant /
@@ -823,5 +876,5 @@ object Similarity {
   }
 
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
-    quantize, pq, ivfpq, filtered, hybrid, hardNegatives)
+    quantize, pq, ivfpq, rerank, filtered, hybrid, hardNegatives)
 }

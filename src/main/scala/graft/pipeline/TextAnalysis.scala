@@ -584,6 +584,50 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Quality-threshold sweep — the keep-rate curve a curation run is tuned
+    * from: for each candidate threshold 0.1..0.9, how many documents and
+    * how much token mass survive `quality >= t`, as counts and corpus
+    * fractions. This is the quality-vs-quantity tradeoff table you read
+    * BEFORE committing to a gate (pick the threshold where the token-mass
+    * curve bends), and it prices every candidate gate in ONE corpus pass:
+    * the 9-row threshold dimension broadcasts into the quality frame, and
+    * the sweep is a single map-combinable hash aggregate keyed by
+    * threshold — never 9 separate filtered scans. Thresholds are `i/10.0`
+    * from integer `i` in both engines, so the doubles (and the `>=`
+    * verdicts) are bit-identical.
+    */
+  private val qualitySweep = q("pipe_quality_sweep",
+    withDocs(s""", $qualitySql,
+       |th AS (SELECT i::DOUBLE / 10.0 AS threshold
+       |       FROM generate_series(1, 9) t(i)),
+       |tot AS (SELECT count(*)::BIGINT AS nd, sum(n_words)::BIGINT AS nt
+       |        FROM quality)
+       |SELECT th.threshold,
+       |  sum(CASE WHEN q.quality >= th.threshold THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN q.quality >= th.threshold THEN q.n_words ELSE 0 END)::BIGINT AS tok_kept,
+       |  sum(CASE WHEN q.quality >= th.threshold THEN 1 ELSE 0 END)::DOUBLE / any_value(tot.nd) AS frac_docs,
+       |  sum(CASE WHEN q.quality >= th.threshold THEN q.n_words ELSE 0 END)::DOUBLE / any_value(tot.nt) AS frac_tokens
+       |FROM quality q, th, tot
+       |GROUP BY th.threshold
+       |ORDER BY th.threshold""".stripMargin)) { (s, dir) =>
+    val qf = qualityDf(s, dir).select("quality", "n_words")
+    val th = s.range(1, 10)
+      .select((col("id").cast("double") / 10.0).as("threshold"))
+    val tot = qf.agg(count(lit(1)).as("nd"), sum("n_words").as("nt"))
+    qf.crossJoin(broadcast(th)).crossJoin(broadcast(tot))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("quality") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("quality") >= col("threshold"), col("n_words"))
+          .otherwise(0L)).as("tok_kept"),
+        (sum(when(col("quality") >= col("threshold"), 1L).otherwise(0L))
+          .cast("double") / first("nd")).as("frac_docs"),
+        (sum(when(col("quality") >= col("threshold"), col("n_words"))
+          .otherwise(0L)).cast("double") / first("nt")).as("frac_tokens"))
+      .orderBy("threshold")
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
-    rarity, pii, tfidf, bigramLm, gopher, qualityClassifier)
+    rarity, pii, tfidf, bigramLm, gopher, qualityClassifier, qualitySweep)
 }

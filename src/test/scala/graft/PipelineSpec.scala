@@ -782,6 +782,65 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("sv") =!= col("mn")).count() == 0)
   }
 
+  test("rerank: exact cosine over the ADC shortlist, descending, subset of corpus") {
+    val rows = run("pipe_ann_rerank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 10)
+    // descending exact-cosine order with the doc-id tiebreak
+    assert(rows.sliding(2).forall { case Array((i1, _, c1), (i2, _, c2)) =>
+      c1 > c2 || (c1 == c2 && i1 < i2) })
+    // exact cosine recomputed independently matches to the bit
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("cast(embedding as array<double>)").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val q0 = e(0L); val qn = math.sqrt(dot(q0, q0))
+    rows.foreach { case (id, _, cos) =>
+      val v = e(id)
+      assert(cos == dot(v, q0) / (math.sqrt(dot(v, v)) * qn))
+    }
+    // the rerank CAN reorder the shortlist: adc order != cosine order
+    // somewhere in the result, else the second stage is vacuous here
+    assert(rows.map(_._2) != rows.map(_._2).sorted)
+  }
+
+  test("quality sweep: keep-rates monotone in the threshold, consistent with the scorer") {
+    val rows = run("pipe_quality_sweep").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length == 9 && rows.map(_._1).toSeq == (1 to 9).map(_ / 10.0))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3, "keep counts must be monotone")
+    }
+    assert(rows.forall(r => r._4 >= 0 && r._4 <= 1 && r._5 >= 0 && r._5 <= 1))
+    // spot-check threshold 0.5 against the quality query itself
+    val q = run("pipe_text_quality").collect()
+      .map(r => (r.getAs[Number](r.fieldIndex("n_words")).longValue(),
+        r.getDouble(r.fieldIndex("quality"))))
+    val kept = q.filter(_._2 >= 0.5)
+    val at05 = rows.find(_._1 == 0.5).get
+    assert(at05._2 == kept.length && at05._3 == kept.map(_._1).sum)
+  }
+
+  test("phash near-dup: hamming matches the dedup hashes, pairs within kind") {
+    val ph = run("mm_phash_dedup").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val rows = run("mm_phash_near").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == 20)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted)
+    rows.foreach { case (a, b, kind, ham, near) =>
+      val (ka, pa) = ph(a); val (kb, pb) = ph(b)
+      assert(a < b && ka == kind && kb == kind)
+      assert(ham == java.lang.Long.bitCount(pa ^ pb) && near == (ham <= 6))
+    }
+    // exact-dup pairs (hamming 0) from the census must surface first here
+    val exactPairs = ph.toSeq.groupBy(_._2).values.filter(_.size > 1)
+    if (exactPairs.nonEmpty) assert(rows.head._4 == 0)
+  }
+
   test("budget sample: copies honor the allocation — per-source token mass " +
       "within one doc of the alloc, repeats only when epochs > 1") {
     val alloc = run("pipe_token_budget").collect()
