@@ -1135,7 +1135,71 @@ object Dedup {
       .orderBy("doc_id", "benchmark")
   }
 
+  /** Corpus snapshot diff — the operator that PRODUCES the changed batch
+    * every incremental index here consumes ([[upsertSignatures]],
+    * [[upsertSpans]], [[incrementalExactDedup]], the IVF upsert): given
+    * two corpus versions, classify every document as `added`, `removed`,
+    * or `changed` by content fingerprint; unchanged docs don't appear.
+    * Snapshot B is derived with seeded damage so both engines diff the
+    * identical scenario (every 13th doc deleted, every 17th survivor's
+    * text drifted, every 97th spawning a new doc at `doc_id + 1000000`)
+    * — the same replayed-damage pattern as `cdc_state_validate`.
+    *
+    * Scale shape: one fingerprint pass per snapshot (map-side sha256 of
+    * the normalized text), then a single full-outer join on `doc_id` —
+    * one exchange per side, or zero with both snapshots bucketed by
+    * `doc_id` on disk, which is how a 100 TB corpus store would lay them
+    * out. Status is a map-side CASE over null-ness + fingerprint
+    * inequality. No windows, no corpus self-join.
+    */
+  private val corpusDiff = q("pipe_corpus_diff",
+    s"""WITH a AS (
+       |  SELECT doc_id, sha256(trim(regexp_replace(lower(text),
+       |    '[^a-z0-9]+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0
+       |      THEN sha256(trim(regexp_replace(lower(text || ' v2'),
+       |        '[^a-z0-9]+', ' ', 'g')))
+       |      ELSE sha256(trim(regexp_replace(lower(text),
+       |        '[^a-z0-9]+', ' ', 'g'))) END AS fp
+       |  FROM documents WHERE doc_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    sha256(trim(regexp_replace(lower('new ' || text),
+       |      '[^a-z0-9]+', ' ', 'g')))
+       |  FROM documents WHERE doc_id % 97 = 0)
+       |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |  CASE WHEN a.doc_id IS NULL THEN 'added'
+       |       WHEN b.doc_id IS NULL THEN 'removed'
+       |       ELSE 'changed' END AS status
+       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = graft.Tables.t(s, dir, "documents").select("doc_id", "text")
+    val a = fingerprints(docs)
+    val bDocs = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    val b = fingerprints(bDocs)
+      .select(col("doc_id").as("b_doc_id"), col("fp").as("b_fp"))
+    a.join(b, col("doc_id") === col("b_doc_id"), "full_outer")
+      .filter(col("doc_id").isNull || col("b_doc_id").isNull ||
+        col("fp") =!= col("b_fp"))
+      .select(coalesce(col("doc_id"), col("b_doc_id")).as("doc_id"),
+        when(col("doc_id").isNull, "added")
+          .when(col("b_doc_id").isNull, "removed")
+          .otherwise("changed").as("status"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
-    spans, spansIncremental, splitSafe, weights, decontaminateMulti)
+    spans, spansIncremental, splitSafe, weights, decontaminateMulti,
+    corpusDiff)
 }

@@ -782,6 +782,20 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("sv") =!= col("mn")).count() == 0)
   }
 
+  test("corpus diff classifies exactly the seeded damage") {
+    val ids = Tables.t(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    val got = run("pipe_corpus_diff").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val removed = ids.filter(_ % 13 == 0).toSet
+    val changed = ids.filter(i => i % 13 != 0 && i % 17 == 0).toSet
+    val added = ids.filter(_ % 97 == 0).map(_ + 1000000L).toSet
+    assert(got.filter(_._2 == "removed").keySet == removed)
+    assert(got.filter(_._2 == "changed").keySet == changed)
+    assert(got.filter(_._2 == "added").keySet == added)
+    assert(got.size == removed.size + changed.size + added.size)
+  }
+
   test("rerank: exact cosine over the ADC shortlist, descending, subset of corpus") {
     val rows = run("pipe_ann_rerank").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
