@@ -530,10 +530,7 @@ object Curation {
        |  weight::DOUBLE / wsum AS share,
        |  weight::DOUBLE / wsum * 1000000 / n_tokens AS epochs_at_1m
        |FROM wt, tot ORDER BY source""".stripMargin) { (s, dir) =>
-    val agg = docWords(s, dir)
-      .select(col("doc_id"), size(col("w")).cast("long").as("t"))
-      .join(graft.Tables.t(s, dir, "documents").select("doc_id", "source"),
-        Seq("doc_id"))
+    val agg = docTokens(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
     val wt = agg.withColumn("weight",
@@ -678,13 +675,16 @@ object Curation {
   }
 
   /** Per-doc token counts `(doc_id, source, t)` — the one corpus pass the
-    * budget queries share. */
-  private def docTokens(s: org.apache.spark.sql.SparkSession,
+    * budget queries share. One SCAN, zero joins: doc_id, source, and the
+    * word count all project out of the same parquet row (the oracle spells
+    * it as words⨝documents, but the Spark plan needn't — results are
+    * identical and the scan already reads the row). */
+  private[pipeline] def docTokens(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    docWords(s, dir)
-      .select(col("doc_id"), size(col("w")).cast("long").as("t"))
-      .join(graft.Tables.t(s, dir, "documents").select("doc_id", "source"),
-        Seq("doc_id"))
+    graft.Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(org.apache.spark.sql.functions.split(normText(col("text")), " "))
+          .cast("long").as("t"))
 
   /** Spark twin of [[allocCtes]]: `(source, n_tokens, weight, cap, alloc)`
     * from a [[docTokens]]-shaped frame. Sources-table sized (the corpus

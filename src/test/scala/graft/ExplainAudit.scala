@@ -277,6 +277,44 @@ class ExplainAudit extends AnyFunSuite {
     assert(!p.contains("Window"), s"split planned a window:\n${p.take(2000)}")
   }
 
+  test("rerank: shortlist folds to top-k, raw-vector fetch is a broadcast join") {
+    val p = plan("pipe_ann_rerank")
+    // both stages LIMIT-bound: ADC shortlist and final exact-cosine top-10
+    assert(p.contains("TakeOrderedAndProject"),
+      s"rerank must top-k, not globally sort:\n${p.take(2000)}")
+    // the 50-row shortlist must broadcast into the full-precision fetch —
+    // a shuffled join here would exchange the corpus to read 50 vectors
+    assert(p.contains("BroadcastHashJoin"),
+      s"shortlist fetch must be a broadcast join:\n${p.take(2000)}")
+  }
+
+  test("corpus diff is one full-outer join over map-side fingerprints") {
+    val p = plan("pipe_corpus_diff")
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n${p.take(2000)}")
+    // exactly one join in the whole plan — fingerprints are map-side
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).size
+    assert(joins == 1, s"expected 1 join, found $joins:\n${p.take(2000)}")
+    assert(!p.contains("Window"))
+  }
+
+  test("quality sweep is one aggregate over a broadcast threshold dim") {
+    val p = plan("pipe_quality_sweep")
+    assert(!p.contains("Window"), s"sweep planned a window:\n${p.take(2000)}")
+    // threshold dim and totals ride broadcasts; the curve is ONE keyed
+    // hash aggregate (partial + final), never nine filtered scans
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("budget sample: prefix-sum window is partitioned by source, alloc broadcast") {
+    val p = plan("pipe_budget_sample")
+    assert(p.contains("windowspecdefinition(source"),
+      s"prefix sum must partition by source:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the allocation table must broadcast into the doc join")
+  }
+
   test("no registered query windows the corpus through a single partition") {
     // A logical Window with an EMPTY partition spec executes as one
     // WindowExec task holding every input row — the classic silent
