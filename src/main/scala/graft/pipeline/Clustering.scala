@@ -172,5 +172,55 @@ object Clustering {
     base.join(lbl, Seq("cid")).orderBy("cid")
   }
 
-  val all: Seq[GQuery] = Seq(kmeans)
+  /** Label-noise QA — the embedding-side data audit: for each label class,
+    * compute its exact integer centroid (one [[graft.functions.VecSum]]
+    * aggregate — same shape as a k-means update) and surface the 5 members
+    * FARTHEST from their own class centroid with their distances. Points
+    * far from their class center are the mislabeled / out-of-distribution
+    * candidates a curation run re-reviews before training a classifier on
+    * the labels.
+    *
+    * Scale shape: the centroid table is |labels|×dim longs (bounded by the
+    * label vocabulary, same discipline as the k-means driver state) and
+    * broadcasts into a map-side distance pass; the only rank is a window
+    * PARTITIONED BY label. A label class holding a corpus-scale fraction
+    * would swap the rank for a count-threshold join like
+    * [[Curation.qualityCalibratedApprox]] — the output contract (top-5 per
+    * label) is unchanged. All arithmetic integer (quantize → sqd →
+    * truncating mean), so the oracle hash pins centroid AND ranking.
+    */
+  private val outliers = q("pipe_emb_outliers",
+    s"""WITH $embCte,
+       |$qvCte,
+       |lc AS (
+       |  SELECT label, list(comp ORDER BY i) AS c FROM (
+       |    SELECT label, i, CAST(sum(v[i]) // count(*) AS BIGINT) AS comp
+       |    FROM qv, generate_series(1, $Dim) t(i)
+       |    GROUP BY label, i)
+       |  GROUP BY label),
+       |d AS (
+       |  SELECT q.vec_id, q.label,
+       |    CAST(${sqlSqd("q.v", "c.c")} AS BIGINT) AS dist
+       |  FROM qv q JOIN lc c ON c.label = q.label)
+       |SELECT vec_id, label, dist, rnk::INT AS rnk FROM (
+       |  SELECT vec_id, label, dist,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY dist DESC, vec_id) AS rnk
+       |  FROM d) WHERE rnk <= 5
+       |ORDER BY label, rnk""".stripMargin) { (s, dir) =>
+    val vecs = qvecs(s, dir)
+    val cents = vecs.groupBy("label")
+      .agg(graft.functions.VecSum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .select(col("label"), expr("transform(sv, x -> x div n)").as("c"))
+    val d = vecs.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label"), sqd(col("v"), col("c")).as("dist"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("label").orderBy(desc("dist"), col("vec_id"))
+    d.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("vec_id", "label", "dist", "rnk")
+      .orderBy("label", "rnk")
+  }
+
+  val all: Seq[GQuery] = Seq(kmeans, outliers)
 }

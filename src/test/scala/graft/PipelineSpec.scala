@@ -782,6 +782,28 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("sv") =!= col("mn")).count() == 0)
   }
 
+  test("embedding outliers: independent replay of centroid + top-5 ranking") {
+    val vs = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000 + 0.5) as bigint))").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val byLabel = vs.groupBy(_._2)
+    val expected = byLabel.toSeq.flatMap { case (lbl, ms) =>
+      val n = ms.length
+      val cent = Array.tabulate(ms.head._3.length)(i => ms.map(_._3(i)).sum / n)
+      ms.map { case (id, _, v) =>
+        val d = v.indices.foldLeft(0L)((a, i) =>
+          a + (v(i) - cent(i)) * (v(i) - cent(i)))
+        (lbl, id, d)
+      }.sortBy { case (_, id, d) => (-d, id) }.take(5).zipWithIndex
+        .map { case ((l, id, d), i) => (id, l.toLong, d, i + 1) }
+    }.toSet
+    val got = run("pipe_emb_outliers").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expected)
+  }
+
   test("corpus diff classifies exactly the seeded damage") {
     val ids = Tables.t(spark, sf, "documents").select("doc_id")
       .collect().map(_.getLong(0))
