@@ -94,6 +94,22 @@ object Clustering {
     cents
   }
 
+  /** [[train]] memoized per (session, dir) — the trained centroids are
+    * consumed by the k-means telemetry AND cluster-balanced sampling, and
+    * training costs `Iters` collect rounds that downstream queries must
+    * not repeat. Same bypass/prune contract as [[graft.Caches.fragment]]
+    * (driver-held k×dim longs, bounded by construction). */
+  def trained(s: SparkSession, dir: String): Seq[(Long, Array[Long])] = {
+    if (graft.Caches.disabled(s)) return train(qvecs(s, dir))
+    memo.synchronized {
+      memo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      memo.getOrElseUpdate((s, dir), train(qvecs(s, dir)))
+    }
+  }
+
+  private val memo = scala.collection.mutable.LinkedHashMap[
+    (SparkSession, String), Seq[(Long, Array[Long])]]()
+
   // ---- DuckDB oracle fragments --------------------------------------------
 
   private def sqlSqd(a: String, b: String): String =
@@ -130,10 +146,11 @@ object Clustering {
     * init, fixed rounds, integer math), so the oracle replays training
     * round by round and the hash pins both the algorithm and the stats.
     */
-  private val kmeans = q("pipe_cluster_kmeans",
-    s"""WITH $embCte,
-       |$qvCte,
-       |c0 AS (SELECT vec_id AS cid, v AS c FROM qv WHERE vec_id < $K),
+  /** Oracle CTE chain ending in `af (vec_id, label, cid, d)` — training
+    * replayed round by round to the final assignment. Shared by the
+    * k-means telemetry and cluster-balanced sampling oracles. */
+  private val trainCtes: String =
+    s"""c0 AS (SELECT vec_id AS cid, v AS c FROM qv WHERE vec_id < $K),
        |${(1 to Iters).map(roundCtes).mkString(",\n")},
        |af AS (
        |  SELECT vec_id, label, cid, d FROM (
@@ -141,7 +158,12 @@ object Clustering {
        |      ${sqlSqd("q.v", "c.c")} AS d,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${sqlSqd("q.v", "c.c")}, c.cid) AS rn
-       |    FROM qv q, c$Iters c) WHERE rn = 1),
+       |    FROM qv q, c$Iters c) WHERE rn = 1)""".stripMargin
+
+  private val kmeans = q("pipe_cluster_kmeans",
+    s"""WITH $embCte,
+       |$qvCte,
+       |$trainCtes,
        |base AS (
        |  SELECT cid, count(*)::BIGINT AS n_vecs,
        |    CAST(sum(d) AS BIGINT) AS inertia
@@ -158,7 +180,7 @@ object Clustering {
        |FROM base b JOIN lbl l ON l.cid = b.cid
        |ORDER BY b.cid""".stripMargin) { (s, dir) =>
     val vecs = qvecs(s, dir)
-    val fin = assign(vecs, train(vecs))
+    val fin = assign(vecs, trained(s, dir))
     val base = fin.groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("inertia"))
     // majority label per cluster WITHOUT a per-cluster window: max over
@@ -222,5 +244,48 @@ object Clustering {
       .orderBy("label", "rnk")
   }
 
-  val all: Seq[GQuery] = Seq(kmeans, outliers)
+  /** Per-cluster sampling cap for [[clusterSample]]. */
+  private val SampleCap = 60
+
+  /** Cluster-balanced sampling — the curation move k-means exists for:
+    * cap every trained cluster at [[SampleCap]] members so over-dense
+    * regions of embedding space (boilerplate, template clones, crawl
+    * bursts) can't dominate the training mix, while sparse clusters
+    * survive whole. Selection within a cluster is the deterministic
+    * hash-order prefix (`hash64(vec_id)` — reproducible on any plan, any
+    * re-run), not RNG. Output: kept members with their cluster and
+    * within-cluster rank.
+    *
+    * Scale shape: assignment rides the same map-side argmin over the
+    * memoized trained centroids (zero training cost here — [[trained]]
+    * memoizes per session/dir), and the only rank is a window partitioned
+    * by cid. k is bounded by construction, but a single over-dense
+    * cluster holding a corpus-scale fraction would swap the rank for the
+    * count-threshold join ([[Curation.qualityCalibratedApprox]] shape) —
+    * same capped output, no per-cluster sort ceiling.
+    */
+  private val clusterSample = q("pipe_cluster_sample",
+    s"""WITH $embCte,
+       |$qvCte,
+       |$trainCtes,
+       |h AS (
+       |  SELECT vec_id, cid, ${sqlHash64("vec_id::VARCHAR")} AS hk
+       |  FROM af)
+       |SELECT vec_id, cid, rnk::INT AS rnk FROM (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY cid ORDER BY hk, vec_id) AS rnk
+       |  FROM h) WHERE rnk <= $SampleCap
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val a = assign(qvecs(s, dir), trained(s, dir))
+      .select(col("vec_id"), col("cid"),
+        hash64(col("vec_id").cast("string")).as("hk"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cid").orderBy("hk", "vec_id")
+    a.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= SampleCap)
+      .select("vec_id", "cid", "rnk")
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[GQuery] = Seq(kmeans, outliers, clusterSample)
 }

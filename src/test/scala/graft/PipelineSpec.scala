@@ -782,6 +782,26 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("sv") =!= col("mn")).count() == 0)
   }
 
+  test("cluster sample: per-cluster cap respected, ranks dense from 1, deterministic") {
+    val rows = run("pipe_cluster_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val byCid = rows.groupBy(_._2)
+    // k-means telemetry gives the true cluster sizes; a cluster smaller
+    // than the cap must survive whole, larger ones are capped exactly
+    val sizes = run("pipe_cluster_kmeans").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCid.keySet == sizes.keySet)
+    byCid.foreach { case (cid, ms) =>
+      assert(ms.length == math.min(sizes(cid), 60L))
+      assert(ms.map(_._3).sorted.toSeq == (1 to ms.length))
+    }
+    // rerun is bit-identical (hash order, no RNG)
+    val again = run("pipe_cluster_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("embedding outliers: independent replay of centroid + top-5 ranking") {
     val vs = Tables.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("label"),
