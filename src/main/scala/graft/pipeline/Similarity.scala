@@ -777,6 +777,67 @@ object Similarity {
     * ride [[dotD]]'s bit-identical fold; RRF adds two doubles in fixed
     * expression order and quantizes the same way.
     */
+  /** Semantic decontamination — the embedding-space twin of the n-gram
+    * check (`pipe_decontaminate`): a paraphrased eval question shares no
+    * 3-gram with its training leak, but their embeddings sit together. Per
+    * train vector, the nearest eval-set vector (every 97th id) within its
+    * IVF cell, with the cosine and the τ-flag (same τ = 0.35 as semantic
+    * dedup).
+    *
+    * Scale shape: the eval suite is benchmark-sized by construction, so
+    * its (cell, vector) rows broadcast; train vectors get their cell from
+    * the same map-side argmax fold as every IVF path (zero exchanges
+    * before the probe), the join is cell-keyed — never corpus × eval —
+    * and the per-train-vector best is a max-over-structs aggregate, no
+    * window. Cross-cell neighbors are missed exactly as IVF recall misses
+    * them; nprobe on the EVAL side (assign each eval vector to its top-n
+    * cells) widens coverage without touching the corpus-side plan.
+    */
+  private val decontaminateSemantic = q("pipe_decontaminate_semantic",
+    s"""WITH $embCte,
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${sqlCosine("v.e", "c.ce")} DESC, c.cid) AS rn
+       |    FROM emb v, cents c) WHERE rn = 1),
+       |ev AS (
+       |  SELECT a.cid, e.vec_id AS eid, e.e AS ee
+       |  FROM assign a JOIN emb e ON e.vec_id = a.vec_id
+       |  WHERE e.vec_id % 97 = 0),
+       |pairs AS (
+       |  SELECT t.vec_id, ev.eid, ${sqlCosine("e.e", "ev.ee")} AS sim
+       |  FROM assign t JOIN emb e ON e.vec_id = t.vec_id
+       |  JOIN ev ON ev.cid = t.cid
+       |  WHERE t.vec_id % 97 <> 0),
+       |best AS (
+       |  SELECT vec_id, eid, sim FROM (
+       |    SELECT vec_id, eid, sim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, eid) AS rn
+       |    FROM pairs) WHERE rn = 1)
+       |SELECT vec_id, eid AS eval_id, sim AS max_sim,
+       |  sim >= 0.35 AS contaminated
+       |FROM best ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val en = embDN(s, dir)
+    val cents = en.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val assigned = assignMapSide(en, cents)
+    val ev = assigned.filter(col("vec_id") % 97 === 0)
+      .select(col("cid"), col("vec_id").as("eid"), col("e").as("ee"),
+        col("nrm").as("enrm"))
+    assigned.filter(col("vec_id") % 97 =!= 0)
+      .join(broadcast(ev), Seq("cid"))
+      .select(col("vec_id"), col("eid"),
+        (dotD(col("e"), col("ee")) / (col("nrm") * col("enrm"))).as("sim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("eid")).as("ne"))).as("m"))
+      .select(col("vec_id"), (-col("m.ne")).as("eval_id"),
+        col("m.sim").as("max_sim"), (col("m.sim") >= 0.35).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   private val hybrid = {
     val terms = Seq("spark", "window", "agg")
     val termsSql = terms.map(t => s"'$t'").mkString("(", ", ", ")")
@@ -876,5 +937,6 @@ object Similarity {
   }
 
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
-    quantize, pq, ivfpq, rerank, filtered, hybrid, hardNegatives)
+    quantize, pq, ivfpq, rerank, filtered, hybrid, hardNegatives,
+    decontaminateSemantic)
 }

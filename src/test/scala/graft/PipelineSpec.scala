@@ -782,6 +782,29 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("sv") =!= col("mn")).count() == 0)
   }
 
+  test("semantic decontamination: flags consistent, cell-bound below the global max") {
+    val rows = run("pipe_decontaminate_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val vs = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("cast(embedding as array<double>)").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val evalIds = vs.keys.filter(_ % 97 == 0).toSeq
+    rows.foreach { case (id, eid, sim, fl) =>
+      assert(id % 97 != 0 && eid % 97 == 0 && fl == (sim >= 0.35))
+      // the reported sim is a real train-eval cosine...
+      assert(math.abs(sim - cos(vs(id), vs(eid))) < 1e-12)
+      // ...and never exceeds the unrestricted (cross-cell) maximum
+      val globalMax = evalIds.map(e => cos(vs(id), vs(e))).max
+      assert(sim <= globalMax + 1e-12)
+    }
+  }
+
   test("cluster sample: per-cluster cap respected, ranks dense from 1, deterministic") {
     val rows = run("pipe_cluster_sample").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
