@@ -628,6 +628,32 @@ object TextAnalysis {
       .orderBy("threshold")
   }
 
+  /** Corpus hot n-grams — the boilerplate discovery pass that feeds
+    * line/span dedup thresholds: the 20 word-3-grams present in the most
+    * DISTINCT documents (document frequency, not raw occurrences — a
+    * shingle repeated inside one doc is repetition, one repeated across
+    * docs is boilerplate), with the corpus share. One map-combinable hash
+    * aggregate keyed by shingle, then a global top-k that folds to
+    * TakeOrderedAndProject — never a full sort of the shingle vocabulary.
+    */
+  private val hotNgrams = q("pipe_hot_ngrams",
+    withDocs(s"""
+       |, tot AS (SELECT count(*)::BIGINT AS nd FROM documents),
+       |df AS (SELECT sh, count(*)::BIGINT AS n_docs FROM shingles GROUP BY sh)
+       |SELECT sh, n_docs, n_docs::DOUBLE / tot.nd AS doc_share
+       |FROM df, tot
+       |ORDER BY n_docs DESC, sh LIMIT 20""".stripMargin)) { (s, dir) =>
+    val tot = graft.Tables.t(s, dir, "documents")
+      .agg(count(lit(1)).as("nd"))
+    docShingles(s, dir)
+      .groupBy("sh").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("sh"), col("n_docs"),
+        (col("n_docs").cast("double") / col("nd")).as("doc_share"))
+      .orderBy(desc("n_docs"), col("sh")).limit(20)
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
-    rarity, pii, tfidf, bigramLm, gopher, qualityClassifier, qualitySweep)
+    rarity, pii, tfidf, bigramLm, gopher, qualityClassifier, qualitySweep,
+    hotNgrams)
 }

@@ -439,6 +439,63 @@ object Graph {
       .orderBy("component")
   }
 
+  /** k-core decomposition (k = 2, 3 fixed peeling rounds) — iterative
+    * degree-pruning: every round drops nodes whose CURRENT degree is
+    * below k and the edges touching them, so chains and pendant trees
+    * peel away and the dense cores remain. The graph-topology trim a
+    * dependency cleanup or community analysis runs before anything
+    * quadratic; fixed rounds keep the oracle replayable (the fixpoint
+    * variant just loops the same step, like components vs
+    * componentsConverged).
+    *
+    * Scale shape per round: ONE degree aggregate on the edge endpoint and
+    * two semi-joins on the survivor set — all keyed exchanges, lineage
+    * truncated like every iterative op here. Output is survivors with
+    * their within-core degree.
+    */
+  private val kcore = {
+    val k = 2
+    val peels = 3
+    val undSql =
+      """und AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT a, b FROM eint
+        |    UNION ALL
+        |    SELECT b, a FROM eint))""".stripMargin
+    val steps = (1 to peels).map { i =>
+      s"""keep$i AS (
+         |  SELECT a AS node FROM e${i - 1} GROUP BY a HAVING count(*) >= $k),
+         |e$i AS (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN keep$i ka ON ka.node = e.a
+         |  JOIN keep$i kb ON kb.node = e.b)""".stripMargin
+    }.mkString(",\n")
+    q("graph_kcore",
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |$undSql,
+         |e0 AS (SELECT a, b FROM und),
+         |$steps
+         |SELECT a AS node, count(*)::BIGINT AS core_degree
+         |FROM e$peels GROUP BY a ORDER BY node""".stripMargin) { (s, dir) =>
+      val e = edgesInt(s, dir)
+      var und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        .distinct().transform(graft.Iterative.truncate)
+      (1 to peels).foreach { _ =>
+        val keep = und.groupBy(col("a").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("node")
+        und = und
+          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select("a", "b")
+          .transform(graft.Iterative.truncate)
+      }
+      und.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+        .orderBy("node")
+    }
+  }
+
   val all: Seq[GQuery] = Seq(components, pagerank, khop, triangles,
-    componentsConvergedQ)
+    componentsConvergedQ, kcore)
 }

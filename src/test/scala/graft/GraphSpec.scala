@@ -12,6 +12,26 @@ class GraphSpec extends AnyFunSuite {
   private def edgeSlice = Tables.links(spark, sf)
     .filter(col("link_type") === "blocks" && col("project_key") === "P1")
 
+  test("kcore: independent peeling replay; survivors all have degree >= 2") {
+    val got = SparkEntry.queries("graph_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the peeling on the collected slice over the raw key strings
+    // (dst may cross projects, so suffix-only encoding would merge nodes)
+    val raw = edgeSlice.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    var und = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    (1 to 3).foreach { _ =>
+      val deg = und.groupBy(_._1).view.mapValues(_.length).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      und = und.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    val expected = und.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got.size == expected.size && got.values.forall(_ >= 2))
+    // same survivor count per degree (ids differ by the project encoding)
+    assert(got.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      expected.values.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
   test("components histogram covers every node exactly once") {
     val hist = SparkEntry.queries("graph_components")(spark, sf).collect()
     val nodesInHist = hist.map(r =>

@@ -782,6 +782,25 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("sv") =!= col("mn")).count() == 0)
   }
 
+  test("hot ngrams: top-20 by document frequency matches a collected census") {
+    val rows = run("pipe_hot_ngrams").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    val docs = Tables.t(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ", -1).toSeq)
+    val nd = docs.length
+    val census = docs.flatMap(w =>
+      if (w.length < 3) Nil
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).distinct)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = census.toSeq.sortBy { case (sh, n) => (-n, sh) }.take(20)
+    assert(rows.map(r => (r._1, r._2)).toSeq == expected)
+    rows.foreach { case (_, n, share) =>
+      assert(share == n.toDouble / nd)
+    }
+  }
+
   test("semantic decontamination: flags consistent, cell-bound below the global max") {
     val rows = run("pipe_decontaminate_semantic").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
