@@ -318,6 +318,84 @@ object Multimodal {
       .orderBy("hamming", "doc_a", "doc_b").limit(20)
   }
 
+  /** Banded phash rows `(doc_id, kind, phash, c, ck)` — what the persisted
+    * media near-dup index stores; identical to [[phashNear]]'s candidate
+    * key. */
+  def phashChunks(media: DataFrame): DataFrame =
+    phash(media)
+      .withColumn("c", explode(sequence(lit(0), lit(3))))
+      .withColumn("ck", expr("(phash >> (15 * c)) & 32767"))
+
+  /** Maintain the persisted phash band index incrementally: replace the
+    * rows of every doc in `media`, keep everyone else's — the media twin
+    * of [[Dedup.upsertSignatures]], on the same crash-recoverable
+    * tmp+rename commit. Hashing is per media VERSION (CDC-proportional);
+    * the corpus is never re-decoded.
+    */
+  def upsertPhash(media: DataFrame, path: String): Unit = {
+    val spark = media.sparkSession
+    val rows = phashChunks(media)
+    val out = graft.state.StateStore.loadTable(spark, path, rows.schema)
+      .join(media.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(rows)
+    graft.state.StateStore.save(out, path)
+  }
+
+  /** Candidate near-dup pairs TOUCHING a changed media batch via the
+    * persisted index: batch chunks probe on (kind, chunk, key) — a
+    * bucket-keyed join sized |batch|×4, never corpus×corpus — with the
+    * exact Hamming distance and the ≤ 6 `near` verdict attached. All
+    * banded candidates are returned (the band join already bounds them);
+    * the caller applies its review threshold downstream, exactly like
+    * the text-side incremental candidates feed a separate verify. Call
+    * after [[upsertPhash]] so batch-internal pairs surface too.
+    */
+  def incrementalPhashPairs(changed: DataFrame, path: String): DataFrame = {
+    val spark = changed.sparkSession
+    val probe = phashChunks(changed)
+    val index = graft.state.StateStore.loadTable(spark, path, probe.schema)
+    probe.select(col("doc_id").as("doc_q"), col("kind"), col("c"),
+        col("ck"), col("phash").as("pq"))
+      .join(index.select(col("doc_id").as("doc_i"), col("kind"), col("c"),
+        col("ck"), col("phash").as("pi")), Seq("kind", "c", "ck"))
+      .filter(col("doc_q") =!= col("doc_i"))
+      .select(least(col("doc_q"), col("doc_i")).as("doc_a"),
+        greatest(col("doc_q"), col("doc_i")).as("doc_b"), col("kind"),
+        bit_count(expr("pq ^ pi")).cast("long").as("hamming"))
+      .distinct()
+      .withColumn("near", col("hamming") <= 6)
+  }
+
+  /** The media-CDC cycle as an oracle-checked query: index the 90%
+    * "existing library", upsert the 10% "late batch", probe for near-dup
+    * pairs touching the batch — after the upsert the persisted index
+    * equals the full chunk set, so DuckDB replays the probe as
+    * late-chunks ⋈ all-chunks, filesystem state included.
+    */
+  private val phashIncremental = q("mm_phash_incremental",
+    s"""WITH $phashCtes,
+       |chunks AS (
+       |  SELECT doc_id, kind, phash, c, (phash >> (15 * c)) & 32767 AS ck
+       |  FROM ph, generate_series(0, 3) t(c)),
+       |late AS (SELECT * FROM chunks WHERE doc_id % 10 = 0),
+       |pairs AS (
+       |  SELECT DISTINCT least(l.doc_id, b.doc_id) AS doc_a,
+       |    greatest(l.doc_id, b.doc_id) AS doc_b, l.kind,
+       |    bit_count(xor(l.phash, b.phash))::BIGINT AS hamming
+       |  FROM late l JOIN chunks b
+       |    ON b.kind = l.kind AND b.c = l.c AND b.ck = l.ck
+       |    AND b.doc_id <> l.doc_id)
+       |SELECT doc_a, doc_b, kind, hamming, hamming <= 6 AS near FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val media = mediaTable(s, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-incr-phash").toString + "/phash"
+    upsertPhash(media.filter(col("doc_id") % 10 =!= 0), path)
+    val late = media.filter(col("doc_id") % 10 === 0)
+    upsertPhash(late, path)
+    incrementalPhashPairs(late, path).orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[GQuery] = Seq(meta, resize, frames, features, phashDedup,
-    phashNear)
+    phashNear, phashIncremental)
 }

@@ -801,6 +801,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("phash incremental: probe equals a one-shot band join restricted to the batch") {
+    val ph = run("mm_phash_dedup").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // independent replay: banded candidates where at least one side is late
+    val chunks = ph.toSeq.flatMap { case (id, (kind, h)) =>
+      (0 to 3).map(c => (kind, c, (h >> (15 * c)) & 32767L, id, h))
+    }
+    val expected = chunks.groupBy(t => (t._1, t._2, t._3)).values.flatMap { bucket =>
+      for {
+        a <- bucket; b <- bucket
+        if a._4 < b._4 && (a._4 % 10 == 0 || b._4 % 10 == 0)
+      } yield (a._4, b._4, a._1, java.lang.Long.bitCount(a._5 ^ b._5).toLong)
+    }.toSet
+    val got = run("mm_phash_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet == expected)
+    got.foreach { case (a, b, kind, ham, near) =>
+      assert(near == (ham <= 6))
+      val (ka, pa) = ph(a); val (kb, pb) = ph(b)
+      assert(ka == kind && kb == kind &&
+        ham == java.lang.Long.bitCount(pa ^ pb))
+    }
+  }
+
   test("semantic decontamination: flags consistent, cell-bound below the global max") {
     val rows = run("pipe_decontaminate_semantic").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
