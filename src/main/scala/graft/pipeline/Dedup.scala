@@ -1198,8 +1198,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-source dedup report — the one-page summary a curation run reads
+    * after dedup: per source, document count, near-dup cluster count
+    * (distinct labels), the implied duplicate rate, and the soft-dedup
+    * effective mass in exact integer micro-units (Σ floor(1e6/cluster_size)
+    * — what the source contributes after duplicate downweighting; integer
+    * so the sum is order-independent and hash-stable, unlike a double
+    * Σ 1/n which sums in partition order). NOTE the subtlety the report makes visible:
+    * clusters can span sources, so a cluster counts toward every source
+    * it touches and the per-source effective masses need not sum to the
+    * global cluster count.
+    *
+    * Scale shape: two keyed aggregates over the resolve labels (cluster
+    * size, then per-(source) rollup) and one broadcast of the
+    * sources-sized result — nothing corpus-scale leaves the label frame.
+    */
+  private val dedupStats = q("pipe_dedup_stats",
+    withDocs(s""", $minhashSql,
+       |$resolveCtes,
+       |cs AS (SELECT cluster, count(*)::BIGINT AS n FROM l$ResolveRounds
+       |       GROUP BY cluster),
+       |j AS (
+       |  SELECT d.source, l.cluster, cs.n
+       |  FROM l$ResolveRounds l
+       |  JOIN documents d ON d.doc_id = l.doc_id
+       |  JOIN cs ON cs.cluster = l.cluster)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT cluster)::BIGINT AS n_clusters,
+       |  1.0 - count(DISTINCT cluster)::DOUBLE / count(*) AS dup_rate,
+       |  sum(1000000 // n)::BIGINT AS effective_mass_micro
+       |FROM j GROUP BY source ORDER BY source""".stripMargin)) { (s, dir) =>
+    val lab = clusterLabels(s, dir)
+    val cs = lab.groupBy("cluster").agg(count(lit(1)).as("n"))
+    lab.join(graft.Tables.t(s, dir, "documents").select("doc_id", "source"),
+        Seq("doc_id"))
+      .join(cs, Seq("cluster"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster").as("n_clusters"),
+        (lit(1.0) - countDistinct("cluster").cast("double")
+          / count(lit(1))).as("dup_rate"),
+        sum(expr("1000000 div n")).as("effective_mass_micro"))
+      .orderBy("source")
+  }
+
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
     spans, spansIncremental, splitSafe, weights, decontaminateMulti,
-    corpusDiff)
+    corpusDiff, dedupStats)
 }

@@ -782,6 +782,25 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("sv") =!= col("mn")).count() == 0)
   }
 
+  test("dedup stats: per-source rollup agrees with the per-doc weights") {
+    val weights = run("pipe_dedup_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val src = Tables.t(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = weights.groupBy(w => src(w._1))
+    val got = run("pipe_dedup_stats").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s0, ws) =>
+      val (nd, nc, rate, mass) = got(s0)
+      assert(nd == ws.length)
+      assert(nc == ws.map(_._2).distinct.length)
+      assert(rate == 1.0 - nc.toDouble / nd)
+      assert(mass == ws.map(w => 1000000L / w._3).sum)
+    }
+  }
+
   test("hot ngrams: top-20 by document frequency matches a collected census") {
     val rows = run("pipe_hot_ngrams").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
