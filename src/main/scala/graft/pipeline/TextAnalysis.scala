@@ -90,23 +90,38 @@ object TextAnalysis {
     */
   def qualityDf(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.Caches.fragment(s, dir, "text_quality") {
-    val d = graft.Tables.t(s, dir, "documents").select("doc_id", "text")
-    d.join(docWords(s, dir), Seq("doc_id"))
-      .filter(size(col("w")) > 0 && length(col("text")) > 0)
-      .select(
-        col("doc_id"),
-        length(col("text")).as("n_chars"),
-        size(col("w")).as("n_words"),
-        (length(regexp_replace(col("norm"), " ", "")).cast("double") / size(col("w")))
-          .as("avg_word_len"),
-        (expr("size(filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to')))").cast("double")
-          / size(col("w"))).as("stopword_ratio"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
-          .cast("double") / length(col("text"))).as("punct_ratio"))
+      qualityOf(graft.Tables.t(s, dir, "documents").select("doc_id", "text"))
+        .drop("text")
+    }
+
+  /** Frame-generic quality scorer: appends the metric columns
+    * (n_chars/n_words/avg_word_len/stopword_ratio/punct_ratio/quality) to
+    * ANY frame carrying a `text` column, preserving its other columns.
+    * Pure map-side expressions — the SAME plan fragment runs over a batch
+    * table (where [[qualityDf]] memoizes it) or an unbounded stream (the
+    * [[graft.streaming.Curate]] gate), which is what keeps the streaming
+    * twin's scores bit-identical to the batch oracle's.
+    */
+  def qualityOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(length(col("text")) > 0)
+      .withColumn("__norm", normText(col("text")))
+      .withColumn("__w", split(col("__norm"), " "))
+      .filter(size(col("__w")) > 0)
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_words", size(col("__w")))
+      .withColumn("avg_word_len",
+        length(regexp_replace(col("__norm"), " ", "")).cast("double")
+          / size(col("__w")))
+      .withColumn("stopword_ratio",
+        expr("size(filter(__w, x -> x IN ('the', 'a', 'of', 'and', 'to')))")
+          .cast("double") / size(col("__w")))
+      .withColumn("punct_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"),
+          "[^a-zA-Z0-9 ]", ""))).cast("double") / length(col("text")))
       .withColumn("quality",
         lit(0.4) * col("stopword_ratio") + lit(0.4) * (lit(1.0) - col("punct_ratio"))
           + lit(0.2) * when(col("n_words") >= 50, 1.0).otherwise(col("n_words") / 50.0))
-  }
+      .drop("__norm", "__w")
 
   /** Quality scoring: length, word stats, stopword ratio, punctuation ratio,
     * and a deterministic composite score — the heuristics a pretraining

@@ -455,4 +455,43 @@ class StreamSpec extends AnyFunSuite {
       assert(idx.except(full).count() == 0 && full.except(idx).count() == 0)
     } finally query.stop()
   }
+
+  test("streaming curation: gate, watermarked dedup, and windowed counters compose") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Timestamp)]
+    val out = graft.streaming.Curate.curated(
+      mem.toDF().toDF("doc_id", "text", "source", "ts"))
+    val query = out.writeStream
+      .outputMode("append").format("memory").queryName("curate_out").start()
+    try {
+      val good = "The cat sat on the mat and the dog."
+      // same normalized content as `good`, different serialization → dup
+      val goodDup = "the CAT sat, on the mat  and the DOG!!"
+      val junk = "!!!###$$$ xyz" // punctuation-dominated → gated out
+      val booksGood = "a tale of the best of times and the worst of times"
+      mem.addData(
+        (1L, good, "web", ts("2024-01-01 10:00:10")),
+        (2L, goodDup, "web", ts("2024-01-01 10:00:20")),
+        (3L, junk, "web", ts("2024-01-01 10:00:30")),
+        (4L, booksGood, "books", ts("2024-01-01 10:00:40")))
+      query.processAllAvailable()
+      // advance event time far past the window end + watermark so the
+      // 10:00 window closes and append mode emits it
+      mem.addData((9L, good + " later arrival", "web",
+        ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("curate_out")
+        .select("win_start", "source", "n_docs", "n_tokens")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val win = ts("2024-01-01 10:00:00")
+      // web admits exactly ONE doc (dup dropped, junk gated), 9 words;
+      // books admits its one doc, 12 words
+      assert(rows == Set(
+        (win, "web", 1L, 9L),
+        (win, "books", 1L, booksGood.split(" ").length.toLong)))
+    } finally query.stop()
+  }
 }
