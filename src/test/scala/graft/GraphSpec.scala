@@ -125,6 +125,14 @@ class GraphSpec extends AnyFunSuite {
     val reps = lab.select(col("lbl").as("node"), col("lbl"))
     assert(reps.distinct().except(lab).count() == 0,
       "a component label is not its own representative")
+    // the size-gated driver path and the distributed fallback are the SAME
+    // algorithm: forcing the gate off must reproduce labels AND rounds
+    val (labD, roundsD) =
+      queries.Graph.componentsConverged(edges, maxRounds = 50,
+        driverGateEdges = 0L)
+    assert(roundsD == rounds, s"gated $rounds vs distributed $roundsD rounds")
+    assert(labD.except(lab).count() == 0 && lab.except(labD).count() == 0,
+      "gated and distributed labels diverge")
     lab.unpersist()
   }
 
