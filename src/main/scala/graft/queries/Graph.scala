@@ -106,23 +106,48 @@ object Graph {
       // Iterative.truncate switches every iterative op to a reliable
       // checkpoint; the point is bounding plan depth, which no AQE
       // or optimizer setting does for iterative algorithms.
-      val e = edgesInt(s, dir)
-      val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-      val a = und.union(und.select(col("a"), col("a").as("b")).distinct())
-        .transform(graft.Iterative.truncate)
-      var labels = a.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-      (1 to rounds).foreach { _ =>
-        labels = a.join(labels.withColumnRenamed("node", "b"), Seq("b"))
-          .groupBy(col("a").as("node"))
-          .agg(min(col("lbl")).as("lbl"))
-          .transform(graft.Iterative.truncate)
-      }
-      labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+      fixedRoundLabels(edgesInt(s, dir), rounds)
+        .groupBy("lbl").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("n_members"))
         .agg(count(lit(1)).as("n_labels"), min(col("lbl")).as("sample_label"))
         .orderBy("n_members")
     }
+  }
+
+  /** `rounds` synchronous min-label propagation steps over the symmetrized
+    * `(a, b)` edge list → `(node, lbl)`. Size-gated like
+    * [[componentsConverged]]: a small edge slice replays the identical
+    * rounds on the driver (one Spark job per round is pure scheduler
+    * overhead for a broadcast-sized graph — same labels, bit for bit);
+    * large slices take the distributed join+agg loop with truncated
+    * lineage.
+    */
+  private[graft] def fixedRoundLabels(e: DataFrame, rounds: Int,
+      driverGateEdges: Long = 1000000L): DataFrame = {
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    if (und.count() < driverGateEdges) {
+      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nbrs = es.groupBy(_._1).map { case (a, bs) => (a, bs.map(_._2)) }
+      var m: Map[Long, Long] = nbrs.keysIterator.map(id => id -> id).toMap
+      (1 to rounds).foreach { _ =>
+        val p = m
+        m = m.map { case (id, c) => id -> math.min(c, nbrs(id).map(p).min) }
+      }
+      val spark = e.sparkSession
+      import spark.implicits._
+      return m.toSeq.toDF("node", "lbl")
+    }
+    val a = und.union(und.select(col("a"), col("a").as("b")).distinct())
+      .transform(graft.Iterative.truncate)
+    var labels = a.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    (1 to rounds).foreach { _ =>
+      labels = a.join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("lbl")).as("lbl"))
+        .transform(graft.Iterative.truncate)
+    }
+    labels
   }
 
   /** Bounded-iteration PageRank over the directed edge slice, in EXACT

@@ -32,6 +32,17 @@ class GraphSpec extends AnyFunSuite {
       expected.values.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
+  test("fixedRoundLabels: gated and distributed paths agree label for label") {
+    val enc = (c: String) =>
+      expr(s"substring($c, 2, 1)").cast("long") * lit(1000000000000L) +
+        element_at(split(col(c), "-"), 2).cast("long")
+    val edges = edgeSlice.select(enc("src").as("a"), enc("dst").as("b"))
+    val gated = queries.Graph.fixedRoundLabels(edges, 5)
+    val dist = queries.Graph.fixedRoundLabels(edges, 5, driverGateEdges = 0L)
+    assert(gated.except(dist).count() == 0 && dist.except(gated).count() == 0)
+    assert(gated.count() == dist.count() && gated.count() > 0)
+  }
+
   test("components histogram covers every node exactly once") {
     val hist = SparkEntry.queries("graph_components")(spark, sf).collect()
     val nodesInHist = hist.map(r =>
