@@ -62,5 +62,26 @@ object Sink {
       .orderBy("key")
   }
 
-  val all: Seq[GQuery] = Seq(roundtrip)
+  /** JSONL corpus round-trip — the interchange format every training
+    * framework actually consumes: write the documents table as
+    * newline-delimited JSON (AQE-rebalanced so file sizes track the
+    * advisory target, same small-files discipline as the parquet corpus
+    * writer), read it back through an EXPLICIT schema (inference on JSONL
+    * is a second corpus pass and nondeterministic on empty slices), and
+    * check full fidelity against the source rows. What this pins is the
+    * escaping path: quotes, newlines, unicode, and backslashes in `text`
+    * must survive write→read bit-for-bit, which is exactly where ad-hoc
+    * JSONL writers corrupt a corpus.
+    */
+  private val jsonlRoundtrip = q("sink_jsonl_roundtrip",
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.t(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val path = Files.createTempDirectory("graft-jsonl-rt").toString + "/docs"
+    docs.hint("rebalance").write.mode("overwrite").json(path)
+    s.read.schema(docs.schema).json(path).orderBy("doc_id")
+  }
+
+  val all: Seq[GQuery] = Seq(roundtrip, jsonlRoundtrip)
 }
