@@ -391,21 +391,26 @@ object Dedup {
   /** The label-propagation CTE chain shared by resolve and survivor:
     * `e`/`l0`/`l1..lN` over the minhash candidates.
     */
-  private[pipeline] def resolveCtes: String = {
-    val oracleRounds = (1 to ResolveRounds).map { i =>
+  /** The bounded label-propagation rounds over an edge CTE named `edge`
+    * (columns `a, b`, symmetrized), starting from `l0` — parameterized so
+    * the candidate-based and verified-pair resolves share one definition.
+    */
+  private def resolveRoundsSql(edge: String): String =
+    (1 to ResolveRounds).map { i =>
       val prev = s"l${i - 1}"
       s"""l$i AS (
          |  SELECT l.doc_id, least(l.cluster, coalesce(m.nm, l.cluster)) AS cluster
          |  FROM $prev l LEFT JOIN (
-         |    SELECT e.a AS doc_id, min(p.cluster) AS nm
-         |    FROM e JOIN $prev p ON p.doc_id = e.b GROUP BY e.a) m USING (doc_id))"""
+         |    SELECT $edge.a AS doc_id, min(p.cluster) AS nm
+         |    FROM $edge JOIN $prev p ON p.doc_id = $edge.b GROUP BY $edge.a) m USING (doc_id))"""
         .stripMargin
     }.mkString(",\n")
+
+  private[pipeline] def resolveCtes: String =
     s"""e AS (SELECT doc_a AS a, doc_b AS b FROM cand
        |      UNION ALL SELECT doc_b, doc_a FROM cand),
        |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
-       |$oracleRounds""".stripMargin
-  }
+       |${resolveRoundsSql("e")}""".stripMargin
 
   private val resolve =
     q("pipe_dedup_resolve",
@@ -428,12 +433,22 @@ object Dedup {
   private[pipeline] def clusterLabels(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.Caches.fragment(s, dir, "minhash_cluster_labels", persisted = false) {
-      val rounds = ResolveRounds
       val cand = minhashCandidates(s, dir)
       // map-only derivation of the already-cached candidate fragment — a
       // second cache entry here would just shadow minhash_cand
       val edges = cand.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(cand.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      labelsOverEdges(s, dir, edges)
+    }
+
+  /** [[ResolveRounds]] bounded label propagation of `documents` ids over a
+    * symmetrized `(a, b)` edge frame — the shared core of the
+    * candidate-based [[clusterLabels]] and the verified-pair variant.
+    */
+  private def labelsOverEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val rounds = ResolveRounds
       // Near-dup edge lists are orders of magnitude smaller than the corpus.
       // When the persisted edge set measures small (size-gated, not assumed),
       // run the bounded rounds over the collected edge list — the same move a
@@ -483,6 +498,53 @@ object Dedup {
           l
         }
       lab
+  }
+
+  /** Near-dup clusters over VERIFIED pairs — the production-honest resolve:
+    * [[clusterLabels]] propagates over raw LSH candidates, which is the
+    * SemDeDup-style recall-first form; this variant admits an edge only
+    * when the exact n-gram Jaccard clears 0.7 (compared as the integer
+    * cross-product `10·i ≥ 7·(na+nb−i)` — no double in the verdict), so a
+    * banding collision can never glue two unrelated documents into one
+    * cluster. Same bounded rounds, same size-gated driver/distributed
+    * machinery; the verify step itself is the candidate-bounded
+    * [[verifiedPairs]] join, so admitting precision costs nothing
+    * corpus-scale.
+    */
+  private[pipeline] def verifiedClusterLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.fragment(s, dir, "verified_cluster_labels", persisted = false) {
+      val vp = verifiedPairs(s, dir)
+        .filter(lit(10) * col("i") >= lit(7) * (col("na") + col("nb") - col("i")))
+      val edges = vp.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(vp.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      labelsOverEdges(s, dir, edges)
+    }
+
+  private val resolveVerified =
+    q("pipe_dedup_clusters_verified",
+      withDocs(s""", $minhashSql,
+         |$pairCtes,
+         |ve AS (
+         |  SELECT x.a, x.b FROM (
+         |    SELECT i.doc_a AS a, i.doc_b AS b, i.i, za.n AS na, zb.n AS nb
+         |    FROM inter i
+         |    JOIN sizes za ON za.doc_id = i.doc_a
+         |    JOIN sizes zb ON zb.doc_id = i.doc_b
+         |    UNION ALL
+         |    SELECT i.doc_b, i.doc_a, i.i, zb.n, za.n
+         |    FROM inter i
+         |    JOIN sizes za ON za.doc_id = i.doc_a
+         |    JOIN sizes zb ON zb.doc_id = i.doc_b) x
+         |  WHERE 10 * x.i >= 7 * (x.na + x.nb - x.i)),
+         |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         |${resolveRoundsSql("ve")}
+         |SELECT doc_id, cluster, doc_id = cluster AS kept
+         |FROM l$ResolveRounds ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      verifiedClusterLabels(s, dir)
+        .select(col("doc_id"), col("cluster"),
+          (col("doc_id") === col("cluster")).as("kept"))
+        .orderBy("doc_id")
     }
 
   /** Quality-aware survivor selection — real pipelines keep the BEST
@@ -1245,5 +1307,5 @@ object Dedup {
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
     spans, spansIncremental, splitSafe, weights, decontaminateMulti,
-    corpusDiff, dedupStats)
+    corpusDiff, dedupStats, resolveVerified)
 }

@@ -516,8 +516,14 @@ object TextAnalysis {
     * [[rarity]]'s frequency join. Scoring itself is explode → join →
     * per-doc integer sum: one shuffle by token, one by doc_id.
     */
-  private val qualityClassifier = q("pipe_quality_classifier",
-    """WITH d2 AS (
+  /** The NB classifier's oracle CTE chain ending in
+    * `scored (doc_id, source, score)` — held-out docs with their integer
+    * micro-logit scores. Shared by the per-source report and the
+    * classifier-vs-rule-gate evaluation so the model definition cannot
+    * drift between them.
+    */
+  private val classifierCtes: String =
+    """d2 AS (
       |  SELECT doc_id, source,
       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
       |    CAST(substr(source, 4) AS INT) < 10 AS pos
@@ -552,13 +558,14 @@ object TextAnalysis {
       |scored AS (
       |  SELECT d.doc_id, d.source, coalesce(s.tw, 0) + p.prior AS score
       |  FROM d2 d LEFT JOIN dsc s ON s.doc_id = d.doc_id, pri p
-      |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 5 = 4)
-      |SELECT source, count(*)::BIGINT AS n_docs,
-      |  sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
-      |  round(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
-      |    AS keep_rate,
-      |  round(sum(score)::DOUBLE / count(*) / 1000000, 6) AS mean_score
-      |FROM scored GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR),1,15))::BIGINT % 5 = 4)""".stripMargin
+
+  /** Spark twin of [[classifierCtes]]' `scored`: held-out docs
+    * `(doc_id, source, score)` with their exact integer micro-logit NB
+    * scores. Shared by the per-source report and [[classifierEval]].
+    */
+  private def classifierScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val base = graft.Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("source"), normText(col("text")).as("norm"),
         (expr("CAST(substring(source, 4, 10) AS INT)") < 10).as("pos"))
@@ -584,12 +591,22 @@ object TextAnalysis {
     val htoks = held.select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
     val dsc = htoks.join(w, Seq("tok"), "left")
       .groupBy("doc_id").agg(sum(coalesce(col("wt"), lit(0L))).as("tw"))
-    val scored = held.select("doc_id", "source")
+    held.select("doc_id", "source")
       .join(dsc, Seq("doc_id"), "left")
       .crossJoin(broadcast(pri))
-      .select(col("source"),
+      .select(col("doc_id"), col("source"),
         (coalesce(col("tw"), lit(0L)) + col("prior")).as("score"))
-    scored.groupBy("source").agg(
+  }
+
+  private val qualityClassifier = q("pipe_quality_classifier",
+    s"""WITH $classifierCtes
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+      |  round(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+      |    AS keep_rate,
+      |  round(sum(score)::DOUBLE / count(*) / 1000000, 6) AS mean_score
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    classifierScored(s, dir).groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
         round(sum(when(col("score") > 0, 1L).otherwise(0L)).cast("double")
@@ -668,7 +685,64 @@ object TextAnalysis {
       .orderBy(desc("n_docs"), col("sh")).limit(20)
   }
 
+  /** Classifier-vs-rule-gate evaluation — how a learned quality filter is
+    * actually judged before it replaces (or stacks on) the hand-written
+    * gate: on the held-out slice, treat the Gopher rule verdict as the
+    * pseudo-label and the NB score sign as the prediction, and report the
+    * confusion counts with precision/recall/accuracy. All counts are exact
+    * integers; each rate is ONE division of two of them, so the doubles
+    * are bit-identical cross-engine.
+    *
+    * Scale shape: composes two already-audited fragments — the classifier
+    * scores (token-keyed joins, integer micro-logits) and the rule gate
+    * (one scan + a doc-keyed aggregate) — through one doc-keyed join and a
+    * single global confusion aggregate (4 counters, map-combinable).
+    */
+  private val classifierEval = q("pipe_classifier_eval",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |$gopherCtes,
+       |$classifierCtes,
+       |ev AS (
+       |  SELECT sc.score > 0 AS pred, g.passes AS label
+       |  FROM scored sc JOIN gate g ON g.doc_id = sc.doc_id)
+       |SELECT count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN pred AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |  sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |  sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END)::BIGINT AS fn,
+       |  sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END)::BIGINT AS tn,
+       |  CASE WHEN sum(CASE WHEN pred THEN 1 ELSE 0 END) = 0 THEN 0.0
+       |    ELSE sum(CASE WHEN pred AND label THEN 1 ELSE 0 END)::DOUBLE
+       |      / sum(CASE WHEN pred THEN 1 ELSE 0 END) END AS precision,
+       |  CASE WHEN sum(CASE WHEN label THEN 1 ELSE 0 END) = 0 THEN 0.0
+       |    ELSE sum(CASE WHEN pred AND label THEN 1 ELSE 0 END)::DOUBLE
+       |      / sum(CASE WHEN label THEN 1 ELSE 0 END) END AS recall,
+       |  sum(CASE WHEN pred = label THEN 1 ELSE 0 END)::DOUBLE / count(*)
+       |    AS accuracy
+       |FROM ev""".stripMargin) { (s, dir) =>
+    val pred = classifierScored(s, dir)
+      .select(col("doc_id"), (col("score") > 0).as("pred"))
+    val ev = pred.join(gopherDf(s, dir).select(col("doc_id"),
+      col("passes").as("label")), Seq("doc_id"))
+    val cnt = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    ev.agg(
+      count(lit(1)).as("n_docs"),
+      cnt(col("pred") && col("label")).as("tp"),
+      cnt(col("pred") && !col("label")).as("fp"),
+      cnt(!col("pred") && col("label")).as("fn"),
+      cnt(!col("pred") && !col("label")).as("tn"),
+      when(cnt(col("pred")) === 0, 0.0)
+        .otherwise(cnt(col("pred") && col("label")).cast("double")
+          / cnt(col("pred"))).as("precision"),
+      when(cnt(col("label")) === 0, 0.0)
+        .otherwise(cnt(col("pred") && col("label")).cast("double")
+          / cnt(col("label"))).as("recall"),
+      (cnt(col("pred") === col("label")).cast("double") / count(lit(1)))
+        .as("accuracy"))
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
     rarity, pii, tfidf, bigramLm, gopher, qualityClassifier, qualitySweep,
-    hotNgrams)
+    hotNgrams, classifierEval)
 }

@@ -782,6 +782,40 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("sv") =!= col("mn")).count() == 0)
   }
 
+  test("verified clusters refine the candidate clusters") {
+    val cand = run("pipe_dedup_resolve").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ver = run("pipe_dedup_clusters_verified").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(ver.length == cand.size)
+    // a verified edge is a subset of the candidate edges, so any two docs
+    // sharing a verified cluster must share a candidate cluster
+    ver.groupBy(_._2).values.foreach { ms =>
+      assert(ms.map(m => cand(m._1)).distinct.length == 1,
+        s"verified cluster ${ms.head._2} straddles candidate clusters")
+    }
+    // refinement can only split, never merge
+    assert(ver.map(_._2).distinct.length >= cand.values.toSeq.distinct.length)
+    assert(ver.count(_._3) == ver.map(_._2).distinct.length)
+  }
+
+  test("classifier eval: confusion counts close, rates derived exactly") {
+    val r = run("pipe_classifier_eval").head
+    val (n, tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    val (prec, rec, acc) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    assert(n == tp + fp + fn + tn && n > 0)
+    assert(prec == (if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)))
+    assert(rec == (if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)))
+    assert(acc == (tp + tn).toDouble / n)
+    // the evaluated population is exactly the held-out slice of the gate
+    val heldGated = SparkEntry.queries("pipe_gopher_rules")(spark, sf)
+      .select("doc_id")
+      .filter(graft.pipeline.hash64(col("doc_id").cast("string")) % 5 === 4)
+      .count()
+    assert(n == heldGated)
+  }
+
   test("dedup stats: per-source rollup agrees with the per-doc weights") {
     val weights = run("pipe_dedup_weights").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
