@@ -502,6 +502,148 @@ object Graph {
       .orderBy("component")
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR contraction
+    * (the two-operation MapReduce CC algorithm; see PAPERS.md) — the scale
+    * path when the graph's diameter is large. Min-label propagation
+    * ([[componentsConverged]]) needs O(diameter) rounds: a 10^6-hop
+    * dependency chain costs 10^6 shuffles. Star contraction converges in
+    * O(log² n) rounds REGARDLESS of diameter, because each round rewires
+    * whole neighborhoods onto their minimum instead of moving labels one
+    * hop:
+    *
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(N(u) ∪ {u});
+    *   - small-star(u): every neighbor v < u (and u itself) re-attaches
+    *     to that same m.
+    *
+    * Both are ONE groupBy (per-node min — map-side combinable) + ONE
+    * re-join per round, every exchange keyed on a node id, rows bounded by
+    * |E|. Edges are kept canonically as `(child, parent)` with
+    * child > parent — an invariant both operations preserve — so the
+    * fixpoint is exactly the star forest `(node, component-min)` and
+    * convergence is edge-set stability: equal counts plus an empty
+    * anti-join, checked per round on star-forest-sized frames.
+    *
+    * The same driver size gate as [[componentsConverged]]: a small
+    * symmetrized edge set replays the identical large/small-star rounds on
+    * collected pairs (loop-for-loop the distributed form — same canonical
+    * init, same two re-attach operations, same set-stability test, rounds
+    * hash-identical), because a fixpoint loop over a broadcastable graph is
+    * pure scheduler overhead as Spark jobs. Large edge sets take the
+    * distributed branch, which is the form that matters at 100 TB.
+    *
+    * Returns converged `(node, lbl)` labels — identical to
+    * [[componentsConverged]]'s fixpoint (GraphSpec pins the equivalence) —
+    * and the number of large+small passes run, INCLUDING the confirming
+    * pass whose edge set matched its predecessor's.
+    */
+  def componentsBigStar(edges: DataFrame, maxRounds: Int = 50,
+      driverGateEdges: Long = 1000000L): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    // every endpoint keeps a label even if its only edges are self-loops
+    val allNodes = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct()
+    // canonical (child, parent): child > parent, self-loops dropped
+    val canon0 = e0.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct()
+    if (canon0.count() < driverGateEdges) {
+      var cur = canon0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      var rounds = 0
+      var converged = cur.isEmpty
+      while (!converged && rounds < maxRounds) {
+        // large-star over the symmetrized neighborhood
+        val und = cur ++ cur.map(_.swap)
+        val mins = und.groupBy(_._1).map { case (u, nb) =>
+          u -> math.min(u, nb.iterator.map(_._2).min)
+        }
+        val large = und.collect { case (u, v) if v > u => (v, mins(u)) }.toSet
+        // small-star: all edges already (child, parent); child > min holds
+        val minsS = large.groupBy(_._1).map { case (u, nb) =>
+          u -> nb.iterator.map(_._2).min
+        }
+        val next = large.flatMap { case (u, v) =>
+          val m = minsS(u)
+          (if (v != m) Seq((v, m)) else Nil) ++ Seq((u, m))
+        }.filter(p => p._1 != p._2)
+        rounds += 1
+        converged = next == cur
+        cur = next
+      }
+      val starDf = cur.toSeq.toDF("node", "lbl")
+      val labels = allNodes
+        .join(starDf, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+      return (labels, rounds)
+    }
+    var cur = canon0.transform(graft.Iterative.truncate)
+    var curCount = cur.count()
+    var rounds = 0
+    var converged = curCount == 0
+    while (!converged && rounds < maxRounds) {
+      val und = cur.union(cur.select(col("b").as("a"), col("a").as("b")))
+      val minsL = und.groupBy("a")
+        .agg(min(least(col("b"), col("a"))).as("m"))
+      val large = und.join(minsL, Seq("a")).filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
+        .transform(graft.Iterative.truncate)
+      val minsS = large.groupBy("a").agg(min(col("b")).as("m"))
+      val next = large.join(minsS, Seq("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(minsS.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .transform(graft.Iterative.truncate)
+      rounds += 1
+      val nextCount = next.count()
+      converged = nextCount == curCount &&
+        next.join(cur, Seq("a", "b"), "left_anti").isEmpty
+      cur = next
+      curCount = nextCount
+    }
+    val labels = allNodes
+      .join(cur.withColumnRenamed("a", "node").withColumnRenamed("b", "lbl"),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    (labels, rounds)
+  }
+
+  /** [[componentsBigStar]] as a registered, oracle-gated query: component
+    * sizes from the star-contraction fixpoint. The oracle replays the
+    * SEMANTICS (true components via a transitive-closure recursive CTE on
+    * the bounded slice), so a wrong re-attachment anywhere in the
+    * large/small-star machinery breaks the hash. No rounds column — star
+    * contraction's round count has no closed form the oracle could derive
+    * (unlike [[componentsConvergedQ]]'s eccentricity+1); GraphSpec pins the
+    * O(log n) bound instead on a long chain.
+    */
+  private val componentsBigStarQ = q("graph_components_bigstar",
+    s"""WITH ${Oracle.linksCte},
+       |$edgesIntSql,
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)),
+       |comp AS (
+       |  WITH RECURSIVE reach AS (
+       |    SELECT node, r FROM (
+       |      SELECT a AS node, a AS r FROM und
+       |      UNION SELECT a AS node, b AS r FROM und)
+       |    UNION
+       |    SELECT reach.node, und.b AS r
+       |    FROM reach JOIN und ON und.a = reach.r)
+       |  SELECT node, min(r) AS component FROM reach GROUP BY node)
+       |SELECT component, count(*)::BIGINT AS n_nodes
+       |FROM comp GROUP BY component
+       |ORDER BY component""".stripMargin) { (s, dir) =>
+    val (labels, _) = componentsBigStar(edgesInt(s, dir))
+    labels.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("component")
+  }
+
   /** k-core decomposition (k = 2, 3 fixed peeling rounds) — iterative
     * degree-pruning: every round drops nodes whose CURRENT degree is
     * below k and the edges touching them, so chains and pendant trees
@@ -560,5 +702,5 @@ object Graph {
   }
 
   val all: Seq[GQuery] = Seq(components, pagerank, khop, triangles,
-    componentsConvergedQ, kcore)
+    componentsConvergedQ, componentsBigStarQ, kcore)
 }

@@ -194,6 +194,53 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("component")).distinct.length == rows.length)
   }
 
+  test("componentsBigStar: fixpoint labels equal componentsConverged's") {
+    val enc = (c: String) =>
+      expr(s"substring($c, 2, 1)").cast("long") * lit(1000000000000L) +
+        element_at(split(col(c), "-"), 2).cast("long")
+    val edges = edgeSlice.select(enc("src").as("a"), enc("dst").as("b"))
+    val (star, rounds) = queries.Graph.componentsBigStar(edges)
+    assert(rounds > 0 && rounds < 50, s"did not converge in $rounds rounds")
+    // the two algorithms reach the SAME fixpoint: min-of-component labels
+    val (prop, _) = queries.Graph.componentsConverged(edges)
+    assert(star.except(prop).count() == 0 && prop.except(star).count() == 0,
+      "star-contraction labels diverge from min-label propagation")
+    // gated driver replay and the distributed branch are the same algorithm
+    val (starD, roundsD) =
+      queries.Graph.componentsBigStar(edges, driverGateEdges = 0L)
+    assert(roundsD == rounds, s"gated $rounds vs distributed $roundsD rounds")
+    assert(starD.except(star).count() == 0 && star.except(starD).count() == 0,
+      "gated and distributed star labels diverge")
+  }
+
+  test("componentsBigStar: O(log n) rounds on a chain, where propagation needs O(n)") {
+    import spark.implicits._
+    // a 64-hop path: min-label propagation needs eccentricity (63) + 1
+    // rounds; star contraction must stay logarithmic — THE reason it is
+    // the 100 TB path for high-diameter graphs
+    val chain = (1L until 64L).map(i => (i + 1, i)).toDF("a", "b")
+    val (labels, rounds) = queries.Graph.componentsBigStar(chain)
+    assert(rounds <= 10, s"star contraction took $rounds rounds on a chain")
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 64L).forall(m(_) == 1L), "chain did not collapse to min id")
+    // distributed branch honors the same bound (it is the same loop)
+    val (_, roundsD) = queries.Graph.componentsBigStar(chain,
+      driverGateEdges = 0L)
+    assert(roundsD == rounds, s"distributed chain rounds $roundsD != $rounds")
+  }
+
+  test("componentsBigStar: empty edges and self-loop-only nodes") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val (l0, r0) = queries.Graph.componentsBigStar(empty)
+    assert(r0 == 0 && l0.isEmpty)
+    // self-loops carry no connectivity but the node keeps its own label
+    val loops = Seq((7L, 7L), (9L, 8L)).toDF("a", "b")
+    val (l1, _) = queries.Graph.componentsBigStar(loops)
+    val m = l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(7L -> 7L, 8L -> 8L, 9L -> 8L), s"labels wrong: $m")
+  }
+
   test("componentsConverged on an empty edge list returns no labels, zero rounds") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
