@@ -95,6 +95,77 @@ object CorpusSink {
     }
   }
 
+  /** Z-ORDER (Morton) clustering key over `zCols` — multi-dimensional data
+    * skipping for the layouts hive partitioning can't give. Directory
+    * partitioning prunes ONE dimension at directory granularity; a scan
+    * filtered on two+ columns (user AND time window, source AND quality
+    * band) skips files only if each file covers a tight hyper-rectangle in
+    * all filter dimensions at once. Interleaving the bits of per-column
+    * rank codes gives exactly that: sorting by the interleaved key places
+    * rows so any contiguous key range — hence any range-partitioned output
+    * file — spans a bounded box in every clustered dimension, and parquet's
+    * per-file/row-group min-max stats then prune multi-column predicates at
+    * 100 TB the way an index would.
+    *
+    * Per-column codes are QUANTILE fences (equal-population bins via
+    * `approxQuantile`, driver cost `bits`-bounded), not linear min-max
+    * scaling: a skewed column (long-tail user ids, bursty timestamps)
+    * under linear scaling collapses most rows into a few codes and the
+    * interleave degenerates to a single-column sort. Binning is one
+    * ordered scan of the ≤2^bits-element fence array per row
+    * (`functions.aggregate` over an array literal — no UDF), the
+    * interleave is pure shift/mask arithmetic, both map-side.
+    */
+  def zOrderKey(df: DataFrame, zCols: Seq[String], bits: Int = 8): org.apache.spark.sql.Column = {
+    require(zCols.size >= 2, "z-ordering needs at least two columns")
+    require(bits * zCols.size <= 62, s"${zCols.size} cols x $bits bits overflows a long")
+    val nBins = 1 << bits
+    val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val codes = zCols.map { c =>
+      // timestamps/numerics alike: cast to double for fence computation
+      val d = df.select(col(c).cast("double").as("__zq"))
+      val fences = d.stat.approxQuantile("__zq", probs, 1.0 / (4 * nBins))
+        .distinct.sorted
+      val fenceArr = array(fences.map(lit): _*)
+      val rank = aggregate(fenceArr, lit(0),
+        (acc, f) => acc + when(col(c).cast("double") >= f, 1).otherwise(0))
+        .cast("long")
+      // a low-cardinality column dedups to few fences; scale its rank to
+      // the FULL code range or its bits land below the other columns' in
+      // the interleave and the clustering degenerates to a one-column sort
+      rank * nBins / (fences.length + 1)
+    }
+    val n = zCols.size
+    val terms = for {
+      j <- codes.indices
+      i <- 0 until bits
+    } yield shiftleft(shiftright(codes(j), i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` z-order-clustered by `zCols` into `targetFiles` parquet
+    * files (0 = derive from `advisoryMB` via the same row-byte proxy as
+    * [[write]]): one range shuffle on the interleaved key, an in-partition
+    * sort so row groups inside each file stay tight too, and disjoint
+    * z-ranges per file by `repartitionByRange` construction.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 8, advisoryMB: Int = 128, targetFiles: Int = 0): Unit = {
+    val tf =
+      if (targetFiles > 0) targetFiles
+      else {
+        val rowBytes = octet_length(to_json(struct(df.columns.map(col): _*)))
+        val total = df.agg(sum(rowBytes.cast("long"))).head.getLong(0)
+        math.max(1L, (total + advisoryMB * 1024L * 1024L - 1) /
+          (advisoryMB * 1024L * 1024L)).toInt
+      }
+    df.withColumn("__zkey", zOrderKey(df, zCols, bits))
+      .repartitionByRange(tf, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   private def sizedByBudget(df: DataFrame, partitionCols: Seq[String],
       advisoryMB: Int, censusFraction: Double): DataFrame = {
     val s = df.sparkSession

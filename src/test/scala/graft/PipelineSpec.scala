@@ -138,6 +138,56 @@ class PipelineSpec extends AnyFunSuite {
       "lang filter must prune partitions at the scan")
   }
 
+  test("z-order layout: box predicates touch far fewer files than a time-sorted layout") {
+    // the writer's promise is DATA SKIPPING: with files laid out along the
+    // interleaved (user_id, ts) key, a two-column box predicate must
+    // intersect the min-max footprint of only a handful of files, where a
+    // time-only sort (the natural ingest order) prunes one dimension and
+    // scans every file for the other
+    // 64k rows uniform over 256 users x 2^20 time units — enough per-file
+    // rows that min-max footprints reflect the layout, not sampling noise
+    val nFiles = 64
+    val df = spark.range(65536).select(
+      col("id").as("event_id"),
+      pmod(hash(col("id")), lit(256)).cast("long").as("user_id"),
+      pmod(hash(col("id") * 7 + 1), lit(1 << 20)).cast("long").as("t"))
+    val zOut = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    pipeline.CorpusSink.writeZOrdered(df, zOut, Seq("user_id", "t"),
+      bits = 8, targetFiles = nFiles)
+    val tOut = java.nio.file.Files.createTempDirectory("graft-tsort").toString
+    df.repartitionByRange(nFiles, col("t"))
+      .sortWithinPartitions("t").write.mode("overwrite").parquet(tOut)
+    // clustering must not lose or duplicate a row
+    val back = spark.read.parquet(zOut)
+    assert(back.count() == df.count() &&
+      back.select("event_id").except(df.select("event_id")).count() == 0)
+    // the canonical lakehouse probe: ONE user inside a time window
+    val (uLo, uHi) = (57L, 57L)
+    val (tLo, tHi) = ((7L << 17) - (1L << 16), (7L << 17) + (1L << 16))
+    def touched(path: String): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+          min("t").as("tlo"), max("t").as("thi"))
+        .filter(col("uhi") >= uLo && col("ulo") <= uHi &&
+          col("thi") >= tLo && col("tlo") <= tHi)
+        .count()
+    val (zt, tt) = (touched(zOut), touched(tOut))
+    assert(zt >= 1, "box must hit at least one z-ordered file")
+    assert(zt * 3 <= tt,
+      s"z-order touches $zt of $nFiles files vs $tt for the sorted layout — no skipping win")
+    // the low-cardinality path stays sane too: real events (15 users at
+    // this SF) must round-trip exactly and never skip WORSE than the
+    // one-column layout
+    val events = Tables.events(spark, sf)
+    val ezOut = java.nio.file.Files.createTempDirectory("graft-zorder-ev").toString
+    pipeline.CorpusSink.writeZOrdered(events, ezOut, Seq("user_id", "ts"),
+      bits = 8, targetFiles = 16)
+    val eback = spark.read.parquet(ezOut)
+    assert(eback.count() == events.count() &&
+      eback.select("event_id").except(events.select("event_id")).count() == 0)
+  }
+
   test("corpus sink sizes files under skew: no oversize, no sliver storm") {
     // the sink's actual promise is FILE SIZING, not just layout: a skewed
     // partition column must split into ~advisory-sized files instead of one
