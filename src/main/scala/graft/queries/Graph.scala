@@ -230,6 +230,130 @@ object Graph {
     }
   }
 
+  /** PageRank run TO CONVERGENCE — the production twin of the fixed-round
+    * [[pagerank]], stopping when the L1 rank movement falls to
+    * `epsPerNode × |nodes|` (fixed-point units; 1000 ≈ 1e-6 of a rank).
+    * The per-round delta doubles as telemetry AND the stop test: one
+    * full-outer join of consecutive SPARSE contribution tables + one
+    * map-side-combinable sum — same cost class as the round itself, no
+    * dense rank materialization. Integer fixed-point means no float drift
+    * ever masks convergence, but truncating division can leave a ±1-unit
+    * flicker per node — which is exactly why the stop is a threshold, not
+    * delta == 0. Returns (ranks, rounds run, last delta).
+    */
+  def pagerankConverged(edges: DataFrame, epsPerNode: Long = 1000L,
+      maxRounds: Int = 50): (DataFrame, Int, Long) = {
+    val SCALE = "1000000000"
+    val BASE = "150000000"
+    val e = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .distinct()
+    val outd = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    val ed = e.join(outd.withColumnRenamed("node", "a"), Seq("a"))
+      .transform(graft.Iterative.truncate)
+    val nNodes = ed.select(col("a").as("node"))
+      .union(ed.select(col("b").as("node"))).distinct().count()
+    val eps = epsPerNode * math.max(1L, nNodes)
+    def prOf(s: org.apache.spark.sql.Column) =
+      expr("85 * coalesce(s, 0L) div 100") // pr minus the constant BASE
+    var contrib = ed.groupBy(col("b").as("node"))
+      .agg(sum(expr(s"$SCALE div d")).as("s")).transform(graft.Iterative.truncate)
+    // round-1 delta vs the BASE-only init: every contribution IS movement
+    var delta = Option(contrib.agg(sum(prOf(col("s")))).head.getLong(0))
+      .getOrElse(0L)
+    var rounds = 1
+    while (delta > eps && rounds < maxRounds) {
+      val next = ed.join(contrib.withColumnRenamed("node", "a"), Seq("a"), "left")
+        .groupBy(col("b").as("node"))
+        .agg(sum(expr(s"($BASE + (85 * coalesce(s, 0L)) div 100) div d")).as("s"))
+        .transform(graft.Iterative.truncate)
+      delta = next.withColumnRenamed("s", "sn")
+        .join(contrib.withColumnRenamed("s", "sp"), Seq("node"), "full_outer")
+        .agg(sum(abs(expr("85 * coalesce(sn, 0L) div 100") -
+          expr("85 * coalesce(sp, 0L) div 100"))).cast("long"))
+        .head.getLong(0)
+      contrib = next
+      rounds += 1
+    }
+    val nodes = ed.select(col("a").as("node"))
+      .union(ed.select(col("b").as("node"))).distinct()
+    val ranks = nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(BASE.toLong) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
+    (ranks, rounds, delta)
+  }
+
+  /** Per-round L1 rank movement for the first 3 PageRank rounds — the
+    * oracle-checkable window into [[pagerankConverged]]'s stop test. Both
+    * engines chain the SAME sparse contribution tables and diff
+    * consecutive rounds with a full-outer join, so a drift anywhere in the
+    * delta accounting (the thing the converged loop trusts) breaks the
+    * hash. Monotone-decreasing deltas on this slice are also asserted in
+    * GraphSpec against the converged runner itself.
+    */
+  private val pagerankDeltaQ = {
+    val SCALE = "1000000000"
+    val BASE = "150000000"
+    val edgesSql =
+      """e AS (SELECT DISTINCT a, b FROM eint),
+        |outd AS (SELECT a AS node, count(*) AS d FROM e GROUP BY a),
+        |ed AS (SELECT e.a, e.b, o.d FROM e JOIN outd o ON o.node = e.a)""".stripMargin
+    val c1 = s"c1 AS (SELECT b AS node, sum($SCALE // d)::BIGINT AS s FROM ed GROUP BY b)"
+    val steps = (2 to 3).map { i =>
+      s"""c$i AS (
+         |  SELECT ed.b AS node,
+         |    sum(($BASE + (85 * coalesce(p.s, 0)) // 100) // ed.d)::BIGINT AS s
+         |  FROM ed LEFT JOIN c${i - 1} p ON p.node = ed.a
+         |  GROUP BY ed.b)""".stripMargin
+    }.mkString(",\n")
+    q("graph_pagerank_delta",
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |$edgesSql,
+         |$c1,
+         |$steps,
+         |d1 AS (SELECT 1 AS round, sum((85 * s) // 100)::BIGINT AS l1_delta FROM c1),
+         |d2 AS (
+         |  SELECT 2 AS round,
+         |    sum(abs((85 * coalesce(n.s, 0)) // 100
+         |      - (85 * coalesce(p.s, 0)) // 100))::BIGINT AS l1_delta
+         |  FROM c2 n FULL OUTER JOIN c1 p ON p.node = n.node),
+         |d3 AS (
+         |  SELECT 3 AS round,
+         |    sum(abs((85 * coalesce(n.s, 0)) // 100
+         |      - (85 * coalesce(p.s, 0)) // 100))::BIGINT AS l1_delta
+         |  FROM c3 n FULL OUTER JOIN c2 p ON p.node = n.node)
+         |SELECT round::BIGINT AS round, l1_delta FROM (
+         |  SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = edgesInt(s, dir).distinct()
+      val outd = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+      val ed = e.join(outd.withColumnRenamed("node", "a"), Seq("a"))
+        .transform(graft.Iterative.truncate)
+      var contrib = ed.groupBy(col("b").as("node"))
+        .agg(sum(expr(s"$SCALE div d")).as("s")).transform(graft.Iterative.truncate)
+      val deltas = scala.collection.mutable.ArrayBuffer[Long](
+        contrib.agg(sum(expr("85 * s div 100"))).head.getLong(0))
+      (2 to 3).foreach { _ =>
+        val next = ed.join(contrib.withColumnRenamed("node", "a"), Seq("a"), "left")
+          .groupBy(col("b").as("node"))
+          .agg(sum(expr(s"($BASE + (85 * coalesce(s, 0L)) div 100) div d")).as("s"))
+          .transform(graft.Iterative.truncate)
+        deltas += next.withColumnRenamed("s", "sn")
+          .join(contrib.withColumnRenamed("s", "sp"), Seq("node"), "full_outer")
+          .agg(sum(abs(expr("85 * coalesce(sn, 0L) div 100") -
+            expr("85 * coalesce(sp, 0L) div 100"))).cast("long"))
+          .head.getLong(0)
+        contrib = next
+      }
+      deltas.toSeq.zipWithIndex
+        .map { case (d, i) => (i + 1L, d) }
+        .toDF("round", "l1_delta")
+        .orderBy("round")
+    }
+  }
+
   /** Blast radius: bounded multi-source BFS — for every seed node (a
     * deterministic ~5% slice), the count of nodes reachable in ≤ k directed
     * hops. This is the "what breaks if X slips" walk over `blocks` edges,
@@ -644,6 +768,87 @@ object Graph {
       .orderBy("component")
   }
 
+  /** INCREMENTAL connected components — merge a batch of NEW edges into an
+    * existing labeling at cost proportional to the batch, never a
+    * whole-graph recompute. The move is CONTRACTION: each new edge's
+    * endpoints map to their current component labels (one keyed join
+    * against the label table; an unseen endpoint is its own label), edges
+    * whose endpoints already share a label drop out, and what remains is a
+    * graph over COMPONENT IDS — sized by the batch, no matter how big the
+    * underlying graph is. Running [[componentsBigStar]] on that contracted
+    * graph yields the merge map old-label → merged-min; one more keyed
+    * join re-roots the full label table. Since every old label is already
+    * its component's min node id and every new node is its own id, the
+    * merged labels are EXACTLY what a from-scratch run over base ∪ delta
+    * produces — which is what the oracle checks.
+    *
+    * This is the CDC shape for 100 TB graph maintenance: continuous edge
+    * ingest (new links, new near-dup pairs) re-labels affected components
+    * only; the big label table is touched by exactly two equi-joins
+    * (endpoint resolve, re-root), both map-side broadcastable when the
+    * batch — and hence the merge map — is small.
+    */
+  def componentsIncremental(baseLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val e = newEdges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val lab = baseLabels.toDF("node", "lbl")
+    val resolved = e
+      .join(lab.select(col("node").as("a"), col("lbl").as("la")), Seq("a"), "left")
+      .join(lab.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("a"),
+        coalesce(col("lb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val (merge, _) = componentsBigStar(resolved)
+    val root = merge.select(col("node").as("lbl"), col("lbl").as("root"))
+    // re-root existing labels, then add nodes the delta introduced
+    val rerooted = lab.join(root, Seq("lbl"), "left")
+      .select(col("node"), coalesce(col("root"), col("lbl")).as("lbl"))
+    val newNodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+      .join(lab.select("node"), Seq("node"), "left_anti")
+    val newLabeled = newNodes
+      .join(root.withColumnRenamed("lbl", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("lbl"))
+    rerooted.unionByName(newLabeled)
+  }
+
+  /** [[componentsIncremental]] as a registered, oracle-gated query: the
+    * edge slice splits deterministically into a 90% "existing graph" and a
+    * 10% "late batch" (`(a + b) % 10`), the base labels come from a full
+    * [[componentsBigStar]] run, the batch merges in incrementally, and the
+    * output is component sizes. The oracle computes components of the
+    * WHOLE graph from scratch (transitive-closure CTE) — so the hash
+    * passes only if the incremental merge is indistinguishable from a full
+    * recompute, which is the entire contract.
+    */
+  private val componentsIncrementalQ = q("graph_components_incremental",
+    s"""WITH ${Oracle.linksCte},
+       |$edgesIntSql,
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)),
+       |comp AS (
+       |  WITH RECURSIVE reach AS (
+       |    SELECT node, r FROM (
+       |      SELECT a AS node, a AS r FROM und
+       |      UNION SELECT a AS node, b AS r FROM und)
+       |    UNION
+       |    SELECT reach.node, und.b AS r
+       |    FROM reach JOIN und ON und.a = reach.r)
+       |  SELECT node, min(r) AS component FROM reach GROUP BY node)
+       |SELECT component, count(*)::BIGINT AS n_nodes
+       |FROM comp GROUP BY component
+       |ORDER BY component""".stripMargin) { (s, dir) =>
+    val all = edgesInt(s, dir)
+    val base = all.filter(pmod(col("a") + col("b"), lit(10)) =!= 0)
+    val delta = all.filter(pmod(col("a") + col("b"), lit(10)) === 0)
+    val (baseLabels, _) = componentsBigStar(base)
+    componentsIncremental(baseLabels, delta)
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("component")
+  }
+
   /** k-core decomposition (k = 2, 3 fixed peeling rounds) — iterative
     * degree-pruning: every round drops nodes whose CURRENT degree is
     * below k and the edges touching them, so chains and pendant trees
@@ -701,6 +906,7 @@ object Graph {
     }
   }
 
-  val all: Seq[GQuery] = Seq(components, pagerank, khop, triangles,
-    componentsConvergedQ, componentsBigStarQ, kcore)
+  val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
+    triangles, componentsConvergedQ, componentsBigStarQ,
+    componentsIncrementalQ, kcore)
 }

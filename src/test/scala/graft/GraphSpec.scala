@@ -229,6 +229,53 @@ class GraphSpec extends AnyFunSuite {
     assert(roundsD == rounds, s"distributed chain rounds $roundsD != $rounds")
   }
 
+  test("componentsIncremental: merging a delta batch equals a full recompute") {
+    import spark.implicits._
+    // two chains and an isolated pair; the delta bridges the chains and
+    // introduces a brand-new node hanging off an existing one
+    val base = Seq((2L, 1L), (3L, 2L), (12L, 11L), (13L, 12L), (21L, 20L))
+      .toDF("a", "b")
+    val delta = Seq((3L, 11L), (30L, 13L), (40L, 41L)).toDF("a", "b")
+    val (baseLabels, _) = queries.Graph.componentsBigStar(base)
+    val inc = queries.Graph.componentsIncremental(baseLabels, delta)
+    val (full, _) = queries.Graph.componentsBigStar(base.unionByName(delta))
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0,
+      "incremental labels diverge from a from-scratch run over base + delta")
+    val m = inc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chains 1-3 and 11-13 merged through the bridge; 30 joined them; the
+    // untouched pair kept its label; 40-41 is a new component
+    assert(Seq(1L, 2L, 3L, 11L, 12L, 13L, 30L).forall(m(_) == 1L), s"merge wrong: $m")
+    assert(m(20L) == 20L && m(21L) == 20L && m(40L) == 40L && m(41L) == 40L)
+    // an empty delta is the identity
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val idem = queries.Graph.componentsIncremental(baseLabels, empty)
+    assert(idem.except(baseLabels).count() == 0 &&
+      baseLabels.except(idem).count() == 0)
+  }
+
+  test("pagerankConverged: stops under eps; deltas shrink; ranks match fixed-round shape") {
+    val enc = (c: String) =>
+      expr(s"substring($c, 2, 1)").cast("long") * lit(1000000000000L) +
+        element_at(split(col(c), "-"), 2).cast("long")
+    val edges = edgeSlice.select(enc("src").as("a"), enc("dst").as("b"))
+    val (ranks, rounds, lastDelta) = queries.Graph.pagerankConverged(edges)
+    assert(rounds > 1 && rounds < 50, s"suspicious round count $rounds")
+    val nNodes = ranks.count()
+    assert(lastDelta <= 1000L * nNodes,
+      s"stopped with delta $lastDelta above eps for $nNodes nodes")
+    // every rank carries at least the base mass, top ranks strictly above
+    val base = 150000000L
+    assert(ranks.filter(col("pr") < base).count() == 0)
+    assert(ranks.filter(col("pr") > base).count() > 0,
+      "no node ever received inbound mass")
+    // telemetry query: deltas over the first rounds decrease monotonically
+    val deltas = SparkEntry.queries("graph_pagerank_delta")(spark, sf)
+      .orderBy("round").collect().map(_.getAs[Long]("l1_delta"))
+    assert(deltas.length == 3 &&
+      deltas.sliding(2).forall(p => p(1) < p(0)),
+      s"rank movement not shrinking: ${deltas.toSeq}")
+  }
+
   test("componentsBigStar: empty edges and self-loop-only nodes") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
