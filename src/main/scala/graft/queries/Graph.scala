@@ -855,6 +855,26 @@ object Graph {
       .orderBy("component")
   }
 
+  /** Maintain a PERSISTED component labeling under continuous edge ingest:
+    * load the label table, merge the batch via [[componentsIncremental]],
+    * commit back through the state store's crash-recoverable tmp+rename.
+    * This is the graph twin of the incremental MinHash/IVF/span/phash
+    * indexes — call it from `foreachBatch` and a streaming edge source
+    * keeps whole-corpus connectivity current at batch-proportional cost
+    * (StreamSpec pins two-micro-batch convergence to the one-shot
+    * [[componentsBigStar]] labeling).
+    */
+  def upsertComponents(newEdges: DataFrame, path: String): Unit = {
+    val spark = newEdges.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lbl",
+        org.apache.spark.sql.types.LongType)))
+    val base = graft.state.StateStore.loadTable(spark, path, schema)
+    graft.state.StateStore.save(componentsIncremental(base, newEdges), path)
+  }
+
   /** k-core decomposition (k = 2, 3 fixed peeling rounds) — iterative
     * degree-pruning: every round drops nodes whose CURRENT degree is
     * below k and the edges touching them, so chains and pendant trees

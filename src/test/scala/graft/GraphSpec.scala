@@ -288,6 +288,66 @@ class GraphSpec extends AnyFunSuite {
     assert(m == Map(7L -> 7L, 8L -> 8L, 9L -> 8L), s"labels wrong: $m")
   }
 
+  test("property: componentsBigStar matches brute union-find on random graphs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val genGraph = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 60)
+      es <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield es
+    Iterator.continually(genGraph.sample).flatten.take(25).foreach { es =>
+      // brute union-find with min-id relabeling — the ground truth
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+      def find(v: Long): Long = {
+        var r = v
+        while (parent(r) != r) r = parent(r)
+        var c = v
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(v => v -> find(v)).toMap
+        .map { case (v, r) => v -> nodes.filter(u => find(u) == r).min }
+      val (labels, rounds) = queries.Graph.componentsBigStar(es.toDF("a", "b"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$es rounds=$rounds got=$got want=$expected")
+    }
+  }
+
+  test("streaming edge ingest maintains the persisted component labeling") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-stream-cc").toString + "/labels"
+    // two chains that the second batch bridges and extends
+    val batch1 = Seq((2L, 1L), (3L, 2L), (12L, 11L), (13L, 12L))
+    val batch2 = Seq((3L, 11L), (30L, 13L))
+    val mem = MemoryStream[(Long, Long)]
+    val query = mem.toDF().toDF("a", "b").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) queries.Graph.upsertComponents(batch, path)
+      }
+      .start()
+    try {
+      mem.addData(batch1: _*)
+      query.processAllAvailable()
+      mem.addData(batch2: _*)
+      query.processAllAvailable()
+      val got = spark.read.parquet(path)
+      val (full, _) = queries.Graph.componentsBigStar(
+        (batch1 ++ batch2).toDF("a", "b"))
+      assert(got.except(full).count() == 0 && full.except(got).count() == 0,
+        "streamed labels diverge from a one-shot run over all edges")
+    } finally query.stop()
+  }
+
   test("componentsConverged on an empty edge list returns no labels, zero rounds") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
