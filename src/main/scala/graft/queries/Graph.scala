@@ -66,6 +66,20 @@ object Graph {
        |  SELECT ${encSql("src")} AS a, ${encSql("dst")} AS b FROM links
        |  WHERE link_type = 'blocks' AND project_key = 'P1')""".stripMargin
 
+  /** One-action size gate shared by the iterative operators: pull at most
+    * `gate` edge rows — a result shorter than the cap IS the whole graph
+    * (take the driver replay), a clipped one means "too big, go
+    * distributed". Replaces the count-then-collect pair with a single
+    * bounded scan job; the driver never holds more than `gate` rows either
+    * way.
+    */
+  private def gatherUnder(df: DataFrame, gate: Long): Option[Array[(Long, Long)]] = {
+    val cap = math.min(gate, Int.MaxValue.toLong - 1).toInt
+    val rows = df.limit(cap).collect()
+    if (rows.length < cap) Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+    else None
+  }
+
   private val components = {
     val undSql =
       """und AS (
@@ -131,8 +145,9 @@ object Graph {
   private[graft] def fixedRoundLabels(e: DataFrame, rounds: Int,
       driverGateEdges: Long = 1000000L): DataFrame = {
     val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-    if (und.count() < driverGateEdges) {
-      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val gathered = gatherUnder(und, driverGateEdges)
+    if (gathered.isDefined) {
+      val es = gathered.get
       val nbrs = es.groupBy(_._1).map { case (a, bs) => (a, bs.map(_._2)) }
       var m: Map[Long, Long] = nbrs.keysIterator.map(id => id -> id).toMap
       (1 to rounds).foreach { _ =>
@@ -526,8 +541,9 @@ object Graph {
     // convergence test, same confirming round counted), so the rounds and
     // labels are hash-identical. Genuinely large edge sets take the
     // distributed branch below, which is the form that matters at scale.
-    if (und.count() < driverGateEdges) {
-      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val gathered = gatherUnder(und, driverGateEdges)
+    if (gathered.isDefined) {
+      val es = gathered.get
       val nbrs = es.groupBy(_._1).map { case (a, bs) => (a, bs.map(_._2)) }
       var m: Map[Long, Long] = nbrs.keysIterator.map(id => id -> id).toMap
       def sumM: BigInt = m.values.foldLeft(BigInt(0))(_ + _)
@@ -681,8 +697,9 @@ object Graph {
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
       .distinct()
-    if (canon0.count() < driverGateEdges) {
-      var cur = canon0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gathered = gatherUnder(canon0, driverGateEdges)
+    if (gathered.isDefined) {
+      var cur = gathered.get.toSet
       var rounds = 0
       var converged = cur.isEmpty
       while (!converged && rounds < maxRounds) {
