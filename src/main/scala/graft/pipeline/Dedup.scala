@@ -459,9 +459,14 @@ object Dedup {
       // when the edge set is genuinely large.
       val docs = graft.Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("doc_id").as("cluster"))
+      // one bounded action answers "small enough?" AND delivers the rows:
+      // a result shorter than the cap is the whole edge set (same move as
+      // Graph.gatherUnder); a clipped one falls through to the
+      // distributed chain without ever holding more than the cap
+      val gathered = edges.limit(1000000).collect()
       val lab =
-        if (edges.count() < 1000000) {
-          val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        if (gathered.length < 1000000) {
+          val es = gathered.map(r => (r.getLong(0), r.getLong(1)))
           val nbrs = es.groupBy(_._1).map { case (a, bs) => (a, bs.map(_._2)) }
           var m = es.iterator.flatMap(e => Iterator(e._1, e._2))
             .map(id => id -> id).toMap
