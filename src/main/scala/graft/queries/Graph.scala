@@ -872,6 +872,81 @@ object Graph {
       .orderBy("component")
   }
 
+  /** DECREMENTAL connected components — remove a batch of edges and repair
+    * the labeling by recomputing ONLY the affected components. Deletion is
+    * the hard direction (an insert can only merge, so contraction suffices;
+    * a delete can SPLIT a component, which no label algebra fixes locally),
+    * but the blast radius is still bounded: a component untouched by any
+    * deleted edge cannot change. So: the deleted endpoints' labels name the
+    * affected components (batch-sized set, broadcast); one filtered pass of
+    * the REMAINING edge table keeps just those components' edges (a
+    * broadcast semi-join — with the edge table stored label-partitioned
+    * this prunes to the affected partitions); [[componentsBigStar]] relabels
+    * that subgraph; untouched labels pass through. Nodes isolated by the
+    * deletion drop out, matching a from-scratch run over the remaining
+    * edges — which is exactly what the registered query's oracle computes.
+    */
+  def componentsDecremental(baseLabels: DataFrame, remainingEdges: DataFrame,
+      deletedEdges: DataFrame): DataFrame = {
+    val lab = baseLabels.toDF("node", "lbl")
+    val del = deletedEdges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val rem = remainingEdges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val touched = del.select(col("a").as("node"))
+      .union(del.select(col("b").as("node"))).distinct()
+    val affected = lab.join(touched, Seq("node"), "left_semi")
+      .select(col("lbl")).distinct()
+    // every remaining edge is intra-component under the OLD labeling, so
+    // one endpoint's label decides membership in the affected subgraph
+    val subEdges = rem
+      .join(lab.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(broadcast(affected.withColumnRenamed("lbl", "la")), Seq("la"),
+        "left_semi")
+      .select("a", "b")
+    val (relabeled, _) = componentsBigStar(subEdges)
+    val untouched = lab
+      .join(broadcast(affected), Seq("lbl"), "left_anti")
+    untouched.select("node", "lbl").unionByName(relabeled)
+  }
+
+  /** [[componentsDecremental]] as a registered, oracle-gated query: the
+    * deterministic 10% `(a + b) % 10` slice plays the DELETED batch this
+    * time, the base labels come from a full run over everything, and the
+    * repair touches only the components the deletions name. The oracle
+    * computes components of the remaining 90% from scratch — the hash
+    * passes only if bounded repair is indistinguishable from full
+    * recompute, including dropping nodes the deletion isolated.
+    */
+  private val componentsDecrementalQ = q("graph_components_decremental",
+    s"""WITH ${Oracle.linksCte},
+       |$edgesIntSql,
+       |keep AS (SELECT a, b FROM eint WHERE (a + b) % 10 <> 0),
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM keep UNION ALL SELECT b, a FROM keep)),
+       |comp AS (
+       |  WITH RECURSIVE reach AS (
+       |    SELECT node, r FROM (
+       |      SELECT a AS node, a AS r FROM und
+       |      UNION SELECT a AS node, b AS r FROM und)
+       |    UNION
+       |    SELECT reach.node, und.b AS r
+       |    FROM reach JOIN und ON und.a = reach.r)
+       |  SELECT node, min(r) AS component FROM reach GROUP BY node)
+       |SELECT component, count(*)::BIGINT AS n_nodes
+       |FROM comp GROUP BY component
+       |ORDER BY component""".stripMargin) { (s, dir) =>
+    val all = edgesInt(s, dir)
+    val rem = all.filter(pmod(col("a") + col("b"), lit(10)) =!= 0)
+    val del = all.filter(pmod(col("a") + col("b"), lit(10)) === 0)
+    val (baseLabels, _) = componentsBigStar(all)
+    componentsDecremental(baseLabels, rem, del)
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("component")
+  }
+
   /** Maintain a PERSISTED component labeling under continuous edge ingest:
     * load the label table, merge the batch via [[componentsIncremental]],
     * commit back through the state store's crash-recoverable tmp+rename.
@@ -951,5 +1026,5 @@ object Graph {
 
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
-    componentsIncrementalQ, kcore)
+    componentsIncrementalQ, componentsDecrementalQ, kcore)
 }

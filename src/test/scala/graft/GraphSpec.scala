@@ -276,6 +276,32 @@ class GraphSpec extends AnyFunSuite {
       s"rank movement not shrinking: ${deltas.toSeq}")
   }
 
+  test("componentsDecremental: deleting a bridge splits; repair equals recompute") {
+    import spark.implicits._
+    // one component held together by the bridge (3,11); a second that the
+    // deletions never touch
+    val edges = Seq((2L, 1L), (3L, 2L), (3L, 11L), (12L, 11L), (13L, 12L),
+      (21L, 20L)).toDF("a", "b")
+    val (baseLabels, _) = queries.Graph.componentsBigStar(edges)
+    val del = Seq((3L, 11L)).toDF("a", "b")
+    val rem = Seq((2L, 1L), (3L, 2L), (12L, 11L), (13L, 12L), (21L, 20L))
+      .toDF("a", "b")
+    val out = queries.Graph.componentsDecremental(baseLabels, rem, del)
+    val (full, _) = queries.Graph.componentsBigStar(rem)
+    assert(out.except(full).count() == 0 && full.except(out).count() == 0,
+      "bounded repair diverges from a from-scratch run over remaining edges")
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the bridge deletion split 1..13 into {1,2,3} and {11,12,13}
+    assert(Seq(1L, 2L, 3L).forall(m(_) == 1L) &&
+      Seq(11L, 12L, 13L).forall(m(_) == 11L), s"split wrong: $m")
+    assert(m(20L) == 20L && m(21L) == 20L, "untouched component must pass through")
+    // deleting a pendant's only edge drops the isolated node entirely
+    val out2 = queries.Graph.componentsDecremental(baseLabels,
+      rem.filter(col("a") =!= 13L), Seq((3L, 11L), (13L, 12L)).toDF("a", "b"))
+    val m2 = out2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!m2.contains(13L) && m2(12L) == 11L, s"isolation wrong: $m2")
+  }
+
   test("componentsBigStar: empty edges and self-loop-only nodes") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
