@@ -107,9 +107,48 @@ object Cli {
             Console.err.println(s"$cmd failed: ${e.getMessage}")
             1
         }
+      case "serve" =>
+        val missing = Seq("source", "repo", "state").filterNot(kv.contains)
+        if (missing.nonEmpty) {
+          Console.err.println(s"serve requires ${missing.map("--" + _).mkString(", ")}")
+          return 2
+        }
+        val (_, port) = startServer(kv)
+        println(s"""{"listening":"${kv.getOrElse("host", "127.0.0.1")}:$port"}""")
+        // serve forever (reference: cmd/api-server/main.go); ApiSpec drives
+        // the server in-process instead of through this blocking path
+        new java.util.concurrent.CountDownLatch(1).await()
+        0
       case other =>
         Console.err.println(s"unknown command: $other\n$usage"); 2
     }
+  }
+
+  /** Build and start the REST façade from CLI flags
+    * (reference: cmd/api-server/main.go flag surface).
+    */
+  private[graft] def startServer(kv: Map[String, String]): (api.ApiServer, Int) = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = kv("source")
+    val server = new api.ApiServer(spark,
+      new jobs.JobManager(spark),
+      new api.ProfileStore(s"${kv("state")}/profiles"),
+      () => Tables.issuesFull(spark, src), () => Tables.links(spark, src),
+      kv("repo"), kv("state"),
+      host = kv.getOrElse("host", "127.0.0.1"),
+      port = kv.get("port").flatMap(_.toIntOption).getOrElse(8080),
+      rateLimitPerMinute = kv.get("rate-limit").flatMap(_.toIntOption).getOrElse(0),
+      version = "0.1.0")
+    val port = server.start()
+    (server, port)
   }
 
   private val usage: String =
@@ -118,5 +157,7 @@ object Cli {
       |           [--jql <query>] [--incremental] [--force] [--dry-run]
       |           [--projects P1,P2]
       |  recover  --source <sfDir> --repo <dir> --state <path> [--repair]
-      |  validate --jql <query>""".stripMargin
+      |  validate --jql <query>
+      |  serve    --source <sfDir> --repo <dir> --state <path>
+      |           [--host 127.0.0.1] [--port 8080] [--rate-limit N]""".stripMargin
 }

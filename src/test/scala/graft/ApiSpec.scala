@@ -1,0 +1,312 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{ApiServer, ProfileStore}
+import graft.jobs.JobManager
+import graft.model.SyncJobSpec
+
+/** End-to-end REST façade coverage: every route in the reference's mux
+  * (reference: internal/api/server.go:148-172) exercised over a real HTTP
+  * client against a live server bound to an ephemeral port, with sync jobs
+  * doing real engine work against the sf0.001 fixture.
+  */
+class ApiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val mapper = {
+    val m = new ObjectMapper(); m.registerModule(DefaultScalaModule); m
+  }
+
+  private def parse(s: String): Map[String, Any] = {
+    def norm(v: Any): Any = v match {
+      case m: java.util.Map[_, _] =>
+        import scala.jdk.CollectionConverters._
+        m.asScala.map { case (k, x) => String.valueOf(k) -> norm(x) }.toMap
+      case l: java.util.List[_] =>
+        import scala.jdk.CollectionConverters._
+        l.asScala.map(norm).toSeq
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => String.valueOf(k) -> norm(x) }.toMap
+      case sq: scala.collection.Seq[_] => sq.map(norm).toSeq
+      case other => other
+    }
+    norm(mapper.readValue(s, classOf[Object])).asInstanceOf[Map[String, Any]]
+  }
+
+  private val http = HttpClient.newHttpClient()
+
+  private def call(method: String, url: String, body: String = ""): (Int, Map[String, Any]) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json")
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), parse(resp.body()))
+  }
+
+  private def data(r: Map[String, Any]): Map[String, Any] =
+    r("data").asInstanceOf[Map[String, Any]]
+  private def error(r: Map[String, Any]): Map[String, Any] =
+    r("error").asInstanceOf[Map[String, Any]]
+
+  // deterministic, strictly increasing clock so job IDs never collide
+  private val clockMs = new java.util.concurrent.atomic.AtomicLong(
+    Timestamp.valueOf("2002-01-01 00:00:00").getTime)
+  private def tick(): Timestamp = new Timestamp(clockMs.addAndGet(1000))
+
+  private val work = Files.createTempDirectory("graft-api").toString
+  private val manager = new JobManager(spark)
+  private val store = new ProfileStore(s"$work/profiles")
+  private lazy val issuesDf = Tables.issues(spark, sf).cache()
+  private lazy val linksDf = Tables.links(spark, sf)
+  private val apiServer = new ApiServer(spark, manager, store,
+    () => issuesDf, () => linksDf, s"$work/repos", s"$work/state",
+    version = "test-1", clock = () => tick())
+  private lazy val base = s"http://127.0.0.1:${apiServer.start()}/api/v1"
+
+  // a second server with its own manager and NO HTTP sync traffic, so
+  // directly-submitted jobs deterministically stay Pending (the shared
+  // server's worker could drain them mid-test otherwise)
+  private val parkedManager = new JobManager(spark)
+  private val parked = new ApiServer(spark, parkedManager, store,
+    () => issuesDf, () => linksDf, s"$work/repos2", s"$work/state2",
+    version = "test-parked", clock = () => tick())
+  private lazy val parkedBase = s"http://127.0.0.1:${parked.start()}/api/v1"
+
+  private lazy val someKey: String =
+    issuesDf.select("key").head.getString(0)
+
+  test("health, system info, docs") {
+    val (hs, hr) = call("GET", s"$base/health")
+    assert(hs == 200 && hr("success") == true)
+    assert(data(hr)("status") == "healthy")
+    val comps = data(hr)("components").asInstanceOf[Map[String, Any]]
+    assert(comps("job_manager").asInstanceOf[Map[String, Any]]("status") == "healthy")
+    assert(hr("meta").asInstanceOf[Map[String, Any]]("version") == "test-1")
+
+    val (is, ir) = call("GET", s"$base/system/info")
+    assert(is == 200)
+    assert(data(ir)("api_version") == "v1")
+    assert(data(ir)("capabilities").asInstanceOf[Seq[Any]]
+      .toSet == Set("sync", "jobs", "profiles", "monitoring"))
+
+    val (ds, dr) = call("GET", s"$base/docs")
+    assert(ds == 200)
+    val endpoints = data(dr)("endpoints").asInstanceOf[Seq[Any]].map(String.valueOf)
+    assert(endpoints.size == 17)
+    assert(endpoints.contains("POST /api/v1/sync/jql"))
+  }
+
+  test("unknown endpoint is a 404 with the error envelope") {
+    val (s, r) = call("GET", s"$base/nope")
+    assert(s == 404 && r("success") == false)
+    assert(error(r)("code") == "NOT_FOUND")
+  }
+
+  test("malformed JSON body is a 400 INVALID_REQUEST, not a 500") {
+    val (s, r) = call("POST", s"$base/sync/single", "{not json")
+    assert(s == 400 && error(r)("code") == "INVALID_REQUEST")
+  }
+
+  test("middleware: CORS on every response, OPTIONS preflight, request ids") {
+    val req = HttpRequest.newBuilder(URI.create(s"$base/health")).GET().build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(resp.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    assert(resp.headers().firstValue("X-Request-Id").orElse("").startsWith("req-"))
+
+    val pre = HttpRequest.newBuilder(URI.create(s"$base/sync/single"))
+      .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build()
+    val preResp = http.send(pre, HttpResponse.BodyHandlers.ofString())
+    assert(preResp.statusCode() == 204)
+    assert(preResp.headers().firstValue("Access-Control-Allow-Methods").orElse("")
+      .contains("POST"))
+  }
+
+  test("synchronous single-issue sync runs the engine end-to-end") {
+    val (s, r) = call("POST", s"$base/sync/single",
+      s"""{"issue_key": "$someKey", "repository": "$work/repos"}""")
+    assert(s == 200, r.toString)
+    val result = data(r)("result").asInstanceOf[Map[String, Any]]
+    assert(String.valueOf(result("successful_sync")).toLong == 1L)
+    val jobId = String.valueOf(data(r)("job_id"))
+    // the YAML artifact really exists under the job's repo
+    val proj = someKey.split("-")(0)
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$work/repos/$jobId/projects/$proj/issues/$someKey.yaml")))
+    // and the job is visible as Completed
+    val (js, jr) = call("GET", s"$base/jobs/$jobId")
+    assert(js == 200 && data(jr)("status") == "Completed")
+    assert(data(jr)("type") == "single")
+  }
+
+  test("single sync validation: bad key and missing fields are 400") {
+    val (s1, r1) = call("POST", s"$base/sync/single",
+      s"""{"issue_key": "lowercase-1", "repository": "r"}""")
+    assert(s1 == 400 && error(r1)("code") == "VALIDATION_ERROR")
+    val (s2, r2) = call("POST", s"$base/sync/single", """{"issue_key": "P1-1"}""")
+    assert(s2 == 400 && error(r2)("code") == "VALIDATION_ERROR")
+  }
+
+  test("jql sync rejects invalid JQL at the door") {
+    val (s, r) = call("POST", s"$base/sync/jql",
+      s"""{"jql": "project = P1 AND AND bad", "repository": "$work/repos"}""")
+    assert(s == 400 && error(r)("code") == "VALIDATION_ERROR")
+    assert(String.valueOf(error(r)("details")).contains("duplicate operator"))
+  }
+
+  test("async jql sync: 202, then the worker drains it to Completed") {
+    val (s, r) = call("POST", s"$base/sync/jql",
+      s"""{"jql": "project = P3 AND status != \\"Done\\"", "repository": "$work/repos"}""")
+    assert(s == 202, r.toString)
+    assert(data(r)("status") == "Pending")
+    val jobId = String.valueOf(data(r)("job_id"))
+    var status = ""
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (status != "Completed" && status != "Failed" && System.nanoTime() < deadline) {
+      Thread.sleep(150)
+      status = String.valueOf(data(call("GET", s"$base/jobs/$jobId")._2)("status"))
+    }
+    assert(status == "Completed")
+    val (_, jr) = call("GET", s"$base/jobs/$jobId")
+    val result = data(jr)("result").asInstanceOf[Map[String, Any]]
+    assert(String.valueOf(result("total_issues")).toLong > 0)
+    // logs narrate the phase machine
+    val (ls, lr) = call("GET", s"$base/jobs/$jobId/logs")
+    assert(ls == 200)
+    val logs = data(lr)("logs").asInstanceOf[Seq[Any]].map(String.valueOf)
+    assert(logs.exists(_.startsWith("completed:")) && logs.contains("status: Completed"))
+  }
+
+  test("batch sync validates every key and is always async") {
+    val (bad, br) = call("POST", s"$base/sync/batch",
+      s"""{"issue_keys": ["$someKey", "nope"], "repository": "$work/repos"}""")
+    assert(bad == 400 && String.valueOf(error(br)("details")).contains("nope"))
+    val (s, r) = call("POST", s"$base/sync/batch",
+      s"""{"issue_keys": ["$someKey"], "repository": "$work/repos"}""")
+    assert(s == 202 && String.valueOf(data(r)("job_id")).startsWith("batch-"))
+  }
+
+  test("job list filters by status/type and paginates; queue status counts") {
+    // park two jobs as Pending by submitting directly (the worker only
+    // wakes for HTTP submissions)
+    val spec = SyncJobSpec("jql", Seq.empty, Some("project = P0"), None, None,
+      s"$work/repos2", None, 0, 0, 0, dry_run = true)
+    val p1 = parkedManager.submit(spec, tick())
+    val p2 = parkedManager.submit(spec.copy(jql_query = Some("project = P1")), tick())
+
+    val (ls, lr) = call("GET", s"$parkedBase/jobs?status=pending&page_size=1")
+    assert(ls == 200)
+    assert(data(lr)("jobs").asInstanceOf[Seq[Any]].size == 1)
+    assert(String.valueOf(data(lr)("total_count")).toInt >= 2)
+    assert(data(lr)("has_more") == true)
+
+    val (ts, tr) = call("GET", s"$parkedBase/jobs?type=jql&status=pending")
+    assert(ts == 200)
+    val typed = data(tr)("jobs").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(typed.forall(_("type") == "jql"))
+
+    val (qs, qr) = call("GET", s"$parkedBase/jobs/queue/status")
+    assert(qs == 200)
+    assert(String.valueOf(data(qr)("pending_jobs")).toInt >= 2)
+    assert(String.valueOf(data(qr)("total_jobs")).toInt ==
+      parkedManager.list().size)
+
+    // cancel one pending job; delete it; the other one cleans up too
+    val (cs, cr) = call("POST", s"$parkedBase/jobs/$p1/cancel")
+    assert(cs == 200 && data(cr)("job_id") == p1)
+    assert(String.valueOf(data(call("GET", s"$parkedBase/jobs/$p1")._2)("status")) == "Cancelled")
+    val (cs2, cr2) = call("POST", s"$parkedBase/jobs/$p1/cancel")
+    assert(cs2 == 409 && error(cr2)("code") == "JOB_CANCEL_ERROR")
+    val (del, _) = call("DELETE", s"$parkedBase/jobs/$p1")
+    assert(del == 200)
+    val (gone, gr) = call("GET", s"$parkedBase/jobs/$p1")
+    assert(gone == 404 && error(gr)("code") == "JOB_NOT_FOUND")
+    assert(call("POST", s"$parkedBase/jobs/$p2/cancel")._1 == 200)
+    assert(call("DELETE", s"$parkedBase/jobs/$p2")._1 == 200)
+  }
+
+  test("profile CRUD round-trip with validation and usage accounting") {
+    val profile = s"""{
+      "name": "nightly-p3", "description": "nightly P3 sync",
+      "repository": "$work/repos",
+      "jql": "project = P3", "tags": ["nightly"],
+      "options": {"concurrency": 2, "incremental": true, "include_links": true}
+    }"""
+    val (cs, cr) = call("POST", s"$base/profiles", profile)
+    assert(cs == 201, cr.toString)
+    assert(data(cr)("name") == "nightly-p3")
+    val createdAt = String.valueOf(data(cr)("created_at"))
+
+    val (dup, dr) = call("POST", s"$base/profiles", profile)
+    assert(dup == 409 && error(dr)("code") == "PROFILE_EXISTS")
+
+    val (bs, br2) = call("POST", s"$base/profiles",
+      s"""{"name": "Bad Name", "repository": "r", "jql": "project = P1"}""")
+    assert(bs == 400 && String.valueOf(error(br2)("details")).contains("invalid profile name"))
+
+    val (js, jr2) = call("POST", s"$base/profiles",
+      s"""{"name": "bad-jql", "repository": "r", "jql": "a = ("}""")
+    assert(js == 400 && String.valueOf(error(jr2)("details")).contains("jql:"))
+
+    val (us, ur) = call("PUT", s"$base/profiles/nightly-p3",
+      s"""{"description": "updated", "repository": "$work/repos", "jql": "project = P3"}""")
+    assert(us == 200 && data(ur)("description") == "updated")
+    // update preserves creation time
+    assert(String.valueOf(data(ur)("created_at")) == createdAt)
+
+    val (ls, lr) = call("GET", s"$base/profiles")
+    assert(ls == 200 && String.valueOf(data(lr)("count")).toInt == 1)
+
+    // usage accounting through the store API the engine integration uses
+    assert(store.recordUsage("nightly-p3", 1200, success = true, tick()))
+    assert(store.recordUsage("nightly-p3", 800, success = false, tick()))
+    val (gs, gr) = call("GET", s"$base/profiles/nightly-p3")
+    assert(gs == 200)
+    assert(String.valueOf(data(gr)("usage_count")).toInt == 2)
+    assert(math.abs(String.valueOf(data(gr)("success_rate")).toDouble - 0.5) < 1e-9)
+
+    val (ds, _) = call("DELETE", s"$base/profiles/nightly-p3")
+    assert(ds == 200)
+    assert(call("GET", s"$base/profiles/nightly-p3")._1 == 404)
+    assert(call("DELETE", s"$base/profiles/nightly-p3")._1 == 404)
+  }
+
+  test("profile store survives process-restart shape: reload from disk") {
+    val now = tick()
+    val p = ProfileStore.Profile(name = "restartable", repository = "r",
+      jql = "project = P1")
+    assert(new ProfileStore(s"$work/p2").create(p, now).isRight)
+    // a fresh store over the same root sees the committed collection
+    val reloaded = new ProfileStore(s"$work/p2")
+    assert(reloaded.get("restartable").map(_.repository).contains("r"))
+    assert(reloaded.rename("restartable", "renamed", now).toOption.flatten.isDefined)
+    assert(reloaded.get("restartable").isEmpty)
+    assert(reloaded.get("renamed").nonEmpty)
+  }
+
+  test("rate limit: fixed window returns 429 past the per-minute budget") {
+    val limited = new ApiServer(spark, manager, store,
+      () => issuesDf, () => linksDf, s"$work/repos", s"$work/state",
+      rateLimitPerMinute = 3, version = "test-rl",
+      clock = () => new Timestamp(86400000L)) // frozen: the window can't roll
+    val port = limited.start()
+    try {
+      val url = s"http://127.0.0.1:$port/api/v1/health"
+      val codes = (1 to 5).map(_ => call("GET", url)._1)
+      assert(codes.take(3).forall(_ == 200))
+      assert(codes.drop(3).contains(429))
+    } finally limited.stop()
+  }
+}

@@ -50,4 +50,21 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.run(Array("nonsense")) == 2)
     assert(Cli.run(Array.empty[String]) == 2)
   }
+
+  test("serve: missing args exit 2; startServer binds and answers health") {
+    assert(Cli.run(Array("serve")) == 2)
+    val work = java.nio.file.Files.createTempDirectory("graft-cli-serve").toString
+    val (server, port) = Cli.startServer(Map(
+      "source" -> TestSpark.sf, "repo" -> s"$work/repo",
+      "state" -> s"$work/state", "port" -> "0"))
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/api/v1/health")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains("\"status\":\"healthy\""))
+    } finally server.stop()
+  }
 }
