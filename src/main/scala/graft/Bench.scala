@@ -142,6 +142,15 @@ object Bench {
       errors("sync_bench") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       (0.0, 0.0)
     }
+    // local profiling escape hatch: `runMain graft.Bench --sync-only` measures
+    // just the sync/incr throughput pair (the headline vs-BASELINE numbers)
+    // without the ~2-minute query sweep, so variance can be characterized by
+    // repeated runs at interactive cost
+    if (args.contains("--sync-only")) {
+      spark.stop()
+      println(s"""{"metric":"sync_only","sync_issues_per_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, syncIps)},"incr_scan_issues_per_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, incrIps)}}""")
+      return
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }

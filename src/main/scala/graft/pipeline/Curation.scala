@@ -143,7 +143,7 @@ object Curation {
     * power of two keeps the bucketing expression (and therefore the oracle
     * hash) independent of session conf.
     */
-  private val PrefixBuckets = 64
+  private[pipeline] val PrefixBuckets = 64
 
   /** Per-bucket cumulative offsets WITHOUT a global window: given the
     * |buckets|-row `(pid, tot)` aggregate, compute for each bucket the sum of
@@ -151,7 +151,7 @@ object Curation {
     * buckets² = 4096 joined rows regardless of corpus size, and no
     * single-partition WindowExec anywhere in the plan.
     */
-  private def bucketBases(perBucket: org.apache.spark.sql.DataFrame) = {
+  private[pipeline] def bucketBases(perBucket: org.apache.spark.sql.DataFrame) = {
     val rhs = perBucket.select(col("pid").as("pid2"), col("tot").as("tot2"))
     perBucket.join(broadcast(rhs), col("pid2") < col("pid"), "left")
       .groupBy("pid")

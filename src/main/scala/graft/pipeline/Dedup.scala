@@ -743,6 +743,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** INTRA-document segment dedup — the within-page repetition remover that
+    * runs BEFORE the cross-corpus passes (C4 drops repeated lines inside a
+    * page; boilerplate nav bars and scraper stutter repeat within one
+    * document long before they repeat across documents). Keeps the FIRST
+    * occurrence of each [[SegLen]]-word segment in document order and drops
+    * the rest, reporting per doc the segment count, surviving count, and the
+    * cleaned-text fingerprint.
+    *
+    * 100 TB shape: this is the cheapest dedup in the engine — ZERO shuffles.
+    * Every document is processed independently inside one projection
+    * (segment → `array_distinct`, which keeps first-occurrence order in both
+    * engines' semantics → rejoin), so the plan is a single parquet scan with
+    * no Join, no Window, no Generate, and it composes in front of the
+    * cross-corpus passes at no cost beyond the scan it shares with them.
+    */
+  private val paragraph = q("pipe_dedup_paragraph",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |segs AS (
+       |  SELECT doc_id, i,
+       |    array_to_string(w[$SegLen*i+1 : $SegLen*i+$SegLen], ' ') AS seg
+       |  FROM words, unnest(generate_series(0, (len(w)-1)//$SegLen)) t(i)),
+       |firsts AS (
+       |  SELECT doc_id, seg, min(i) AS fi FROM segs GROUP BY doc_id, seg),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_unique,
+       |    string_agg(seg, ' ' ORDER BY fi) AS clean
+       |  FROM firsts GROUP BY doc_id),
+       |nseg AS (SELECT doc_id, count(*)::BIGINT AS n_seg FROM segs GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_seg, p.n_unique,
+       |  length(p.clean)::BIGINT AS clean_len,
+       |  ${sqlHash64("p.clean")} AS clean_fp
+       |FROM nseg n JOIN per p ON p.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+    val segArr = expr(
+      s"""transform(sequence(0, (size(w)-1) div $SegLen),
+         |  i -> concat_ws(' ', slice(w, int(i)*$SegLen + 1, $SegLen)))"""
+        .stripMargin)
+    docWords(s, dir)
+      .select(col("doc_id"), segArr.as("segs"))
+      // array_distinct keeps first-occurrence order — the dedup IS the
+      // projection; nothing leaves the scan stage until the final ORDER BY
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_seg"),
+        array_distinct(col("segs")).as("uniq"))
+      .select(col("doc_id"), col("n_seg"),
+        size(col("uniq")).cast("long").as("n_unique"),
+        length(array_join(col("uniq"), " ")).cast("long").as("clean_len"),
+        hash64(array_join(col("uniq"), " ")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Leakage-safe train/val/test assignment: split by the near-dup CLUSTER
     * label, not the document id, so a near-duplicate pair can never straddle
     * train and test — the eval-contamination hole `pipe_split_assign`'s
@@ -1311,6 +1363,7 @@ object Dedup {
 
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
+    paragraph,
     spans, spansIncremental, splitSafe, weights, decontaminateMulti,
     corpusDiff, dedupStats, resolveVerified)
 }

@@ -742,7 +742,132 @@ object TextAnalysis {
         .as("accuracy"))
   }
 
+  /** The held-out evaluation frame shared by [[classifierAuc]] and
+    * [[calibration]]: each held-out doc's exact integer NB score paired with
+    * its Gopher rule verdict as the pseudo-label — the same framing as
+    * [[classifierEval]], keeping the full score instead of just its sign.
+    */
+  private def evalFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    classifierScored(s, dir).select("doc_id", "score")
+      .join(gopherDf(s, dir).select(col("doc_id"), col("passes").as("label")),
+        Seq("doc_id"))
+
+  /** Oracle CTE twin of [[evalFrame]] (expects [[gopherCtes]] and
+    * [[classifierCtes]] in scope).
+    */
+  private val evalFrameCte: String =
+    """ev AS (
+      |  SELECT sc.score, g.passes AS label
+      |  FROM scored sc JOIN gate g ON g.doc_id = sc.doc_id)""".stripMargin
+
+  /** Exact ROC AUC of the quality classifier against the rule-gate
+    * pseudo-labels — the threshold-free ranking quality a learned filter is
+    * actually selected by (the confusion matrix in [[classifierEval]] prices
+    * ONE operating point; AUC prices them all). Midrank tie handling, so
+    * this is the exact Mann-Whitney U statistic: with per-score positive and
+    * negative counts p(s), n(s) and the exclusive running negative count
+    * cn(s), `AUC = Σ p(s)·(2·cn(s) + n(s)) / (2·P·N)` — the numerator and
+    * denominator are exact integers, so the one division is bit-identical
+    * cross-engine.
+    *
+    * 100 TB shape: ranking normally means a global sort; here it never
+    * happens. The per-score census is one map-combinable hash aggregate
+    * (|distinct scores| rows, ≤ held-out docs), and the running negative
+    * count reuses the [[Curation]] bucketed-prefix-sum machinery — exact
+    * integer range buckets on the score (monotone by construction), a
+    * per-bucket window in parallel, and a ≤64-row triangular broadcast for
+    * the bases. No single-partition WindowExec anywhere.
+    */
+  private val classifierAuc = q("pipe_classifier_auc",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |$gopherCtes,
+       |$classifierCtes,
+       |$evalFrameCte,
+       |census AS (
+       |  SELECT score,
+       |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS p,
+       |    sum(CASE WHEN NOT label THEN 1 ELSE 0 END)::BIGINT AS n
+       |  FROM ev GROUP BY score),
+       |cum AS (
+       |  SELECT p, n,
+       |    (sum(n) OVER (ORDER BY score
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT AS cn
+       |  FROM census),
+       |pn AS (SELECT sum(p)::BIGINT AS tp, sum(n)::BIGINT AS tn FROM census)
+       |SELECT tp AS n_pos, tn AS n_neg,
+       |  sum(p * (2 * cn + n))::BIGINT AS num2,
+       |  CASE WHEN tp = 0 OR tn = 0 THEN 0.0
+       |    ELSE sum(p * (2 * cn + n))::DOUBLE / (2.0 * tp * tn) END AS auc
+       |FROM cum, pn GROUP BY tp, tn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val census = evalFrame(s, dir).groupBy("score").agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("p"),
+      sum(when(!col("label"), 1L).otherwise(0L)).as("n"))
+    // deterministic range bucket on the score — monotone, so per-bucket
+    // running sums + broadcast bases equal the global ordered prefix sum
+    val bounds = census.agg(min("score").as("lo"), max("score").as("hi"))
+    val bucketed = census.crossJoin(broadcast(bounds))
+      .withColumn("pid", expr(
+        s"cast(((score - lo) * ${Curation.PrefixBuckets}) div (hi - lo + 1) as int)"))
+      .drop("lo", "hi")
+    val wLocal = Window.partitionBy("pid").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = Curation.bucketBases(
+      bucketed.groupBy("pid").agg(sum("n").as("tot")))
+    val cum = bucketed
+      .withColumn("run", sum("n").over(wLocal))
+      .join(broadcast(bases), Seq("pid"))
+      .withColumn("cn", col("base") + col("run") - col("n"))
+    val tot = census.agg(sum("p").as("tp"), sum("n").as("tn"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("tp", "tn")
+      .agg(sum(col("p") * (col("cn") * 2L + col("n"))).as("num2"))
+      .select(col("tp").as("n_pos"), col("tn").as("n_neg"), col("num2"),
+        when(col("tp") === 0L || col("tn") === 0L, 0.0)
+          .otherwise(col("num2").cast("double")
+            / (lit(2.0) * col("tp") * col("tn"))).as("auc"))
+  }
+
+  /** Classifier calibration table (the reliability diagram's data): held-out
+    * scores cut into 10 equal-width bins over the observed range, each bin
+    * reporting its doc count, mean score (in logits), and empirical
+    * positive rate. A well-calibrated filter's positive rate should rise
+    * monotonically with the bin — the table a score threshold is picked
+    * from when the gate needs a target precision rather than a target
+    * keep-rate. Bin edges are exact integer range arithmetic on the
+    * (broadcast) min/max, so binning is map-side and cross-engine identical;
+    * each rate is one division of two exact integers.
+    */
+  private val calibration = q("pipe_classifier_calibration",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |$gopherCtes,
+       |$classifierCtes,
+       |$evalFrameCte,
+       |bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM ev)
+       |SELECT ((score - lo) * 10) // (hi - lo + 1) AS bin,
+       |  count(*)::BIGINT AS n_docs,
+       |  round(sum(score)::DOUBLE / count(*) / 1000000, 6) AS mean_score,
+       |  sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |  sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE / count(*) AS pos_rate
+       |FROM ev, bounds
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val ev = evalFrame(s, dir)
+    val bounds = ev.agg(min("score").as("lo"), max("score").as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .groupBy(expr("((score - lo) * 10) div (hi - lo + 1)").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("score").cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("mean_score"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        (sum(when(col("label"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("pos_rate"))
+      .orderBy("bin")
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
     rarity, pii, tfidf, bigramLm, gopher, qualityClassifier, qualitySweep,
-    hotNgrams, classifierEval)
+    hotNgrams, classifierEval, classifierAuc, calibration)
 }

@@ -315,6 +315,25 @@ class ExplainAudit extends AnyFunSuite {
       "the allocation table must broadcast into the doc join")
   }
 
+  test("intra-doc paragraph dedup is map-only: one scan, no join/window/explode") {
+    // the whole dedup is array_distinct inside a projection — the cheapest
+    // plan in the engine; anything heavier is a regression
+    val p = plan("pipe_dedup_paragraph")
+    assert(!p.contains("Join"), s"paragraph dedup planned a join:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"paragraph dedup planned a window:\n${p.take(2000)}")
+    assert(!p.contains("Generate"), s"paragraph dedup exploded rows:\n${p.take(2000)}")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"paragraph dedup scans documents more than once:\n${p.take(2000)}")
+  }
+
+  test("classifier AUC ranks without a global sort: bucketed prefix window") {
+    val p = plan("pipe_classifier_auc")
+    assert(p.contains("windowspecdefinition(pid"),
+      s"AUC lost its bucketed prefix-sum window:\n${p.take(2000)}")
+    assert(!p.contains("windowspecdefinition(score"),
+      s"AUC regressed to a global score-ordered window:\n${p.take(2000)}")
+  }
+
   test("no registered query windows the corpus through a single partition") {
     // A logical Window with an EMPTY partition spec executes as one
     // WindowExec task holding every input row — the classic silent

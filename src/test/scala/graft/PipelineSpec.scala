@@ -67,6 +67,68 @@ class PipelineSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("paragraph dedup: first occurrences survive in order; clean docs round-trip") {
+    val df = run("pipe_dedup_paragraph").cache()
+    val docs = Tables.t(spark, sf, "documents").count()
+    assert(df.count() == docs, "one output row per document")
+    assert(df.filter(col("n_unique") > col("n_seg")).count() == 0)
+    assert(df.filter(col("n_unique") < col("n_seg")).count() > 0,
+      "corpus repeats segments within documents by construction")
+    // a doc with zero intra-doc repeats must reassemble to EXACTLY its
+    // normalized text (segments partition the word list)
+    val norm = pipeline.docsNorm(spark, sf)
+      .select(col("doc_id"), pipeline.hash64(col("norm")).as("nfp"))
+    val broken = df.filter(col("n_unique") === col("n_seg"))
+      .join(norm, Seq("doc_id"))
+      .filter(col("clean_fp") =!= col("nfp")).count()
+    assert(broken == 0, s"$broken repeat-free docs failed to round-trip")
+    // first-occurrence semantics: recompute locally for a handful of docs
+    // that actually dropped something
+    val sample = df.filter(col("n_unique") < col("n_seg")).limit(5).collect()
+    val ids = sample.map(_.getLong(0))
+    val words = pipeline.docWords(spark, sf)
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "w").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    sample.foreach { r =>
+      val w = words(r.getLong(0))
+      val segs = (0 to (w.size - 1) / 3).map(i => w.slice(i * 3, i * 3 + 3).mkString(" "))
+      val clean = segs.distinct.mkString(" ")
+      assert(r.getAs[Long]("n_seg") == segs.size)
+      assert(r.getAs[Long]("n_unique") == segs.distinct.size)
+      assert(r.getAs[Long]("clean_len") == clean.length)
+    }
+    df.unpersist()
+  }
+
+  test("classifier AUC: one exact-integer row consistent with its own counts") {
+    val r = run("pipe_classifier_auc").collect()
+    assert(r.length == 1)
+    val (p, n, num2, auc) = (r(0).getAs[Long]("n_pos"), r(0).getAs[Long]("n_neg"),
+      r(0).getAs[Long]("num2"), r(0).getAs[Double]("auc"))
+    assert(p > 0 && n > 0, "held-out slice must contain both verdicts")
+    assert(num2 >= 0 && num2 <= 2 * p * n, "U statistic outside its bounds")
+    assert(auc == num2.toDouble / (2.0 * p * n))
+    // the classifier beats coin-flipping against the rule gate on this
+    // corpus — a structural sanity floor, not a tuned threshold
+    assert(auc > 0.5, s"AUC $auc; the NB filter should rank above chance")
+  }
+
+  test("calibration bins partition the held-out slice with sane rates") {
+    val df = run("pipe_classifier_calibration").cache()
+    val bins = df.collect()
+    assert(bins.forall(b => b.getAs[Long]("bin") >= 0 && b.getAs[Long]("bin") <= 9))
+    assert(bins.forall { b =>
+      val rate = b.getAs[Double]("pos_rate")
+      rate >= 0.0 && rate <= 1.0 && b.getAs[Long]("n_pos") <= b.getAs[Long]("n_docs")
+    })
+    val auc = run("pipe_classifier_auc").collect()(0)
+    assert(bins.map(_.getAs[Long]("n_docs")).sum ==
+      auc.getAs[Long]("n_pos") + auc.getAs[Long]("n_neg"),
+      "calibration bins must partition exactly the AUC's held-out docs")
+    df.unpersist()
+  }
+
   test("quality calibration selects exactly the top half of every source") {
     val df = run("pipe_quality_calibrated").cache()
     assert(df.filter(col("src_pctl") < 0 || col("src_pctl") > 1).count() == 0)
