@@ -294,6 +294,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Curriculum ordering — the training order used by quality-curriculum
+    * runs: documents are banded by quality (highest band trains first) and
+    * shuffled deterministically WITHIN each band, so epoch order is
+    * reproducible and the quality ramp is explicit. `pos` is the exact
+    * global training position.
+    *
+    * Scale design — same no-global-window construction as [[shuffle]]: the
+    * composite order key is (band, hkey, doc_id); `pid = band·16 +
+    * hkey div 2⁵⁶` is monotone in that key (4 bands × 16 hash sub-buckets =
+    * 64 buckets), each bucket ranks locally in parallel, and the 64-row
+    * count totals broadcast back as rank bases. The quality thresholds are
+    * literal doubles compared against the bit-identical quality score, so
+    * band assignment agrees cross-engine.
+    */
+  private val CurriculumSeed = ":cur7"
+  private val curriculum = q("pipe_curriculum",
+    withDocs(s""", ${TextAnalysis.qualitySql},
+       |h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN quality >= 0.8 THEN 0 WHEN quality >= 0.6 THEN 1
+       |         WHEN quality >= 0.4 THEN 2 ELSE 3 END AS band,
+       |    ${sqlHash64(s"doc_id::VARCHAR || '$CurriculumSeed'")} AS hkey
+       |  FROM quality)
+       |SELECT doc_id, band, hkey,
+       |  row_number() OVER (ORDER BY band, hkey, doc_id) AS pos
+       |FROM h ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val subShift = 1L << 56 // top 4 bits of the 60-bit hash → 16 sub-buckets
+    val h = TextAnalysis.qualityDf(s, dir)
+      .select(col("doc_id"),
+        when(col("quality") >= 0.8, 0).when(col("quality") >= 0.6, 1)
+          .when(col("quality") >= 0.4, 2).otherwise(3).as("band"),
+        hash64(concat(col("doc_id").cast("string"), lit(CurriculumSeed)))
+          .as("hkey"))
+      .withColumn("pid", expr(s"cast(band * 16 + hkey div ${subShift}L as int)"))
+    val wLocal = Window.partitionBy("pid").orderBy("band", "hkey", "doc_id")
+    val bases = bucketBases(h.groupBy("pid").agg(count(lit(1)).as("tot")))
+    h.withColumn("rn", row_number().over(wLocal))
+      .join(broadcast(bases), Seq("pid"))
+      .select(col("doc_id"), col("band"), col("hkey"),
+        (col("base") + col("rn")).as("pos"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source corpus report — the dataset card every training corpus
     * ships with: document and token counts, mean quality (rounded — a
     * cross-engine float-sum guard, same as the CDC stats), and the
@@ -794,5 +838,5 @@ object Curation {
 
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
     stats, lenHist, corpusFinal, qualityCalibrated, dsir, mixTemperature,
-    tokenBudget, budgetSample)
+    tokenBudget, budgetSample, curriculum)
 }

@@ -669,6 +669,49 @@ object Misc {
       .orderBy(desc("n_rows"), col("key")).limit(10)
   }
 
+  /** Salted skew join — the manual skew-mitigation pattern for the case AQE
+    * can't fix: a shuffle join whose hot keys ([[joinSkew]] measures them)
+    * overload single reducers. Each fact row gets a deterministic salt in
+    * [0, 8) from a column that VARIES within the hot key (`dst`), the dim
+    * side replicates ×8 with one row per salt, and the join keys become
+    * `(key, salt)` — a hot key's rows spread across 8 reducers instead of
+    * one. The result is provably identical to the unsalted join (every fact
+    * row still matches exactly one dim replica), which is what the oracle
+    * checks: the DuckDB side is the PLAIN join, so any salting bug that
+    * duplicates or drops rows hash-fails.
+    *
+    * When to reach for this at 100 TB: AQE's skew-join split handles
+    * sort-merge inputs it can observe, but not aggregation-feeding joins
+    * where the skewed key is also the group key downstream, not
+    * shuffle-hash joins it declines to split, and not the first run before
+    * statistics exist. Salting is the deterministic, planner-independent
+    * fallback; the ×8 dim replication costs |dim|×8 rows — fine for
+    * dimension tables, which is exactly the salted-join use case. The merge
+    * hint pins the demonstration to the shuffle path (a broadcast would
+    * hide the salt).
+    */
+  private val SaltBuckets = 8
+  private val saltedJoin = q("meta_salted_join",
+    Oracle.withIssuesAndLinks(
+      """
+        |SELECT i.status_name, count(*)::BIGINT AS n_links,
+        |  count(DISTINCT l.src)::BIGINT AS n_issues
+        |FROM links l JOIN issues i ON i.key = l.src
+        |GROUP BY i.status_name ORDER BY i.status_name""".stripMargin)) {
+    (s, dir) =>
+    val fact = Tables.links(s, dir)
+      .select(col("src"),
+        pmod(graft.pipeline.hash64(col("dst")), lit(SaltBuckets.toLong))
+          .cast("int").as("salt"))
+    val dim = Tables.issues(s, dir)
+      .select(col("key").as("src"), col("status_name"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    fact.join(dim.hint("merge"), Seq("src", "salt"))
+      .groupBy("status_name")
+      .agg(count(lit(1)).as("n_links"), countDistinct("src").as("n_issues"))
+      .orderBy("status_name")
+  }
+
   /** Conversion-lag statistics for the funnel's full converters: exact
     * microsecond lag from first signup to first qualifying purchase, as
     * count/min/max/mean. Integer microsecond differences keep the mean a
@@ -712,5 +755,5 @@ object Misc {
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
-    funnel, retention, joinSkew, conversionLag)
+    funnel, retention, joinSkew, conversionLag, saltedJoin)
 }

@@ -334,6 +334,27 @@ class ExplainAudit extends AnyFunSuite {
       s"AUC regressed to a global score-ordered window:\n${p.take(2000)}")
   }
 
+  test("curriculum ranks via bucketed windows, never a global order") {
+    val p = plan("pipe_curriculum")
+    assert(p.contains("windowspecdefinition(pid"),
+      s"curriculum lost its bucketed rank window:\n${p.take(2000)}")
+    assert(!p.contains("windowspecdefinition(band, hkey") &&
+      !p.contains("windowspecdefinition(hkey"),
+      s"curriculum plans a global (single-partition) rank:\n${p.take(2000)}")
+  }
+
+  test("salted join shuffles on (key, salt) through a real shuffle join") {
+    // the salt must reach the exchange keys — that's the whole mechanism —
+    // and the join must stay on the shuffle path (broadcast would hide it)
+    val p = plan("meta_salted_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"salted join lost its shuffle join:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning\\([^)]*salt".r.findFirstIn(p).isDefined,
+      s"salt is not a shuffle key:\n${p.take(2000)}")
+    assert(p.contains("Generate explode"),
+      "dim-side ×salt replication must be an explode")
+  }
+
   test("no registered query windows the corpus through a single partition") {
     // A logical Window with an EMPTY partition spec executes as one
     // WindowExec task holding every input row — the classic silent

@@ -129,6 +129,35 @@ class PipelineSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("curriculum: pos is a permutation and bands never interleave") {
+    val df = run("pipe_curriculum").cache()
+    val n = df.count()
+    assert(df.select("pos").distinct().count() == n, "pos must be a permutation")
+    assert(df.agg(min("pos"), max("pos")).collect()(0).toSeq == Seq(1L, n))
+    // every doc in band b trains strictly before every doc in band b+1
+    val spans = df.groupBy("band")
+      .agg(min("pos").as("lo"), max("pos").as("hi"))
+      .orderBy("band").collect()
+    spans.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+          s"band ${a.getInt(0)} overlaps band ${b.getInt(0)}")
+      case _ => ()
+    }
+    df.unpersist()
+  }
+
+  test("salted join output equals the plain unsalted join exactly") {
+    val salted = run("meta_salted_join")
+    val plain = Tables.links(spark, sf).select("src")
+      .join(Tables.issues(spark, sf)
+        .select(col("key").as("src"), col("status_name")), Seq("src"))
+      .groupBy("status_name")
+      .agg(count(lit(1)).as("n_links"), countDistinct("src").as("n_issues"))
+      .orderBy("status_name")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("quality calibration selects exactly the top half of every source") {
     val df = run("pipe_quality_calibrated").cache()
     assert(df.filter(col("src_pctl") < 0 || col("src_pctl") > 1).count() == 0)
