@@ -218,6 +218,52 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Packing-efficiency report — the one-row card that justifies packing:
+    * the naive per-document alternative pads every doc to a [[SeqBudget]]
+    * multiple, so the corpus-wide pad waste (`Σ ceil(tokens/B)·B − tokens`)
+    * against the packed sequence count (`ceil(Σ tokens / B)`) prices the
+    * padding tax in sequences and as a fraction. Also counts the docs a
+    * non-straddling packer would have to split (tokens > B). All exact
+    * integers in one map-combinable aggregate — a single corpus pass at any
+    * scale; the two fractions are single divisions of exact integers.
+    */
+  private val packEfficiency = q("pipe_pack_efficiency",
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS tokens
+       |  FROM documents WHERE len(text) > 0)
+       |SELECT count(*)::BIGINT AS n_docs,
+       |  sum(tokens)::BIGINT AS total_tokens,
+       |  sum((tokens + $SeqBudget - 1) // $SeqBudget)::BIGINT AS padded_seqs,
+       |  ((sum(tokens) + $SeqBudget - 1) // $SeqBudget)::BIGINT AS packed_seqs,
+       |  sum((tokens + $SeqBudget - 1) // $SeqBudget * $SeqBudget - tokens)::BIGINT
+       |    AS pad_tokens,
+       |  sum((tokens + $SeqBudget - 1) // $SeqBudget * $SeqBudget - tokens)::DOUBLE
+       |    / (sum((tokens + $SeqBudget - 1) // $SeqBudget) * $SeqBudget)
+       |    AS pad_waste_frac,
+       |  sum(CASE WHEN tokens > $SeqBudget THEN 1 ELSE 0 END)::BIGINT
+       |    AS docs_over_budget
+       |FROM toks""".stripMargin) { (s, dir) =>
+    graft.Tables.t(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("tokens"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tokens").as("total_tokens"),
+        sum(expr(s"(tokens + $SeqBudget - 1) div $SeqBudget")).as("padded_seqs"),
+        expr(s"(sum(tokens) + $SeqBudget - 1) div $SeqBudget").as("packed_seqs"),
+        sum(expr(s"(tokens + $SeqBudget - 1) div $SeqBudget * $SeqBudget - tokens"))
+          .as("pad_tokens"),
+        (sum(expr(s"(tokens + $SeqBudget - 1) div $SeqBudget * $SeqBudget - tokens"))
+          .cast("double")
+          / (sum(expr(s"(tokens + $SeqBudget - 1) div $SeqBudget")) * SeqBudget))
+          .as("pad_waste_frac"),
+        sum(when(col("tokens") > SeqBudget, 1L).otherwise(0L))
+          .as("docs_over_budget"))
+  }
+
   /** Overlapping-window chunking (the RAG / long-doc-training shape): each
     * document splits into 512-token windows with a 64-token overlap
     * (stride 448); chunk count = ceil((tokens − overlap) / stride), min 1.
@@ -838,5 +884,5 @@ object Curation {
 
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
     stats, lenHist, corpusFinal, qualityCalibrated, dsir, mixTemperature,
-    tokenBudget, budgetSample, curriculum)
+    tokenBudget, budgetSample, curriculum, packEfficiency)
 }

@@ -207,6 +207,50 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-source contamination matrix — which sources plagiarize which:
+    * verified near-dup pairs (the same banded candidates + exact-Jaccard
+    * integer gate as cluster resolution, `10·i ≥ 7·(|A∪B|)`) grouped by the
+    * unordered source pair. This is the dataset-card table that decides
+    * source-level dedup ORDER (dedup the copier against the origin, not the
+    * reverse) and flags a "new" source that is mostly re-crawls of one
+    * already ingested. Diagonal entries are intra-source redundancy.
+    *
+    * Scale shape: adds exactly two doc-keyed joins (doc→source, both sides)
+    * and one small groupBy on top of the already-audited candidate-bounded
+    * verify machinery; the matrix is ≤ |sources|² rows. The Jaccard gate is
+    * the exact integer cross-product compare, so no float boundary can flip
+    * a pair between engines.
+    */
+  private val crossSource = q("pipe_dedup_cross_source",
+    withDocs(s""", $minhashSql,
+       |$pairCtes,
+       |nd AS (
+       |  SELECT i.doc_a, i.doc_b
+       |  FROM inter i
+       |  JOIN sizes na ON na.doc_id = i.doc_a
+       |  JOIN sizes nb ON nb.doc_id = i.doc_b
+       |  WHERE 10 * i >= 7 * (na.n + nb.n - i))
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  count(*)::BIGINT AS n_pairs
+       |FROM nd
+       |JOIN documents da ON da.doc_id = nd.doc_a
+       |JOIN documents db ON db.doc_id = nd.doc_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+    val nd = verifiedPairs(s, dir)
+      .filter(col("i") * 10 >= (col("na") + col("nb") - col("i")) * 7)
+    val src = graft.Tables.t(s, dir, "documents").select("doc_id", "source")
+    nd.join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Per-(chunk, key) population above which a SimHash LSH bucket is dropped
     * from candidate generation (mirrored exactly in the oracle). At sf0.1
     * the largest bucket holds ~5% of the corpus — a fraction, not a count,
@@ -1363,7 +1407,7 @@ object Dedup {
 
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
-    paragraph,
+    paragraph, crossSource,
     spans, spansIncremental, splitSafe, weights, decontaminateMulti,
     corpusDiff, dedupStats, resolveVerified)
 }

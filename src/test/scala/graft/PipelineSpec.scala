@@ -158,6 +158,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("cross-source matrix accounts for every verified near-dup pair once") {
+    val m = run("pipe_dedup_cross_source").cache()
+    assert(m.filter(col("source_a") > col("source_b")).count() == 0,
+      "matrix keys must be canonically ordered")
+    // the matrix cells must sum to exactly the verified near-dup pair count
+    val gated = run("pipe_dedup_jaccard")
+      .filter(col("jaccard") >= 0.7).count()
+    assert(m.agg(sum("n_pairs")).collect()(0).getLong(0) == gated)
+    m.unpersist()
+  }
+
+  test("pack efficiency: padding always costs at least as much as packing") {
+    val r = run("pipe_pack_efficiency").collect()(0)
+    val (padded, packed) = (r.getAs[Long]("padded_seqs"), r.getAs[Long]("packed_seqs"))
+    assert(padded >= packed)
+    assert(r.getAs[Long]("pad_tokens") ==
+      padded * 2048L - r.getAs[Long]("total_tokens"))
+    val frac = r.getAs[Double]("pad_waste_frac")
+    assert(frac >= 0.0 && frac < 1.0)
+  }
+
   test("quality calibration selects exactly the top half of every source") {
     val df = run("pipe_quality_calibrated").cache()
     assert(df.filter(col("src_pctl") < 0 || col("src_pctl") > 1).count() == 0)
