@@ -384,6 +384,68 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-source distribution drift — the data-QA alarm for a source whose
+    * quality profile diverges from the corpus: each source's quality-decile
+    * histogram compared to the corpus-wide histogram by exact TOTAL
+    * VARIATION distance, `tv = Σ_b |c_sb·N − c_b·n_s| / (2·n_s·N)`. A source
+    * with tv near 0 matches the corpus mix; near 1 is a different
+    * distribution entirely (a broken scraper, a new domain, an injected
+    * corpus). TV keeps everything rational: the per-bin terms are exact
+    * integer cross-products summed as integers, and the single final
+    * division makes the double bit-identical cross-engine (KL would need a
+    * per-bin log — order-dependent float accumulation).
+    *
+    * Scale shape: two map-combinable censuses over the memoized quality
+    * frame (per-(source,bin) and per-bin), a |sources|×10 grid join against
+    * broadcast totals, and a |sources|-row output. The corpus is scanned
+    * once.
+    */
+  private val sourceDrift = q("pipe_source_drift",
+    withDocs(s""", ${TextAnalysis.qualitySql},
+       |qb AS (
+       |  SELECT d.source,
+       |    least(CAST(floor(q.quality * 10) AS INT), 9) AS bin
+       |  FROM quality q JOIN documents d ON d.doc_id = q.doc_id),
+       |sb AS (SELECT source, bin, count(*)::BIGINT AS c FROM qb GROUP BY 1, 2),
+       |st AS (SELECT source, count(*)::BIGINT AS ns FROM qb GROUP BY 1),
+       |cb AS (SELECT bin, count(*)::BIGINT AS cbn FROM qb GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS n FROM qb),
+       |grid AS (
+       |  SELECT st.source, st.ns, g.i::INT AS bin, tot.n
+       |  FROM st, generate_series(0, 9) g(i), tot),
+       |terms AS (
+       |  SELECT grid.source, grid.ns, grid.n,
+       |    abs(coalesce(sb.c, 0) * grid.n - coalesce(cb.cbn, 0) * grid.ns) AS term
+       |  FROM grid
+       |  LEFT JOIN sb ON sb.source = grid.source AND sb.bin = grid.bin
+       |  LEFT JOIN cb ON cb.bin = grid.bin)
+       |SELECT source, ns AS n_docs,
+       |  sum(term)::DOUBLE / (2.0 * ns * n) AS tv
+       |FROM terms GROUP BY source, ns, n ORDER BY source""".stripMargin)) {
+    (s, dir) =>
+    val qb = TextAnalysis.qualityDf(s, dir).select("doc_id", "quality")
+      .join(graft.Tables.t(s, dir, "documents").select("doc_id", "source"),
+        Seq("doc_id"))
+      .select(col("source"),
+        least(floor(col("quality") * 10).cast("int"), lit(9)).as("bin"))
+    val sb = qb.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val st = qb.groupBy("source").agg(count(lit(1)).as("ns"))
+    val cb = qb.groupBy("bin").agg(count(lit(1)).as("cbn"))
+    val tot = qb.agg(count(lit(1)).as("n"))
+    val bins = s.range(0, 10).select(col("id").cast("int").as("bin"))
+    st.crossJoin(broadcast(bins)).crossJoin(broadcast(tot))
+      .join(sb, Seq("source", "bin"), "left")
+      .join(broadcast(cb), Seq("bin"), "left")
+      .select(col("source"), col("ns"), col("n"),
+        abs(coalesce(col("c"), lit(0L)) * col("n")
+          - coalesce(col("cbn"), lit(0L)) * col("ns")).as("term"))
+      .groupBy("source", "ns", "n")
+      .agg(sum("term").as("tsum"))
+      .select(col("source"), col("ns").as("n_docs"),
+        (col("tsum").cast("double") / (lit(2.0) * col("ns") * col("n"))).as("tv"))
+      .orderBy("source")
+  }
+
   /** Per-source corpus report — the dataset card every training corpus
     * ships with: document and token counts, mean quality (rounded — a
     * cross-engine float-sum guard, same as the CDC stats), and the
@@ -884,5 +946,5 @@ object Curation {
 
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
     stats, lenHist, corpusFinal, qualityCalibrated, dsir, mixTemperature,
-    tokenBudget, budgetSample, curriculum, packEfficiency)
+    tokenBudget, budgetSample, curriculum, packEfficiency, sourceDrift)
 }

@@ -1024,7 +1024,40 @@ object Graph {
     }
   }
 
+  /** Degree distribution in power-of-two buckets — the first sanity check
+    * on any large graph (is it the expected heavy-tailed shape? did an
+    * ingest bug mint a super-node?) and the input to skew planning for the
+    * iterative operators (a bucket at 2²⁰+ means star-contraction, not
+    * plain propagation). One symmetrize + one per-node count + one ~60-row
+    * histogram aggregate — every exchange keyed on a node id or a bucket.
+    * The bucket is `len(bin(deg)) − 1 = ⌊log₂ deg⌋` in exact integer string
+    * arithmetic, so no float log can disagree between engines.
+    */
+  private val degreeHistogram = q("graph_degree_histogram",
+    s"""WITH ${Oracle.linksCte},
+       |$edgesIntSql,
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)),
+       |deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM und GROUP BY a)
+       |SELECT (length(bin(deg)) - 1)::INT AS bucket,
+       |  (1::BIGINT << (length(bin(deg)) - 1))::BIGINT AS lo_degree,
+       |  count(*)::BIGINT AS n_nodes,
+       |  max(deg)::BIGINT AS max_degree
+       |FROM deg GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val e = edgesInt(s, dir)
+    val und = e.select("a", "b")
+      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    und.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select((length(bin(col("deg"))) - 1).cast("int").as("bucket"),
+        expr("shiftleft(1L, length(bin(deg)) - 1)").as("lo_degree"),
+        col("deg"))
+      .groupBy("bucket", "lo_degree")
+      .agg(count(lit(1)).as("n_nodes"), max("deg").as("max_degree"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
-    componentsIncrementalQ, componentsDecrementalQ, kcore)
+    componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram)
 }

@@ -374,6 +374,22 @@ class GraphSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("degree histogram: buckets bound their degrees and cover every node") {
+    import org.apache.spark.sql.functions._
+    val h = SparkEntry.queries("graph_degree_histogram")(spark, TestSpark.sf)
+      .collect()
+    h.foreach { r =>
+      val (lo, mx) = (r.getAs[Long]("lo_degree"), r.getAs[Long]("max_degree"))
+      assert(mx >= lo && mx < lo * 2,
+        s"bucket ${r.getAs[Int]("bucket")}: max degree $mx outside [$lo, ${lo * 2})")
+    }
+    // bucket node counts partition the node set of the (undirected) slice
+    val e = SparkEntry.queries("graph_components")(spark, TestSpark.sf)
+    val nNodes = e.agg(sum(col("n_members") * col("n_labels"))).collect()(0).getLong(0)
+    assert(h.map(_.getAs[Long]("n_nodes")).sum == nNodes,
+      "histogram must cover exactly the labeled nodes")
+  }
+
   test("componentsConverged on an empty edge list returns no labels, zero rounds") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -179,6 +179,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(frac >= 0.0 && frac < 1.0)
   }
 
+  test("source drift: tv is a distance in [0,1] and sources cover the corpus") {
+    val df = run("pipe_source_drift").cache()
+    assert(df.filter(col("tv") < 0.0 || col("tv") > 1.0).count() == 0)
+    val scored = SparkEntry.queries("pipe_text_quality")(spark, sf).count()
+    assert(df.agg(sum("n_docs")).collect()(0).getLong(0) == scored,
+      "per-source doc counts must partition the quality-scored corpus")
+    df.unpersist()
+  }
+
   test("quality calibration selects exactly the top half of every source") {
     val df = run("pipe_quality_calibrated").cache()
     assert(df.filter(col("src_pctl") < 0 || col("src_pctl") > 1).count() == 0)
