@@ -660,6 +660,120 @@ object TextAnalysis {
       .orderBy("threshold")
   }
 
+  /** Unigram surprisal gate — the perplexity-style LM filter of a
+    * pretraining pipeline (CCNet/RefinedWeb keep documents whose words the
+    * corpus LM finds unsurprising; OCR noise, codes and gibberish score
+    * high-surprisal) expressed with EXACT integer log-space arithmetic:
+    * each word's corpus count `c` maps to its binary digit count
+    * `length(bin(c)) − 1 = ⌊log₂ c⌋`, the per-doc familiarity is the mean
+    * bucket, and the gate `mean ≥ 3` is evaluated as the integer
+    * cross-product `sum_bucket ≥ 3·n_words`. No floating log anywhere, so
+    * the only double (the reported mean) is one division of two exact
+    * BIGINTs — bit-identical cross-engine.
+    *
+    * Scale shape: a map-combinable word census, one join on the word key
+    * (hot words skew it at 100 TB — AQE skew-split; the census side ships
+    * one partial per partition, never one row per occurrence), and a
+    * doc-keyed rollup co-partitioned with the explode. Same audited shape
+    * as the bigram LM, one scan of the corpus.
+    */
+  private val surprisalGate = q("pipe_surprisal_gate",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |uw AS (SELECT doc_id, unnest(w) AS word FROM words WHERE len(w) > 0),
+       |cnt AS (SELECT word, count(*)::BIGINT AS c FROM uw GROUP BY word),
+       |sc AS (
+       |  SELECT u.doc_id, count(*)::BIGINT AS n_words,
+       |    sum(length(bin(c.c)) - 1)::BIGINT AS sum_bucket
+       |  FROM uw u JOIN cnt c USING (word) GROUP BY u.doc_id)
+       |SELECT doc_id, n_words, sum_bucket,
+       |  sum_bucket::DOUBLE / n_words AS mean_log2_freq,
+       |  sum_bucket >= 3 * n_words AS passes
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val uw = docWords(s, dir).filter(size(col("w")) > 0)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+    val cnt = uw.groupBy("word").agg(count(lit(1)).as("c"))
+    uw.join(cnt, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum((length(bin(col("c"))) - 1).cast("long")).as("sum_bucket"))
+      .select(col("doc_id"), col("n_words"), col("sum_bucket"),
+        (col("sum_bucket").cast("double") / col("n_words"))
+          .as("mean_log2_freq"),
+        (col("sum_bucket") >= lit(3L) * col("n_words")).as("passes"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram novelty — the memorization-risk / freshness profile of each
+    * document: the fraction of its DISTINCT word-3-gram shingles that occur
+    * in no other document. High-novelty docs carry content the corpus has
+    * nowhere else (valuable, and un-dedupable); near-zero novelty marks
+    * templated/boilerplate text even when no single pair crosses a
+    * near-dup threshold — the complement of the pairwise dedup family.
+    *
+    * Scale shape: the shared shingle fragment, one map-combinable shingle
+    * census, one join back on the shingle key (AQE skew-split for
+    * boilerplate shingles), one doc-keyed rollup. Counts are exact BIGINTs;
+    * `novelty` is their single division.
+    */
+  private val ngramNovelty = q("pipe_ngram_novelty",
+    withDocs(s"""
+       |, dfc AS (SELECT sh, count(*)::BIGINT AS df FROM shingles GROUP BY sh)
+       |SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+       |  sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+       |  sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS novelty
+       |FROM shingles s JOIN dfc d USING (sh)
+       |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    val sh = docShingles(s, dir)
+    val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfc, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary growth per source — the Heaps/Zipf dataset card: token
+    * count, distinct-word vocabulary, hapax legomena (words seen once), and
+    * their ratios. A source whose type-token ratio collapses is templated
+    * output (bot text, logs); an inflated hapax share is OCR noise or
+    * tokenizer-hostile content — both feed the per-source curation
+    * decisions next to [[pipe_source_drift]]'s quality drift.
+    *
+    * Scale shape: a two-level map-combinable census — (source, word)
+    * partials then a |sources|-row rollup; nothing else touches the corpus.
+    * All counts exact BIGINTs, each ratio one division.
+    */
+  private val vocabGrowth = q("pipe_vocab_growth",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |uw AS (
+       |  SELECT d.source, unnest(w.w) AS word
+       |  FROM words w JOIN documents d ON d.doc_id = w.doc_id
+       |  WHERE len(w.w) > 0),
+       |wc AS (SELECT source, word, count(*)::BIGINT AS c FROM uw GROUP BY 1, 2)
+       |SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_vocab,
+       |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       |  count(*)::DOUBLE / sum(c) AS type_token_ratio,
+       |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS hapax_share
+       |FROM wc GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val uw = docWords(s, dir).filter(size(col("w")) > 0)
+      .join(graft.Tables.t(s, dir, "documents").select("doc_id", "source"),
+        Seq("doc_id"))
+      .select(col("source"), explode(col("w")).as("word"))
+    uw.groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"), col("n_hapax"),
+        (col("n_vocab").cast("double") / col("n_tokens"))
+          .as("type_token_ratio"),
+        (col("n_hapax").cast("double") / col("n_vocab")).as("hapax_share"))
+      .orderBy("source")
+  }
+
   /** Corpus hot n-grams — the boilerplate discovery pass that feeds
     * line/span dedup thresholds: the 20 word-3-grams present in the most
     * DISTINCT documents (document frequency, not raw occurrences — a
@@ -869,5 +983,6 @@ object TextAnalysis {
 
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
     rarity, pii, tfidf, bigramLm, gopher, qualityClassifier, qualitySweep,
-    hotNgrams, classifierEval, classifierAuc, calibration)
+    hotNgrams, classifierEval, classifierAuc, calibration, surprisalGate,
+    ngramNovelty, vocabGrowth)
 }

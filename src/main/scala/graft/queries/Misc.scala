@@ -752,8 +752,102 @@ object Misc {
         (sum("us").cast("double") / count(lit(1))).as("mean_us"))
   }
 
+  /** Event-type co-occurrence with lift — the market-basket pass over the
+    * event log ("which behaviors travel together?"): for each unordered
+    * type pair, the number of users exhibiting both, and the lift
+    * `n_both·N / (n_a·n_b)` (>1 = co-occur more than independence
+    * predicts). The numerator/denominator are exact integer cross-products
+    * with ONE final division, so the double is bit-identical cross-engine.
+    *
+    * Scale shape: the per-user blowup of the pair self-join is bounded by
+    * the TYPE vocabulary, not the event count — the (user, type) frame is
+    * deduped BEFORE the join, so a user contributes ≤ |types|² pair rows
+    * regardless of how many raw events they have, and both join sides
+    * shuffle once on user_id (co-partitioned). For high-cardinality
+    * itemsets (products, not event types) the same plan takes a per-user
+    * top-k cap on the deduped frame first; with a fixed type vocabulary no
+    * cap is needed. Output is ≤ |types|² rows at any corpus size.
+    */
+  private val cooccurrence = q("stream_cooccurrence",
+    """WITH ev AS (SELECT DISTINCT user_id, event_type FROM events),
+      |n AS (SELECT event_type, count(*)::BIGINT AS nu FROM ev GROUP BY 1),
+      |tot AS (SELECT count(DISTINCT user_id)::BIGINT AS nus FROM events),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*)::BIGINT AS n_both
+      |  FROM ev a JOIN ev b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, p.n_both, na.nu AS n_a, nb.nu AS n_b,
+      |  (p.n_both * tot.nus)::DOUBLE / (na.nu * nb.nu) AS lift
+      |FROM pairs p
+      |JOIN n na ON na.event_type = p.type_a
+      |JOIN n nb ON nb.event_type = p.type_b, tot
+      |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select("user_id", "event_type").distinct()
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("nu"))
+    val tot = Tables.events(s, dir).agg(
+      countDistinct("user_id").as("nus"))
+    val pairs = ev.as("a")
+      .join(ev.as("b"), col("a.user_id") === col("b.user_id")
+        && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(n.select(col("event_type").as("type_a"),
+        col("nu").as("n_a"))), Seq("type_a"))
+      .join(broadcast(n.select(col("event_type").as("type_b"),
+        col("nu").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        ((col("n_both") * col("nus")).cast("double")
+          / (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Hourly rate-burst detection — the ingest-anomaly alarm over the event
+    * stream: per (event_type, hour) counts flagged when they exceed twice
+    * the type's MEDIAN hourly rate. Median (not mean) so a burst can't
+    * inflate its own threshold; the median of integer counts is an integer
+    * or an exact .5 half in both engines (Spark's exact `percentile` at
+    * 0.5, DuckDB's `median`), so the `c > 2·med` verdict is exact — no
+    * float tolerance anywhere.
+    *
+    * Scale shape: one map-combinable (type, hour) census — output is
+    * |types|·|hours|, time-range-bounded, NOT corpus-proportional — then a
+    * per-type median over those bounded rows and one broadcast-sized join
+    * back. The raw event scan is the only corpus-sized stage.
+    */
+  private val rateAnomaly = q("stream_rate_anomaly",
+    """WITH ev AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+      |  FROM events),
+      |hc AS (SELECT event_type, h, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+      |med AS (SELECT event_type, median(c)::DOUBLE AS median_c
+      |        FROM hc GROUP BY 1)
+      |SELECT hc.event_type, strftime(hc.h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+      |  hc.c AS n_events, med.median_c,
+      |  hc.c > 2 * med.median_c AS is_burst
+      |FROM hc JOIN med USING (event_type)
+      |ORDER BY event_type, hour_s""".stripMargin) { (s, dir) =>
+    val hc = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val med = hc.groupBy("event_type")
+      .agg(expr("percentile(c, 0.5)").as("median_c"))
+    hc.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+        col("c").as("n_events"), col("median_c"),
+        (col("c") > lit(2) * col("median_c")).as("is_burst"))
+      .orderBy("event_type", "hour_s")
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
-    funnel, retention, joinSkew, conversionLag, saltedJoin)
+    funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
+    rateAnomaly)
 }

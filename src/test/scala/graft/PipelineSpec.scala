@@ -188,6 +188,44 @@ class PipelineSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("surprisal gate: integer verdict matches the reported mean exactly") {
+    val df = run("pipe_surprisal_gate").cache()
+    // the gate is the integer cross-product, never the float mean
+    assert(df.filter(col("passes") =!=
+      (col("sum_bucket") >= lit(3L) * col("n_words"))).count() == 0)
+    assert(df.filter(col("mean_log2_freq") < 0 ||
+      col("mean_log2_freq") >= 64).count() == 0)
+    // every word's bucket is >= 0, so sum_bucket >= 0 and <= 63 * n_words
+    assert(df.filter(col("sum_bucket") < 0 ||
+      col("sum_bucket") > lit(63L) * col("n_words")).count() == 0)
+    df.unpersist()
+  }
+
+  test("ngram novelty: bounded, and unique counts partition the shingle census") {
+    val df = run("pipe_ngram_novelty").cache()
+    assert(df.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    assert(df.filter(col("n_unique") > col("n_shingles")).count() == 0)
+    // Σ per-doc unique shingles == number of df=1 shingles in the census
+    val sh = graft.pipeline.docShingles(spark, sf)
+    val singletons = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") === 1).count()
+    assert(df.agg(sum("n_unique")).collect()(0).getLong(0) == singletons,
+      "per-doc unique counts must sum to the census's df=1 shingles")
+    df.unpersist()
+  }
+
+  test("vocab growth: hapax <= vocab <= tokens, ratios exact, sources complete") {
+    val df = run("pipe_vocab_growth").cache()
+    assert(df.filter(col("n_hapax") > col("n_vocab") ||
+      col("n_vocab") > col("n_tokens")).count() == 0)
+    assert(df.filter(col("type_token_ratio") <= 0 ||
+      col("type_token_ratio") > 1).count() == 0)
+    val sources = graft.Tables.t(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(df.count() == sources, "every source gets a vocabulary row")
+    df.unpersist()
+  }
+
   test("quality calibration selects exactly the top half of every source") {
     val df = run("pipe_quality_calibrated").cache()
     assert(df.filter(col("src_pctl") < 0 || col("src_pctl") > 1).count() == 0)

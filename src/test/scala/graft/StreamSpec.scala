@@ -285,6 +285,36 @@ class StreamSpec extends AnyFunSuite {
     assert(counts(0) > 0, "no signups in the event table")
   }
 
+  test("cooccurrence: pairs are canonical, bounded by marginals, lift positive") {
+    val df = SparkEntry.queries("stream_cooccurrence")(spark, sf).cache()
+    import org.apache.spark.sql.functions._
+    assert(df.filter(col("type_a") >= col("type_b")).count() == 0,
+      "pairs must be canonical (type_a < type_b), no mirrored duplicates")
+    assert(df.filter(col("n_both") > least(col("n_a"), col("n_b")))
+      .count() == 0, "users with both can't exceed either marginal")
+    assert(df.filter(col("lift") <= 0).count() == 0)
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(df.count() <= types * (types - 1) / 2,
+      "output must be bounded by the type-pair vocabulary")
+    df.unpersist()
+  }
+
+  test("rate anomaly: burst verdict is exactly the 2x-median comparison") {
+    val df = SparkEntry.queries("stream_rate_anomaly")(spark, sf).cache()
+    import org.apache.spark.sql.functions._
+    assert(df.filter(col("is_burst") =!=
+      (col("n_events") > lit(2) * col("median_c"))).count() == 0)
+    assert(df.filter(col("median_c") <= 0).count() == 0,
+      "every type present has at least one event per counted hour")
+    // every event type in the log gets rows; hour census covers all events
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(df.select("event_type").distinct().count() == types)
+    assert(df.agg(sum("n_events")).collect()(0).getLong(0) ==
+      Tables.events(spark, sf).count(),
+      "hourly counts must partition the event log")
+    df.unpersist()
+  }
+
   test("retention: age 0 is exactly 1.0 and cohort activity never exceeds it") {
     val df = SparkEntry.queries("stream_retention_cohorts")(spark, sf).cache()
     import org.apache.spark.sql.functions._
