@@ -1024,6 +1024,103 @@ object Graph {
     }
   }
 
+  /** Label-propagation communities (synchronous LPA, fixed rounds) — the
+    * community structure pass that complements connected components: LPA
+    * labels converge to DENSE neighborhoods (each node adopts its
+    * neighbors' majority label), so a single component with several
+    * tight clusters splits where min-label propagation reports one blob.
+    * On a corpus near-dup graph this is what separates "template family"
+    * sub-communities inside one giant connected component.
+    *
+    * Determinism: synchronous rounds (all nodes update from the SAME
+    * previous labeling — no update-order dependence), majority with ties
+    * broken by SMALLEST label, and a fixed round count the oracle unrolls
+    * as chained CTEs — bit-identical cross-engine, converged or not.
+    *
+    * Scale shape per round: one shuffle join re-keying labels by neighbor,
+    * one (node, lbl) count aggregate (map-combinable), one per-NODE
+    * top-1 window (partitioned — never global). Same O(k·|E|) bound as
+    * components; hub-node skew lands in the aggregate, not a row
+    * explosion, and AQE splits the join. Output is a size histogram —
+    * |distinct sizes| rows at any scale.
+    */
+  private val lpaCommunities = {
+    val lpaRounds = 3
+    val undSql =
+      """und AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT a, b FROM eint
+        |    UNION ALL
+        |    SELECT b, a FROM eint))""".stripMargin
+    val steps = (1 to lpaRounds).map { i =>
+      s"""c$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+         |    FROM (SELECT u.a AS node, p.lbl, count(*) AS c
+         |          FROM und u JOIN c${i - 1} p ON p.node = u.b
+         |          GROUP BY u.a, p.lbl))
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    q("graph_lpa_communities",
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |$undSql,
+         |c0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
+         |$steps
+         |SELECT sz AS n_members, count(*)::BIGINT AS n_communities,
+         |  min(lbl)::BIGINT AS sample_label
+         |FROM (SELECT lbl, count(*) AS sz FROM c$lpaRounds GROUP BY lbl)
+         |GROUP BY sz ORDER BY sz""".stripMargin) { (s, dir) =>
+      lpaLabels(edgesInt(s, dir), lpaRounds)
+        .groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("n_members"))
+        .agg(count(lit(1)).as("n_communities"), min(col("lbl")).as("sample_label"))
+        .orderBy("n_members")
+    }
+  }
+
+  /** `rounds` synchronous majority-label steps over the symmetrized edge
+    * list → `(node, lbl)`. Size-gated like [[fixedRoundLabels]]: a
+    * broadcast-sized slice replays identical rounds on the driver, large
+    * slices run the distributed join + two-level aggregate loop with
+    * truncated lineage.
+    */
+  private[graft] def lpaLabels(e: DataFrame, rounds: Int,
+      driverGateEdges: Long = 1000000L): DataFrame = {
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val gathered = gatherUnder(und, driverGateEdges)
+    if (gathered.isDefined) {
+      val nbrs = gathered.get.groupBy(_._1).map { case (a, bs) => (a, bs.map(_._2)) }
+      var m: Map[Long, Long] = nbrs.keysIterator.map(id => id -> id).toMap
+      (1 to rounds).foreach { _ =>
+        val p = m
+        m = m.map { case (id, _) =>
+          // majority neighbor label, smallest label on ties — the exact
+          // (count DESC, lbl ASC) top-1 the distributed window computes
+          val counts = nbrs(id).groupBy(p).map { case (l, g) => (l, g.size) }
+          id -> counts.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      val spark = e.sparkSession
+      import spark.implicits._
+      return m.toSeq.toDF("node", "lbl")
+    }
+    val u = und.transform(graft.Iterative.truncate)
+    var labels = u.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("lbl"))
+    (1 to rounds).foreach { _ =>
+      labels = u.join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(byNode))
+        .filter(col("rk") === 1).select("node", "lbl")
+        .transform(graft.Iterative.truncate)
+    }
+    labels
+  }
+
   /** Degree distribution in power-of-two buckets — the first sanity check
     * on any large graph (is it the expected heavy-tailed shape? did an
     * ingest bug mint a super-node?) and the input to skew planning for the
@@ -1059,5 +1156,6 @@ object Graph {
 
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
-    componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram)
+    componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
+    lpaCommunities)
 }

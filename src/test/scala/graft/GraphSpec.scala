@@ -43,6 +43,26 @@ class GraphSpec extends AnyFunSuite {
     assert(gated.count() == dist.count() && gated.count() > 0)
   }
 
+  test("lpaLabels: gated and distributed paths agree; communities refine components") {
+    val enc = (c: String) =>
+      expr(s"substring($c, 2, 1)").cast("long") * lit(1000000000000L) +
+        element_at(split(col(c), "-"), 2).cast("long")
+    val edges = edgeSlice.select(enc("src").as("a"), enc("dst").as("b"))
+    val gated = queries.Graph.lpaLabels(edges, 3)
+    val dist = queries.Graph.lpaLabels(edges, 3, driverGateEdges = 0L)
+    assert(gated.except(dist).count() == 0 && dist.except(gated).count() == 0)
+    assert(gated.count() == dist.count() && gated.count() > 0)
+    // LPA communities REFINE connected components: two nodes sharing an LPA
+    // label must share a component label (a community never straddles two
+    // components — labels only travel over edges)
+    val comp = queries.Graph.componentsConverged(edges)._1
+      .withColumnRenamed("lbl", "comp")
+    val straddle = gated.join(comp, Seq("node"))
+      .groupBy("lbl").agg(countDistinct("comp").as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(straddle == 0, "an LPA community straddles two components")
+  }
+
   test("components histogram covers every node exactly once") {
     val hist = SparkEntry.queries("graph_components")(spark, sf).collect()
     val nodesInHist = hist.map(r =>

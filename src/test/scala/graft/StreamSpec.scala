@@ -506,6 +506,78 @@ class StreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stateful streaming near-dup emits exactly the batch band join, once") {
+    import spark.implicits._
+    import graft.streaming.NearDup
+    implicit val ctx = spark.sqlContext
+    // a real corpus slice guarantees genuine band collisions (the sf tables
+    // contain exact + near duplicates by construction)
+    val docs = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") <= 200).select("doc_id", "text").cache()
+    val (half1, half2) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+    val mem = MemoryStream[(Long, String)]
+    val query = NearDup.candidates(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      mem.addData(half1.as[(Long, String)].collect().toSeq: _*)
+      query.processAllAvailable()
+      val afterFirst = spark.table("neardup_out").count()
+      mem.addData(half2.as[(Long, String)].collect().toSeq: _*)
+      query.processAllAvailable()
+      // REPLAY the first half: every doc is already resident in its buckets,
+      // so nothing may be emitted and no pair may double
+      mem.addData(half1.as[(Long, String)].collect().toSeq: _*)
+      query.processAllAvailable()
+      val emitted = spark.table("neardup_out").cache()
+      // per (bucket, pair) exactly-once emission, even across the replay
+      assert(emitted.groupBy("bucket", "doc_a", "doc_b").count()
+        .filter(col("count") > 1).count() == 0,
+        "a (bucket, pair) emitted more than once")
+      // distinct pairs across all batches == the one-shot batch band join
+      val streamed = emitted.select("doc_a", "doc_b").distinct()
+      val batch = {
+        val bands = graft.pipeline.Dedup.bandSignatures(docs)
+        val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+        a.join(b, Seq("band", "sig")).filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+      }
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "streamed candidate set must equal the batch band join")
+      assert(afterFirst > 0 || batch.count() == 0)
+      emitted.unpersist()
+    } finally query.stop()
+  }
+
+  test("stateful streaming near-dup: bucket cap bounds state, keeps resident pairs") {
+    import spark.implicits._
+    import graft.streaming.NearDup
+    implicit val ctx = spark.sqlContext
+    // four identical docs land in identical buckets; cap=2 stores only the
+    // first two, later arrivals pair against residents but are not stored
+    val text = "the quick brown fox jumps over the lazy dog again"
+    val mem = MemoryStream[(Long, String)]
+    val query = NearDup.candidates(mem.toDF().toDF("doc_id", "text"), cap = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_cap").start()
+    try {
+      mem.addData((1L, text), (2L, text))
+      query.processAllAvailable()
+      mem.addData((3L, text), (4L, text))
+      query.processAllAvailable()
+      val pairs = spark.table("neardup_cap")
+        .select("doc_a", "doc_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      // residents {1,2}: 3 and 4 each pair against them; but since 3 and 4
+      // were never admitted, the (3,4) pair is deliberately dropped by the cap
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)),
+        s"cap semantics drifted: $pairs")
+    } finally query.stop()
+  }
+
   test("streaming near-dup: foreachBatch maintains the signature index") {
     import spark.implicits._
     import graft.pipeline.Dedup
