@@ -26,7 +26,12 @@ import graft.sources.Throttle
   *   - S4 auth probe → option validation at scan build: a missing `token`
   *     fails fast, before any task launches;
   *   - C8 rate limiting → the partition reader throttles its own rows
-  *     (`maxPerSecond` per partition, the per-worker budget).
+  *     (`maxPerSecond` per partition, the per-worker budget);
+  *   - S3 bounded fetch → LIMIT pushdown (`SupportsPushDownLimit`): a
+  *     `df.limit(n)` plans only ⌈n/pageSize⌉ pages instead of paging the
+  *     whole remote dataset — the reference's `maxResults` cap
+  *     (pkg/client/client.go:160), expressed as a Catalyst pushdown so
+  *     the optimizer applies it to any bounded query automatically.
   *
   * Usage:
   * {{{
@@ -74,8 +79,13 @@ final class JiraFixtureTable(props: Map[String, String]) extends Table with Supp
 }
 
 final class JiraFixtureScanBuilder(path: String, pageSize: Int,
-    maxPerSecond: Option[Int]) extends ScanBuilder {
-  override def build(): Scan = new JiraFixtureScan(path, pageSize, maxPerSecond)
+    maxPerSecond: Option[Int]) extends ScanBuilder with SupportsPushDownLimit {
+  private var limit: Option[Int] = None
+  // a pushed limit is fully honored (we stop paging at exactly `limit`
+  // rows), so returning true lets Spark drop its own Limit node entirely
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def build(): Scan =
+    new JiraFixtureScan(path, pageSize, maxPerSecond, limit)
 }
 
 /** One page of the fixture = one input partition. */
@@ -83,17 +93,22 @@ final case class FixturePage(path: String, start: Long, end: Long,
     maxPerSecond: Option[Int]) extends InputPartition
 
 final class JiraFixtureScan(path: String, pageSize: Int,
-    maxPerSecond: Option[Int]) extends Scan with Batch {
+    maxPerSecond: Option[Int], limit: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = JiraFixtureSource.schema
   override def toBatch: Batch = this
 
+  override def description(): String =
+    s"jira_fixture pageSize=$pageSize" + limit.fold("")(n => s" pushedLimit=$n")
+
   override def planInputPartitions(): Array[InputPartition] = {
     // the reference pages with startAt/maxResults until `total` is exhausted
-    // (pkg/client/client.go:158-188); here total = fixture line count
-    val total = {
+    // (pkg/client/client.go:158-188); here total = fixture line count,
+    // capped by a pushed LIMIT — a bounded query never pages past its bound
+    val counted = {
       val src = scala.io.Source.fromFile(path)
       try src.getLines().count(_.trim.nonEmpty) finally src.close()
     }
+    val total = limit.fold(counted.toLong)(n => math.min(n.toLong, counted.toLong))
     (0L until total by pageSize.toLong)
       .map(s => FixturePage(path, s, math.min(s + pageSize, total), maxPerSecond))
       .toArray[InputPartition]

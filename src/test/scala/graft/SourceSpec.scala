@@ -34,6 +34,28 @@ class SourceSpec extends AnyFunSuite {
     assert(issues.filter(col("project_key").isNull).count() == 0)
   }
 
+  test("limit pushdown plans only the pages the bound needs") {
+    val path = writeFixture(250)
+    def read() = spark.read.format(fmt)
+      .option("path", path).option("token", "t").option("pageSize", "100")
+      .load()
+    val bounded = read().limit(150)
+    assert(bounded.count() == 150)
+    // the pushed limit caps paging at ceil(150/100) = 2 pages — the third
+    // page is never planned, let alone fetched
+    val scanParts = bounded.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.size
+    }
+    assert(scanParts == Seq(2),
+      s"a bounded scan must not page past its bound (planned $scanParts)")
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit=150"),
+      s"limit did not reach the scan:\n$plan")
+    // a limit above the fixture size degrades to the full 3-page scan
+    assert(read().limit(9999).count() == 250)
+  }
+
   test("auth probe: missing or empty token fails at planning") {
     val path = writeFixture(5)
     val noToken = intercept[Exception] {
