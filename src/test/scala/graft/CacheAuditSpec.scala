@@ -39,6 +39,41 @@ class CacheAuditSpec extends AnyFunSuite {
       "queries left unregistered cache entries:\n" + offenders.mkString("\n"))
   }
 
+  test("fragment registry is thread-safe: concurrent builders share entries") {
+    Caches.clear(spark)
+    spark.catalog.clearCache()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // all four queries race to memoize the SAME underlying fragments
+    // (band signatures, candidates, verify sets) on one session — a
+    // long-lived driver serving parallel requests does exactly this
+    val names = Seq("pipe_dedup_minhash", "pipe_dedup_jaccard",
+      "pipe_dedup_containment", "pipe_dedup_survivor")
+    val serialCounts = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf).count()).toMap
+    val serialFrags = Caches.fragments(spark).map(_._1).sorted
+    Caches.clear(spark)
+    spark.catalog.clearCache()
+    val futures = (0 until 8).map { i =>
+      val n = names(i % names.length)
+      Future(n -> SparkEntry.queries(n)(spark, sf).count())
+    }
+    val racedCounts = Await.result(Future.sequence(futures), 5.minutes)
+    racedCounts.foreach { case (n, c) =>
+      assert(c == serialCounts(n), s"$n: raced count $c != serial ${serialCounts(n)}")
+    }
+    val frags = Caches.fragments(spark).map(_._1).sorted
+    assert(frags == serialFrags,
+      s"racing builders changed the fragment set: $frags vs $serialFrags")
+    // and the CacheManager still holds exactly the registered fragments
+    val accounted = Caches.fragments(spark)
+      .flatMap { case (_, f) => cm.lookupCachedData(classicDf(f)) }
+      .map(System.identityHashCode).toSet.size
+    assert(org.apache.spark.sql.GraftCacheProbe.numCachedEntries(session) == accounted,
+      "concurrent builds left unregistered cache entries")
+  }
+
   test("clear releases every fragment and empties the cache") {
     // touch a fragment-heavy query so something is definitely cached
     SparkEntry.queries("pipe_dedup_jaccard")(spark, sf).collect()
