@@ -207,6 +207,53 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup-threshold sweep — the policy card that picks τ before a corpus
+    * dedup run: for each candidate Jaccard threshold 0.5–0.9, how many
+    * banded pairs pass and how many documents they touch. Too low a τ
+    * merges topical siblings; too high leaves boilerplate families intact;
+    * this table is how the call gets made (and re-made per corpus).
+    *
+    * Exactness: each `jaccard ≥ τ` verdict is the integer cross-product
+    * `20·i ≥ t·(na+nb−i)` with t ∈ {10..20} (τ from 0.50 to 1.00 in
+    * twentieths; τ=1.0 is exact set equality) — the same gate style as
+    * cluster resolution, so no float boundary can flip a pair between
+    * engines. Scale shape: one broadcast of 11 threshold rows over the
+    * already-audited candidate-bounded verify frame, then an 11-row
+    * aggregate; the doc count explodes each passing pair to its two
+    * endpoints (2× the pair count, still candidate-bounded).
+    */
+  private val tauSweep = q("pipe_dedup_tau_sweep",
+    withDocs(s""", $minhashSql,
+       |$pairCtes,
+       |v AS (
+       |  SELECT i.doc_a, i.doc_b, i.i, na.n AS na, nb.n AS nb
+       |  FROM inter i
+       |  JOIN sizes na ON na.doc_id = i.doc_a
+       |  JOIN sizes nb ON nb.doc_id = i.doc_b),
+       |taus AS (SELECT unnest(generate_series(10, 20)) AS t),
+       |pass AS (
+       |  SELECT t.t, v.doc_a, v.doc_b
+       |  FROM v, taus t
+       |  WHERE 20 * v.i >= t.t * (v.na + v.nb - v.i))
+       |SELECT t::DOUBLE / 20 AS tau,
+       |  (count(*) // 2)::BIGINT AS n_pairs,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs
+       |FROM (SELECT t, doc_a, doc_b, unnest([doc_a, doc_b]) AS doc_id FROM pass)
+       |GROUP BY t ORDER BY tau""".stripMargin)) { (s, dir) =>
+    val v = verifiedPairs(s, dir)
+    val taus = s.range(10, 21).select(col("id").as("t"))
+    v.crossJoin(broadcast(taus))
+      .filter(lit(20L) * col("i") >= col("t") * (col("na") + col("nb") - col("i")))
+      .select(col("t"), col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("t")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct("doc_id").as("n_docs"))
+      .select((col("t").cast("double") / 20).as("tau"), col("n_pairs"),
+        col("n_docs"))
+      .orderBy("tau")
+  }
+
   /** Cross-source contamination matrix — which sources plagiarize which:
     * verified near-dup pairs (the same banded candidates + exact-Jaccard
     * integer gate as cluster resolution, `10·i ≥ 7·(|A∪B|)`) grouped by the
@@ -1407,7 +1454,7 @@ object Dedup {
 
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
-    paragraph, crossSource,
+    paragraph, crossSource, tauSweep,
     spans, spansIncremental, splitSafe, weights, decontaminateMulti,
     corpusDiff, dedupStats, resolveVerified)
 }

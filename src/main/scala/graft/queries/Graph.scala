@@ -1121,6 +1121,96 @@ object Graph {
     labels
   }
 
+  /** k-truss peeling (k=4, fixed rounds) over the part CO-OCCURRENCE
+    * projection — the EDGE-level cohesion core complementing
+    * [[graph_kcore]]'s node peeling: each round drops every edge
+    * supporting fewer than k−2 = 2 triangles in the CURRENT surviving
+    * graph, leaving the triangle-dense backbone (tight template families
+    * in a near-dup graph; genuinely-bundled item sets here). The directed
+    * issue→part edge slice is near-bipartite (zero triangles — see
+    * `graph_triangles`' closure of 0), so truss runs on the classic
+    * bipartite projection: parts sharing an order get an edge. The
+    * projection's per-key fan-out is BOUNDED BY CONSTRUCTION (≤ lineitems
+    * per order, ≤ C(7,2) pairs per src) — the co-occurrence self-join can
+    * never go quadratic in the corpus, only in the per-key basket size,
+    * the same cap argument as `stream_cooccurrence`.
+    *
+    * Two fixed peel rounds, oracle-unrolled as chained CTEs —
+    * deterministic whether or not the peel converged, same contract as
+    * the other iterative operators. Scale shape per round: support is the
+    * wedge equi-join (edge endpoints against the symmetrized adjacency,
+    * joined on the shared third vertex) + one map-combinable per-edge
+    * count, then a left-join peel filter — O(Σ deg²) wedges like the
+    * naive triangle count; at real scale the wedge enumeration takes the
+    * same degree-ordered orientation as [[graph_triangles]] to bound it
+    * by O(|E|^1.5). Output is 2 report rows, never the edge set.
+    */
+  private val ktruss = {
+    val peels = 2
+    val projSql =
+      s"""dk AS (
+         |  SELECT DISTINCT src, ${encSql("dst")} AS d
+         |  FROM links WHERE project_key = 'P1'),
+         |e0 AS (
+         |  SELECT DISTINCT x.d AS a, y.d AS b
+         |  FROM dk x JOIN dk y ON x.src = y.src AND x.d < y.d),
+         |und0 AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)""".stripMargin
+    val steps = (1 to peels).map { i =>
+      s"""sup$i AS (
+         |  SELECT e.a, e.b, count(*) AS sup
+         |  FROM e${i - 1} e
+         |  JOIN und${i - 1} x ON x.a = e.a
+         |  JOIN und${i - 1} y ON y.a = e.b AND y.b = x.b
+         |  GROUP BY e.a, e.b),
+         |e$i AS (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  LEFT JOIN sup$i s ON s.a = e.a AND s.b = e.b
+         |  WHERE coalesce(s.sup, 0) >= 2),
+         |und$i AS (
+         |  SELECT a, b FROM e$i UNION ALL SELECT b AS a, a AS b FROM e$i)""".stripMargin
+    }.mkString(",\n")
+    val reports = (0 to peels).map { i =>
+      s"""SELECT $i AS round, count(*)::BIGINT AS n_edges,
+         |  (SELECT count(DISTINCT n) FROM
+         |    (SELECT a AS n FROM e$i UNION ALL SELECT b FROM e$i))::BIGINT AS n_nodes
+         |FROM e$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    q("graph_ktruss",
+      s"""WITH ${Oracle.linksCte},
+         |$projSql,
+         |$steps
+         |SELECT * FROM ($reports) ORDER BY round""".stripMargin) { (s, dir) =>
+      val dk = graft.Tables.links(s, dir)
+        .filter(col("project_key") === "P1")
+        .select(col("src"), encNode(col("dst")).as("d")).distinct()
+      var edges = dk.as("x")
+        .join(dk.as("y"), col("x.src") === col("y.src") && col("x.d") < col("y.d"))
+        .select(col("x.d").as("a"), col("y.d").as("b")).distinct()
+        .transform(graft.Iterative.truncate)
+      var und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      def report(i: Int, e: DataFrame): DataFrame = {
+        val nodes = e.select(explode(array(col("a"), col("b"))).as("n"))
+          .agg(countDistinct("n").as("n_nodes"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(nodes)
+          .select(lit(i).as("round"), col("n_edges"), col("n_nodes"))
+      }
+      val perRound = report(0, edges) +: (1 to peels).map { i =>
+        val sup = edges.as("e")
+          .join(und.as("x"), col("x.a") === col("e.a"))
+          .join(und.as("y"), col("y.a") === col("e.b") && col("y.b") === col("x.b"))
+          .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+          .agg(count(lit(1)).as("sup"))
+        edges = edges.join(sup, Seq("a", "b"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= 2).select("a", "b")
+          .transform(graft.Iterative.truncate)
+        und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+        report(i, edges)
+      }
+      perRound.reduce(_ unionByName _).orderBy("round")
+    }
+  }
+
   /** Degree distribution in power-of-two buckets — the first sanity check
     * on any large graph (is it the expected heavy-tailed shape? did an
     * ingest bug mint a super-node?) and the input to skew planning for the
@@ -1157,5 +1247,5 @@ object Graph {
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
-    lpaCommunities)
+    lpaCommunities, ktruss)
 }

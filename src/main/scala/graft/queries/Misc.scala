@@ -807,6 +807,97 @@ object Misc {
       .orderBy("type_a", "type_b")
   }
 
+  /** Event transition matrix — the first-order Markov model of user
+    * behavior ("after a click, what happens next?"): consecutive event
+    * pairs per user, with exact transition probabilities. Fuels both
+    * product analytics and synthetic-sequence validation (a generated
+    * event log should reproduce this matrix).
+    *
+    * Scale shape: the lead() window is partitioned BY USER — thousands of
+    * rows per partition key, never a global window — and ties on the
+    * timestamp are broken by event_id so the sequence (and therefore the
+    * matrix) is deterministic. The matrix itself is ≤ |types|² rows;
+    * probabilities are one division of two exact counts.
+    */
+  private val transitionMatrix = q("stream_transition_matrix",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |ord AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM ev),
+      |t AS (SELECT src, dst, count(*)::BIGINT AS n_transitions
+      |      FROM ord WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT src, sum(n_transitions)::BIGINT AS out_n FROM t GROUP BY src)
+      |SELECT t.src, t.dst, t.n_transitions,
+      |  t.n_transitions::DOUBLE / tot.out_n AS p
+      |FROM t JOIN tot USING (src)
+      |ORDER BY src, dst""".stripMargin) { (s, dir) =>
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val t = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .select(col("event_type").as("src"),
+        lead("event_type", 1).over(byUser).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_transitions"))
+    val tot = t.groupBy("src").agg(sum("n_transitions").as("out_n"))
+    t.join(broadcast(tot), Seq("src"))
+      .select(col("src"), col("dst"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("out_n")).as("p"))
+      .orderBy("src", "dst")
+  }
+
+  /** Time-bounded conversion funnel — [[funnel]] with a per-stage deadline:
+    * the click must land within 7 days of the signup, the purchase within
+    * 7 days of the click. This is the form every real funnel uses (an
+    * unbounded funnel conflates conversion with coincidence). Same
+    * user-keyed min-aggregate chain and the same scale shape — the bound
+    * is one extra predicate on the already-joined timestamps, exact
+    * timestamp arithmetic in both engines.
+    */
+  private val funnelWindowed = q("stream_funnel_windowed",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |         AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |         AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 7 DAY
+      |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage, 'signup' AS event_type, count(*)::BIGINT AS n_users FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'click', count(*)::BIGINT FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', count(*)::BIGINT FROM s3)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val week = expr("INTERVAL 7 DAYS")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + week)
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + week)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(n: Int, t: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage"), lit(t).as("event_type"), col("n_users"))
+    stage(1, "signup", s1)
+      .unionByName(stage(2, "click", s2))
+      .unionByName(stage(3, "purchase", s3))
+      .orderBy("stage")
+  }
+
   /** Hourly rate-burst detection — the ingest-anomaly alarm over the event
     * stream: per (event_type, hour) counts flagged when they exceed twice
     * the type's MEDIAN hourly rate. Median (not mean) so a burst can't
@@ -849,5 +940,5 @@ object Misc {
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
-    rateAnomaly)
+    rateAnomaly, transitionMatrix, funnelWindowed)
 }

@@ -394,6 +394,27 @@ class GraphSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("ktruss: peeling shrinks monotonically and actually bites") {
+    val rows = SparkEntry.queries("graph_ktruss")(spark, TestSpark.sf)
+      .orderBy("round").collect()
+    assert(rows.length == 3) // round 0 (pre-peel) + 2 peels
+    rows.sliding(2).foreach {
+      case Array(prev, next) =>
+        assert(next.getAs[Long]("n_edges") <= prev.getAs[Long]("n_edges"),
+          "a peel round added edges")
+        assert(next.getAs[Long]("n_nodes") <= prev.getAs[Long]("n_nodes"))
+      case _ =>
+    }
+    // the projection is triangle-dense by construction: the peel must both
+    // keep a core AND remove something, or the query is vacuous
+    assert(rows(1).getAs[Long]("n_edges") > 0, "peel destroyed the whole graph")
+    assert(rows(1).getAs[Long]("n_edges") < rows(0).getAs[Long]("n_edges"),
+      "peel removed nothing — no support-deficient edges in the slice")
+    // every surviving node has >= 2 incident surviving edges (truss ⊆ 3-core)
+    assert(rows.last.getAs[Long]("n_nodes") <= rows.last.getAs[Long]("n_edges"),
+      "a k>=4 truss cannot have more nodes than edges")
+  }
+
   test("degree histogram: buckets bound their degrees and cover every node") {
     import org.apache.spark.sql.functions._
     val h = SparkEntry.queries("graph_degree_histogram")(spark, TestSpark.sf)

@@ -214,6 +214,24 @@ class PipelineSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("tau sweep: monotone non-increasing, anchored to the verified pairs") {
+    val rows = run("pipe_dedup_tau_sweep").orderBy("tau").collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi.getAs[Long]("n_pairs") <= lo.getAs[Long]("n_pairs"),
+          "raising tau must not admit more pairs")
+        assert(hi.getAs[Long]("n_docs") <= lo.getAs[Long]("n_docs"))
+      case _ =>
+    }
+    // the loosest threshold can keep at most every banded candidate pair
+    val candidates = run("pipe_dedup_minhash").count()
+    assert(rows.head.getAs[Long]("n_pairs") <= candidates)
+    // the sweep must actually discriminate on this corpus (non-vacuous)
+    assert(rows.last.getAs[Long]("n_pairs") < rows.head.getAs[Long]("n_pairs"),
+      "sweep shows no variation — thresholds all equivalent on this data")
+  }
+
   test("vocab growth: hapax <= vocab <= tokens, ratios exact, sources complete") {
     val df = run("pipe_vocab_growth").cache()
     assert(df.filter(col("n_hapax") > col("n_vocab") ||

@@ -315,6 +315,32 @@ class StreamSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("transition matrix: rows are distributions, transitions count n-1 per user") {
+    val df = SparkEntry.queries("stream_transition_matrix")(spark, sf).cache()
+    import org.apache.spark.sql.functions._
+    val rowSums = df.groupBy("src").agg(sum("p").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-9).count()
+    assert(rowSums == 0, "per-source transition probabilities must sum to 1")
+    // each user contributes exactly (events - 1) transitions
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(df.agg(sum("n_transitions")).collect()(0).getLong(0) == expected)
+    df.unpersist()
+  }
+
+  test("windowed funnel: bounded by the unwindowed funnel, still monotone") {
+    val w = SparkEntry.queries("stream_funnel_windowed")(spark, sf)
+      .orderBy("stage").collect().map(_.getAs[Long]("n_users"))
+    val u = SparkEntry.queries("stream_funnel")(spark, sf)
+      .orderBy("stage").collect().map(_.getAs[Long]("n_users"))
+    assert(w.length == 3 && w(0) == u(0),
+      "stage 1 has no deadline, so windowed == unwindowed there")
+    (1 until 3).foreach { i =>
+      assert(w(i) <= u(i), s"stage ${i + 1}: deadline widened the funnel")
+    }
+    assert(w(0) >= w(1) && w(1) >= w(2))
+  }
+
   test("retention: age 0 is exactly 1.0 and cohort activity never exceeds it") {
     val df = SparkEntry.queries("stream_retention_cohorts")(spark, sf).cache()
     import org.apache.spark.sql.functions._
