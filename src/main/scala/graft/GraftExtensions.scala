@@ -58,6 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HeavyHittersAgg(children.head, k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[graft.functions.DeflateLen].getName, "deflate_len"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "deflate_len takes exactly one argument")
+        graft.functions.DeflateLen(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.BinaryType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("min_k"),
       new ExpressionInfo(classOf[graft.functions.MinKAgg].getName, "min_k"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -254,6 +254,65 @@ object Dedup {
       .orderBy("tau")
   }
 
+  /** MinHash banding recall — the evaluation card for the LSH index itself
+    * (the dedup-side sibling of `pipe_ann_recall`): ground-truth near-dup
+    * pairs come from the shingle INVERTED INDEX (pairs sharing ≥1 shingle,
+    * exact-Jaccard-gated at 0.7 via the integer cross-product), and recall
+    * is the fraction the 4×4 banding actually surfaces. A banding change
+    * (rows/bands, hash count) is accepted or rejected on this number.
+    *
+    * Scale shape: the ground-truth co-pair join is keyed on the shingle and
+    * bounded by Σ df² over shingle document frequencies — at 100 TB the
+    * index drops hot boilerplate shingles above a df cap (exactly what
+    * production MinHash indexes do, and the same cap the banding buckets
+    * apply), which bounds the join without touching recall ON THE GATED
+    * PAIRS (a pair sharing only boilerplate shingles is below any
+    * meaningful τ). Final report is one row of exact counts + one division.
+    */
+  private val lshRecall = q("pipe_dedup_lsh_recall",
+    withDocs(s""", $minhashSql,
+       |sz AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+       |co AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
+       |  FROM shingles sa
+       |  JOIN shingles sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT co.doc_a, co.doc_b
+       |  FROM co
+       |  JOIN sz na ON na.doc_id = co.doc_a
+       |  JOIN sz nb ON nb.doc_id = co.doc_b
+       |  WHERE 10 * co.i >= 7 * (na.n + nb.n - co.i)),
+       |hit AS (
+       |  SELECT t.doc_a FROM truth t
+       |  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+       |SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       |  (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       |  (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       |  (SELECT count(*) FROM hit)::DOUBLE
+       |    / (SELECT count(*) FROM truth) AS recall""".stripMargin)) {
+    (s, dir) =>
+    val sh = docShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val co = sh.as("sa")
+      .join(sh.as("sb"),
+        col("sb.sh") === col("sa.sh") && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val truth = co
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(lit(10L) * col("i") >= lit(7L) * (col("na") + col("nb") - col("i")))
+      .select("doc_a", "doc_b")
+    val cand = minhashCandidates(s, dir)
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_true"), col("n_candidates"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall"))
+  }
+
   /** Cross-source contamination matrix — which sources plagiarize which:
     * verified near-dup pairs (the same banded candidates + exact-Jaccard
     * integer gate as cluster resolution, `10·i ≥ 7·(|A∪B|)`) grouped by the
@@ -1454,7 +1513,7 @@ object Dedup {
 
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
-    paragraph, crossSource, tauSweep,
+    paragraph, crossSource, tauSweep, lshRecall,
     spans, spansIncremental, splitSafe, weights, decontaminateMulti,
     corpusDiff, dedupStats, resolveVerified)
 }

@@ -981,6 +981,27 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** Compression-ratio quality signal — the Gopher-family redundancy filter
+    * n-gram heuristics can't replicate: `deflate_len(text) / octet_length
+    * (text)` per document. Near-zero ratios are long-period repetition and
+    * template spam (DEFLATE's 32 KB window sees what duplicate-word
+    * fractions miss); ratios near 1 on supposed prose are binary junk in a
+    * text field. Map-only, one native codegen'd [[graft.functions.DeflateLen]]
+    * evaluation per row — no shuffle at any scale.
+    *
+    * Engine API rather than a registered query: DuckDB exposes no DEFLATE
+    * surface, so no cross-engine oracle exists; the determinism contract
+    * (fixed level, fresh Deflater, JDK-pinned zlib) is spec-pinned instead
+    * (Md5PrefixSpec).
+    */
+  def compressionSignal(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        expr("octet_length(text)").as("n_bytes"),
+        graft.functions.DeflateLen(col("text")).as("deflate_bytes"))
+      .withColumn("compression_ratio",
+        col("deflate_bytes").cast("double") / col("n_bytes"))
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
     rarity, pii, tfidf, bigramLm, gopher, qualityClassifier, qualitySweep,
     hotNgrams, classifierEval, classifierAuc, calibration, surprisalGate,

@@ -127,4 +127,41 @@ class Md5PrefixSpec extends AnyFunSuite {
       .head.getSeq[org.apache.spark.sql.Row](0)
     assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("x", 2L), ("y", 1L)))
   }
+
+  test("deflate_len: deterministic, discriminates repetition, codegen == eval") {
+    import graft.functions.DeflateLen
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    import spark.implicits._
+    val rep = "spam spam spam spam " * 200   // highly compressible
+    val varied = (1 to 200).map(i => s"w${i * 7919}").mkString(" ") // high entropy
+    // determinism across evaluations and evaluation paths
+    val viaCol = Seq(rep, rep, varied).toDF("text")
+      .select(DeflateLen(col("text")).as("n")).as[Int].collect()
+    assert(viaCol(0) == viaCol(1), "same input must compress to the same size")
+    assert(viaCol(0) == DeflateLen.len(rep.getBytes("UTF-8")),
+      "codegen path must equal the direct evaluation")
+    // the signal discriminates: repetition compresses far better
+    val ratioRep = viaCol(0).toDouble / rep.getBytes("UTF-8").length
+    val ratioVar = viaCol(2).toDouble / varied.getBytes("UTF-8").length
+    assert(ratioRep < 0.1 && ratioVar > 0.3,
+      s"ratios failed to separate: rep=$ratioRep varied=$ratioVar")
+    // SQL registration path
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DeflateLen(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.BinaryType)))
+    assert(spark.sql("SELECT deflate_len('hello hello hello') AS n")
+      .head.getInt(0) == DeflateLen.len("hello hello hello".getBytes("UTF-8")))
+    // the composed quality signal: bounded ratios, covers every non-empty doc
+    val sig = graft.pipeline.TextAnalysis.compressionSignal(
+      Tables.t(spark, TestSpark.sf, "documents")).cache()
+    assert(sig.filter(col("compression_ratio") <= 0).count() == 0)
+    val nonEmpty = Tables.t(spark, TestSpark.sf, "documents")
+      .filter(length(col("text")) > 0).count()
+    assert(sig.count() == nonEmpty)
+    sig.unpersist()
+  }
 }

@@ -232,6 +232,20 @@ class PipelineSpec extends AnyFunSuite {
       "sweep shows no variation — thresholds all equivalent on this data")
   }
 
+  test("lsh recall: counts consistent, ground truth non-empty, hits bounded") {
+    val r = run("pipe_dedup_lsh_recall").collect()(0)
+    val (nTrue, nCand, nHit) = (r.getAs[Long]("n_true"),
+      r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hit"))
+    assert(nTrue > 0, "no true near-dup pairs — the card is vacuous here")
+    assert(nHit <= nTrue && nHit <= nCand)
+    val recall = r.getAs[Double]("recall")
+    assert(recall >= 0.0 && recall <= 1.0 && recall == nHit.toDouble / nTrue)
+    // the corpus's built near-dups sit at jaccard >= 0.9, where 4x4 banding
+    // collides with overwhelming (deterministic, per-pair) probability — a
+    // recall collapse means the banding itself broke, not the data
+    assert(recall >= 0.9, s"banding missed ${nTrue - nHit} of $nTrue pairs")
+  }
+
   test("vocab growth: hapax <= vocab <= tokens, ratios exact, sources complete") {
     val df = run("pipe_vocab_growth").cache()
     assert(df.filter(col("n_hapax") > col("n_vocab") ||
