@@ -1137,13 +1137,15 @@ object Graph {
     *
     * Two fixed peel rounds, oracle-unrolled as chained CTEs —
     * deterministic whether or not the peel converged, same contract as
-    * the other iterative operators. Scale shape per round: support is the
-    * wedge equi-join (edge endpoints against the symmetrized adjacency,
-    * joined on the shared third vertex) + one map-combinable per-edge
-    * count, then a left-join peel filter — O(Σ deg²) wedges like the
-    * naive triangle count; at real scale the wedge enumeration takes the
-    * same degree-ordered orientation as [[graph_triangles]] to bound it
-    * by O(|E|^1.5). Output is 2 report rows, never the edge set.
+    * the other iterative operators. Scale shape per round: support comes
+    * from the DEGREE-ORDERED triangle enumeration [[graph_triangles]]
+    * uses — orient each canonical edge from its lower-(degree, id)
+    * endpoint, wedge-join on the oriented source (out-degree bounded by
+    * degeneracy → O(|E|^1.5) wedges, never per-hub quadratic), close
+    * against the canonical edge list, then explode each triangle to its
+    * three canonical edges and count per edge (map-combinable). Peel is
+    * one left-join filter. Output is the per-round report, never the
+    * edge set.
     */
   private val ktruss = {
     val peels = 2
@@ -1153,21 +1155,27 @@ object Graph {
          |  FROM links WHERE project_key = 'P1'),
          |e0 AS (
          |  SELECT DISTINCT x.d AS a, y.d AS b
-         |  FROM dk x JOIN dk y ON x.src = y.src AND x.d < y.d),
-         |und0 AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)""".stripMargin
+         |  FROM dk x JOIN dk y ON x.src = y.src AND x.d < y.d)""".stripMargin
+    // The ORACLE uses the naive symmetric wedge join for support — a plain
+    // hash-join chain DuckDB executes in seconds, semantically identical to
+    // the Spark side's degree-ordered enumeration (both compute the exact
+    // per-edge triangle support; the orientation is a plan optimization,
+    // not a semantics change — same pattern as meta_salted_join, whose
+    // oracle is the unsalted join).
     val steps = (1 to peels).map { i =>
-      s"""sup$i AS (
+      s"""und$i AS (
+         |  SELECT a, b FROM e${i - 1}
+         |  UNION ALL SELECT b AS a, a AS b FROM e${i - 1}),
+         |sup$i AS (
          |  SELECT e.a, e.b, count(*) AS sup
          |  FROM e${i - 1} e
-         |  JOIN und${i - 1} x ON x.a = e.a
-         |  JOIN und${i - 1} y ON y.a = e.b AND y.b = x.b
+         |  JOIN und$i x ON x.a = e.a
+         |  JOIN und$i y ON y.a = e.b AND y.b = x.b
          |  GROUP BY e.a, e.b),
          |e$i AS (
          |  SELECT e.a, e.b FROM e${i - 1} e
          |  LEFT JOIN sup$i s ON s.a = e.a AND s.b = e.b
-         |  WHERE coalesce(s.sup, 0) >= 2),
-         |und$i AS (
-         |  SELECT a, b FROM e$i UNION ALL SELECT b AS a, a AS b FROM e$i)""".stripMargin
+         |  WHERE coalesce(s.sup, 0) >= 2)""".stripMargin
     }.mkString(",\n")
     val reports = (0 to peels).map { i =>
       s"""SELECT $i AS round, count(*)::BIGINT AS n_edges,
@@ -1187,7 +1195,6 @@ object Graph {
         .join(dk.as("y"), col("x.src") === col("y.src") && col("x.d") < col("y.d"))
         .select(col("x.d").as("a"), col("y.d").as("b")).distinct()
         .transform(graft.Iterative.truncate)
-      var und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       def report(i: Int, e: DataFrame): DataFrame = {
         val nodes = e.select(explode(array(col("a"), col("b"))).as("n"))
           .agg(countDistinct("n").as("n_nodes"))
@@ -1196,15 +1203,31 @@ object Graph {
           .select(lit(i).as("round"), col("n_edges"), col("n_nodes"))
       }
       val perRound = report(0, edges) +: (1 to peels).map { i =>
-        val sup = edges.as("e")
-          .join(und.as("x"), col("x.a") === col("e.a"))
-          .join(und.as("y"), col("y.a") === col("e.b") && col("y.b") === col("x.b"))
-          .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-          .agg(count(lit(1)).as("sup"))
+        val deg = edges.select(col("a").as("n"))
+          .unionByName(edges.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+        val lowFirst = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val o = edges
+          .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+          .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+          .select(when(lowFirst, col("a")).otherwise(col("b")).as("s"),
+            when(lowFirst, col("b")).otherwise(col("a")).as("t"))
+        val tr = o.select(col("s"), col("t").as("t1"))
+          .join(o.select(col("s"), col("t").as("t2")), Seq("s"))
+          .filter(col("t1") < col("t2"))
+          .select(col("s").as("u"), least(col("t1"), col("t2")).as("v"),
+            greatest(col("t1"), col("t2")).as("x"))
+          .join(edges.select(col("a").as("v"), col("b").as("x")), Seq("v", "x"))
+        val sup = tr.select(least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b"))
+          .unionByName(tr.select(least(col("u"), col("x")).as("a"),
+            greatest(col("u"), col("x")).as("b")))
+          .unionByName(tr.select(col("v").as("a"), col("x").as("b")))
+          .groupBy("a", "b").agg(count(lit(1)).as("sup"))
         edges = edges.join(sup, Seq("a", "b"), "left")
           .filter(coalesce(col("sup"), lit(0L)) >= 2).select("a", "b")
           .transform(graft.Iterative.truncate)
-        und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
         report(i, edges)
       }
       perRound.reduce(_ unionByName _).orderBy("round")
