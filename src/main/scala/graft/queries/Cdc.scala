@@ -325,6 +325,40 @@ object Cdc {
       .orderBy("user_id", "event_id")
   }
 
+  /** Per-project sync staleness — the freshness dashboard a CDC operator
+    * watches: each project's newest issue update, and how many days it
+    * trails the corpus-wide newest (the project that stopped moving is the
+    * one whose sync or upstream broke). The reference lag is the CORPUS MAX
+    * update, not wall-clock `now()` — deterministic, replayable, and at
+    * 100 TB one broadcast row instead of a per-executor clock read.
+    * One map-combinable per-project aggregate + a 1-row global max joined
+    * back broadcast; |projects| output rows.
+    */
+  private val staleness = q("cdc_staleness",
+    Oracle.withIssues(
+      """, pmax AS (
+        |  SELECT project_key, count(*)::BIGINT AS n_issues,
+        |    max(updated) AS newest
+        |  FROM issues GROUP BY project_key),
+        |gmax AS (SELECT max(newest) AS corpus_newest FROM pmax)
+        |SELECT p.project_key, p.n_issues,
+        |  strftime(p.newest, '%Y-%m-%d %H:%M:%S') AS newest_s,
+        |  date_diff('day', p.newest, g.corpus_newest)::BIGINT AS lag_days,
+        |  p.newest < g.corpus_newest - INTERVAL 30 DAY AS stale
+        |FROM pmax p, gmax g
+        |ORDER BY project_key""".stripMargin)) { (s, dir) =>
+    val pmax = Tables.issues(s, dir)
+      .groupBy("project_key")
+      .agg(count(lit(1)).as("n_issues"), max("updated").as("newest"))
+    val gmax = pmax.agg(max("newest").as("corpus_newest"))
+    pmax.crossJoin(broadcast(gmax))
+      .select(col("project_key"), col("n_issues"),
+        date_format(col("newest"), "yyyy-MM-dd HH:mm:ss").as("newest_s"),
+        datediff(col("corpus_newest"), col("newest")).cast("long").as("lag_days"),
+        (col("newest") < col("corpus_newest") - expr("INTERVAL 30 DAYS")).as("stale"))
+      .orderBy("project_key")
+  }
+
   val all: Seq[GQuery] = Seq(changed, upsert, stats, enrich, stateful, history,
-    validate, scd2)
+    validate, scd2, staleness)
 }

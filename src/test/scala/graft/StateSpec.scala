@@ -151,6 +151,21 @@ class StateSpec extends AnyFunSuite {
     assert(changed.select("key").collect().map(_.getString(0)).toSeq == Seq("P1-1"))
   }
 
+  test("staleness report: lag anchored to corpus max, covers every project") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("cdc_staleness")(spark, TestSpark.sf).cache()
+    assert(df.filter(col("lag_days") < 0).count() == 0,
+      "no project can be newer than the corpus max")
+    assert(df.filter(col("lag_days") === 0).count() >= 1,
+      "the project holding the corpus max must show zero lag")
+    // stale flag is exactly the 30-day comparison on the reported lag
+    assert(df.filter(col("stale") =!= (col("lag_days") > 30)).count() == 0)
+    val projects = Tables.issues(spark, TestSpark.sf)
+      .select("project_key").distinct().count()
+    assert(df.count() == projects)
+    df.unpersist()
+  }
+
   test("high-water-mark and stats") {
     val state = StateStore.fromIssues(
       batchDf(Seq(("P1-1", "P1", "a", "2024-01-01 00:00:00"),

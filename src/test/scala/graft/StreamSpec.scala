@@ -532,6 +532,64 @@ class StreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("trending: exact when capacity holds the vocabulary; deterministic reruns") {
+    import spark.implicits._
+    import graft.streaming.Trending
+    implicit val ctx = spark.sqlContext
+    def runOnce(name: String): Map[String, (Long, Long)] = {
+      val mem = MemoryStream[String]
+      val q = Trending.estimates(mem.toDF().toDF("item"),
+        buckets = 4, capacity = 8)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        mem.addData("a", "b", "a", "c", "a", "b")
+        q.processAllAvailable()
+        mem.addData("b", "c", "c", "c", "d")
+        q.processAllAvailable()
+      } finally q.stop()
+      Trending.topK(spark.table(name), 10)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    val got = runOnce("trend_a")
+    // capacity >= distinct items per bucket → exact counts, zero error
+    assert(got == Map("a" -> (3L, 0L), "b" -> (3L, 0L), "c" -> (4L, 0L),
+      "d" -> (1L, 0L)), s"sketch drifted from exact: $got")
+    // the whole pipeline is deterministic: an identical rerun is identical
+    assert(runOnce("trend_b") == got)
+  }
+
+  test("trending: eviction keeps the SpaceSaving bounds and the true heavy hitter") {
+    import spark.implicits._
+    import graft.streaming.Trending
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    // ONE bucket, capacity 2: 'hot' dominates, tail items fight for slot 2
+    val q = Trending.estimates(mem.toDF().toDF("item"),
+      buckets = 1, capacity = 2)
+      .writeStream.outputMode("append").format("memory").queryName("trend_ev").start()
+    val truth = scala.collection.mutable.HashMap[String, Long]()
+    def feed(items: String*): Unit = {
+      items.foreach(i => truth.update(i, truth.getOrElse(i, 0L) + 1))
+      mem.addData(items: _*); q.processAllAvailable()
+    }
+    try {
+      feed("hot", "hot", "t1", "hot")
+      feed("t2", "hot", "t3", "hot")
+      feed("hot", "t4", "hot")
+    } finally q.stop()
+    val fin = Trending.topK(spark.table("trend_ev"), 2)
+      .as[(String, Long, Long)].collect()
+    // never undercounts; overcount bounded by the reported err
+    fin.foreach { case (item, count, err) =>
+      val t = truth.getOrElse(item, 0L)
+      assert(count >= t, s"$item undercounted: $count < $t")
+      assert(count - err <= t, s"$item: err bound broken ($count - $err > $t)")
+    }
+    // the genuinely heavy item survives every eviction storm
+    assert(fin.head._1 == "hot" && fin.head._2 == truth("hot"),
+      s"heavy hitter lost or miscounted: ${fin.toSeq}")
+  }
+
   test("stateful streaming near-dup emits exactly the batch band join, once") {
     import spark.implicits._
     import graft.streaming.NearDup
