@@ -807,6 +807,71 @@ object Misc {
       .orderBy("type_a", "type_b")
   }
 
+  /** Session opening paths — the path-analysis report over gap-based
+    * sessions: the first three event types of every 30-minute-gap session,
+    * as a ranked path table with session share ("view>click>purchase is
+    * 12% of sessions"). The longer-horizon sibling of the one-step
+    * transition matrix.
+    *
+    * Scale shape: session ids come from the gaps-and-islands windows
+    * (lag → flag → running sum), all partitioned BY USER; the per-session
+    * prefix is a rank filter (rk ≤ 3) BEFORE the 3-row collect, so no
+    * session materializes more than three events anywhere. Output is the
+    * top-10 paths + exact shares; path cardinality is ≤ |types|³
+    * regardless of corpus size.
+    */
+  private val sessionPaths = q("stream_session_paths",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m),
+      |r AS (
+      |  SELECT user_id, sid, event_type,
+      |    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rk
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rk) AS path
+      |  FROM r WHERE rk <= 3 GROUP BY user_id, sid),
+      |c AS (SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY path),
+      |tot AS (SELECT count(*)::BIGINT AS n FROM p)
+      |SELECT c.path, c.n_sessions, c.n_sessions::DOUBLE / tot.n AS share
+      |FROM c, tot
+      |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    val m = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("new_s",
+        when(lag("ts", 1).over(byUser).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)) >= gapUs,
+          1).otherwise(0))
+    val sess = m.withColumn("sid", sum("new_s").over(
+      byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    val p = sess.withColumn("rk", row_number().over(bySession))
+      .filter(col("rk") <= 3)
+      .groupBy("user_id", "sid")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(rk, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+    val c = p.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    val tot = p.agg(count(lit(1)).as("n"))
+    c.crossJoin(broadcast(tot))
+      .select(col("path"), col("n_sessions"),
+        (col("n_sessions").cast("double") / col("n")).as("share"))
+      .orderBy(desc("n_sessions"), col("path")).limit(10)
+  }
+
   /** Event transition matrix — the first-order Markov model of user
     * behavior ("after a click, what happens next?"): consecutive event
     * pairs per user, with exact transition probabilities. Fuels both
@@ -940,5 +1005,5 @@ object Misc {
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
-    rateAnomaly, transitionMatrix, funnelWindowed)
+    rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths)
 }

@@ -315,6 +315,20 @@ class StreamSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("session paths: <=3 segments, shares exact against the session census") {
+    val df = SparkEntry.queries("stream_session_paths")(spark, sf).cache()
+    import org.apache.spark.sql.functions._
+    assert(df.filter(size(split(col("path"), ">")) > 3).count() == 0,
+      "a path kept more than the session's first three events")
+    // shares are n_sessions / total sessions — cross-check the denominator
+    // against the session-window census (same 30-minute gap rule)
+    val sessions = SparkEntry.queries("stream_session_agg")(spark, sf).count()
+    assert(df.filter(abs(col("share") * sessions - col("n_sessions")) > 1e-6)
+      .count() == 0, "share denominator diverged from the session census")
+    assert(df.count() <= 10 && df.count() > 0)
+    df.unpersist()
+  }
+
   test("transition matrix: rows are distributions, transitions count n-1 per user") {
     val df = SparkEntry.queries("stream_transition_matrix")(spark, sf).cache()
     import org.apache.spark.sql.functions._
