@@ -208,8 +208,9 @@ object Dedup {
   }
 
   /** Dedup-threshold sweep — the policy card that picks τ before a corpus
-    * dedup run: for each candidate Jaccard threshold 0.5–0.9, how many
-    * banded pairs pass and how many documents they touch. Too low a τ
+    * dedup run: for each candidate Jaccard threshold from 0.50 to 1.00,
+    * how many banded pairs pass and how many documents they touch. Too
+    * low a τ
     * merges topical siblings; too high leaves boilerplate families intact;
     * this table is how the call gets made (and re-made per corpus).
     *
@@ -305,10 +306,16 @@ object Dedup {
       .filter(lit(10L) * col("i") >= lit(7L) * (col("na") + col("nb") - col("i")))
       .select("doc_a", "doc_b")
     val cand = minhashCandidates(s, dir)
-    val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    truth.agg(count(lit(1)).as("n_true"))
+    // ONE pass over the expensive ground-truth frame: flag each true pair
+    // with a left join against the (memoized, broadcast-sized) candidates
+    // and fold n_true/n_hit in a single aggregate — a separate left-semi
+    // `hit` frame would re-execute the Σ df² co-pair join a second time
+    val flagged = truth.join(
+      cand.select(col("doc_a"), col("doc_b"), lit(1L).as("__hit")),
+      Seq("doc_a", "doc_b"), "left")
+    flagged.agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
-      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
       .select(col("n_true"), col("n_candidates"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_true")).as("recall"))
   }

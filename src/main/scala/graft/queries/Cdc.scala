@@ -344,18 +344,21 @@ object Cdc {
         |SELECT p.project_key, p.n_issues,
         |  strftime(p.newest, '%Y-%m-%d %H:%M:%S') AS newest_s,
         |  date_diff('day', p.newest, g.corpus_newest)::BIGINT AS lag_days,
-        |  p.newest < g.corpus_newest - INTERVAL 30 DAY AS stale
+        |  date_diff('day', p.newest, g.corpus_newest) > 30 AS stale
         |FROM pmax p, gmax g
         |ORDER BY project_key""".stripMargin)) { (s, dir) =>
     val pmax = Tables.issues(s, dir)
       .groupBy("project_key")
       .agg(count(lit(1)).as("n_issues"), max("updated").as("newest"))
     val gmax = pmax.agg(max("newest").as("corpus_newest"))
+    // `stale` derives from the SAME day-granular lag the report shows —
+    // deriving it from raw timestamps instead would let the two columns
+    // contradict each other on sub-day gaps (stale=true, lag_days=30)
     pmax.crossJoin(broadcast(gmax))
       .select(col("project_key"), col("n_issues"),
         date_format(col("newest"), "yyyy-MM-dd HH:mm:ss").as("newest_s"),
-        datediff(col("corpus_newest"), col("newest")).cast("long").as("lag_days"),
-        (col("newest") < col("corpus_newest") - expr("INTERVAL 30 DAYS")).as("stale"))
+        datediff(col("corpus_newest"), col("newest")).cast("long").as("lag_days"))
+      .withColumn("stale", col("lag_days") > 30)
       .orderBy("project_key")
   }
 

@@ -80,6 +80,27 @@ object Graph {
     else None
   }
 
+  /** Degree-ordered orientation of a canonical (a < b) edge list: each edge
+    * re-emitted `s → t` from its lower-(degree, id) endpoint, so every
+    * node's OUT-degree is bounded by the graph degeneracy and the wedge
+    * self-join on `s` is O(|E|^1.5) worst case. ONE definition shared by
+    * [[triangles]] and the k-truss support loop — the tie-break (degree,
+    * then id) must be identical in both or their triangle enumerations
+    * silently diverge.
+    */
+  private def orientEdges(canonical: DataFrame): DataFrame = {
+    val deg = canonical.select(col("a").as("n"))
+      .unionByName(canonical.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    canonical
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("s"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("t"))
+  }
+
   private val components = {
     val undSql =
       """und AS (
@@ -475,19 +496,7 @@ object Graph {
       val und = e.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b")).distinct()
         .transform(graft.Iterative.truncate)
-      val deg = und.select(col("a").as("n"))
-        .unionByName(und.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val o = und
-        .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
-        .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
-        .select(
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")), col("a"))
-            .otherwise(col("b")).as("s"),
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")), col("b"))
-            .otherwise(col("a")).as("t"))
+      val o = orientEdges(und)
       val w = o.select(col("s"), col("t").as("t1"))
         .join(o.select(col("s"), col("t").as("t2")), Seq("s"))
         .filter(col("t1") < col("t2"))
@@ -1203,16 +1212,7 @@ object Graph {
           .select(lit(i).as("round"), col("n_edges"), col("n_nodes"))
       }
       val perRound = report(0, edges) +: (1 to peels).map { i =>
-        val deg = edges.select(col("a").as("n"))
-          .unionByName(edges.select(col("b").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("d"))
-        val lowFirst = col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b"))
-        val o = edges
-          .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
-          .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
-          .select(when(lowFirst, col("a")).otherwise(col("b")).as("s"),
-            when(lowFirst, col("b")).otherwise(col("a")).as("t"))
+        val o = orientEdges(edges)
         val tr = o.select(col("s"), col("t").as("t1"))
           .join(o.select(col("s"), col("t").as("t2")), Seq("s"))
           .filter(col("t1") < col("t2"))

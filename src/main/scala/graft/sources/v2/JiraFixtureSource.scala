@@ -103,12 +103,16 @@ final class JiraFixtureScan(path: String, pageSize: Int,
   override def planInputPartitions(): Array[InputPartition] = {
     // the reference pages with startAt/maxResults until `total` is exhausted
     // (pkg/client/client.go:158-188); here total = fixture line count,
-    // capped by a pushed LIMIT — a bounded query never pages past its bound
-    val counted = {
+    // capped by a pushed LIMIT. The count itself short-circuits at the
+    // limit — a bounded query must not pay a full-file scan at PLANNING
+    // time either (the whole point of the pushdown).
+    val total = {
       val src = scala.io.Source.fromFile(path)
-      try src.getLines().count(_.trim.nonEmpty) finally src.close()
+      try {
+        val lines = src.getLines().filter(_.trim.nonEmpty)
+        limit.fold(lines.size.toLong)(n => lines.take(n).size.toLong)
+      } finally src.close()
     }
-    val total = limit.fold(counted.toLong)(n => math.min(n.toLong, counted.toLong))
     (0L until total by pageSize.toLong)
       .map(s => FixturePage(path, s, math.min(s + pageSize, total), maxPerSecond))
       .toArray[InputPartition]

@@ -26,9 +26,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     against a bounded recency horizon, exactly like the exact-dedup
   *     stream's `dropDuplicatesWithinWatermark`. None = keep forever.
   *
-  * Replays are idempotent: a doc id already resident in the bucket emits
-  * nothing and changes no state, so at-least-once delivery still yields
-  * exactly-once pair emission per (bucket, pair).
+  * Replays are idempotent FOR ADMITTED DOCS: a doc id resident in the
+  * bucket emits nothing and changes no state on redelivery, so
+  * at-least-once delivery yields exactly-once pair emission per
+  * (bucket, pair) for every pair whose newer doc was stored. The one
+  * deliberate exception is an arrival on a FULL bucket: it emits against
+  * the residents but is not remembered (remembering every capped arrival
+  * would rebuild exactly the unbounded state the cap exists to avoid), so
+  * redelivering it re-emits those pairs — at-least-once for capped
+  * arrivals. [[distinctPairs]] is the idempotency boundary consumers
+  * already need for cross-band collisions, and it absorbs these replays
+  * identically (the spec pins both behaviors).
   *
   * State size: ≤ cap BIGINTs per occupied bucket, buckets ∝ distinct band
   * signatures in the horizon — proportional to the deduped corpus slice,
