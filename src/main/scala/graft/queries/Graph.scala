@@ -1267,8 +1267,76 @@ object Graph {
       .orderBy("bucket")
   }
 
+  /** Link prediction by common-neighborhood — the "which edge is missing?"
+    * card over the dependency graph: for every NON-adjacent node pair that
+    * shares at least one neighbor, the shared-neighbor count and the
+    * neighborhood Jaccard, top-20. On an issue-link graph these are the
+    * blocks relationships nobody filed yet; on a near-dup graph they are
+    * the pairs one more banding round would have caught.
+    *
+    * Exactness: common-neighbor counts are integers from a wedge census,
+    * degrees are integers, and Jaccard is ONE division per emitted row
+    * (`cn / (da + db − cn)`) — no float accumulation, so both engines
+    * agree bit-for-bit; the (cn DESC, a, b) sort is total, so the LIMIT
+    * cut is deterministic.
+    *
+    * Scale shape: unlike the triangle count, a wedge CENSUS cannot be
+    * degree-ordered away (a wedge centered on a hub is only visible from
+    * the hub), so the self-join is genuinely Σ deg² — the classic
+    * common-neighbors cost every link-prediction system pays. The join is
+    * a single equi-key exchange on the wedge center (AQE splits hub
+    * partitions), [[degreeHistogram]] is the pre-flight check that says
+    * whether it's affordable, and the standard production mitigation —
+    * cap or sample hub neighborhoods — is a recall trade-off deliberately
+    * NOT taken here because the oracle pins the exact census. The final
+    * top-k folds through TakeOrderedAndProject, never a global sort.
+    */
+  private val linkPredict = q("graph_link_predict",
+    s"""WITH ${Oracle.linksCte},
+       |$edgesIntSql,
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)
+       |  WHERE a <> b),
+       |canon AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |          FROM eint WHERE a <> b),
+       |deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+       |cn AS (
+       |  SELECT x.b AS a, y.b AS b, count(*)::BIGINT AS common_neighbors
+       |  FROM und x JOIN und y ON x.a = y.a AND x.b < y.b
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT cn.a, cn.b, cn.common_neighbors
+       |  FROM cn LEFT JOIN canon c ON c.a = cn.a AND c.b = cn.b
+       |  WHERE c.a IS NULL)
+       |SELECT cand.a, cand.b, cand.common_neighbors,
+       |  cand.common_neighbors::DOUBLE
+       |    / (da.deg + db.deg - cand.common_neighbors) AS jaccard
+       |FROM cand
+       |JOIN deg da ON da.node = cand.a
+       |JOIN deg db ON db.node = cand.b
+       |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
+    val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
+    val und = e.select("a", "b")
+      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val canon = e.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val cn = und.as("x")
+      .join(und.as("y"), col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.b").as("a"), col("y.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common_neighbors"))
+    cn.join(canon, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common_neighbors"),
+        (col("common_neighbors").cast("double") /
+          (col("da") + col("db") - col("common_neighbors"))).as("jaccard"))
+      .orderBy(desc("common_neighbors"), col("a"), col("b")).limit(20)
+  }
+
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
-    lpaCommunities, ktruss)
+    lpaCommunities, ktruss, linkPredict)
 }

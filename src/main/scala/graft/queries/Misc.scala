@@ -1001,9 +1001,84 @@ object Misc {
       .orderBy("event_type", "hour_s")
   }
 
+  /** Daily resample with gap fill — the time-series regularization every
+    * downstream model expects: each user's event history becomes a DENSE
+    * per-day series over their own [first, last] activity span, missing
+    * days carried forward from the last observed daily total. Event logs
+    * are bursty; training a sequence model (or computing day-over-day
+    * deltas) on the raw irregular series silently skips the quiet days —
+    * this operator makes "no activity" an explicit row instead of an
+    * absent one.
+    *
+    * Exactness: the grid is integer date arithmetic (`sequence(d0, d1,
+    * 1 day)` / `generate_series`), daily totals aggregate in DECIMAL and
+    * cast to DOUBLE only at the output edge (the windowAgg convention),
+    * and the fill is `last(value) IGNORE NULLS` over a per-user ordered
+    * frame — value-copying, no float arithmetic, so both engines carry
+    * bit-identical fills. The first grid day per user always has events
+    * (it IS the user's min day), so the fill never sees a leading null.
+    *
+    * Scale shape: one map-combinable (user, day) census, a per-user
+    * two-value span aggregate, a generator explode whose output is
+    * span-bounded (days, not events), one user+day-keyed left join, and a
+    * per-USER window — partitioned, never global; a user's row count is
+    * their span in days. Nothing here is corpus-proportional except the
+    * initial scan and the (user, day) frames themselves.
+    */
+  private val gapFill = q("stream_gap_fill",
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    value FROM events),
+      |daily AS (
+      |  SELECT user_id, day, count(*)::BIGINT AS n_events,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+      |  FROM ev GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |         FROM daily GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span),
+      |joined AS (
+      |  SELECT g.user_id, g.day,
+      |    coalesce(d.n_events, 0)::BIGINT AS n_events, d.day_value
+      |  FROM grid g LEFT JOIN daily d USING (user_id, day))
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day_s, n_events,
+      |  n_events = 0 AS is_gap,
+      |  CAST(last_value(day_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS filled_value
+      |FROM joined
+      |ORDER BY user_id, day_s""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"),
+        col("value"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("day_value"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+          .as("day"))
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (coalesce(col("n_events"), lit(0L)) === 0).as("is_gap"),
+        last("day_value", ignoreNulls = true).over(byUser)
+          .cast("double").as("filled_value"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("n_events"), col("is_gap"), col("filled_value"))
+      .orderBy("user_id", "day_s")
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
-    rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths)
+    rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill)
 }

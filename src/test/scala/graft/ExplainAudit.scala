@@ -46,6 +46,31 @@ class ExplainAudit extends AnyFunSuite {
     assert(plan("q03_shipping_priority").contains("TakeOrderedAndProject"))
   }
 
+  test("gap fill: generator-built grid, per-user window, user+day-keyed join") {
+    val p = plan("stream_gap_fill")
+    // the day grid must come from a generator explode over the per-user
+    // span, never a calendar crossJoin
+    assert(p.contains("Generate"), s"grid lost its generator:\n${p.take(2000)}")
+    // the forward fill is a per-user window — a global one would single-task
+    // the whole resampled corpus (also pinned suite-wide)
+    assert(p.contains("Window"), "fill lost its window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"grid join degenerated to a product:\n${p.take(2000)}")
+  }
+
+  test("link predict: wedge census is an equi-join, top-k folds") {
+    val p = plan("graph_link_predict")
+    // the Σ deg² wedge self-join must stay a single equi-key exchange on
+    // the wedge center — a nested loop here is quadratic in NODES
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"wedge join shape:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must fold, not globally sort")
+  }
+
   test("JQL membership joins are hash joins, not nested loops") {
     val p = plan("jql_epic_members")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
