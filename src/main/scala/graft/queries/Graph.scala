@@ -821,9 +821,15 @@ object Graph {
     * batch — and hence the merge map — is small.
     */
   def componentsIncremental(baseLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+    // both inputs fan out into several subtrees of the final DAG (endpoint
+    // resolve ×2, re-root, new-node anti-join) AND get executed once more
+    // by the contraction's size-gate collect — truncate so each lineage
+    // materializes once instead of per use
     val e = newEdges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .transform(graft.Iterative.truncate)
     val lab = baseLabels.toDF("node", "lbl")
+      .transform(graft.Iterative.truncate)
     val resolved = e
       .join(lab.select(col("node").as("a"), col("lbl").as("la")), Seq("a"), "left")
       .join(lab.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"), "left")
@@ -897,7 +903,11 @@ object Graph {
     */
   def componentsDecremental(baseLabels: DataFrame, remainingEdges: DataFrame,
       deletedEdges: DataFrame): DataFrame = {
+    // the label table feeds three subtrees (affected set, subgraph member-
+    // ship, untouched pass-through) plus the relabel's size-gate collect —
+    // materialize it once (same rationale as componentsIncremental)
     val lab = baseLabels.toDF("node", "lbl")
+      .transform(graft.Iterative.truncate)
     val del = deletedEdges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val rem = remainingEdges.toDF("a", "b")
