@@ -1345,8 +1345,103 @@ object Graph {
       .orderBy(desc("common_neighbors"), col("a"), col("b")).limit(20)
   }
 
+  /** Personalized PageRank — random-walk-with-restart from a SEED set, the
+    * "related to these" recommender over the link graph: teleport mass
+    * lands only on the seeds, so rank measures proximity to the seed
+    * neighborhood instead of global importance, and the top non-seed nodes
+    * are the recommendations. Same 1e9 fixed-point integer arithmetic as
+    * [[pagerank]] (sum/div of BIGINTs — bit-identical cross-engine, no
+    * float accumulation), same sparse inbound-contribution frames, and the
+    * same per-round lineage truncation.
+    *
+    * The seed set here is the deterministic `node % 53 = 0` slice so the
+    * oracle can replay it; the engine form takes any seed frame. Scale
+    * shape: seeds ride a broadcastable side of each round's join; each
+    * round is one `ed ⟕ contrib` join + one aggregate exactly like
+    * [[pagerank]] — a production variant would additionally semi-filter
+    * `ed` to sources in `seeds ∪ contrib` (the reachable frontier, often
+    * tiny for PPR), which changes no output since absent sources
+    * contribute zero; the oracle pins the unfiltered form for parity with
+    * the CTE unroll. Output folds through TakeOrderedAndProject.
+    */
+  private val pprQ = {
+    val SCALE = "1000000000"
+    val BASE = "150000000"
+    val rounds = 3
+    val seedMod = 53
+    val edgesSql =
+      """e AS (SELECT DISTINCT a, b FROM eint),
+        |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |outd AS (SELECT a AS node, count(*) AS d FROM e GROUP BY a),
+        |ed AS (SELECT e.a, e.b, o.d FROM e JOIN outd o ON o.node = e.a)""".stripMargin
+    val c1 =
+      s"""c1 AS (
+         |  SELECT ed.b AS node, sum($BASE // ed.d)::BIGINT AS s
+         |  FROM ed JOIN seeds sd ON sd.node = ed.a GROUP BY ed.b)""".stripMargin
+    val steps = (2 to rounds).map { i =>
+      s"""c$i AS (
+         |  SELECT ed.b AS node,
+         |    sum((CASE WHEN sd.node IS NULL THEN 0 ELSE $BASE END
+         |         + (85 * coalesce(p.s, 0)) // 100) // ed.d)::BIGINT AS s
+         |  FROM ed LEFT JOIN c${i - 1} p ON p.node = ed.a
+         |  LEFT JOIN seeds sd ON sd.node = ed.a
+         |  GROUP BY ed.b)""".stripMargin
+    }.mkString(",\n")
+    q("graph_ppr",
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |$edgesSql,
+         |seeds AS (SELECT node FROM nodes WHERE node % $seedMod = 0),
+         |$c1,
+         |$steps,
+         |rk AS (
+         |  SELECT n.node, ((85 * coalesce(c.s, 0)) // 100)::BIGINT AS pr
+         |  FROM nodes n LEFT JOIN c$rounds c ON c.node = n.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM seeds sd WHERE sd.node = n.node))
+         |SELECT 'P' || CAST(node // 1000000000000 AS STRING) || '-'
+         |    || CAST(node % 1000000000000 AS STRING) AS node_key, pr
+         |FROM (SELECT node, pr FROM rk WHERE pr > 0
+         |      ORDER BY pr DESC, node LIMIT 20)
+         |ORDER BY pr DESC, node_key""".stripMargin) { (s, dir) =>
+      val e = edgesInt(s, dir).distinct()
+      val outd = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+      val ed = e.join(outd.withColumnRenamed("node", "a"), Seq("a"))
+        .transform(graft.Iterative.truncate)
+      val nodes = ed.select(col("a").as("node"))
+        .union(ed.select(col("b").as("node"))).distinct()
+        .transform(graft.Iterative.truncate)
+      val seeds = nodes.filter(col("node") % seedMod === 0)
+      var contrib = ed
+        .join(seeds.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .groupBy(col("b").as("node"))
+        .agg(sum(expr(s"$BASE div d")).as("s"))
+        .transform(graft.Iterative.truncate)
+      (2 to rounds).foreach { _ =>
+        contrib = ed
+          .join(contrib.withColumnRenamed("node", "a"), Seq("a"), "left")
+          .join(seeds.select(col("node").as("a"), lit(1L).as("is_seed")),
+            Seq("a"), "left")
+          .groupBy(col("b").as("node"))
+          .agg(sum(expr(
+            s"(coalesce(is_seed, 0L) * $BASE + (85 * coalesce(s, 0L)) div 100) div d"))
+            .as("s"))
+          .transform(graft.Iterative.truncate)
+      }
+      nodes.join(seeds, Seq("node"), "left_anti")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr("(85 * coalesce(s, 0L)) div 100").as("pr"))
+        .filter(col("pr") > 0)
+        .orderBy(desc("pr"), col("node")).limit(20)
+        .select(concat(lit("P"), expr("node div 1000000000000").cast("string"),
+          lit("-"), (col("node") % lit(1000000000000L)).cast("string"))
+          .as("node_key"), col("pr"))
+        .orderBy(desc("pr"), col("node_key"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
-    lpaCommunities, ktruss, linkPredict)
+    lpaCommunities, ktruss, linkPredict, pprQ)
 }

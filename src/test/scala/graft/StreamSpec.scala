@@ -429,6 +429,73 @@ class StreamSpec extends AnyFunSuite {
       s"batch twin must fold the full ordered history, got $batchStages")
   }
 
+  test("streaming gap fill over ordered micro-batches matches batch closed days") {
+    import spark.implicits._
+    import graft.streaming.GapFill
+    implicit val ctx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[GapFill.Event].collect().sortBy(_.ts.getTime)
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val mem = MemoryStream[GapFill.Event]
+    val query = GapFill.dense(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("gapfill_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); query.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("gapfill_out").as[GapFill.DayRow]
+      .collect().map(r => (r.user_id, r.day_s, r.n_events, r.is_gap,
+        r.filled_value)).toSet
+    // the stream emits every CLOSED day; the batch twin additionally emits
+    // each user's final (still-open) day — drop it and the rows must match
+    // exactly, fills included
+    val batch = SparkEntry.queries("stream_gap_fill")(spark, sf)
+    val lastDay = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val expected = batch
+      .withColumn("max_day", max("day_s").over(lastDay))
+      .filter(col("day_s") < col("max_day"))
+      .select("user_id", "day_s", "n_events", "is_gap", "filled_value")
+      .as[(Long, String, Long, Boolean, Double)].collect().toSet
+    assert(expected.nonEmpty && streamed == expected,
+      s"closed-day parity broke: ${streamed.size} streamed vs ${expected.size} expected; " +
+        s"sample diff ${(streamed diff expected).take(3)} / ${(expected diff streamed).take(3)}")
+  }
+
+  test("streaming gap fill pins its documented late-arrival drop") {
+    import spark.implicits._
+    import graft.streaming.GapFill
+    implicit val ctx = spark.sqlContext
+    def ev(day: Int, v: Double) =
+      GapFill.Event(1L, new Timestamp(day * 86400000L), v)
+    val mem = MemoryStream[GapFill.Event]
+    val query = GapFill.dense(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("gapfill_late").start()
+    try {
+      // day 1 then day 4 close day 1 and fill days 2-3
+      mem.addData(Seq(ev(1, 10.0), ev(4, 5.0))); query.processAllAvailable()
+      val closed = spark.table("gapfill_late").as[GapFill.DayRow].collect()
+      assert(closed.map(_.day_s).sorted.toSeq ==
+        Seq("1970-01-02", "1970-01-03", "1970-01-04"),
+        s"close+fill drifted: ${closed.toSeq}")
+      assert(closed.forall(_.filled_value == 10.0))
+      assert(closed.count(_.is_gap) == 2)
+      // a late arrival on the already-closed day 2 is DROPPED (scaladoc):
+      // no retraction, no re-emission, no state change visible downstream
+      mem.addData(Seq(ev(2, 99.0))); query.processAllAvailable()
+      assert(spark.table("gapfill_late").count() == 3,
+        "late arrival on a closed day must not emit")
+      // the still-open day 4 closes normally afterwards, fill unaffected
+      mem.addData(Seq(ev(6, 1.0))); query.processAllAvailable()
+      val after = spark.table("gapfill_late").as[GapFill.DayRow]
+        .collect().filter(_.day_s >= "1970-01-05")
+      assert(after.map(r => (r.day_s, r.n_events, r.is_gap, r.filled_value))
+        .sortBy(_._1).toSeq ==
+        Seq(("1970-01-05", 1L, false, 5.0), ("1970-01-06", 0L, true, 5.0)),
+        s"post-late close drifted: ${after.toSeq}")
+    } finally query.stop()
+  }
+
   test("conversion lag: converters match funnel stage 3 and lags are positive") {
     val lag = SparkEntry.queries("stream_conversion_lag")(spark, sf).head
     val funnel = SparkEntry.queries("stream_funnel")(spark, sf)
