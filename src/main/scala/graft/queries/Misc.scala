@@ -1076,9 +1076,82 @@ object Misc {
       .orderBy("user_id", "day_s")
   }
 
+  /** Active-user rollup — DAU, new users, cumulative uniques, EXACT 7-day
+    * rolling actives, and DAU/WAU stickiness per day: the engagement card
+    * at the top of every product dashboard. The interesting operator is
+    * WAU: a rolling COUNT DISTINCT, which no window frame computes —
+    * instead each distinct (user, day) fact is exploded onto the ≤7 grid
+    * days it can count toward, and WAU is a plain distinct-count per grid
+    * day. That turns an un-windowable distinct into a map-side bounded
+    * explode (7×, a constant) plus one keyed aggregate — the standard
+    * rolling-distinct shape at any scale.
+    *
+    * Exactness: every column is an integer count except stickiness — one
+    * division of two exact counts per output row. The cumulative-uniques
+    * running sum is a GLOBAL window, sanctioned because its input is the
+    * calendar-day frame (≤366 rows/year regardless of corpus size — in the
+    * ExplainAudit allowlist with that bound).
+    *
+    * Scale shape: one (user, day) dedup from the event scan, from which
+    * everything derives: DAU census, per-user first-day census (new/
+    * cumulative), and the 7× contribution explode — all keyed exchanges,
+    * outputs bounded by days or users, never events.
+    */
+  private val activeUsers = q("stream_active_users",
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      |  FROM events),
+      |ud AS (SELECT DISTINCT user_id, day FROM ev),
+      |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+      |fs AS (SELECT user_id, min(day) AS day FROM ud GROUP BY user_id),
+      |nu AS (SELECT day, count(*)::BIGINT AS new_users FROM fs GROUP BY day),
+      |contrib AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE)
+      |      AS gday
+      |  FROM ud),
+      |wau AS (SELECT gday AS day, count(DISTINCT user_id)::BIGINT AS wau
+      |        FROM contrib GROUP BY 1),
+      |base AS (
+      |  SELECT d.day, d.dau, coalesce(n.new_users, 0)::BIGINT AS new_users
+      |  FROM dau d LEFT JOIN nu n ON n.day = d.day)
+      |SELECT strftime(b.day, '%Y-%m-%d') AS day_s, b.dau, b.new_users,
+      |  sum(b.new_users) OVER (ORDER BY b.day
+      |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users,
+      |  w.wau, b.dau::DOUBLE / w.wau AS stickiness
+      |FROM base b JOIN wau w ON w.day = b.day
+      |ORDER BY day_s""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val nu = ud.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .distinct()
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    // bounded global window: input is the calendar-day frame (≤366/yr)
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(nu, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum("new_users").over(cum))
+      .join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("dau"), col("new_users"), col("cum_users"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+      .orderBy("day_s")
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
-    rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill)
+    rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
+    activeUsers)
 }

@@ -398,7 +398,10 @@ class ExplainAudit extends AnyFunSuite {
       // 8 centroid-similarity rows in the single-query probe rank
       "pipe_ann_ivf" -> (1, "8 centroid rows"),
       // two rank windows, each over its leg's LIMIT-50 top-k frame
-      "pipe_search_hybrid" -> (2, "two 50-row top-k frames"))
+      "pipe_search_hybrid" -> (2, "two 50-row top-k frames"),
+      // cumulative-uniques running sum over the calendar-day frame
+      // (≤366 rows/year regardless of corpus size)
+      "stream_active_users" -> (1, "calendar-day rows"))
     val offenders = raw {
       SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
