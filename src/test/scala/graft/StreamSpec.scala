@@ -548,6 +548,58 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("property: gap-fill folding is chunk-invariant over ordered batches") {
+    import org.scalacheck.Gen
+    import graft.streaming.GapFill
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val genEvents: Gen[List[GapFill.Event]] = for {
+      n <- Gen.chooseNum(0, 40)
+      days <- Gen.listOfN(n, Gen.chooseNum(0L, 20L))
+      cents <- Gen.listOfN(n, Gen.chooseNum(-9999L, 9999L))
+    } yield days.zip(cents).map { case (d, c) =>
+      GapFill.Event(1L, new Timestamp(d * 86400000L + (c & 0xffff) * 1000L),
+        c / 100.0) }
+    def foldChunks(chunks: Seq[Seq[GapFill.Event]])
+        : (Seq[GapFill.DayRow], Option[GapFill.UserDay]) = {
+      var st: Option[GapFill.UserDay] = None
+      val rows = chunks.flatMap { c =>
+        val gs = TestGroupState.create[GapFill.UserDay](
+          org.apache.spark.api.java.Optional.fromNullable(st.orNull),
+          GroupStateTimeout.NoTimeout, 0L,
+          org.apache.spark.api.java.Optional.absent[Long](),
+          hasTimedOut = false)
+        val out = GapFill.step(1L, c.iterator, gs).toList
+        if (gs.exists) st = Some(gs.get)
+        out
+      }
+      (rows, st)
+    }
+    Iterator.continually(genEvents.sample).flatten.take(200).foreach { evs =>
+      val sorted = evs.sortBy(_.ts.getTime)
+      val whole = foldChunks(Seq(sorted))
+      val cut = scala.util.Random.nextInt(sorted.length + 1)
+      val split = foldChunks(Seq(sorted.take(cut), sorted.drop(cut)))
+      assert(split == whole,
+        s"chunked fold diverged at cut $cut for " +
+          s"${sorted.map(e => (e.ts.getTime, e.value))}")
+      // the emitted series is dense and strictly increasing in day
+      val days = whole._1.map(_.day_s)
+      assert(days == days.sorted && days.distinct == days,
+        s"emitted days not strictly increasing: $days")
+      whole._1.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(java.time.LocalDate.parse(b.day_s).toEpochDay ==
+            java.time.LocalDate.parse(a.day_s).toEpochDay + 1,
+            s"series has a hole between ${a.day_s} and ${b.day_s}")
+        case _ =>
+      }
+      // gap rows carry the previous observed day's fill and zero events
+      whole._1.filter(_.is_gap).foreach { g =>
+        assert(g.n_events == 0L)
+      }
+    }
+  }
+
   test("stream-stream interval join: clicks attribute to impressions in-window") {
     // two live streams joined on key + a time-bound — the streaming twin of
     // the batch range join. Both sides watermarked; the interval condition
