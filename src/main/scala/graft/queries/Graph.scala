@@ -1440,8 +1440,97 @@ object Graph {
     }
   }
 
+  /** HITS hubs & authorities (2 mutual-reinforcement rounds) — the
+    * DIRECTION-aware importance pair PageRank flattens: on a blocks-graph a
+    * high AUTHORITY is the issue everything funnels into (the true
+    * bottleneck), a high HUB is the issue fanning out over many bottlenecks
+    * (the risk multiplier); PageRank alone mixes the two roles. Same
+    * fixed-point discipline as [[pagerank]]: scores live in 1e9-scaled
+    * BIGINTs, every step is integer sum/div (order-independent, so both
+    * engines hash-match), and each half-round renormalizes by the truncated
+    * ceiling `max/SCALE` — divide-only, so no `s * SCALE` product can
+    * overflow int64 no matter how hub-heavy the graph (a hub summing 1e9
+    * inbound units from 1e9 neighbors peaks at 1e18 < 2^63).
+    *
+    * Scale shape per half-round: ONE equi-join of the edge list against the
+    * sparse opposite-role score table + ONE map-side-combinable sum, then a
+    * scalar max broadcast back — O(k·|E|) total like the other iterative
+    * operators, never a dense matrix. Output folds through
+    * TakeOrderedAndProject (top 20 authorities).
+    */
+  private val hits = {
+    val SCALE = "1000000000"
+    // truncated-ceiling normalizer: max(1, (mx + SCALE-1) // SCALE)
+    def dCte(name: String, of: String): String =
+      s"$name AS (SELECT greatest(1, (max(s) + $SCALE - 1) // $SCALE) AS d FROM $of)"
+    val sql =
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |e AS (SELECT DISTINCT a, b FROM eint),
+         |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+         |a1 AS (SELECT b AS node, count(*) * $SCALE AS s FROM e GROUP BY b),
+         |${dCte("da1", "a1")},
+         |na1 AS (SELECT node, s // d AS s FROM a1, da1),
+         |h1 AS (SELECT e.a AS node, sum(x.s)::BIGINT AS s
+         |       FROM e JOIN na1 x ON x.node = e.b GROUP BY e.a),
+         |${dCte("dh1", "h1")},
+         |nh1 AS (SELECT node, s // d AS s FROM h1, dh1),
+         |a2 AS (SELECT e.b AS node, sum(x.s)::BIGINT AS s
+         |       FROM e JOIN nh1 x ON x.node = e.a GROUP BY e.b),
+         |${dCte("da2", "a2")},
+         |na2 AS (SELECT node, s // d AS s FROM a2, da2),
+         |h2 AS (SELECT e.a AS node, sum(x.s)::BIGINT AS s
+         |       FROM e JOIN na2 x ON x.node = e.b GROUP BY e.a),
+         |${dCte("dh2", "h2")},
+         |nh2 AS (SELECT node, s // d AS s FROM h2, dh2),
+         |rk AS (
+         |  SELECT n.node, coalesce(a.s, 0)::BIGINT AS authority,
+         |    coalesce(h.s, 0)::BIGINT AS hub
+         |  FROM nodes n
+         |  LEFT JOIN na2 a ON a.node = n.node
+         |  LEFT JOIN nh2 h ON h.node = n.node)
+         |SELECT 'P' || CAST(node // 1000000000000 AS STRING) || '-'
+         |    || CAST(node % 1000000000000 AS STRING) AS node_key,
+         |  authority, hub
+         |FROM (SELECT node, authority, hub FROM rk
+         |      ORDER BY authority DESC, node LIMIT 20)
+         |ORDER BY authority DESC, node_key""".stripMargin
+    q("graph_hits", sql) { (s, dir) =>
+      val e = edgesInt(s, dir).distinct().transform(graft.Iterative.truncate)
+      // one scalar normalizer per half-round, broadcast back over the
+      // sparse score table (same one-row-side shape as the bench's
+      // centroid broadcasts — never a second pass over the edges)
+      def normed(scores: DataFrame): DataFrame = {
+        val d = scores.agg(
+          greatest(lit(1L), expr(s"(max(s) + $SCALE - 1) div $SCALE")).as("d"))
+        scores.crossJoin(broadcast(d)).select(col("node"), expr("s div d").as("s"))
+      }
+      def half(scores: DataFrame, from: String, to: String): DataFrame =
+        e.join(scores.withColumnRenamed("node", from), Seq(from))
+          .groupBy(col(to).as("node")).agg(sum("s").as("s"))
+      val a1 = e.groupBy(col("b").as("node"))
+        .agg((count(lit(1)) * lit(SCALE.toLong)).as("s"))
+      val na1 = normed(a1).transform(graft.Iterative.truncate)
+      val nh1 = normed(half(na1, "b", "a")).transform(graft.Iterative.truncate)
+      val na2 = normed(half(nh1, "a", "b")).transform(graft.Iterative.truncate)
+      val nh2 = normed(half(na2, "b", "a"))
+      val nodes = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node"))).distinct()
+      nodes
+        .join(na2.withColumnRenamed("s", "authority"), Seq("node"), "left")
+        .join(nh2.withColumnRenamed("s", "hub"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("authority"), lit(0L)).as("authority"),
+          coalesce(col("hub"), lit(0L)).as("hub"))
+        .orderBy(desc("authority"), col("node")).limit(20)
+        .select(concat(lit("P"), expr("node div 1000000000000").cast("string"),
+          lit("-"), (col("node") % lit(1000000000000L)).cast("string"))
+          .as("node_key"), col("authority"), col("hub"))
+        .orderBy(desc("authority"), col("node_key"))
+    }
+  }
+
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
-    lpaCommunities, ktruss, linkPredict, pprQ)
+    lpaCommunities, ktruss, linkPredict, pprQ, hits)
 }

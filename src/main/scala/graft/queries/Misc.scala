@@ -550,6 +550,121 @@ object Misc {
     tableStatsDf(s, dir).orderBy("table_name")
   }
 
+  /** Bits per dimension for [[zorderSkipping]] — 4+4 bits → 256 Morton
+    * cells, cut at the top 4 bits into 16 aligned block files.
+    */
+  private val ZBits = 4
+
+  /** Z-order data-skipping card — the layout-effectiveness report for
+    * multi-dimensional file pruning at 100 TB: events are Morton-clustered
+    * on (user_id, event time), ACTUALLY WRITTEN as one parquet file per
+    * aligned z-block (hive `zfile=N` layout), read back, and each file
+    * reports its (user, time) bounding box plus whether a fixed probe box
+    * (the middle quarter of each dimension) can PRUNE it without opening
+    * it — exactly the per-file min-max verdict a parquet footer gives a
+    * 1000-executor scan. The fraction of `prunable` rows is the number
+    * that justifies (or rejects) the layout: interleaved bits keep every
+    * file's box tight in BOTH dimensions, where a one-column sort leaves
+    * the other dimension's box spanning the whole domain (every file
+    * overlaps every probe → zero skipping).
+    *
+    * The oracle derives the identical assignment purely from the base
+    * table, so a green row proves the write→read round trip preserved
+    * block assignment AND the box/prunability math. Bins here are LINEAR
+    * min-max bins in exact integer arithmetic (`(x−min)·2^bits div span`)
+    * because quantile fences aren't replayable in static SQL; the
+    * production writer ([[graft.pipeline.CorpusSink.writeZOrdered]])
+    * uses skew-robust quantile fences and aligned block cuts — same
+    * interleave, same block semantics, fenced bins. Scale shape: one
+    * 4-scalar bounds aggregate (the same bounded collect as a centroid
+    * pull), one map-side code projection, one shuffle keyed on the ≤16
+    * block ids for the write, and a 16-group aggregate on the read —
+    * nothing corpus² anywhere.
+    */
+  private val zorderSkipping = {
+    val nBins = 1 << ZBits
+    // Morton interleave of two ZBits-bit codes; dialect-parameterized so
+    // both engines evaluate the same formula (Spark spells shifts as
+    // functions, DuckDB as operators)
+    def mortonDuck(cu: String, ct: String): String =
+      (0 until ZBits).flatMap(i => Seq(
+        s"((($cu >> $i) & 1) << ${2 * i})",
+        s"((($ct >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    val sql =
+      s"""WITH b AS (
+         |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS tmin,
+         |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax
+         |  FROM events),
+         |c AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         |    ((user_id - b.umin) * $nBins) // (b.umax - b.umin + 1) AS cu,
+         |    ((epoch_us(CAST(ts AS TIMESTAMP)) - b.tmin) * $nBins)
+         |      // (b.tmax - b.tmin + 1) AS ct
+         |  FROM events, b),
+         |f AS (
+         |  SELECT (${mortonDuck("cu", "ct")}) >> $ZBits AS zfile,
+         |    count(*)::BIGINT AS n_rows,
+         |    min(user_id)::BIGINT AS min_user, max(user_id)::BIGINT AS max_user,
+         |    min(tus)::BIGINT AS min_ts_us, max(tus)::BIGINT AS max_ts_us
+         |  FROM c GROUP BY 1)
+         |SELECT f.zfile::BIGINT AS zfile, f.n_rows, f.min_user, f.max_user,
+         |  f.min_ts_us, f.max_ts_us,
+         |  NOT (f.min_user <= b.umin + (b.umax - b.umin + 1) // 2
+         |    AND f.max_user >= b.umin + (b.umax - b.umin + 1) // 4
+         |    AND f.min_ts_us <= b.tmin + (b.tmax - b.tmin + 1) // 2
+         |    AND f.max_ts_us >= b.tmin + (b.tmax - b.tmin + 1) // 4) AS prunable
+         |FROM f, b ORDER BY zfile""".stripMargin
+    q("meta_zorder_skipping", sql) { (s, dir) =>
+      zorderSkippingCard(s, dir, java.nio.file.Files
+        .createTempDirectory("graft-zorder-skip").toString + "/events_z")
+    }
+  }
+
+  /** The [[zorderSkipping]] implementation against an explicit output
+    * `path`, so tests can assert the physical layout (one parquet file per
+    * aligned z-block directory) on a path they control.
+    */
+  private[graft] def zorderSkippingCard(s: org.apache.spark.sql.SparkSession,
+      dir: String, path: String): org.apache.spark.sql.DataFrame = {
+    val nBins = 1 << ZBits
+    locally {
+      import org.apache.spark.sql.functions.{shiftleft, shiftright}
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
+      // bounded driver pull: exactly four scalars, like a centroid collect
+      val b = ev.agg(min("user_id"), max("user_id"), min("tus"), max("tus")).head
+      val (umin, umax, tmin, tmax) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      // integer `div`, never `/`: float division can flip a boundary bin
+      val cu = expr(s"((user_id - $umin) * $nBins) div ${umax - umin + 1}")
+      val ct = expr(s"((tus - $tmin) * $nBins) div ${tmax - tmin + 1}")
+      def bit(c: org.apache.spark.sql.Column, i: Int, outPos: Int) =
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), outPos)
+      val zkey = (0 until ZBits)
+        .flatMap(i => Seq(bit(cu, i, 2 * i), bit(ct, i, 2 * i + 1)))
+        .reduce(_ bitwiseOR _)
+      // one shuffle keyed on the <=16 block ids -> exactly one file per
+      // aligned z-block directory
+      ev.withColumn("zfile", shiftright(zkey, ZBits))
+        .repartition(col("zfile"))
+        .write.mode("overwrite").partitionBy("zfile").parquet(path)
+      val back = s.read.parquet(path)
+      val boxULo = umin + (umax - umin + 1) / 4
+      val boxUHi = umin + (umax - umin + 1) / 2
+      val boxTLo = tmin + (tmax - tmin + 1) / 4
+      val boxTHi = tmin + (tmax - tmin + 1) / 2
+      back.groupBy(col("zfile").cast("long").as("zfile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"),
+          min("tus").as("min_ts_us"), max("tus").as("max_ts_us"))
+        .withColumn("prunable",
+          !(col("min_user") <= boxUHi && col("max_user") >= boxULo &&
+            col("min_ts_us") <= boxTHi && col("max_ts_us") >= boxTLo))
+        .orderBy("zfile")
+    }
+  }
+
   /** Ordered conversion funnel over the event stream: users who signed up,
     * then clicked strictly AFTER their first signup, then purchased strictly
     * after that first qualifying click. The strict ordering is the point —
@@ -1153,5 +1268,5 @@ object Misc {
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
-    activeUsers)
+    activeUsers, zorderSkipping)
 }

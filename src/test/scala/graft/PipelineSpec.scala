@@ -435,6 +435,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder skipping card: one file per aligned block, boxes honest, pruning bites") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zskip").toString +
+      "/events_z"
+    val card = queries.Misc.zorderSkippingCard(spark, sf, out).collect()
+    // the physical promise: every aligned z-block directory holds exactly
+    // ONE parquet file — the repartition on the block id may merge blocks
+    // into a task, but no block may ever shatter across tasks
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("zfile="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val fs = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(fs.length == 1, s"${d.getName} holds ${fs.length} files")
+    }
+    assert(dirs.length == card.length,
+      "card rows and written block directories disagree")
+    // row conservation: the blocks partition the corpus exactly
+    val total = Tables.events(spark, sf).count()
+    assert(card.map(_.getAs[Long]("n_rows")).sum == total)
+    // prunability verdicts must follow from the card's OWN boxes and the
+    // probe box recomputed from the base table with the same integer math
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val b = ev.agg(min("user_id"), max("user_id"), min("tus"), max("tus")).head
+    val (uLo, uHi) = (b.getLong(0) + (b.getLong(1) - b.getLong(0) + 1) / 4,
+      b.getLong(0) + (b.getLong(1) - b.getLong(0) + 1) / 2)
+    val (tLo, tHi) = (b.getLong(2) + (b.getLong(3) - b.getLong(2) + 1) / 4,
+      b.getLong(2) + (b.getLong(3) - b.getLong(2) + 1) / 2)
+    card.foreach { r =>
+      val overlap = r.getAs[Long]("min_user") <= uHi &&
+        r.getAs[Long]("max_user") >= uLo &&
+        r.getAs[Long]("min_ts_us") <= tHi && r.getAs[Long]("max_ts_us") >= tLo
+      assert(r.getAs[Boolean]("prunable") == !overlap,
+        s"zfile ${r.getAs[Long]("zfile")}: verdict contradicts its box")
+    }
+    // the layout must actually skip: a quarter-domain probe box on a
+    // 16-block Morton layout prunes most blocks by construction
+    val pruned = card.count(_.getAs[Boolean]("prunable"))
+    assert(pruned * 2 > card.length,
+      s"only $pruned of ${card.length} blocks prunable — layout not clustering")
+  }
+
   test("bloom prefilter with an empty index flags nothing") {
     import spark.implicits._
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "text").limit(20)
