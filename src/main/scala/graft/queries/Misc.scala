@@ -665,6 +665,145 @@ object Misc {
     }
   }
 
+  /** Incremental z-order compaction — the maintenance half of
+    * [[zorderSkipping]]'s layout story: a late batch (event_id % 10 == 0
+    * here; the CDC delta in production) lands in an ALREADY-CLUSTERED
+    * corpus, and only the z-blocks the batch actually touches are
+    * rewritten — dynamic partition overwrite replaces exactly the dirty
+    * `zfile=N` directories and never reads or rewrites a clean one. At
+    * 100 TB this is the difference between a nightly delta costing
+    * O(|delta| + |dirty blocks|) and re-clustering the whole corpus;
+    * bin fences are computed ONCE over the full domain and pinned (table
+    * metadata in production), so block ids are stable under any future
+    * batch and a row's block never migrates.
+    *
+    * The card reports per block: rows after compaction, late rows
+    * absorbed, and whether the block was rewritten. The oracle re-derives
+    * all three from the base table alone, so a green row proves the
+    * base-write → stage → dynamic-overwrite cycle lost nothing and
+    * touched only what it claimed. PipelineSpec additionally pins the
+    * PHYSICAL promise the SQL can't see: clean block files are
+    * byte-identical (same path, same bytes) after the upsert.
+    */
+  private val zorderCompact = {
+    val nBins = 1 << ZBits
+    def mortonDuck(cu: String, ct: String): String =
+      (0 until ZBits).flatMap(i => Seq(
+        s"((($cu >> $i) & 1) << ${2 * i})",
+        s"((($ct >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    val sql =
+      s"""WITH b AS (
+         |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS tmin,
+         |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax
+         |  FROM events),
+         |c AS (
+         |  SELECT
+         |    ((user_id - b.umin) * $nBins) // (b.umax - b.umin + 1) AS cu,
+         |    ((epoch_us(CAST(ts AS TIMESTAMP)) - b.tmin) * $nBins)
+         |      // (b.tmax - b.tmin + 1) AS ct,
+         |    32 * (epoch_us(CAST(ts AS TIMESTAMP)) - b.tmin)
+         |      >= 27 * (b.tmax - b.tmin + 1) AS is_late
+         |  FROM events, b)
+         |SELECT ((${mortonDuck("cu", "ct")}) >> $ZBits)::BIGINT AS zfile,
+         |  count(*)::BIGINT AS n_rows,
+         |  sum(CASE WHEN is_late THEN 1 ELSE 0 END)::BIGINT AS n_late,
+         |  sum(CASE WHEN is_late THEN 1 ELSE 0 END) > 0 AS rewritten
+         |FROM c GROUP BY 1 ORDER BY zfile""".stripMargin
+    q("meta_zorder_compact", sql) { (s, dir) =>
+      zorderCompactCard(s, dir, java.nio.file.Files
+        .createTempDirectory("graft-zorder-compact").toString + "/events_z")
+    }
+  }
+
+  /** The full events table binned to its z-block id, with the late flag:
+    * `(event_id, user_id, tus, is_late, zfile)`. The "late batch" is the
+    * newest 5/32 of the time range (`32·(tus−tmin) ≥ 27·span`, pure integer
+    * compare — no division to disagree on), because real CDC deltas are
+    * time-localized: they dirty the high-time z-blocks and leave history
+    * blocks untouched, which is exactly the claim the compaction spec
+    * pins. The 27/32 cut deliberately SPLITS a time bin (13.5 of 16), so
+    * the dirty blocks hold both pre-existing rows and late rows — the
+    * upsert exercises a true merge, not just fresh-directory creation. Fences are pinned over the FULL domain (production: table
+    * metadata), so the late batch bins identically to the base load and a
+    * row's block never migrates.
+    */
+  private def zorderBinned(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val nBins = 1 << ZBits
+    import org.apache.spark.sql.functions.{shiftleft, shiftright}
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val b = ev.agg(min("user_id"), max("user_id"), min("tus"), max("tus")).head
+    val (umin, umax, tmin, tmax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val cu = expr(s"((user_id - $umin) * $nBins) div ${umax - umin + 1}")
+    val ct = expr(s"((tus - $tmin) * $nBins) div ${tmax - tmin + 1}")
+    def bit(c: org.apache.spark.sql.Column, i: Int, outPos: Int) =
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), outPos)
+    val zkey = (0 until ZBits)
+      .flatMap(i => Seq(bit(cu, i, 2 * i), bit(ct, i, 2 * i + 1)))
+      .reduce(_ bitwiseOR _)
+    ev.withColumn("is_late",
+        lit(32L) * (col("tus") - lit(tmin)) >= lit(27L) * lit(tmax - tmin + 1))
+      .withColumn("zfile", shiftright(zkey, ZBits))
+  }
+
+  private val zorderCols = Seq("event_id", "user_id", "tus", "is_late", "zfile")
+
+  /** Base load for [[zorderCompact]]: the on-time three quarters clustered
+    * into one file per touched z-block.
+    */
+  private[graft] def zorderCompactBase(s: org.apache.spark.sql.SparkSession,
+      dir: String, path: String): Unit =
+    zorderBinned(s, dir).filter(!col("is_late"))
+      .repartition(col("zfile"))
+      .write.mode("overwrite").partitionBy("zfile").parquet(path)
+
+  /** Upsert step for [[zorderCompact]]: existing rows of DIRTY blocks + the
+    * late batch, staged first (Spark refuses to overwrite a path it is
+    * reading), then a dynamic partition overwrite — clean block
+    * directories are never touched.
+    */
+  private[graft] def zorderCompactUpsert(s: org.apache.spark.sql.SparkSession,
+      dir: String, path: String): Unit = {
+    val late = zorderBinned(s, dir).filter(col("is_late"))
+    val dirty = late.select("zfile").distinct()
+    val existingDirty = s.read.parquet(path)
+      .join(dirty.hint("broadcast"), Seq("zfile"), "left_semi")
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-zorder-stage").toString + "/delta"
+    existingDirty.select(zorderCols.map(col): _*)
+      .unionByName(late.select(zorderCols.map(col): _*))
+      .repartition(col("zfile"))
+      .write.mode("overwrite").parquet(staging)
+    s.read.parquet(staging)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("zfile").parquet(path)
+  }
+
+  /** Per-block census of a compacted layout at `path` — the card
+    * [[zorderCompact]] reports and the physical spec reuses.
+    */
+  private[graft] def zorderCompactReport(s: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(path)
+      .groupBy(col("zfile").cast("long").as("zfile"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("is_late").cast("long")).as("n_late"))
+      .withColumn("rewritten", col("n_late") > 0)
+      .orderBy("zfile")
+
+  /** [[zorderCompact]] against an explicit layout `path`: base load, then
+    * the staged dirty-block upsert, then the per-block card.
+    */
+  private[graft] def zorderCompactCard(s: org.apache.spark.sql.SparkSession,
+      dir: String, path: String): org.apache.spark.sql.DataFrame = {
+    zorderCompactBase(s, dir, path)
+    zorderCompactUpsert(s, dir, path)
+    zorderCompactReport(s, path)
+  }
+
   /** Ordered conversion funnel over the event stream: users who signed up,
     * then clicked strictly AFTER their first signup, then purchased strictly
     * after that first qualifying click. The strict ordering is the point —
@@ -1268,5 +1407,5 @@ object Misc {
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
-    activeUsers, zorderSkipping)
+    activeUsers, zorderSkipping, zorderCompact)
 }

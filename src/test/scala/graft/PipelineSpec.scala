@@ -477,6 +477,67 @@ class PipelineSpec extends AnyFunSuite {
       s"only $pruned of ${card.length} blocks prunable — layout not clustering")
   }
 
+  test("zorder compaction rewrites only dirty blocks; clean files untouched") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zcompact").toString +
+      "/events_z"
+    def snapshot(): Map[String, (Long, String)] = {
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("zfile="))
+      dirs.flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+          f.getPath -> (f.length(), digest)
+        }).toMap
+    }
+    queries.Misc.zorderCompactBase(spark, sf, out)
+    val before = snapshot()
+    assert(before.nonEmpty)
+    queries.Misc.zorderCompactUpsert(spark, sf, out)
+    val after = snapshot()
+    val rows = queries.Misc.zorderCompactReport(spark, out).collect()
+    // row conservation vs the base table, late rows all absorbed (the late
+    // batch is the newest time quarter — recompute it independently)
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val tb = ev.agg(min("tus"), max("tus")).head
+    val nLate = ev.filter(
+      lit(32L) * (col("tus") - lit(tb.getLong(0))) >=
+        lit(27L) * lit(tb.getLong(1) - tb.getLong(0) + 1)).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == ev.count())
+    assert(rows.map(_.getAs[Long]("n_late")).sum == nLate)
+    // the physical promise: every file in a CLEAN block survived the
+    // upsert bit-for-bit at its original path; every dirty block's file
+    // set actually changed
+    val cleanBlocks = rows.filterNot(_.getAs[Boolean]("rewritten"))
+      .map(r => s"zfile=${r.getAs[Long]("zfile")}").toSet
+    val dirtyBlocks = rows.filter(_.getAs[Boolean]("rewritten"))
+      .map(r => s"zfile=${r.getAs[Long]("zfile")}").toSet
+    def block(p: String) = new java.io.File(p).getParentFile.getName
+    val cleanBefore = before.filter { case (p, _) => cleanBlocks(block(p)) }
+    cleanBefore.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig),
+        s"clean block file $p was rewritten by the upsert")
+    }
+    dirtyBlocks.foreach { zb =>
+      val b = before.filter { case (p, _) => block(p) == zb }
+      val a = after.filter { case (p, _) => block(p) == zb }
+      assert(b != a, s"dirty block $zb shows no file change after upsert")
+    }
+    // the time-quarter delta must leave real clean blocks AND dirty real
+    // ones, or the scenario isn't exercising the claim at all
+    assert(cleanBlocks.nonEmpty,
+      "no clean blocks — late slice touches everything, test is vacuous")
+    assert(dirtyBlocks.nonEmpty, "no dirty blocks — late slice empty")
+    // the 27/32 cut splits a time bin, so at least one dirty block must
+    // have MERGED pre-existing rows with late ones (not just been created
+    // fresh by the delta)
+    assert(rows.exists(r => r.getAs[Boolean]("rewritten") &&
+      r.getAs[Long]("n_late") < r.getAs[Long]("n_rows")),
+      "every dirty block is pure-late — upsert never exercised a merge")
+  }
+
   test("bloom prefilter with an empty index flags nothing") {
     import spark.implicits._
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "text").limit(20)
