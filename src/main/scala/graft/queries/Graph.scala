@@ -1529,8 +1529,133 @@ object Graph {
     }
   }
 
+  /** Bounded strongly-connected components by forward/backward label
+    * intersection — DIRECTED cycle structure, which the undirected
+    * [[components]] erases: `fwd(v)` is the smallest id that can REACH v
+    * in ≤ k hops (mins flow along edges), `bwd(v)` the smallest id v can
+    * reach, and `fwd(v) = bwd(v) = m` certifies v and m lie on a common
+    * cycle — m reaches v AND v reaches m. On a dependency graph these are
+    * the deadlock knots ("A blocks B blocks C blocks A") that a DAG-shaped
+    * workflow must surface; the forward-backward intersection is the
+    * standard first phase of distributed SCC (FW-BW / coloring family).
+    *
+    * The k-bound makes the answer deterministic for the oracle AND keeps
+    * the guarantee one-sided in the safe direction: every emitted
+    * membership is a REAL cycle certificate (soundness needs no
+    * convergence). What one phase does NOT promise is completeness: this
+    * is the PIVOT phase of the distributed coloring algorithm (Orzan's
+    * FW-BW family) — it certifies, per label region, the SCC of the
+    * region's minimum pivot; a knot whose forward label is tainted by a
+    * smaller OUTSIDE id that reaches it one-way stays uncertified until
+    * the production iteration re-colors the residual regions, phase by
+    * phase (the same contract as the engine's other bounded/converged
+    * operator pairs — the card pins phase 1, GraphSpec pins the
+    * soundness side). Scale shape: two
+    * independent k-round min-propagation chains — one shuffle join + one
+    * map-combinable min-aggregate per round per direction, O(k·|E|) total,
+    * the same machinery as components with the edge orientation flipped
+    * for the backward pass. Nothing dense, no transitive closure.
+    *
+    * Unlike the other graph cards this one runs DIRECTION-AWARE over the
+    * WHOLE link table (an `inward` link points INTO src — the reference's
+    * link-direction semantics), because cycle knots are precisely what a
+    * per-project, single-type slice destroys: the blocks-within-P1 slice
+    * is near-bipartite and acyclic, while the full oriented graph carries
+    * a handful of genuine knots — the expected shape of a real dependency
+    * corpus (mostly DAG, a few deadlocks worth surfacing).
+    */
+  private val sccBounded = {
+    val k = 3
+    def chain(prefix: String, from: String, to: String): String =
+      (1 to k).map { i =>
+        val prev = s"$prefix${i - 1}"
+        s"""$prefix$i AS (
+           |  SELECT l.node, least(l.lbl, coalesce(m.nm, l.lbl)) AS lbl
+           |  FROM $prev l LEFT JOIN (
+           |    SELECT e.$to AS node, min(p.lbl) AS nm
+           |    FROM e JOIN $prev p ON p.node = e.$from GROUP BY e.$to) m
+           |  USING (node))""".stripMargin
+      }.mkString(",\n")
+    q("graph_scc_bounded",
+      s"""WITH ${Oracle.linksCte},
+         |oriented AS (
+         |  SELECT
+         |    CASE WHEN direction = 'outward' THEN ${encSql("src")}
+         |         ELSE ${encSql("dst")} END AS a,
+         |    CASE WHEN direction = 'outward' THEN ${encSql("dst")}
+         |         ELSE ${encSql("src")} END AS b
+         |  FROM links),
+         |e AS (SELECT DISTINCT a, b FROM oriented WHERE a <> b),
+         |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+         |f0 AS (SELECT node, node AS lbl FROM nodes),
+         |b0 AS (SELECT node, node AS lbl FROM nodes),
+         |${chain("f", "a", "b")},
+         |${chain("b", "b", "a")},
+         |scc AS (
+         |  SELECT n.node,
+         |    CASE WHEN f.lbl = b.lbl THEN f.lbl ELSE n.node END AS root,
+         |    f.lbl = b.lbl AND f.lbl <> n.node AS certified
+         |  FROM nodes n
+         |  JOIN f$k f ON f.node = n.node
+         |  JOIN b$k b ON b.node = n.node)
+         |SELECT 'P' || CAST(node // 1000000000000 AS STRING) || '-'
+         |    || CAST(node % 1000000000000 AS STRING) AS node_key,
+         |  'P' || CAST(root // 1000000000000 AS STRING) || '-'
+         |    || CAST(root % 1000000000000 AS STRING) AS scc_key,
+         |  certified
+         |FROM scc
+         |WHERE root <> node OR node IN (SELECT root FROM scc WHERE root <> node)
+         |ORDER BY node_key""".stripMargin) { (s, dir) =>
+      val lk = graft.Tables.links(s, dir)
+      val out = col("direction") === "outward"
+      val e = lk.select(
+          when(out, encNode(col("src"))).otherwise(encNode(col("dst"))).as("a"),
+          when(out, encNode(col("dst"))).otherwise(encNode(col("src"))).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .transform(graft.Iterative.truncate)
+      val nodes = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node"))).distinct()
+        .transform(graft.Iterative.truncate)
+      def propagate(from: String, to: String): DataFrame = {
+        var l = nodes.select(col("node"), col("node").as("lbl"))
+        for (_ <- 1 to k) {
+          val nbrMin = e
+            .join(l.select(col("node").as(from), col("lbl")), Seq(from))
+            .groupBy(col(to).as("node")).agg(min("lbl").as("nm"))
+          l = l.join(nbrMin, Seq("node"), "left")
+            .select(col("node"),
+              least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+            .transform(graft.Iterative.truncate)
+        }
+        l
+      }
+      val f = propagate("a", "b").withColumnRenamed("lbl", "fl")
+      val bw = propagate("b", "a").withColumnRenamed("lbl", "bl")
+      val scc = nodes.join(f, Seq("node")).join(bw, Seq("node"))
+        .select(col("node"),
+          when(col("fl") === col("bl"), col("fl")).otherwise(col("node"))
+            .as("root"),
+          (col("fl") === col("bl") && col("fl") =!= col("node"))
+            .as("certified"))
+      // report only cycle members (certified nodes + the roots they share):
+      // the full node list is the components card's job, and at corpus
+      // scale the interesting output is the knots, not the DAG bulk
+      val roots = scc.filter(col("root") =!= col("node"))
+        .select(col("root").as("node")).distinct()
+      def dec(name: String) =
+        concat(lit("P"), expr(s"$name div 1000000000000").cast("string"),
+          lit("-"), (col(name) % lit(1000000000000L)).cast("string"))
+      scc.join(roots, Seq("node"), "left_semi")
+        .unionByName(scc.filter(col("root") =!= col("node")))
+        .distinct()
+        .select(dec("node").as("node_key"), dec("root").as("scc_key"),
+          col("certified"))
+        .orderBy("node_key")
+    }
+  }
+
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
-    lpaCommunities, ktruss, linkPredict, pprQ, hits)
+    lpaCommunities, ktruss, linkPredict, pprQ, hits, sccBounded)
 }

@@ -480,6 +480,51 @@ class GraphSpec extends AnyFunSuite {
     assert(got.forall { case (_, a, h) => a >= 0 && a <= SCALE && h >= 0 && h <= SCALE })
   }
 
+  test("scc pivot phase: every certified membership is a real directed cycle") {
+    // oriented edges exactly as the query builds them (inward points INTO src)
+    val es = Tables.links(spark, sf).select("src", "dst", "direction").collect()
+      .map { r =>
+        if (r.getString(2) == "outward") (r.getString(0), r.getString(1))
+        else (r.getString(1), r.getString(0))
+      }.filter { case (a, b) => a != b }.distinct
+    val fwd = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def reach(from: String, to: String, hops: Int): Boolean = {
+      var frontier = Set(from)
+      var seen = frontier
+      (1 to hops).exists { _ =>
+        frontier = frontier.flatMap(n => fwd.getOrElse(n, Set.empty)) -- seen
+        seen ++= frontier
+        frontier.contains(to) || { false }
+      } || seen.contains(to)
+    }
+    val rows = SparkEntry.queries("graph_scc_bounded")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    // soundness: a certified (node, root) pair lies on a common cycle —
+    // root reaches node and node reaches root, each within k=3 hops
+    rows.filter(_._3).foreach { case (node, root, _) =>
+      assert(reach(root, node, 3) && reach(node, root, 3),
+        s"certified $node in scc($root) is not a real <=3-hop cycle")
+    }
+    // discovery: the pivot phase must certify real knots on this fixture
+    // (completeness is NOT promised — a knot tainted by a smaller one-way
+    // reachable id waits for later re-coloring phases; see the scaladoc),
+    // and every brute-forced mutual pair it DOES report must be correct
+    val eset = es.toSet
+    val twoCycles = es.filter { case (a, b) => a < b && eset((b, a)) }
+    assert(twoCycles.nonEmpty, "fixture lost its 2-cycles — test is vacuous")
+    val certified = rows.filter(_._3)
+    assert(certified.nonEmpty, "pivot phase certified nothing on a cyclic fixture")
+    // every root referenced by a certified member appears as its own row
+    val byNode = rows.map(r => r._1 -> r).toMap
+    certified.foreach { case (_, root, _) =>
+      assert(byNode.contains(root), s"root $root missing from the card")
+    }
+    // certified rows never point at themselves; uncertified rows are roots
+    rows.foreach { case (node, root, cert) =>
+      assert(if (cert) node != root else node == root)
+    }
+  }
+
   test("Iterative.truncate uses reliable checkpoints when the conf is set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set(Iterative.CheckpointDirKey, dir)
