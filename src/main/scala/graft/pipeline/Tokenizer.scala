@@ -181,17 +181,23 @@ object Tokenizer {
     val (_, wt) = train(s, dir)
     val wtok = wt.select(col("word"),
       size(split(col("wstr"), "  ")).cast("long").as("ntok"))
+    // census per (source, word) BEFORE the vocab join: the map-combinable
+    // aggregate collapses the corpus occurrence stream to |sources|x|vocab|
+    // rows, so the join touches vocabulary-scale data instead of every
+    // word occurrence — the same pre-aggregation move as line dedup's
+    // segment census
     val occ = graft.Tables.t(s, dir, "documents").select("doc_id", "source")
       .join(docWords(s, dir).select(col("doc_id"),
         explode(col("w")).as("word")), Seq("doc_id"))
       .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("occ_n"))
     occ.join(wtok, Seq("word"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_words"),
-        sum(length(col("word"))).as("n_chars"),
-        sum(col("ntok")).as("n_bpe_tokens"),
-        round(sum(length(col("word"))).cast("double") / sum(col("ntok")), 6)
-          .as("compression"))
+      .agg(sum(col("occ_n")).as("n_words"),
+        sum(col("occ_n") * length(col("word"))).as("n_chars"),
+        sum(col("occ_n") * col("ntok")).as("n_bpe_tokens"),
+        round(sum(col("occ_n") * length(col("word"))).cast("double") /
+          sum(col("occ_n") * col("ntok")), 6).as("compression"))
       .orderBy("source")
   }
 
