@@ -320,6 +320,73 @@ object Dedup {
         (col("n_hit").cast("double") / col("n_true")).as("recall"))
   }
 
+  /** MinHash estimator calibration — the sketch-quality card completing
+    * the evaluation pair ([[lshRecall]] grades the BANDING's candidate
+    * recall; this grades the SIGNATURE's similarity estimate): for every
+    * banded candidate pair, the number of the 16 permutations whose
+    * min-hashes agree (the unbiased MinHash Jaccard estimator, ×16)
+    * cross-tabulated against the EXACT Jaccard decile from the shingle
+    * sets. The diagonal mass of this 17×11 matrix is how a pipeline
+    * decides whether 16 hashes are enough before trusting
+    * signature-estimated similarity at corpus scale — more hashes cost
+    * bandwidth on every row forever, too few silently mis-rank near-dups.
+    *
+    * Everything is integer: agreement is a 0–16 count folded per pair
+    * (`zip_with` equality over the two 16-value signature arrays — one
+    * in-row fold, no per-seed explode), the decile is the integer
+    * cross-product `(10·i) div (|A∪B|)`, and the cell value is a count —
+    * so no float accumulation order can split the engines. Scale shape:
+    * signature arrays fold map-side per candidate DOC (semi-join-pruned to
+    * candidate docs, like the verify sets), and the only joins are the
+    * already-audited candidate-bounded pair joins plus a ≤187-cell
+    * aggregate.
+    */
+  private val minhashEst = q("pipe_dedup_minhash_est",
+    withDocs(s""", $minhashSql,
+       |$pairCtes,
+       |agree AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    count(*) FILTER (WHERE ma.mh = mb.mh) AS n_agree
+       |  FROM cand c
+       |  JOIN minh ma ON ma.doc_id = c.doc_a
+       |  JOIN minh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT g.n_agree::BIGINT AS n_agree,
+       |  ((10 * i.i) // (na.n + nb.n - i.i))::BIGINT AS exact_decile,
+       |  count(*)::BIGINT AS n_pairs
+       |FROM agree g
+       |JOIN inter i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+       |JOIN sizes na ON na.doc_id = g.doc_a
+       |JOIN sizes nb ON nb.doc_id = g.doc_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+    // per-doc 16-value signature array, folded in the row off the shingle
+    // set (the same zero-explode shape as minhashBands), pruned to docs
+    // that appear in a candidate pair
+    val candDocs = graft.Caches.fragment(s, dir, "minhash_cand_docs") {
+      val cand = minhashCandidates(s, dir)
+      cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    }
+    val sigs = docShingleArrays(s, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        transform(col("shs"), sh => hash64(sh) % MhP).as("harr"))
+      .select(col("doc_id"), array((0 until 16).map(i =>
+        array_min(transform(col("harr"),
+          h => (lit(mhA(i)) * h + lit(mhB(i))) % MhP))): _*).as("mhs"))
+    val vp = verifiedPairs(s, dir)
+    vp.join(sigs.select(col("doc_id").as("doc_a"), col("mhs").as("ma")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("mhs").as("mb")), Seq("doc_b"))
+      .select(
+        aggregate(zip_with(col("ma"), col("mb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_agree"),
+        expr("(10 * i) div (na + nb - i)").as("exact_decile"))
+      .groupBy("n_agree", "exact_decile")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("n_agree", "exact_decile")
+  }
+
   /** Cross-source contamination matrix — which sources plagiarize which:
     * verified near-dup pairs (the same banded candidates + exact-Jaccard
     * integer gate as cluster resolution, `10·i ≥ 7·(|A∪B|)`) grouped by the
@@ -1522,5 +1589,5 @@ object Dedup {
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
     paragraph, crossSource, tauSweep, lshRecall,
     spans, spansIncremental, splitSafe, weights, decontaminateMulti,
-    corpusDiff, dedupStats, resolveVerified)
+    corpusDiff, dedupStats, resolveVerified, minhashEst)
 }

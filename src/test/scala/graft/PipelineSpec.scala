@@ -477,6 +477,21 @@ class PipelineSpec extends AnyFunSuite {
       s"only $pruned of ${card.length} blocks prunable — layout not clustering")
   }
 
+  test("minhash calibration: banded pairs agree on >= one full band, cells bounded") {
+    val rows = SparkEntry.queries("pipe_dedup_minhash_est")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_agree"), r.getAs[Long]("exact_decile"),
+        r.getAs[Long]("n_pairs")))
+    assert(rows.nonEmpty, "no candidate pairs — calibration card is empty")
+    rows.foreach { case (agree, decile, n) =>
+      // a banded candidate shares at least one full band = 4 consecutive
+      // seeds, so agreement below 4 would mean the signature arrays and
+      // the banding disagree about their own hashes
+      assert(agree >= 4 && agree <= 16, s"n_agree $agree out of range")
+      assert(decile >= 0 && decile <= 10, s"decile $decile out of range")
+      assert(n > 0)
+    }
+  }
+
   test("zorder compaction rewrites only dirty blocks; clean files untouched") {
     val out = java.nio.file.Files.createTempDirectory("graft-zcompact").toString +
       "/events_z"
