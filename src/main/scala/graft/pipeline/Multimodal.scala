@@ -396,6 +396,73 @@ object Multimodal {
     incrementalPhashPairs(late, path).orderBy("doc_a", "doc_b")
   }
 
+  /** Voice-activity segmentation for audio — the silence-trim planner every
+    * speech pipeline runs before transcription: per 1-second window an
+    * energy score, windows at or above the activity threshold grouped into
+    * contiguous SEGMENTS (gaps-and-islands), one row per kept segment with
+    * its time bounds and energy mass. Downstream, only the segments get
+    * decoded/transcribed — at 100 TB of audio the trim is the difference
+    * between paying for speech and paying for silence.
+    *
+    * The energy stub derives each window's score from the content digest
+    * (`hash64(frame || '|' || md5(bytes)) % 100` — Spark hashes the BINARY
+    * column, the oracle replays from the text side, same contract as
+    * feature extraction); a codec-backed [[MediaDecoder]] would emit RMS
+    * per window into the identical frame stream. Scale shape: window
+    * expansion is an explode bounded by each clip's duration, the
+    * island/segment machinery is two doc-partitioned windows + one
+    * (doc, island) aggregate — per-clip bounded, nothing global; all
+    * arithmetic integer so the engines hash-match.
+    */
+  private val audioSegments = {
+    val EnergyGate = 30
+    q("mm_audio_segments",
+      s"""WITH a AS (
+         |  SELECT doc_id, md5(text) AS h, octet_length(encode(text)) * 10 AS dur
+         |  FROM documents
+         |  WHERE $kindCase = 'audio' AND octet_length(encode(text)) > 0),
+         |fr AS (
+         |  SELECT doc_id, f,
+         |    ${sqlHash64("f::VARCHAR || '|' || h")} % 100 AS energy
+         |  FROM a, unnest(generate_series(0, (dur - 1) // 1000)) t(f)),
+         |isl AS (
+         |  SELECT doc_id, f, energy,
+         |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+         |  FROM fr WHERE energy >= $EnergyGate),
+         |seg AS (
+         |  SELECT doc_id, min(f) AS f0, max(f) AS f1,
+         |    count(*)::BIGINT AS n_frames, sum(energy)::BIGINT AS sum_energy
+         |  FROM isl GROUP BY doc_id, g)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY f0) AS seg_idx,
+         |  f0 * 1000 AS start_ms, (f1 + 1) * 1000 AS end_ms,
+         |  n_frames, sum_energy
+         |FROM seg ORDER BY doc_id, seg_idx""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val fr = mediaTable(s, dir)
+        .filter(col("kind") === "audio" && length(col("content")) > 0)
+        .select(col("doc_id"), md5(col("content")).as("h"),
+          (length(col("content")).cast("long") * 10).as("dur"))
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0L), expr("(dur - 1) div 1000"))).as("f"))
+        .select(col("doc_id"), col("f"),
+          (hash64(concat(col("f").cast("string"), lit("|"), col("h"))) % 100)
+            .as("energy"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("f")
+      val isl = fr.filter(col("energy") >= EnergyGate)
+        .withColumn("g", col("f") - row_number().over(byDoc))
+      val seg = isl.groupBy("doc_id", "g")
+        .agg(min("f").as("f0"), max("f").as("f1"),
+          count(lit(1)).as("n_frames"), sum("energy").as("sum_energy"))
+      seg.select(col("doc_id"),
+          row_number().over(Window.partitionBy("doc_id").orderBy("f0"))
+            .cast("long").as("seg_idx"),
+          (col("f0") * 1000).as("start_ms"), ((col("f1") + 1) * 1000).as("end_ms"),
+          col("n_frames"), col("sum_energy"))
+        .orderBy("doc_id", "seg_idx")
+    }
+  }
+
   val all: Seq[GQuery] = Seq(meta, resize, frames, features, phashDedup,
-    phashNear, phashIncremental)
+    phashNear, phashIncremental, audioSegments)
 }

@@ -477,6 +477,40 @@ class PipelineSpec extends AnyFunSuite {
       s"only $pruned of ${card.length} blocks prunable — layout not clustering")
   }
 
+  test("audio segments: ordered, disjoint, inside the clip, and silence is dropped") {
+    val segs = SparkEntry.queries("mm_audio_segments")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_idx"),
+        r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"),
+        r.getAs[Long]("n_frames")))
+    assert(segs.nonEmpty)
+    val durs = pipeline.Multimodal.mediaTable(spark, sf)
+      .filter(col("kind") === "audio")
+      .select(col("doc_id"), (length(col("content")).cast("long") * 10).as("dur"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    segs.groupBy(_._1).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"doc $doc: seg_idx not dense")
+      sorted.foreach { case (_, _, s0, e0, nf) =>
+        assert(s0 >= 0 && e0 > s0 && nf == (e0 - s0) / 1000,
+          s"doc $doc: segment bounds inconsistent")
+        // last window may start before the clip ends and extend to its
+        // 1s boundary, so the segment end is bounded by dur rounded up
+        assert(e0 <= ((durs(doc) + 999) / 1000) * 1000,
+          s"doc $doc: segment past clip end")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, e1, _), (_, _, s2, _, _)) =>
+          assert(s2 > e1, s"doc $doc: segments touch or overlap — islands broken")
+        case _ =>
+      }
+    }
+    // the gate must actually trim: kept frames strictly fewer than total
+    val keptFrames = segs.map(_._5).sum
+    val totalFrames = durs.values.map(d => (d + 999) / 1000).sum
+    assert(keptFrames < totalFrames, "no silence dropped — gate is vacuous")
+  }
+
   test("minhash calibration: banded pairs agree on >= one full band, cells bounded") {
     val rows = SparkEntry.queries("pipe_dedup_minhash_est")(spark, sf).collect()
       .map(r => (r.getAs[Long]("n_agree"), r.getAs[Long]("exact_decile"),
