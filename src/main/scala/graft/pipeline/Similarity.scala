@@ -326,6 +326,107 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** nprobe sweep — the tuning curve [[recall]] reads ONE point of:
+    * recall@3 of the IVF probe at nprobe = 1..4 over the same query
+    * sample, in one pass. Every IVF deployment picks nprobe from exactly
+    * this curve (each +1 cell costs ~1/C more index scanned per query;
+    * recall is what it buys), and the curve moves with every re-index or
+    * corpus shift, so it must be cheap to recompute.
+    *
+    * One-pass shape: each candidate is scored ONCE carrying pr = the rank
+    * of its cell in the query's centroid ordering; the nprobe=p shortlist
+    * is then the top-3 of candidates with pr ≤ p — a 4-row broadcast
+    * explode over an already query-sample-bounded frame, NOT four probe
+    * pipelines. Truth is the same sample-bounded exhaustive pass as
+    * [[recall]]. Output: 4 rows of exact integer hit counts + one
+    * division each.
+    */
+  private val nprobeSweep = q("pipe_ann_nprobe_sweep",
+    s"""WITH $embCte,
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${sqlCosine("v.e", "c.ce")} DESC, c.cid) AS rn
+       |    FROM emb v, cents c) WHERE rn = 1),
+       |qset AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 20),
+       |qprobe AS (
+       |  SELECT qid, cid, pr FROM (
+       |    SELECT s.qid, c.cid,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY ${sqlCosine("s.qe", "c.ce")} DESC, c.cid) AS pr
+       |    FROM qset s, cents c) WHERE pr <= 4),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id, p.pr, ${sqlCosine("v.e", "s.qe")} AS score
+       |  FROM qprobe p JOIN assign a ON a.cid = p.cid
+       |  JOIN emb v ON v.vec_id = a.vec_id
+       |  JOIN qset s ON s.qid = p.qid
+       |  WHERE a.vec_id <> p.qid),
+       |per AS (
+       |  SELECT p, qid, vec_id FROM (
+       |    SELECT t.p, sc.qid, sc.vec_id,
+       |      row_number() OVER (PARTITION BY t.p, sc.qid
+       |        ORDER BY sc.score DESC, sc.vec_id) AS rn
+       |    FROM scored sc
+       |    JOIN (SELECT unnest(generate_series(1, 4)) AS p) t ON sc.pr <= t.p)
+       |  WHERE rn <= 3),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT s.qid, v.vec_id,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY ${sqlCosine("v.e", "s.qe")} DESC, v.vec_id) AS rn
+       |    FROM qset s, emb v WHERE v.vec_id <> s.qid) WHERE rn <= 3)
+       |SELECT per.p::BIGINT AS nprobe,
+       |  sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       |  sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / (3 * (SELECT count(*) FROM qset)) AS recall_at_3
+       |FROM per LEFT JOIN truth t ON t.qid = per.qid AND t.vec_id = per.vec_id
+       |GROUP BY per.p ORDER BY nprobe""".stripMargin) { (s, dir) =>
+    val e = embDN(s, dir)
+    val ep = embDN(s, dir) // fresh lineage for probe-side slices (see knnTop3)
+    val cents = ep.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
+    val assign = assignMapSide(e, cents).select("vec_id", "cid")
+    val qset = ep.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy("qid").orderBy(desc("sim"), col("cid"))
+    val qprobe = qset.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        (dotD(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= 4)
+      .select("qid", "cid", "pr")
+    val scored = assign.join(broadcast(qprobe), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(e.select(col("vec_id"), col("e"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(qset), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("pr"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
+    val perW = Window.partitionBy("p", "qid").orderBy(desc("score"), col("vec_id"))
+    val per = scored
+      .withColumn("p", explode(sequence(lit(1), lit(4))))
+      .filter(col("pr") <= col("p"))
+      .withColumn("rn", row_number().over(perW))
+      .filter(col("rn") <= 3)
+      .select("p", "qid", "vec_id")
+    val truthW = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+    val truth = e.crossJoin(broadcast(qset))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
+      .withColumn("rn", row_number().over(truthW))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    val nq = qset.count()
+    per.join(truth, Seq("qid", "vec_id"), "left")
+      .groupBy(col("p").cast("long").as("nprobe"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_at_3",
+        col("n_hits").cast("double") / lit(3.0 * nq))
+      .orderBy("nprobe")
+  }
+
   // ---- Incremental IVF index (CDC × ANN) ----------------------------------
 
   /** IVF posting rows for a vector batch against fixed centroids:
@@ -938,5 +1039,5 @@ object Similarity {
 
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
     quantize, pq, ivfpq, rerank, filtered, hybrid, hardNegatives,
-    decontaminateSemantic)
+    decontaminateSemantic, nprobeSweep)
 }

@@ -477,6 +477,28 @@ class PipelineSpec extends AnyFunSuite {
       s"only $pruned of ${card.length} blocks prunable — layout not clustering")
   }
 
+  test("nprobe sweep: recall monotone in nprobe, matches the point recall at 2") {
+    val sweep = SparkEntry.queries("pipe_ann_nprobe_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Long]("nprobe") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_3"))).toMap
+    assert(sweep.keySet == Set(1L, 2L, 3L, 4L))
+    // probing more cells can only add candidates, never remove them, so
+    // hits (and recall) are monotone non-decreasing in nprobe
+    (1L to 3L).foreach { p =>
+      assert(sweep(p)._1 <= sweep(p + 1)._1,
+        s"recall dropped from nprobe=$p to ${p + 1}")
+    }
+    sweep.values.foreach { case (h, r) =>
+      assert(h >= 0 && r >= 0.0 && r <= 1.0)
+    }
+    // the sweep's nprobe=2 row must agree with the single-point recall
+    // card computed through the independent knn pipeline
+    val point = SparkEntry.queries("pipe_ann_recall")(spark, sf).collect()
+      .map(_.getAs[Double]("recall_at_3")).sum / 20.0
+    assert(math.abs(sweep(2L)._2 - point) < 1e-9,
+      s"sweep nprobe=2 ${sweep(2L)._2} != point recall $point")
+  }
+
   test("audio segments: ordered, disjoint, inside the clip, and silence is dropped") {
     val segs = SparkEntry.queries("mm_audio_segments")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_idx"),
