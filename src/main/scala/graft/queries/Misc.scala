@@ -804,6 +804,93 @@ object Misc {
     zorderCompactReport(s, path)
   }
 
+  /** Event-lateness distribution — the table a WATERMARK DELAY is read
+    * from: per event, how far behind the maximum event-time already seen
+    * at its arrival it was, bucketed in
+    * power-of-two minutes with cumulative coverage. "Delay of 2^b minutes
+    * admits cum_events/total of the stream" is precisely the trade
+    * `withWatermark` forces every streaming job to make; picking the
+    * delay without this table is guessing state size against data loss.
+    *
+    * Arrival order: the fixture events are generated in perfect event-time
+    * order, where a real transport is not — so arrival is simulated as
+    * event time plus a deterministic per-user-cohort transport delay
+    * (`(user_id % 7) * 3` minutes: the mobile-cohort-syncs-late shape).
+    * In production `arr` IS the log offset and the rest of the plan is
+    * unchanged.
+    *
+    * Scale shape: the arrival-order running max is the bucketed two-phase
+    * prefix machinery (monotone integer range buckets on event_id,
+    * per-bucket partitioned window, |buckets|-row max-bases via the
+    * triangular broadcast — max is associative like sum, so the same
+    * construction holds) — never a single-partition WindowExec over the
+    * stream history. The only global window runs over the ≤~40 histogram
+    * rows (bounded by construction, allowlisted in ExplainAudit like the
+    * token-length histogram's).
+    */
+  private val lateArrivals = {
+    val B = 64 // monotone event_id range buckets (same as PrefixBuckets)
+    q("stream_late_arrivals",
+      s"""WITH ev AS (
+         |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) + (user_id % 7) * 180000000 AS arr
+         |  FROM events),
+         |m AS (
+         |  SELECT tus, max(tus) OVER (ORDER BY arr, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+         |  FROM ev),
+         |l AS (
+         |  SELECT greatest(0, coalesce(prevmax - tus, 0)) // 60000000 AS late_min
+         |  FROM m),
+         |h AS (
+         |  SELECT (length(bin(1 + late_min)) - 1)::INT AS bucket,
+         |    count(*)::BIGINT AS n_events, max(late_min)::BIGINT AS max_late_min
+         |  FROM l GROUP BY 1)
+         |SELECT bucket, ((1::BIGINT << bucket) - 1)::BIGINT AS lo_minutes,
+         |  n_events, max_late_min,
+         |  sum(n_events) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_events
+         |FROM h ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+        .withColumn("arr", col("tus") + (col("user_id") % 7) * lit(180000000L))
+        .drop("user_id")
+      val bounds = ev.agg(min("arr").as("lo"), max("arr").as("hi"))
+      val bucketed = ev.crossJoin(broadcast(bounds))
+        .withColumn("pid",
+          expr(s"cast(((arr - lo) * $B) div (hi - lo + 1) as int)"))
+        .drop("lo", "hi")
+      val wLocal = Window.partitionBy("pid").orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val perB = bucketed.groupBy("pid").agg(max("tus").as("tot"))
+      val bases = perB
+        .join(broadcast(perB.select(col("pid").as("pid2"), col("tot").as("tot2"))),
+          col("pid2") < col("pid"), "left")
+        .groupBy("pid").agg(max("tot2").as("bmax")) // null for the first bucket
+      val late = bucketed
+        .withColumn("lmax", max("tus").over(wLocal))
+        .join(broadcast(bases), Seq("pid"))
+        // global prev-max = max(local prev-max, all lower buckets' max);
+        // null+null (the very first event) means "nothing before" -> 0 late
+        .withColumn("pm", greatest(coalesce(col("lmax"), col("bmax")),
+          coalesce(col("bmax"), col("lmax"))))
+        .select(expr("greatest(0L, coalesce(pm - tus, 0L)) div 60000000")
+          .as("late_min"))
+      val h = late
+        .groupBy((length(bin(col("late_min") + 1)) - 1).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_events"), max("late_min").as("max_late_min"))
+      val wCum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.select(col("bucket"),
+          expr("shiftleft(1L, bucket) - 1").as("lo_minutes"),
+          col("n_events"), col("max_late_min"),
+          sum("n_events").over(wCum).as("cum_events"))
+        .orderBy("bucket")
+    }
+  }
+
   /** Ordered conversion funnel over the event stream: users who signed up,
     * then clicked strictly AFTER their first signup, then purchased strictly
     * after that first qualifying click. The strict ordering is the point —
@@ -1407,5 +1494,5 @@ object Misc {
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
-    activeUsers, zorderSkipping, zorderCompact)
+    activeUsers, zorderSkipping, zorderCompact, lateArrivals)
 }

@@ -401,7 +401,10 @@ class ExplainAudit extends AnyFunSuite {
       "pipe_search_hybrid" -> (2, "two 50-row top-k frames"),
       // cumulative-uniques running sum over the calendar-day frame
       // (≤366 rows/year regardless of corpus size)
-      "stream_active_users" -> (1, "calendar-day rows"))
+      "stream_active_users" -> (1, "calendar-day rows"),
+      // cumulative coverage over the ≤~40 log2(lateness-minutes) buckets;
+      // the arrival-order running max underneath is pid-partitioned
+      "stream_late_arrivals" -> (1, "log2 lateness buckets"))
     val offenders = raw {
       SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan

@@ -477,6 +477,42 @@ class PipelineSpec extends AnyFunSuite {
       s"only $pruned of ${card.length} blocks prunable — layout not clustering")
   }
 
+  test("late arrivals: bucketed running max matches a sequential replay") {
+    val got = SparkEntry.queries("stream_late_arrivals")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bucket"), (r.getAs[Long]("lo_minutes"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("max_late_min"),
+        r.getAs[Long]("cum_events")))).toMap
+    // sequential replay on the driver: sort by simulated arrival, fold the
+    // running max, histogram the lateness — the semantics the two-phase
+    // bucket machinery must reproduce exactly
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(2) + (r.getLong(1) % 7) * 180000000L))
+      .sortBy { case (id, _, arr) => (arr, id) }
+    var runMax = Long.MinValue
+    val lates = ev.map { case (_, tus, _) =>
+      val late = if (runMax == Long.MinValue) 0L
+        else math.max(0L, runMax - tus) / 60000000L
+      runMax = math.max(runMax, tus)
+      late
+    }
+    val hist = lates.groupBy(l => 63 - java.lang.Long.numberOfLeadingZeros(1 + l))
+      .map { case (b, ls) => b.toInt -> (ls.length.toLong, ls.max) }
+    assert(got.keySet == hist.keySet.map(_.toInt))
+    var cum = 0L
+    hist.toSeq.sortBy(_._1).foreach { case (b, (n, mx)) =>
+      cum += n
+      val (lo, gn, gmx, gcum) = got(b)
+      assert(lo == (1L << b) - 1 && gn == n && gmx == mx && gcum == cum,
+        s"bucket $b: got ($lo,$gn,$gmx,$gcum) expected n=$n max=$mx cum=$cum")
+    }
+    // the simulated transport delay must produce real disorder or the
+    // card is the degenerate all-on-time row
+    assert(got.size > 1, "no lateness spread — arrival simulation degenerate")
+  }
+
   test("nprobe sweep: recall monotone in nprobe, matches the point recall at 2") {
     val sweep = SparkEntry.queries("pipe_ann_nprobe_sweep")(spark, sf).collect()
       .map(r => r.getAs[Long]("nprobe") ->
