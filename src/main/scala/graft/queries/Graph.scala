@@ -1630,37 +1630,93 @@ object Graph {
          |FROM scc
          |WHERE root <> node OR node IN (SELECT root FROM scc WHERE root <> node)
          |ORDER BY node_key""".stripMargin) { (s, dir) =>
-      val lk = graft.Tables.links(s, dir)
-      val out = col("direction") === "outward"
-      val e = lk.select(
-          when(out, encNode(col("src"))).otherwise(encNode(col("dst"))).as("a"),
-          when(out, encNode(col("dst"))).otherwise(encNode(col("src"))).as("b"))
+      // the integer encoding COMPOSES with the links derivation — src/dst
+      // are concat('P', key%7, '-', id) built from these very columns, so
+      // encoding straight from the base integers skips materializing and
+      // re-parsing 2×|E| strings (measured: the string round-trip was over
+      // half the query's cost). Identical values to encNode(links.src/dst).
+      val li = graft.Tables.t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      val o = graft.Tables.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val srcE = (col("o_custkey") % 7) * lit(1000000000000L) + col("l_orderkey")
+      val dstE = (col("l_suppkey") % 7) * lit(1000000000000L) + col("l_partkey")
+      val out = col("l_linenumber") % 2 === 0
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(when(out, srcE).otherwise(dstE).as("a"),
+          when(out, dstE).otherwise(srcE).as("b"))
         .filter(col("a") =!= col("b")).distinct()
-        .transform(graft.Iterative.truncate)
-      val nodes = e.select(col("a").as("node"))
-        .union(e.select(col("b").as("node"))).distinct()
-        .transform(graft.Iterative.truncate)
-      def propagate(from: String, to: String): DataFrame = {
-        var l = nodes.select(col("node"), col("node").as("lbl"))
-        for (_ <- 1 to k) {
-          val nbrMin = e
-            .join(l.select(col("node").as(from), col("lbl")), Seq(from))
-            .groupBy(col(to).as("node")).agg(min("lbl").as("nm"))
-          l = l.join(nbrMin, Seq("node"), "left")
-            .select(col("node"),
-              least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
-            .transform(graft.Iterative.truncate)
+      // size-gated like every bounded-round operator here ([[gatherUnder]]):
+      // a broadcast-sized edge set replays the 2×k min-propagation rounds on
+      // the driver (the 6 shuffle-join rounds were the sweep's slowest
+      // query) and — because the card reports only the knots — emits JUST
+      // the filtered member/root rows, a near-empty frame on a mostly-DAG
+      // graph; large graphs run the distributed chain below unchanged
+      val gathered = gatherUnder(e, 1000000)
+      val scc = if (gathered.isDefined) {
+        val es = gathered.get
+        val nodeIds = es.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct
+        val inN = es.groupBy(_._2)   // edges INTO v, keyed by v (fwd pull)
+        val outN = es.groupBy(_._1)  // edges OUT OF v (bwd pull)
+        def replay(nbrs: Map[Long, Array[(Long, Long)]],
+            pick: ((Long, Long)) => Long): collection.mutable.LongMap[Long] = {
+          var m = collection.mutable.LongMap.fromZip(nodeIds, nodeIds)
+          for (_ <- 1 to k) {
+            val prev = m
+            val next = new collection.mutable.LongMap[Long](nodeIds.length)
+            nodeIds.foreach { id =>
+              val l = prev(id)
+              val nm = nbrs.get(id).fold(l) { bs =>
+                var mn = l; var i = 0
+                while (i < bs.length) {
+                  val v = prev(pick(bs(i))); if (v < mn) mn = v; i += 1
+                }
+                mn
+              }
+              next.update(id, nm)
+            }
+            m = next
+          }
+          m
         }
-        l
+        val fl = replay(inN, _._1)
+        val bl = replay(outN, _._2)
+        val full = nodeIds.map { id =>
+          val (f, b) = (fl(id), bl(id))
+          (id, if (f == b) f else id, f == b && f != id)
+        }
+        val rootSet = full.iterator.filter(t => t._2 != t._1).map(_._2).toSet
+        val spark = s
+        import spark.implicits._
+        full.filter(t => t._2 != t._1 || rootSet(t._1)).toSeq
+          .toDF("node", "root", "certified")
+      } else {
+        // the chain reads the edge frame 2k+2 times — truncate lineage once
+        val et = e.transform(graft.Iterative.truncate)
+        val nodes = et.select(col("a").as("node"))
+          .union(et.select(col("b").as("node"))).distinct()
+          .transform(graft.Iterative.truncate)
+        def propagate(from: String, to: String): DataFrame = {
+          var l = nodes.select(col("node"), col("node").as("lbl"))
+          for (_ <- 1 to k) {
+            val nbrMin = et
+              .join(l.select(col("node").as(from), col("lbl")), Seq(from))
+              .groupBy(col(to).as("node")).agg(min("lbl").as("nm"))
+            l = l.join(nbrMin, Seq("node"), "left")
+              .select(col("node"),
+                least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+              .transform(graft.Iterative.truncate)
+          }
+          l
+        }
+        val f = propagate("a", "b").withColumnRenamed("lbl", "fl")
+        val bw = propagate("b", "a").withColumnRenamed("lbl", "bl")
+        nodes.join(f, Seq("node")).join(bw, Seq("node"))
+          .select(col("node"),
+            when(col("fl") === col("bl"), col("fl")).otherwise(col("node"))
+              .as("root"),
+            (col("fl") === col("bl") && col("fl") =!= col("node"))
+              .as("certified"))
       }
-      val f = propagate("a", "b").withColumnRenamed("lbl", "fl")
-      val bw = propagate("b", "a").withColumnRenamed("lbl", "bl")
-      val scc = nodes.join(f, Seq("node")).join(bw, Seq("node"))
-        .select(col("node"),
-          when(col("fl") === col("bl"), col("fl")).otherwise(col("node"))
-            .as("root"),
-          (col("fl") === col("bl") && col("fl") =!= col("node"))
-            .as("certified"))
       // report only cycle members (certified nodes + the roots they share):
       // the full node list is the components card's job, and at corpus
       // scale the interesting output is the knots, not the DAG bulk
