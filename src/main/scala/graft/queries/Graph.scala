@@ -1588,6 +1588,117 @@ object Graph {
     * a handful of genuine knots — the expected shape of a real dependency
     * corpus (mostly DAG, a few deadlocks worth surfacing).
     */
+  /** One FW-BW pivot phase over a directed `(a, b)` edge frame: `rounds`
+    * bounded min-label propagations in each direction, intersected into
+    * `(node, root, certified)` for EVERY node (certified ⇒ node lies on a
+    * common ≤rounds-hop cycle with root; root = node otherwise). The
+    * engine API under [[sccBounded]] — size-gated driver replay for
+    * broadcast-sized graphs, the distributed join chain beyond, same
+    * contract as [[fixedRoundLabels]]. Production SCC iterates this phase
+    * over residual color regions; each phase's certificates are final.
+    */
+  def sccPivot(edges: DataFrame, rounds: Int,
+      driverGateEdges: Long = 1000000L): DataFrame =
+    sccPivotCore(edges, rounds, driverGateEdges) match {
+      case Left(full) =>
+        val spark = edges.sparkSession
+        import spark.implicits._
+        full.toSeq.toDF("node", "root", "certified")
+      case Right(df) => df
+    }
+
+  /** [[sccPivot]] restricted to the KNOTS — certified members plus the
+    * roots they share: the rows a cycle report cares about, a near-empty
+    * frame on a mostly-DAG graph. The driver-gated path filters BEFORE
+    * encoding rows (so a 10^5-node DAG ships a handful of rows, not a
+    * node-sized LocalRelation); the distributed path applies the
+    * equivalent semi-join filter lazily.
+    */
+  def sccKnots(edges: DataFrame, rounds: Int,
+      driverGateEdges: Long = 1000000L): DataFrame =
+    sccPivotCore(edges, rounds, driverGateEdges) match {
+      case Left(full) =>
+        val rootSet = full.iterator.filter(t => t._2 != t._1).map(_._2).toSet
+        val spark = edges.sparkSession
+        import spark.implicits._
+        full.filter(t => t._2 != t._1 || rootSet(t._1)).toSeq
+          .toDF("node", "root", "certified")
+      case Right(scc) =>
+        val roots = scc.filter(col("root") =!= col("node"))
+          .select(col("root").as("node")).distinct()
+        scc.join(roots, Seq("node"), "left_semi")
+          .unionByName(scc.filter(col("root") =!= col("node")))
+          .distinct()
+    }
+
+  private def sccPivotCore(edges: DataFrame, rounds: Int,
+      driverGateEdges: Long): Either[Array[(Long, Long, Boolean)], DataFrame] = {
+    val e = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val gathered = gatherUnder(e, driverGateEdges)
+    if (gathered.isDefined) {
+      val es = gathered.get
+      val nodeIds = es.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct
+      val inN = es.groupBy(_._2)   // edges INTO v, keyed by v (fwd pull)
+      val outN = es.groupBy(_._1)  // edges OUT OF v (bwd pull)
+      def replay(nbrs: Map[Long, Array[(Long, Long)]],
+          pick: ((Long, Long)) => Long): collection.mutable.LongMap[Long] = {
+        var m = collection.mutable.LongMap.fromZip(nodeIds, nodeIds)
+        for (_ <- 1 to rounds) {
+          val prev = m
+          val next = new collection.mutable.LongMap[Long](nodeIds.length)
+          nodeIds.foreach { id =>
+            val l = prev(id)
+            val nm = nbrs.get(id).fold(l) { bs =>
+              var mn = l; var i = 0
+              while (i < bs.length) {
+                val v = prev(pick(bs(i))); if (v < mn) mn = v; i += 1
+              }
+              mn
+            }
+            next.update(id, nm)
+          }
+          m = next
+        }
+        m
+      }
+      val fl = replay(inN, _._1)
+      val bl = replay(outN, _._2)
+      Left(nodeIds.map { id =>
+        val (f, b) = (fl(id), bl(id))
+        (id, if (f == b) f else id, f == b && f != id)
+      })
+    } else Right {
+      // the chain reads the edge frame 2k+2 times — truncate lineage once
+      val et = e.transform(graft.Iterative.truncate)
+      val nodes = et.select(col("a").as("node"))
+        .union(et.select(col("b").as("node"))).distinct()
+        .transform(graft.Iterative.truncate)
+      def propagate(from: String, to: String): DataFrame = {
+        var l = nodes.select(col("node"), col("node").as("lbl"))
+        for (_ <- 1 to rounds) {
+          val nbrMin = et
+            .join(l.select(col("node").as(from), col("lbl")), Seq(from))
+            .groupBy(col(to).as("node")).agg(min("lbl").as("nm"))
+          l = l.join(nbrMin, Seq("node"), "left")
+            .select(col("node"),
+              least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+            .transform(graft.Iterative.truncate)
+        }
+        l
+      }
+      val f = propagate("a", "b").withColumnRenamed("lbl", "fl")
+      val bw = propagate("b", "a").withColumnRenamed("lbl", "bl")
+      nodes.join(f, Seq("node")).join(bw, Seq("node"))
+        .select(col("node"),
+          when(col("fl") === col("bl"), col("fl")).otherwise(col("node"))
+            .as("root"),
+          (col("fl") === col("bl") && col("fl") =!= col("node"))
+            .as("certified"))
+    }
+  }
+
   private val sccBounded = {
     val k = 3
     def chain(prefix: String, from: String, to: String): String =
@@ -1645,89 +1756,13 @@ object Graph {
         .select(when(out, srcE).otherwise(dstE).as("a"),
           when(out, dstE).otherwise(srcE).as("b"))
         .filter(col("a") =!= col("b")).distinct()
-      // size-gated like every bounded-round operator here ([[gatherUnder]]):
-      // a broadcast-sized edge set replays the 2×k min-propagation rounds on
-      // the driver (the 6 shuffle-join rounds were the sweep's slowest
-      // query) and — because the card reports only the knots — emits JUST
-      // the filtered member/root rows, a near-empty frame on a mostly-DAG
-      // graph; large graphs run the distributed chain below unchanged
-      val gathered = gatherUnder(e, 1000000)
-      val scc = if (gathered.isDefined) {
-        val es = gathered.get
-        val nodeIds = es.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct
-        val inN = es.groupBy(_._2)   // edges INTO v, keyed by v (fwd pull)
-        val outN = es.groupBy(_._1)  // edges OUT OF v (bwd pull)
-        def replay(nbrs: Map[Long, Array[(Long, Long)]],
-            pick: ((Long, Long)) => Long): collection.mutable.LongMap[Long] = {
-          var m = collection.mutable.LongMap.fromZip(nodeIds, nodeIds)
-          for (_ <- 1 to k) {
-            val prev = m
-            val next = new collection.mutable.LongMap[Long](nodeIds.length)
-            nodeIds.foreach { id =>
-              val l = prev(id)
-              val nm = nbrs.get(id).fold(l) { bs =>
-                var mn = l; var i = 0
-                while (i < bs.length) {
-                  val v = prev(pick(bs(i))); if (v < mn) mn = v; i += 1
-                }
-                mn
-              }
-              next.update(id, nm)
-            }
-            m = next
-          }
-          m
-        }
-        val fl = replay(inN, _._1)
-        val bl = replay(outN, _._2)
-        val full = nodeIds.map { id =>
-          val (f, b) = (fl(id), bl(id))
-          (id, if (f == b) f else id, f == b && f != id)
-        }
-        val rootSet = full.iterator.filter(t => t._2 != t._1).map(_._2).toSet
-        val spark = s
-        import spark.implicits._
-        full.filter(t => t._2 != t._1 || rootSet(t._1)).toSeq
-          .toDF("node", "root", "certified")
-      } else {
-        // the chain reads the edge frame 2k+2 times — truncate lineage once
-        val et = e.transform(graft.Iterative.truncate)
-        val nodes = et.select(col("a").as("node"))
-          .union(et.select(col("b").as("node"))).distinct()
-          .transform(graft.Iterative.truncate)
-        def propagate(from: String, to: String): DataFrame = {
-          var l = nodes.select(col("node"), col("node").as("lbl"))
-          for (_ <- 1 to k) {
-            val nbrMin = et
-              .join(l.select(col("node").as(from), col("lbl")), Seq(from))
-              .groupBy(col(to).as("node")).agg(min("lbl").as("nm"))
-            l = l.join(nbrMin, Seq("node"), "left")
-              .select(col("node"),
-                least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
-              .transform(graft.Iterative.truncate)
-          }
-          l
-        }
-        val f = propagate("a", "b").withColumnRenamed("lbl", "fl")
-        val bw = propagate("b", "a").withColumnRenamed("lbl", "bl")
-        nodes.join(f, Seq("node")).join(bw, Seq("node"))
-          .select(col("node"),
-            when(col("fl") === col("bl"), col("fl")).otherwise(col("node"))
-              .as("root"),
-            (col("fl") === col("bl") && col("fl") =!= col("node"))
-              .as("certified"))
-      }
-      // report only cycle members (certified nodes + the roots they share):
-      // the full node list is the components card's job, and at corpus
-      // scale the interesting output is the knots, not the DAG bulk
-      val roots = scc.filter(col("root") =!= col("node"))
-        .select(col("root").as("node")).distinct()
+      // report only cycle members (certified nodes + the roots they
+      // share): the full node list is the components card's job, and at
+      // corpus scale the interesting output is the knots, not the DAG bulk
       def dec(name: String) =
         concat(lit("P"), expr(s"$name div 1000000000000").cast("string"),
           lit("-"), (col(name) % lit(1000000000000L)).cast("string"))
-      scc.join(roots, Seq("node"), "left_semi")
-        .unionByName(scc.filter(col("root") =!= col("node")))
-        .distinct()
+      sccKnots(e, k)
         .select(dec("node").as("node_key"), dec("root").as("scc_key"),
           col("certified"))
         .orderBy("node_key")

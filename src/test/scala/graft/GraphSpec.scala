@@ -480,6 +480,52 @@ class GraphSpec extends AnyFunSuite {
     assert(got.forall { case (_, a, h) => a >= 0 && a <= SCALE && h >= 0 && h <= SCALE })
   }
 
+  test("property: scc pivot is sound on random digraphs and complete on untaintable cycles") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val k = 3
+    // random DAG-ish noise on ids 100..130 + a planted cycle on ids 1..c:
+    // the cycle's ids are globally smallest, so no outside id can taint its
+    // labels and the pivot phase MUST certify every member to root 1
+    val genCase = for {
+      c <- Gen.choose(2, k + 1) // cycle length <= k+1 => diameter <= k
+      m <- Gen.choose(0, 40)
+      noise <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(100L, 130L), Gen.choose(100L, 130L)))
+      bridge <- Gen.choose(100L, 130L)
+    } yield (c, noise :+ ((bridge, 1L))) // noise may point INTO the cycle
+    Iterator.continually(genCase.sample).flatten.take(20).foreach {
+      case (c, noise) =>
+        val cycle = (1 to c).map(i => (i.toLong, (i % c + 1).toLong))
+        val es = (cycle ++ noise).distinct
+        val got = queries.Graph.sccPivot(es.toDF("a", "b"), k).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+        // soundness on EVERY certified row: root reaches node and back in <= k
+        val fwd = es.filter(e => e._1 != e._2).groupBy(_._1)
+          .map { case (u, vs) => u -> vs.map(_._2).toSet }
+        def reach(from: Long, to: Long): Boolean = {
+          var frontier = Set(from); var seen = frontier; var found = false
+          (1 to k).foreach { _ =>
+            frontier = frontier.flatMap(n => fwd.getOrElse(n, Set.empty)) -- seen
+            seen ++= frontier
+            if (frontier.contains(to)) found = true
+          }
+          found
+        }
+        got.foreach { case (node, (root, cert)) =>
+          if (cert) assert(reach(root, node) && reach(node, root),
+            s"edges=$es: certified $node->$root is not a real cycle")
+          else assert(root == node)
+        }
+        // untaintable-cycle completeness: members 2..c certified to root 1
+        (2 to c).foreach { i =>
+          assert(got(i.toLong) == (1L, true),
+            s"edges=$es: planted-cycle member $i not certified to 1, got=${got.get(i.toLong)}")
+        }
+        assert(got(1L) == (1L, false), "the pivot itself reports root=self")
+    }
+  }
+
   test("scc pivot phase: every certified membership is a real directed cycle") {
     // oriented edges exactly as the query builds them (inward points INTO src)
     val es = Tables.links(spark, sf).select("src", "dst", "direction").collect()
