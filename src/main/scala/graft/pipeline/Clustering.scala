@@ -287,5 +287,74 @@ object Clustering {
       .orderBy("vec_id")
   }
 
-  val all: Seq[GQuery] = Seq(kmeans, outliers, clusterSample)
+  /** Per-source SEMANTIC signature — the embedding-space complement of the
+    * quality-histogram drift card: for each source, how far its centroid
+    * sits from the corpus centroid (cosine). A source whose cosine falls
+    * away from the pack is out-of-distribution content — a re-crawl gone
+    * wrong, a language mix shift, a scraper pulling boilerplate — caught
+    * BEFORE it skews the training mix, which n-gram quality signals miss
+    * when the text merely looks fluent.
+    *
+    * Exactness: components quantize to integer MILLI-units (1e3, not the
+    * kmeans 1e6 — deliberately coarse so every dot-product term AND every
+    * partial sum stays an exactly-representable integer below 2^53 at the
+    * oracle scales, making the cosine independent of either engine's
+    * summation order; the 1e6 variant was measured 1 ulp apart on one
+    * source, exactly the accumulation-order hazard). Per-source sums are
+    * ONE `vec_sum` hash aggregate (dim-length long state per source
+    * through the exchange), and the corpus vector is the sum of the
+    * ≤|sources| source vectors. Cosine is scale-invariant, so the
+    * UNNORMALIZED sum vectors stand in for the centroids — no division
+    * before the final cosine. A corpus big enough to push these sums past
+    * 2^53 moves the dot products to HUGEINT/DECIMAL exact arithmetic (the
+    * kmeans discipline); the card pins the float-exact form. Scale
+    * shape: one
+    * map-side quantize pass, one vec_sum exchange, a |sources|-row
+    * epilogue with a 1-row broadcast — nothing corpus² anywhere.
+    */
+  private val sourceCentroids = q("pipe_emb_source_centroids",
+    s"""WITH src AS (
+       |  SELECT d.source,
+       |    list_transform(e.embedding,
+       |      x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |per AS (
+       |  SELECT source, dim, sum(val)::BIGINT AS s
+       |  FROM (SELECT source, unnest(v) AS val,
+       |          generate_subscripts(v, 1) AS dim FROM src)
+       |  GROUP BY 1, 2),
+       |cnt AS (SELECT source, count(*)::BIGINT AS n_vecs FROM src GROUP BY 1),
+       |sv AS (
+       |  SELECT source,
+       |    list_transform(list(s ORDER BY dim), x -> x::DOUBLE) AS cv
+       |  FROM per GROUP BY source),
+       |tot AS (
+       |  SELECT list_transform(list(st ORDER BY dim), x -> x::DOUBLE) AS tv
+       |  FROM (SELECT dim, sum(s)::BIGINT AS st FROM per GROUP BY dim))
+       |SELECT sv.source, cnt.n_vecs,
+       |  ${sqlCosine("sv.cv", "tot.tv")} AS cos_centroid
+       |FROM sv JOIN cnt USING (source), tot
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    val vecs = graft.Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
+          .as("v"))
+      .join(graft.Tables.t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+    val per = vecs.groupBy("source")
+      .agg(graft.functions.VecSum(col("v")).as("sv"), count(lit(1)).as("n_vecs"))
+    // corpus vector = element-wise sum of the <=|sources| source vectors —
+    // a second tiny vec_sum over the aggregate, then a 1-row broadcast
+    val tot = per.agg(graft.functions.VecSum(col("sv")).as("tv"))
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_vecs"),
+        (dotD(d(col("sv")), d(col("tv"))) /
+          (sqrt(dotD(d(col("sv")), d(col("sv")))) *
+            sqrt(dotD(d(col("tv")), d(col("tv")))))).as("cos_centroid"))
+      .orderBy("source")
+  }
+
+  val all: Seq[GQuery] = Seq(kmeans, outliers, clusterSample, sourceCentroids)
 }

@@ -477,6 +477,23 @@ class PipelineSpec extends AnyFunSuite {
       s"only $pruned of ${card.length} blocks prunable — layout not clustering")
   }
 
+  test("source centroids: cosines bounded, vectors conserved, signal present") {
+    val rows = SparkEntry.queries("pipe_emb_source_centroids")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_vecs"),
+        r.getAs[Double]("cos_centroid")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, c) =>
+      assert(n > 0 && c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12,
+        s"$src: cos $c out of range")
+    }
+    assert(rows.map(_._2).sum ==
+      Tables.t(spark, sf, "embeddings").count(),
+      "per-source vector counts do not partition the embedding table")
+    // the card must separate sources, not report a constant — otherwise
+    // it can't flag an off-center source
+    assert(rows.map(_._3).distinct.length > 1, "all sources identical cosine")
+  }
+
   test("late arrivals: bucketed running max matches a sequential replay") {
     val got = SparkEntry.queries("stream_late_arrivals")(spark, sf).collect()
       .map(r => (r.getAs[Int]("bucket"), (r.getAs[Long]("lo_minutes"),
