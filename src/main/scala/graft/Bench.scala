@@ -7,6 +7,69 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Median fresh/baseline per-query time ratio over the queries both maps
+    * share — the canary statistic for the baseline-refresh guard. Queries
+    * with a sub-50ms baseline are excluded (scheduler jitter dominates
+    * them); None when fewer than 5 canaries remain (no basis to judge).
+    */
+  private[graft] def medianDriftRatio(
+      baseline: Map[String, Double], fresh: Map[String, Double]): Option[Double] = {
+    val ratios = baseline.toSeq.collect {
+      case (k, b) if b >= 0.05 && fresh.contains(k) => fresh(k) / b
+    }.sorted
+    if (ratios.size < 5) None
+    else Some(
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0)
+  }
+
+  /** Whether a fresh sweep may REPLACE the committed baseline at `path`:
+    * refuse when the unchanged-query median drifts beyond `bound` in either
+    * direction (the round-9 driver sweep replaced a clean 202s baseline
+    * with a contended-host 405s one on identical code — this guard is what
+    * stops that). Missing/unreadable baseline, a different sf, or too few
+    * canaries ⇒ allow (nothing trustworthy to defend).
+    * A baseline at a DIFFERENT sf also refuses (a smoke sweep at sf0.01
+    * must never replace the sf0.1 regression reference — that exact
+    * clobber happened twice in earlier rounds); Left(-1) marks that case.
+    * Returns Right(()) to allow, Left(medianRatio | -1) to refuse.
+    */
+  private[graft] def refreshAllowed(path: java.nio.file.Path,
+      fresh: Map[String, Double], freshSf: String,
+      bound: Double = 1.3): Either[Double, Unit] = {
+    val parsed = scala.util.Try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(path))
+      val sf = Option(root.get("sf")).map(_.asText).getOrElse("")
+      val qs = Option(root.get("queries")).map { qn =>
+        import scala.jdk.CollectionConverters._
+        qn.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+      }.getOrElse(Map.empty[String, Double])
+      (sf, qs)
+    }.toOption
+    parsed match {
+      case Some((sf, base)) if sf == freshSf =>
+        medianDriftRatio(base, fresh) match {
+          case Some(m) if m > bound || m < 1.0 / bound => Left(m)
+          case _ => Right(())
+        }
+      case Some(_) => Left(-1.0) // baseline exists for another sf: never replace
+      case None => Right(()) // no readable baseline: nothing to defend
+    }
+  }
+
+  /** Run-condition stamp recorded into every bench_full.json so a number
+    * can never again be read without knowing what host state produced it.
+    */
+  private[graft] def runConditionsJson(): String = {
+    val load = try java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+    val nproc = Runtime.getRuntime.availableProcessors()
+    s""""run_conditions":{"nproc":$nproc,"load_avg":$load,""" +
+      s""""epoch_ms":${System.currentTimeMillis()},"timing":"best_of_2"}"""
+  }
+
   /** `spark.read.text` on a glob probes for a streaming-sink metadata dir and
     * logs a full FileNotFoundException stack at WARN — pure noise that eats
     * the driver's bounded stdout-tail parse window. Pin that one logger to
@@ -151,14 +214,26 @@ object Bench {
       println(s"""{"metric":"sync_only","sync_issues_per_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, syncIps)},"incr_scan_issues_per_sec":${"%.1f".formatLocal(java.util.Locale.ROOT, incrIps)}}""")
       return
     }
+    // best-of-2 per query: a single-shot sweep let one GC pause / noisy-
+    // neighbor blip stand in for a query's time (round 9 measured 27x swings
+    // on unchanged code). The second run re-executes the full plan (only
+    // registered fragments are cached, identically for both runs); min is
+    // the standard noise-rejecting statistic for a deterministic workload.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val t = once() match {
+        case None => Double.NaN // failed: never report a timing for it
+        case Some(t1) => once().fold(t1)(t2 => math.min(t1, t2))
+      }
+      name -> t
+    }.filterNot(_._2.isNaN)
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
@@ -183,9 +258,27 @@ object Bench {
       .map { case (g, kv) => g -> kv.map(_._2).sum }.toSeq.sortBy(_._1))
     val slowest = jmap(results.sortBy(-_._2).take(5))
     val sfName = new java.io.File(sfDir).getName
+    // drift of THIS sweep's unchanged queries vs the committed baseline —
+    // stamped into the stdout line so a contended-host sweep is self-labeled
+    val driftStdout = scala.util.Try(
+      medianDriftRatio(
+        {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get("bench_full.json")))
+          import scala.jdk.CollectionConverters._
+          if (Option(root.get("sf")).map(_.asText).contains(sfDir))
+            Option(root.get("queries")).map(_.properties().asScala
+              .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+              .getOrElse(Map.empty[String, Double])
+          else Map.empty[String, Double]
+        },
+        results.toMap)).toOption.flatten
+    val driftField = driftStdout
+      .map(m => s""""drift_vs_baseline":${f2(m)},""").getOrElse("")
     def mkLine(extra: String): String =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec",""" +
-        s""""queries":$headline,$extra"n_queries":${results.size},""" +
+        s""""queries":$headline,$extra$driftField"n_queries":${results.size},""" +
         s""""errors":$errJson,"sync_issues_per_sec":${f1(syncIps)},""" +
         s""""incr_scan_issues_per_sec":${f1(incrIps)},"sf":"$sfName"}"""
     val line = Seq(
@@ -193,12 +286,24 @@ object Bench {
       mkLine(s""""groups":$groups,"""),
       mkLine("")
     ).find(_.length <= 1600).getOrElse(mkLine("").take(1600))
-    // full-precision copy for local profiling (driver ignores files)
+    // full-precision copy for local profiling (driver ignores files). The
+    // committed bench_full.json is the regression REFERENCE, so it only gets
+    // replaced when the canary drift guard passes: if the unchanged-query
+    // median vs the existing baseline moved >1.3x either way, this run
+    // measured the host, not the engine — park it in bench_candidate.json
+    // and leave the baseline alone.
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val basePath = java.nio.file.Paths.get("bench_full.json")
+    val guard = refreshAllowed(basePath, results.toMap, sfDir)
+    val driftJson = guard.fold(
+      m => s""""drift_flagged":true,"drift_median":${"%.3f".formatLocal(java.util.Locale.ROOT, m)},""",
+      _ => "")
+    val fullJson =
+      s"""{"total":$total,"queries":$full,"errors":$errJson,$driftJson${runConditionsJson()},"sync_issues_per_sec":$syncIps,"incr_scan_issues_per_sec":$incrIps,"sf":"$sfDir"}\n"""
+    val target = guard.fold(_ => "bench_candidate.json", _ => "bench_full.json")
     scala.util.Try(java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
-      s"""{"total":$total,"queries":$full,"errors":$errJson,"sync_issues_per_sec":$syncIps,"incr_scan_issues_per_sec":$incrIps,"sf":"$sfDir"}\n""".getBytes("UTF-8")))
+      java.nio.file.Paths.get(target), fullJson.getBytes("UTF-8")))
     spark.stop()
     println(line)
   }

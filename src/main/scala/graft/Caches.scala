@@ -43,12 +43,24 @@ object Caches {
   /** Conf key: set "false" to disable fragment memoization for a session. */
   val EnabledKey = "spark.graft.fragmentCache"
 
+  /** Conf key: max distinct dataset DIRS a session keeps fragments for
+    * (least-recently-used dir evicted + unpersisted beyond it). A long-lived
+    * driver cycling many directories otherwise accumulates one persisted
+    * fragment set per dir until the session stops.
+    */
+  val MaxDirsKey = "spark.graft.fragmentCacheMaxDirs"
+  private val DefaultMaxDirs = 8
+
   private final case class Entry(df: DataFrame, persisted: Boolean)
 
   // keyed strongly; stopped-context entries are pruned on the next access
   // (a WeakHashMap would never evict anyway: the DataFrame value holds a
   // strong reference back to its session key)
   private val reg = mutable.LinkedHashMap[(SparkSession, String, String), Entry]()
+
+  // per-session dir recency: touched on every fragment() call, re-inserted
+  // so LinkedHashMap order IS least-recently-used order
+  private val dirLru = mutable.LinkedHashMap[(SparkSession, String), Unit]()
 
   private val bypass = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
@@ -79,17 +91,29 @@ object Caches {
     if (bypass.get() || s.conf.get(EnabledKey, "true") == "false") return build
     synchronized {
       reg.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+      dirLru.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      // touch (move to most-recent) BEFORE any eviction decision
+      dirLru.remove((s, dir)); dirLru.put((s, dir), ())
       val key = (s, dir, name)
-      reg.get(key) match {
+      val out = reg.get(key) match {
         case Some(e) => e.df
         case None =>
           // build OUTSIDE reg.getOrElseUpdate: nested fragment() calls
           // (candidates build on top of band signatures) re-enter this map
           val df = build
-          val out = if (persisted) df.persist() else df
-          reg.put(key, Entry(out, persisted))
-          out
+          val kept = if (persisted) df.persist() else df
+          reg.put(key, Entry(kept, persisted))
+          kept
       }
+      // LRU cap on dirs per session: evict (and unpersist) the stalest dirs
+      // beyond the configured bound so a driver cycling dataset directories
+      // can't grow storage memory without limit
+      val cap = math.max(1,
+        s.conf.get(MaxDirsKey, DefaultMaxDirs.toString).toIntOption
+          .getOrElse(DefaultMaxDirs))
+      val mine = dirLru.keys.filter(_._1 eq s).toSeq // LRU-first order
+      mine.dropRight(cap).foreach { case (_, staleDir) => clearDir(s, staleDir) }
+      out
     }
   }
 
@@ -113,5 +137,21 @@ object Caches {
         false
       } else true
     }
+    dirLru.filterInPlace { case ((sess, _), _) => !(sess eq s) }
+  }
+
+  /** Unpersist and forget the fragments of one dataset dir under `s` — the
+    * hook an engine calls when it retires a directory (also the LRU-cap
+    * eviction path).
+    */
+  def clearDir(s: SparkSession, dir: String): Unit = synchronized {
+    reg.filterInPlace { case ((sess, d, _), e) =>
+      if ((sess eq s) && d == dir) {
+        if (e.persisted && !sess.sparkContext.isStopped)
+          e.df.unpersist(blocking = false)
+        false
+      } else true
+    }
+    dirLru.remove((s, dir))
   }
 }

@@ -146,6 +146,7 @@ object Cli {
       host = kv.getOrElse("host", "127.0.0.1"),
       port = kv.get("port").flatMap(_.toIntOption).getOrElse(8080),
       rateLimitPerMinute = kv.get("rate-limit").flatMap(_.toIntOption).getOrElse(0),
+      authToken = kv.get("auth-token"),
       version = "0.1.0")
     val port = server.start()
     (server, port)
@@ -159,5 +160,9 @@ object Cli {
       |  recover  --source <sfDir> --repo <dir> --state <path> [--repair]
       |  validate --jql <query>
       |  serve    --source <sfDir> --repo <dir> --state <path>
-      |           [--host 127.0.0.1] [--port 8080] [--rate-limit N]""".stripMargin
+      |           [--host 127.0.0.1] [--port 8080] [--rate-limit N]
+      |           [--auth-token T]
+      |           (loopback binds get wildcard CORS and no auth; a
+      |            non-loopback bind drops the CORS wildcard and enforces
+      |            --auth-token as a Bearer token when one is set)""".stripMargin
 }

@@ -43,6 +43,7 @@ final class ApiServer(
     host: String = "127.0.0.1",
     port: Int = 0,
     rateLimitPerMinute: Int = 0,
+    authToken: Option[String] = None,
     version: String = "dev",
     clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
 
@@ -96,28 +97,62 @@ final class ApiServer(
   // ---- middleware: request id, CORS, fixed-window rate limit ----
 
   private val windowCounts = TrieMap.empty[String, (Long, Int)]
+  private val lastSweepMinute = new AtomicLong(Long.MinValue)
+
+  /** Count a request from `key` in fixed window `minute`; returns the
+    * window's running count. Once per window roll, sweeps every client
+    * whose window has passed — without the sweep the map holds one entry
+    * per distinct IP ever seen, an unbounded leak on a long-lived server.
+    */
+  private[graft] def noteRequest(key: String, minute: Long): Int = {
+    val prev = lastSweepMinute.get()
+    if (prev < minute && lastSweepMinute.compareAndSet(prev, minute))
+      windowCounts.filterInPlace { case (_, (w, _)) => w >= minute }
+    windowCounts.updateWith(key) {
+      case Some((w, c)) if w == minute => Some((w, c + 1))
+      case _ => Some((minute, 1))
+    }.map(_._2).getOrElse(1)
+  }
+
+  private[graft] def rateWindowEntries: Int = windowCounts.size
 
   private def rateLimited(exchange: HttpExchange): Boolean = {
     if (rateLimitPerMinute <= 0) return false
     val key = exchange.getRemoteAddress.getAddress.getHostAddress
-    val minute = clock().getTime / 60000L
-    val n = windowCounts.updateWith(key) {
-      case Some((w, c)) if w == minute => Some((w, c + 1))
-      case _ => Some((minute, 1))
-    }.map(_._2).getOrElse(1)
-    n > rateLimitPerMinute
+    noteRequest(key, clock().getTime / 60000L) > rateLimitPerMinute
   }
+
+  /** True when the bind host is loopback — the trust boundary for the
+    * permissive defaults (wildcard CORS, no auth). `serve --host 0.0.0.0`
+    * exposes a writable control plane, so the wildcard is withheld and a
+    * configured bearer token is enforced there.
+    */
+  private val loopbackHost: Boolean =
+    try java.net.InetAddress.getByName(host).isLoopbackAddress
+    catch { case _: Throwable => false }
+
+  private def authorized(exchange: HttpExchange): Boolean =
+    loopbackHost || authToken.forall { t =>
+      Option(exchange.getRequestHeaders.getFirst("Authorization"))
+        .contains(s"Bearer $t")
+    }
 
   private def handle(exchange: HttpExchange): Unit = {
     val requestId = s"req-${requestIds.incrementAndGet()}"
     try {
       val h = exchange.getResponseHeaders
-      h.set("Access-Control-Allow-Origin", "*")
+      // the CORS wildcard is a loopback-only convenience: on a non-loopback
+      // bind the API is writable by anyone who can reach it, and a wildcard
+      // would additionally invite cross-origin browser traffic
+      if (loopbackHost) h.set("Access-Control-Allow-Origin", "*")
       h.set("Access-Control-Allow-Methods", "GET, POST, PUT, DELETE, OPTIONS")
       h.set("Access-Control-Allow-Headers", "Content-Type, Authorization")
       h.set("X-Request-Id", requestId)
       if (exchange.getRequestMethod == "OPTIONS") {
         exchange.sendResponseHeaders(204, -1)
+      } else if (!authorized(exchange)) {
+        writeError(exchange, requestId, 401, "UNAUTHORIZED",
+          "Authentication required", "provide Authorization: Bearer <token>")
       } else if (rateLimited(exchange)) {
         writeError(exchange, requestId, 429, "RATE_LIMITED",
           "Too many requests", s"limit is $rateLimitPerMinute/minute")

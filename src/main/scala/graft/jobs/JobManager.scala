@@ -52,12 +52,17 @@ final class JobManager(spark: SparkSession) {
 
   def status(id: String): Option[JobRecord] = jobs.get(id)
 
-  /** P7-adjacent listing with the reference's filter fields. */
+  /** P7-adjacent listing with the reference's filter fields. Ordered by
+    * (submittedAt, id) — a stable SUBMISSION order, so API clients paging
+    * through the list see a consistent sequence as new jobs arrive (new
+    * entries only ever append past the pages already read; the previous
+    * id-first order interleaved job types and shifted page composition).
+    */
   def list(phase: Option[String] = None, syncType: Option[String] = None): Seq[JobRecord] =
     jobs.values.toSeq
       .filter(j => phase.forall(_ == j.phase))
       .filter(j => syncType.forall(_ == j.spec.sync_type))
-      .sortBy(_.id)
+      .sortBy(j => (j.submittedAt.getTime, j.id))
 
   /** A5: queue status — counts by phase
     * (reference: pkg/jobs/scheduler.go:244-271).

@@ -356,5 +356,83 @@ object Clustering {
       .orderBy("source")
   }
 
-  val all: Seq[GQuery] = Seq(kmeans, outliers, clusterSample, sourceCentroids)
+  /** IVF over TRAINED centroids — the ANN family's index cells upgraded
+    * from the training-free "first 8 vectors" ([[Similarity]]) to real
+    * Lloyd's centroids: trained cells track the data distribution, so the
+    * same nprobe buys strictly better candidate quality on clustered
+    * corpora. Everything stays in the k-means integer fixed-point domain
+    * (quantized vectors, integer squared-L2) so the oracle replays
+    * training AND search bit-for-bit: assignment is the same map-side
+    * argmin fold over the memoized centroids (zero training cost here),
+    * the probe ranks the k driver-held centroids against the query, and
+    * candidates fold through TakeOrderedAndProject — the only exchange is
+    * the probe semi-join, exactly the [[Similarity]] IVF shape.
+    */
+  private val ivfTrained = q("pipe_ann_ivf_trained",
+    s"""WITH $embCte,
+       |$qvCte,
+       |$trainCtes,
+       |qv0 AS (SELECT v AS qv FROM qv WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid,
+       |      row_number() OVER (ORDER BY ${sqlSqd("c.c", "q0.qv")}, c.cid) AS rn
+       |    FROM c$Iters c, qv0 q0) WHERE rn <= 2)
+       |SELECT a.vec_id, CAST(${sqlSqd("qv.v", "q0.qv")} AS BIGINT) AS dist
+       |FROM af a JOIN qv ON qv.vec_id = a.vec_id
+       |JOIN probe p ON p.cid = a.cid, qv0 q0
+       |WHERE a.vec_id <> 0
+       |ORDER BY dist, a.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val vecs = qvecs(s, dir)
+    val cents = trained(s, dir)
+    val fin = assign(vecs, cents)
+    val qv0 = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    import s.implicits._
+    val cdf = cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
+    val probe = cdf.crossJoin(broadcast(qv0))
+      .select(col("cid"), sqd(col("c"), col("qv")).as("pd"))
+      .orderBy("pd", "cid").limit(2).select("cid")
+    fin.join(broadcast(probe), Seq("cid"), "left_semi")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv0))
+      .select(col("vec_id"), sqd(col("v"), col("qv")).as("dist"))
+      .orderBy("dist", "vec_id").limit(10)
+  }
+
+  /** Measured recall@10 of (trained-centroid IVF, training-free IVF) for the
+    * fixed query vector, against the exhaustive integer-L2 top-10 — the
+    * harness behind "did training the cells buy recall". Both index variants
+    * share nprobe=2 and the same candidate scoring, so the ONLY degree of
+    * freedom is cell quality. Spec-pinned ([[ClusteringSpec]]); the oracle
+    * row pins the trained path itself.
+    */
+  private[graft] def ivfTrainedRecallAt10(s: SparkSession, dir: String): (Double, Double) = {
+    val vecs = qvecs(s, dir)
+    val qv0 = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    def top10(cands: DataFrame): Set[Long] =
+      cands.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv0))
+        .select(col("vec_id"), sqd(col("v"), col("qv")).as("dist"))
+        .orderBy("dist", "vec_id").limit(10)
+        .collect().map(_.getLong(0)).toSet
+    val truth = top10(vecs)
+    import s.implicits._
+    def probedCandidates(cents: Seq[(Long, Array[Long])]): DataFrame = {
+      val fin = assign(vecs, cents)
+      val cdf = cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
+      val probe = cdf.crossJoin(broadcast(qv0))
+        .select(col("cid"), sqd(col("c"), col("qv")).as("pd"))
+        .orderBy("pd", "cid").limit(2).select("cid")
+      fin.join(broadcast(probe), Seq("cid"), "left_semi")
+    }
+    val untrained: Seq[(Long, Array[Long])] =
+      vecs.filter(col("vec_id") < K).select(col("vec_id"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq.sortBy(_._1)
+    val trainedHits = top10(probedCandidates(trained(s, dir)))
+    val fixedHits = top10(probedCandidates(untrained))
+    ((trainedHits & truth).size / 10.0, (fixedHits & truth).size / 10.0)
+  }
+
+  val all: Seq[GQuery] =
+    Seq(kmeans, outliers, clusterSample, sourceCentroids, ivfTrained)
 }

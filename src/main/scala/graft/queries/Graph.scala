@@ -298,22 +298,25 @@ object Graph {
     val eps = epsPerNode * math.max(1L, nNodes)
     def prOf(s: org.apache.spark.sql.Column) =
       expr("85 * coalesce(s, 0L) div 100") // pr minus the constant BASE
+    // sum() over an empty frame is SQL NULL: read through the boxed type and
+    // default to 0 (getLong(0) on a null cell throws before any Option wrap
+    // can catch it — an edge-free input graph must return, not crash)
+    def sumOrZero(df: DataFrame): Long =
+      Option(df.head.getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
     var contrib = ed.groupBy(col("b").as("node"))
       .agg(sum(expr(s"$SCALE div d")).as("s")).transform(graft.Iterative.truncate)
     // round-1 delta vs the BASE-only init: every contribution IS movement
-    var delta = Option(contrib.agg(sum(prOf(col("s")))).head.getLong(0))
-      .getOrElse(0L)
+    var delta = sumOrZero(contrib.agg(sum(prOf(col("s")))))
     var rounds = 1
     while (delta > eps && rounds < maxRounds) {
       val next = ed.join(contrib.withColumnRenamed("node", "a"), Seq("a"), "left")
         .groupBy(col("b").as("node"))
         .agg(sum(expr(s"($BASE + (85 * coalesce(s, 0L)) div 100) div d")).as("s"))
         .transform(graft.Iterative.truncate)
-      delta = next.withColumnRenamed("s", "sn")
+      delta = sumOrZero(next.withColumnRenamed("s", "sn")
         .join(contrib.withColumnRenamed("s", "sp"), Seq("node"), "full_outer")
         .agg(sum(abs(expr("85 * coalesce(sn, 0L) div 100") -
-          expr("85 * coalesce(sp, 0L) div 100"))).cast("long"))
-        .head.getLong(0)
+          expr("85 * coalesce(sp, 0L) div 100"))).cast("long")))
       contrib = next
       rounds += 1
     }
@@ -1369,6 +1372,98 @@ object Graph {
       .orderBy(desc("common_neighbors"), col("a"), col("b")).limit(20)
   }
 
+  /** Neighbor-capped common-neighbor scores — the PRODUCTION twin of
+    * [[linkPredict]]'s exact wedge census. Exact common-neighbors is
+    * inherently Σ deg² in the wedge join; on a hub-dense 100 TB graph that
+    * explodes no matter how the join is partitioned. The standard
+    * mitigation is applied here: every wedge CENTER keeps at most
+    * `maxNeighbors` neighbors, selected in deterministic md5-hash order
+    * (reproducible on any plan — a uniform pseudo-random sample without
+    * RNG state), bounding the join at Σ min(deg, cap)² ≤ |V|·cap². The
+    * trade-off is recall on pairs whose only shared neighbors were
+    * sampled away — cap-monotone by construction (a larger cap's
+    * neighbor set is a superset, so every surviving wedge survives) —
+    * measured against the exact census in GraphSpec. Scoring degrees stay
+    * UNCAPPED so the Jaccard denominator is the true neighborhood size.
+    *
+    * Returns the full scored candidate frame
+    * `(a, b, common_neighbors, jaccard)`; callers apply their own top-k.
+    * The per-center rank is a window PARTITIONED by the center node —
+    * never global — and at the registered cap (4096, far above the
+    * fixture's max degree) the output is hash-identical to the exact
+    * census, which the oracle row pins.
+    */
+  def linkPredictCapped(edges: DataFrame, maxNeighbors: Int): DataFrame = {
+    val e = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e.select("a", "b")
+      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val canon = e.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy("hk", "b")
+    val capped = und
+      .withColumn("hk", graft.functions.Md5Prefix64(
+        concat_ws(":", col("a").cast("string"), col("b").cast("string"))))
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= maxNeighbors)
+      .select("a", "b")
+    val cn = capped.as("x")
+      .join(capped.as("y"), col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.b").as("a"), col("y.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common_neighbors"))
+    cn.join(canon, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common_neighbors"),
+        (col("common_neighbors").cast("double") /
+          (col("da") + col("db") - col("common_neighbors"))).as("jaccard"))
+  }
+
+  /** Registered cap for [[linkPredictCapped]]: far above the fixture's max
+    * degree, so the oracle (which replays the SAME hash-order capping)
+    * pins a result hash-identical to the exact census — proving the capped
+    * path changes nothing until it has to.
+    */
+  private val LinkPredictCap = 4096
+
+  private val linkPredictCapped_ = q("graph_link_predict_capped",
+    s"""WITH ${Oracle.linksCte},
+       |$edgesIntSql,
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)
+       |  WHERE a <> b),
+       |canon AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |          FROM eint WHERE a <> b),
+       |deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+       |capped AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY
+       |      ('0x' || substr(md5(a::VARCHAR || ':' || b::VARCHAR), 1, 15))::BIGINT,
+       |      b) AS rn
+       |    FROM und) WHERE rn <= $LinkPredictCap),
+       |cn AS (
+       |  SELECT x.b AS a, y.b AS b, count(*)::BIGINT AS common_neighbors
+       |  FROM capped x JOIN capped y ON x.a = y.a AND x.b < y.b
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT cn.a, cn.b, cn.common_neighbors
+       |  FROM cn LEFT JOIN canon c ON c.a = cn.a AND c.b = cn.b
+       |  WHERE c.a IS NULL)
+       |SELECT cand.a, cand.b, cand.common_neighbors,
+       |  cand.common_neighbors::DOUBLE
+       |    / (da.deg + db.deg - cand.common_neighbors) AS jaccard
+       |FROM cand
+       |JOIN deg da ON da.node = cand.a
+       |JOIN deg db ON db.node = cand.b
+       |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
+    linkPredictCapped(edgesInt(s, dir), LinkPredictCap)
+      .orderBy(desc("common_neighbors"), col("a"), col("b")).limit(20)
+  }
+
   /** Personalized PageRank — random-walk-with-restart from a SEED set, the
     * "related to these" recommender over the link graph: teleport mass
     * lands only on the seeds, so rank measures proximity to the seed
@@ -1772,5 +1867,6 @@ object Graph {
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
-    lpaCommunities, ktruss, linkPredict, pprQ, hits, sccBounded)
+    lpaCommunities, ktruss, linkPredict, linkPredictCapped_, pprQ, hits,
+    sccBounded)
 }

@@ -309,4 +309,66 @@ class ApiSpec extends AnyFunSuite {
       assert(codes.drop(3).contains(429))
     } finally limited.stop()
   }
+
+  test("rate limit window map evicts stale clients when the window rolls") {
+    val srv = new ApiServer(spark, manager, store,
+      () => issuesDf, () => linksDf, s"$work/repos", s"$work/state",
+      rateLimitPerMinute = 100, version = "test-evict")
+    // minute 0: a burst of distinct client IPs fills the window map
+    (1 to 50).foreach(i => srv.noteRequest(s"10.0.0.$i", 0L))
+    assert(srv.rateWindowEntries == 50)
+    // minute 1: the first request after the roll sweeps every stale window
+    srv.noteRequest("10.0.1.1", 1L)
+    assert(srv.rateWindowEntries == 1,
+      "stale per-IP windows must be evicted on window roll, not kept forever")
+    // counting still works after the sweep
+    assert(srv.noteRequest("10.0.1.1", 1L) == 2)
+  }
+
+  test("non-loopback bind: no CORS wildcard, bearer token enforced") {
+    val srv = new ApiServer(spark, manager, store,
+      () => issuesDf, () => linksDf, s"$work/repos3", s"$work/state3",
+      host = "0.0.0.0", authToken = Some("sekret"), version = "test-auth",
+      clock = () => tick())
+    val port = srv.start()
+    try {
+      val url = s"http://127.0.0.1:$port/api/v1/health"
+      // no token → 401 with the error envelope, and no wildcard CORS header
+      val bare = http.send(
+        HttpRequest.newBuilder(URI.create(url)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bare.statusCode() == 401)
+      assert(parse(bare.body())("error").asInstanceOf[Map[String, Any]]("code")
+        == "UNAUTHORIZED")
+      assert(bare.headers.firstValue("Access-Control-Allow-Origin").isEmpty,
+        "a non-loopback bind must not advertise wildcard CORS")
+      // correct bearer token → served
+      val authed = http.send(
+        HttpRequest.newBuilder(URI.create(url))
+          .header("Authorization", "Bearer sekret").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(authed.statusCode() == 200)
+      // wrong token → still 401
+      val wrong = http.send(
+        HttpRequest.newBuilder(URI.create(url))
+          .header("Authorization", "Bearer nope").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(wrong.statusCode() == 401)
+    } finally srv.stop()
+  }
+
+  test("jobs listing pages in stable (submittedAt, id) order") {
+    val m = new JobManager(spark)
+    // three jobs at strictly increasing submit times
+    def spec(k: String) = SyncJobSpec("single", Seq(k), None, None, None,
+      "repo", None, 0, 1, 1, dry_run = true)
+    val ids = (1 to 3).map { i =>
+      m.submit(spec(s"P1-$i"), new Timestamp(1000000000000L + i * 1000L))
+    }
+    assert(m.list().map(_.id) == ids,
+      "list() must present jobs in submission order")
+    // a job submitted later never reshuffles the earlier pages
+    val id4 = m.submit(spec("P1-4"), new Timestamp(1000000000000L + 4000L))
+    assert(m.list().map(_.id) == ids :+ id4)
+  }
 }

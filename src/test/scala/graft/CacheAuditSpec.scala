@@ -86,6 +86,46 @@ class CacheAuditSpec extends AnyFunSuite {
         "persisting outside the fragment registry")
   }
 
+  test("LRU dir cap evicts and unpersists the stalest dir's fragments") {
+    Caches.clear(spark)
+    spark.catalog.clearCache()
+    spark.conf.set(Caches.MaxDirsKey, "2")
+    try {
+      // distinct row counts per dir so no two probe plans canonicalize to
+      // the same CacheManager entry
+      def reg(dir: String) = Caches.fragment(spark, dir, "probe") {
+        spark.range(10 + dir.last.toLong).toDF("n")
+      }
+      val a = reg("/lru/dirA"); val b = reg("/lru/dirB")
+      assert(Caches.fragments(spark).map(_._1).sorted ==
+        Seq("/lru/dirA#probe", "/lru/dirB#probe"))
+      val c = reg("/lru/dirC") // over cap: dirA is LRU, must be evicted
+      assert(Caches.fragments(spark).map(_._1).sorted ==
+        Seq("/lru/dirB#probe", "/lru/dirC#probe"),
+        "cap 2 with 3 dirs must keep only the 2 most recently used")
+      assert(classicDf(a).storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE,
+        "evicted dir's fragment must be unpersisted")
+      // the cache manager holds exactly the surviving allowlist
+      b.collect(); c.collect()
+      val accounted = Caches.fragments(spark)
+        .flatMap { case (_, f) => cm.lookupCachedData(classicDf(f)) }
+        .map(System.identityHashCode).toSet.size
+      assert(org.apache.spark.sql.GraftCacheProbe.numCachedEntries(session) == accounted)
+      // touching dirB refreshes its recency: next eviction takes dirC
+      reg("/lru/dirB"); reg("/lru/dirD")
+      assert(Caches.fragments(spark).map(_._1).sorted ==
+        Seq("/lru/dirB#probe", "/lru/dirD#probe"))
+      // explicit dir retirement releases without waiting for the cap
+      Caches.clearDir(spark, "/lru/dirB")
+      assert(Caches.fragments(spark).map(_._1) == Seq("/lru/dirD#probe"))
+    } finally {
+      spark.conf.unset(Caches.MaxDirsKey)
+      Caches.clear(spark)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("bypass builds register nothing and memoization is referentially stable") {
     Caches.clear(spark)
     spark.catalog.clearCache()

@@ -127,6 +127,22 @@ class ClusteringSpec extends AnyFunSuite {
 
   // ---- NB quality classifier ---------------------------------------------
 
+  test("trained-centroid IVF: recall@10 measured against exhaustive truth") {
+    val (trainedR, fixedR) = pipeline.Clustering.ivfTrainedRecallAt10(spark, sf)
+    assert(trainedR >= 0.0 && trainedR <= 1.0 && fixedR >= 0.0 && fixedR <= 1.0)
+    // trained cells track the data distribution; at equal nprobe they must
+    // not candidate-starve relative to the arbitrary first-K cells
+    assert(trainedR >= fixedR,
+      s"training the IVF cells lost recall: trained=$trainedR fixed=$fixedR")
+    // and the registered query returns a full shortlist consistent with it
+    val rows = run("pipe_ann_ivf_trained").collect()
+    assert(rows.length == 10)
+    // distances ascend and exclude the query vector itself
+    val dists = rows.map(_.getAs[Long]("dist"))
+    assert(dists.sorted.sameElements(dists))
+    assert(!rows.map(_.getLong(0)).contains(0L))
+  }
+
   test("quality classifier matches an exact local NB replay per source") {
     val docs = Tables.t(spark, sf, "documents")
       .select("doc_id", "source", "text").collect()

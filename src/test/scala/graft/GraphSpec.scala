@@ -296,6 +296,50 @@ class GraphSpec extends AnyFunSuite {
       s"rank movement not shrinking: ${deltas.toSeq}")
   }
 
+  test("linkPredictCapped: cap-monotone recall; generous cap equals exact") {
+    import spark.implicits._
+    // star graph: hub 1 → spokes 2..9. Every spoke pair is a non-adjacent
+    // candidate sharing exactly the hub, so the exact census is C(8,2)=28
+    // pairs with cn=1, jaccard=1.0 — and capping the hub's neighborhood at
+    // k keeps exactly C(k,2) of them.
+    val edges = (2L to 9L).map(n => (1L, n)).toDF("a", "b")
+    val exact = queries.Graph.linkPredictCapped(edges, 1000)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 28, s"exact census should be 28 pairs, got ${exact.size}")
+    val byCap = (1 to 8).map { cap =>
+      cap -> queries.Graph.linkPredictCapped(edges, cap)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    byCap.foreach { case (cap, pairs) =>
+      assert(pairs.subsetOf(exact), s"cap $cap invented pairs")
+      assert(pairs.size == cap * (cap - 1) / 2,
+        s"cap $cap should keep C($cap,2) wedge pairs, got ${pairs.size}")
+    }
+    // recall is cap-monotone: a larger cap's neighbor sample is a superset
+    byCap.sliding(2).foreach { case Seq((c1, p1), (c2, p2)) =>
+      assert(p1.subsetOf(p2), s"cap $c1 found pairs cap $c2 missed")
+    }
+    assert(byCap.last._2 == exact, "cap = max degree must equal the exact census")
+    // on the fixture graph the registered cap is never hit: top-20 of the
+    // capped twin is hash-identical to the exact card
+    val exactTop = SparkEntry.queries("graph_link_predict")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val cappedTop = SparkEntry.queries("graph_link_predict_capped")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(exactTop == cappedTop,
+      "registered capped variant diverged from the exact census on a graph " +
+        "whose degrees never reach the cap")
+  }
+
+  test("pagerankConverged: empty and edge-free inputs return, not NPE") {
+    import spark.implicits._
+    // sum() over an empty contribution frame is SQL NULL; the aggregate
+    // reads must default it to 0 instead of crashing on getLong
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val (ranks, rounds, delta) = queries.Graph.pagerankConverged(empty)
+    assert(ranks.count() == 0 && rounds == 1 && delta == 0L)
+  }
+
   test("componentsDecremental: deleting a bridge splits; repair equals recompute") {
     import spark.implicits._
     // one component held together by the bridge (3,11); a second that the
