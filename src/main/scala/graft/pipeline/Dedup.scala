@@ -262,21 +262,37 @@ object Dedup {
     * is the fraction the 4×4 banding actually surfaces. A banding change
     * (rows/bands, hash count) is accepted or rejected on this number.
     *
-    * Scale shape: the ground-truth co-pair join is keyed on the shingle and
-    * bounded by Σ df² over shingle document frequencies — at 100 TB the
-    * index drops hot boilerplate shingles above a df cap (exactly what
-    * production MinHash indexes do, and the same cap the banding buckets
-    * apply), which bounds the join without touching recall ON THE GATED
-    * PAIRS (a pair sharing only boilerplate shingles is below any
-    * meaningful τ). Final report is one row of exact counts + one division.
+    * Scale shape: the ground-truth co-pair join is keyed on the shingle,
+    * which left unbounded is Σ df² over shingle document frequencies — and
+    * df grows LINEARLY with corpus size once the shingle vocabulary
+    * saturates, making the raw join quadratic (measured: Σ df² went
+    * 16M → 253M across a 4× corpus growth in the sf1 rehearsal,
+    * SCALING_MEASURED.md). So the truth pass applies the production df
+    * cap BEFORE the self-join: shingles appearing in more than
+    * [[TruthDfCap]] docs are dropped from BOTH sides (exactly what
+    * production MinHash inverted indexes do to boilerplate shingles),
+    * bounding the join at Σ min(df, cap)·df ≤ cap·|shingle rows| —
+    * linear at any corpus size. Intersection counts over the surviving
+    * shingles make the τ gate conservative only for pairs whose overlap
+    * is mostly boilerplate — below any meaningful τ by construction. The
+    * cap (32) sits above the max df of every fixture scale (7 at sf0.01,
+    * 25 at sf0.1), so the oracle row pins a result hash-identical to the
+    * uncapped census — the same exactness-until-it-must-bound discipline
+    * as `graph_link_predict_capped`. Final report is one row of exact
+    * counts + one division.
     */
+  private val TruthDfCap = 32
   private val lshRecall = q("pipe_dedup_lsh_recall",
     withDocs(s""", $minhashSql,
        |sz AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+       |cold AS (
+       |  SELECT s.doc_id, s.sh FROM shingles s
+       |  JOIN (SELECT sh FROM shingles GROUP BY sh
+       |        HAVING count(*) <= $TruthDfCap) d ON d.sh = s.sh),
        |co AS (
        |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
-       |  FROM shingles sa
-       |  JOIN shingles sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
+       |  FROM cold sa
+       |  JOIN cold sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
        |  GROUP BY 1, 2),
        |truth AS (
        |  SELECT co.doc_a, co.doc_b
@@ -295,8 +311,15 @@ object Dedup {
     (s, dir) =>
     val sh = docShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val co = sh.as("sa")
-      .join(sh.as("sb"),
+    // df cap: drop hot shingles from both sides of the co-pair join
+    // (see scaladoc — this is what keeps the truth pass linear in corpus
+    // size; never hit at fixture scales, oracle-pinned identical)
+    val cold = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= TruthDfCap).select("sh"),
+      Seq("sh"), "left_semi")
+    val co = cold.as("sa")
+      .join(cold.as("sb"),
         col("sb.sh") === col("sa.sh") && col("sa.doc_id") < col("sb.doc_id"))
       .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))

@@ -77,6 +77,106 @@ class SourceSpec extends AnyFunSuite {
     assert(df.count() == 30)
   }
 
+  // ---- live HTTP transport (against the in-process mock JIRA) -------------
+
+  private val httpFmt = "graft.sources.v2.JiraHttpSource"
+
+  private def wirePayloads(n: Int): Seq[String] =
+    Ingest.toWire(Tables.issues(spark, sf).orderBy("key").limit(n))
+      .collect().map(_.getString(0)).toSeq
+
+  test("http source pages the live protocol: probe + one partition per page") {
+    val mock = new MockJira(wirePayloads(250))
+    val port = mock.start()
+    try {
+      val df = spark.read.format(httpFmt)
+        .option("url", s"http://127.0.0.1:$port")
+        .option("jql", "project = P1").option("token", "sekret")
+        .option("pageSize", "100").load()
+      assert(df.count() == 250)
+      assert(df.rdd.getNumPartitions == 3)
+      val issues = Ingest.fromWire(df)
+      assert(issues.select("key").distinct().count() == 250)
+      assert(issues.filter(col("project_key").isNull).count() == 0)
+    } finally mock.stop()
+  }
+
+  test("http source: limit pushdown never requests pages past the bound") {
+    val mock = new MockJira(wirePayloads(250))
+    val port = mock.start()
+    try {
+      val bounded = spark.read.format(httpFmt)
+        .option("url", s"http://127.0.0.1:$port")
+        .option("jql", "project = P1").option("token", "sekret")
+        .option("pageSize", "100").load().limit(150)
+      assert(bounded.count() == 150)
+      import scala.jdk.CollectionConverters._
+      val dataReqs = mock.requests.asScala.filterNot(_.contains("maxResults=0"))
+      assert(dataReqs.size == 2, s"expected 2 page requests, saw: $dataReqs")
+      assert(!dataReqs.exists(_.contains("startAt=200")),
+        "a bounded scan requested a page past its bound")
+      // the second page is trimmed to the bound, not a full pageSize
+      assert(dataReqs.exists(r => r.contains("startAt=100") &&
+        r.contains("maxResults=50")), s"saw: $dataReqs")
+    } finally mock.stop()
+  }
+
+  test("http source: bad credentials fail at planning (one 401, no tasks)") {
+    val mock = new MockJira(wirePayloads(5))
+    val port = mock.start()
+    try {
+      val ex = intercept[Exception] {
+        spark.read.format(httpFmt)
+          .option("url", s"http://127.0.0.1:$port")
+          .option("jql", "project = P1").option("token", "wrong")
+          .load().count()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.getMessage != null) &&
+        causes(ex).exists(c => Option(c.getMessage).exists(_.contains("401"))),
+        s"expected a 401 planning failure, got: $ex")
+      // exactly the probe request reached the server — no page fetches
+      assert(mock.requests.size() == 1)
+      val missing = intercept[Exception] {
+        spark.read.format(httpFmt)
+          .option("url", s"http://127.0.0.1:$port")
+          .option("jql", "x").load().count()
+      }
+      assert(missing.getMessage.contains("token"))
+    } finally mock.stop()
+  }
+
+  test("http source: a 429 with Retry-After is retried, every row delivered") {
+    val mock = new MockJira(wirePayloads(30), rateLimitOnce = true)
+    val port = mock.start()
+    try {
+      val df = spark.read.format(httpFmt)
+        .option("url", s"http://127.0.0.1:$port")
+        .option("jql", "project = P1").option("token", "sekret")
+        .option("pageSize", "10").load()
+      assert(df.count() == 30)
+      import scala.jdk.CollectionConverters._
+      // the throttled page appears twice: the 429 and its retry
+      val dataReqs = mock.requests.asScala.filterNot(_.contains("maxResults=0"))
+      assert(dataReqs.size == 4, s"expected 3 pages + 1 retry, saw: $dataReqs")
+    } finally mock.stop()
+  }
+
+  test("http source: live endpoint (env-gated like the reference suite)") {
+    // mirror of reference test/jql_sync_integration_test.go:27-46 — runs
+    // only when an operator provides a real endpoint; always skipped in the
+    // zero-egress build
+    assume(sys.env.contains("JIRA_LIVE_URL") && sys.env.contains("JIRA_PAT"),
+      "set JIRA_LIVE_URL + JIRA_PAT (+ JIRA_LIVE_JQL) to run against live JIRA")
+    val df = spark.read.format(httpFmt)
+      .option("url", sys.env("JIRA_LIVE_URL"))
+      .option("jql", sys.env.getOrElse("JIRA_LIVE_JQL", "order by created"))
+      .option("token", sys.env("JIRA_PAT"))
+      .load().limit(10)
+    assert(df.count() > 0)
+  }
+
   test("typed model: asIssues lifts flat rows into Dataset[Issue]") {
     val typed = Ingest.asIssues(Tables.issues(spark, sf).limit(200)).cache()
     val issues = typed.collect()
