@@ -107,6 +107,55 @@ object Cli {
             Console.err.println(s"$cmd failed: ${e.getMessage}")
             1
         }
+      case "reconcile" =>
+        // the reference operator's long-running reconcile driver as a CLI:
+        // declared resources (spec + cron schedule + retry policy) loop
+        // through the JobManager phase machine until interrupted (or for
+        // --ticks N, the bounded test/demo form)
+        val missing = Seq("source", "repo", "state", "resources")
+          .filterNot(kv.contains)
+        if (missing.nonEmpty) {
+          Console.err.println(
+            s"reconcile requires ${missing.map("--" + _).mkString(", ")}")
+          return 2
+        }
+        val resources =
+          try parseResources(kv("resources"))
+          catch {
+            case e: Throwable =>
+              Console.err.println(s"bad --resources file: ${e.getMessage}")
+              return 2
+          }
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val src = kv("source")
+        val mgr = new jobs.JobManager(spark)
+        val rec = new jobs.Reconciler(spark, mgr,
+          () => Tables.issuesFull(spark, src), () => Tables.links(spark, src),
+          kv("repo"), kv("state"))
+        val t0 = new Timestamp(System.currentTimeMillis())
+        resources.foreach(r => rec.apply(r, t0))
+        println(s"""{"reconciling":${resources.size}}""")
+        val ticks = kv.get("ticks").flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+        val stepMs = kv.get("step-ms").flatMap(_.toLongOption).getOrElse(10000L)
+        var i = 0
+        while (i < ticks) {
+          val now = new Timestamp(System.currentTimeMillis())
+          rec.tick(now).foreach(id =>
+            println(s"""{"fired":"$id","at":"$now"}"""))
+          i += 1
+          if (i < ticks) Thread.sleep(stepMs)
+        }
+        rec.list().foreach(st => println(s"""{"resource":"${st.resource.name}",""" +
+          s""""phase":"${st.phase}","retries":${st.retryCount}}"""))
+        if (rec.list().exists(_.phase == "Failed")) 1 else 0
       case "serve" =>
         val missing = Seq("source", "repo", "state").filterNot(kv.contains)
         if (missing.nonEmpty) {
@@ -122,6 +171,46 @@ object Cli {
       case other =>
         Console.err.println(s"unknown command: $other\n$usage"); 2
     }
+  }
+
+  /** Parse a reconcile resources file: a JSON array of
+    * `{name, sync_type, jql_query?, project_key?, issue_keys?, schedule?,
+    *   retry?: {max_retries, backoff_multiplier, initial_delay_sec},
+    *   dry_run?}` — the CRD-shaped spec triple of the reference operator
+    * (reference: internal/operator/types/types.go:12-67).
+    */
+  private[graft] def parseResources(path: String): Seq[jobs.SyncResource] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    require(root.isArray, "resources file must be a JSON array")
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.map { n =>
+      def str(f: String): Option[String] =
+        Option(n.get(f)).filter(!_.isNull).map(_.asText).filter(_.nonEmpty)
+      val name = str("name").getOrElse(
+        throw new IllegalArgumentException("resource needs a 'name'"))
+      val spec = model.SyncJobSpec(
+        sync_type = str("sync_type").getOrElse("jql"),
+        issue_keys = Option(n.get("issue_keys")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+        jql_query = str("jql_query"),
+        project_key = str("project_key"),
+        epic_key = str("epic_key"),
+        destination = str("destination").getOrElse("repo"),
+        schedule = str("schedule"),
+        max_retries = 0, backoff_base_sec = 1, backoff_cap_sec = 2,
+        dry_run = Option(n.get("dry_run")).exists(_.asBoolean(false)))
+      val retry = Option(n.get("retry")).filter(!_.isNull).map { r =>
+        jobs.RetryPolicy(
+          maxRetries = Option(r.get("max_retries")).map(_.asInt(0)).getOrElse(0),
+          backoffMultiplier = Option(r.get("backoff_multiplier"))
+            .map(_.asDouble(2.0)).getOrElse(2.0),
+          initialDelaySec = Option(r.get("initial_delay_sec"))
+            .map(_.asInt(30)).getOrElse(30))
+      }
+      jobs.SyncResource(name, spec, str("schedule").map(jobs.Cron.parse), retry)
+    }.toSeq
   }
 
   /** Build and start the REST façade from CLI flags
@@ -159,6 +248,8 @@ object Cli {
       |           [--projects P1,P2]
       |  recover  --source <sfDir> --repo <dir> --state <path> [--repair]
       |  validate --jql <query>
+      |  reconcile --source <sfDir> --repo <dir> --state <path>
+      |           --resources <file.json> [--ticks N] [--step-ms MS]
       |  serve    --source <sfDir> --repo <dir> --state <path>
       |           [--host 127.0.0.1] [--port 8080] [--rate-limit N]
       |           [--auth-token T]

@@ -42,6 +42,28 @@ class CliSpec extends AnyFunSuite {
       "--state", state, "--repair")) == 0)
   }
 
+  test("reconcile: bounded ticks run declared resources to completion") {
+    spark
+    val repo = tmp("graft-cli-rec-repo")
+    val state = s"${tmp("graft-cli-rec-state")}/state"
+    val resFile = Paths.get(tmp("graft-cli-res"), "resources.json")
+    Files.write(resFile,
+      """[{"name":"once","sync_type":"jql","jql_query":"project = P1",
+        |  "dry_run":true,
+        |  "retry":{"max_retries":2,"backoff_multiplier":2.0,"initial_delay_sec":1}}]
+        |""".stripMargin.getBytes("UTF-8"))
+    val rc = Cli.run(Array("reconcile", "--source", sf, "--repo", repo,
+      "--state", state, "--resources", resFile.toString,
+      "--ticks", "2", "--step-ms", "10"))
+    assert(rc == 0)
+    // bad resources file is a usage error, not a crash
+    val bad = Paths.get(tmp("graft-cli-badres"), "r.json")
+    Files.write(bad, "{\"not\":\"an array\"}".getBytes("UTF-8"))
+    assert(Cli.run(Array("reconcile", "--source", sf, "--repo", repo,
+      "--state", state, "--resources", bad.toString, "--ticks", "1")) == 2)
+    assert(Cli.run(Array("reconcile", "--source", sf)) == 2)
+  }
+
   test("validate: good JQL exits 0, bad JQL 1, missing args 2") {
     assert(Cli.run(Array("validate", "--jql", "project = P1 ORDER BY key ASC")) == 0)
     assert(Cli.run(Array("validate", "--jql", "project = ")) == 1)
