@@ -42,4 +42,32 @@ object RangeJoin {
       .filter(col("__rt").between(col("__lt") + lowerUs, col("__lt") + upperUs))
       .drop("__b", "__lt", "__rt")
   }
+
+  /** Keyed variant: interval join WITH an equi key (`keys` must exist on
+    * both sides). The shuffle key becomes (keys..., bucket) — without the
+    * key, every co-temporal row pairs across all key values and the bucket
+    * join's fan-out is |bucket density|² corpus-wide; with it, fan-out is
+    * bounded by per-key density per span, which is what a per-user/per-
+    * entity interval join costs at any scale. Same two-bucket probe and
+    * exact range filter as [[intervalJoin]].
+    */
+  def intervalJoinKeyed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      lowerSec: Long, upperSec: Long): DataFrame = {
+    require(upperSec > lowerSec, "interval must be non-empty")
+    val width = (upperSec - lowerSec) * 1000000L
+    val lowerUs = lowerSec * 1000000L
+    val upperUs = upperSec * 1000000L
+    val l = left
+      .withColumn("__lt", unix_micros(col(leftTime)))
+      .withColumn("__b", explode(array_distinct(array(
+        floor((col("__lt") + lowerUs) / width),
+        floor((col("__lt") + upperUs) / width)))))
+    val r = right
+      .withColumn("__rt", unix_micros(col(rightTime)))
+      .withColumn("__b", floor(col("__rt") / width))
+    l.join(r, keys :+ "__b")
+      .filter(col("__rt").between(col("__lt") + lowerUs, col("__lt") + upperUs))
+      .drop("__b", "__lt", "__rt")
+  }
 }

@@ -1037,7 +1037,212 @@ object Similarity {
     }
   }
 
+  /** Matryoshka (MRL) truncation recall card: shortlist by cosine on the
+    * FIRST [[MatryoshkaDims]] dimensions only, rerank the shortlist at full
+    * dimension, and measure recall@3 against the full-dim exhaustive truth —
+    * the tuning curve behind "how few dims can the first stage read".
+    * Prefix-truncated embeddings are the standard cheap first pass at scale
+    * (Kusupati et al. 2022): a 16-of-64 prefix scan reads 1/4 the bytes and
+    * the rerank touches only |qset|×10 rows. Truth is bounded by the query
+    * SAMPLE exactly like [[recall]]; both passes share one scored frame.
+    */
+  private val MatryoshkaDims = 16
+  private val matryoshka = q("pipe_ann_matryoshka",
+    s"""WITH $embCte,
+       |qset AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 20),
+       |sc AS (
+       |  SELECT s.qid, v.vec_id,
+       |    ${sqlCosine(s"v.e[1:$MatryoshkaDims]", s"s.qe[1:$MatryoshkaDims]")} AS pscore,
+       |    ${sqlCosine("v.e", "s.qe")} AS fscore
+       |  FROM emb v, qset s WHERE v.vec_id <> s.qid),
+       |approx AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY fscore DESC, vec_id) AS rn
+       |    FROM (
+       |      SELECT qid, vec_id, fscore,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY pscore DESC, vec_id) AS prn
+       |      FROM sc) WHERE prn <= 10) WHERE rn <= 3),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY fscore DESC, vec_id) AS rn
+       |    FROM sc) WHERE rn <= 3)
+       |SELECT t.qid,
+       |  sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 3.0
+       |    AS recall_at_3
+       |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin) { (s, dir) =>
+    val e = embDN(s, dir)
+      .withColumn("ep", slice(col("e"), 1, MatryoshkaDims))
+      .withColumn("pnrm", sqrt(dotD(col("ep"), col("ep"))))
+    val qset = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        col("ep").as("qep"), col("pnrm").as("qpn"))
+    val scored = e.crossJoin(broadcast(qset))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dotD(col("ep"), col("qep")) / (col("pnrm") * col("qpn"))).as("pscore"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("fscore"))
+    val shortW = Window.partitionBy("qid").orderBy(desc("pscore"), col("vec_id"))
+    val fullW = Window.partitionBy("qid").orderBy(desc("fscore"), col("vec_id"))
+    val approx = scored
+      .withColumn("prn", row_number().over(shortW)).filter(col("prn") <= 10)
+      .withColumn("rn", row_number().over(fullW)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    val truth = scored
+      .withColumn("rn", row_number().over(fullW)).filter(col("rn") <= 3)
+      .select("qid", "vec_id")
+    truth.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / 3.0)
+        .as("recall_at_3"))
+      .orderBy("qid")
+  }
+
+  /** Late-interaction (ColBERT-shaped) MaxSim retrieval: the query is a SET
+    * of vectors (a multi-vector query — vec_ids 0..3 standing in for query
+    * token embeddings), a "document" is a label group, and
+    * score(doc) = Σ over query vectors of max cosine to any doc vector.
+    * MaxSim is the retrieval function single-vector search can't express
+    * (each query token matches its own best doc region).
+    *
+    * Scale shape: one corpus scan × a broadcast 4-row query set; the max
+    * folds map-side per (label, qtoken) — the shuffle carries |labels|×|Q|
+    * rows, never the corpus — and the sum over query tokens is a |labels|-
+    * row aggregate. Exactness: max over doubles is order-free; each per-
+    * group max is floored to integer nano-units BEFORE the cross-token sum,
+    * so no float accumulation crosses an aggregation boundary.
+    */
+  private val maxsim = q("pipe_ann_maxsim",
+    s"""WITH $embCte,
+       |qset AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 4),
+       |ms AS (
+       |  SELECT v.label, s.qid, max(${sqlCosine("v.e", "s.qe")}) AS ms
+       |  FROM emb v, qset s GROUP BY 1, 2),
+       |mi AS (
+       |  SELECT label,
+       |    CAST(floor(ms * 1000000000 + 0.5) AS BIGINT) AS msi
+       |  FROM ms)
+       |SELECT label, CAST(sum(msi) AS BIGINT) AS maxsim_nano,
+       |  count(*)::BIGINT AS n_query_tokens
+       |FROM mi GROUP BY label
+       |ORDER BY maxsim_nano DESC, label LIMIT 5""".stripMargin) { (s, dir) =>
+    val e = embDN(s, dir)
+    val qset = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    e.crossJoin(broadcast(qset))
+      .select(col("label"), col("qid"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("sim"))
+      .groupBy("label", "qid").agg(max("sim").as("ms"))
+      .select(col("label"),
+        floor(col("ms") * lit(1000000000.0) + lit(0.5)).as("msi"))
+      .groupBy("label")
+      .agg(sum("msi").as("maxsim_nano"),
+        count(lit(1)).as("n_query_tokens"))
+      .orderBy(desc("maxsim_nano"), col("label")).limit(5)
+  }
+
+  // ---- incremental BM25 postings index -------------------------------------
+
+  private val Bm25Terms = Seq("spark", "window", "agg")
+
+  /** `(doc_id, tok, tf, dl)` postings for an arbitrary `(doc_id, text)`
+    * batch — term frequencies per doc plus the doc length the BM25
+    * normalizer needs, one self-contained row per posting.
+    */
+  def postingsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(col("doc_id"),
+      split(normText(col("text")), " ").as("w"))
+    words.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      .select("doc_id", "tok", "tf", "dl")
+  }
+
+  /** Upsert a changed batch into the persisted postings index at `path`
+    * (replace-by-doc semantics, like the span/MinHash indexes): CDC-
+    * proportional maintenance — the corpus is never re-tokenized. At scale
+    * the index parquet is written sorted by `tok` so a term lookup is a
+    * pushed-down range scan, not a full index read.
+    */
+  def upsertPostings(docs: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val sp = postingsOf(docs)
+    val out = graft.state.StateStore
+      .loadTable(docs.sparkSession, path, sp.schema)
+      .join(docs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(sp)
+    graft.state.StateStore.save(out, path)
+  }
+
+  /** BM25 query over a PERSISTED postings index maintained incrementally:
+    * index the 90% "existing corpus", upsert the 10% "late batch", then
+    * score the query terms reading ONLY the index — collection stats
+    * (N, avgdl) from the per-doc lengths, df from the term postings, the
+    * same k1=1.2 / b=0.75 contribution formula as [[hybrid]] in exact
+    * integer nano-units. After the upsert the index equals the full-corpus
+    * postings, so DuckDB replays the score from scratch — exact parity for
+    * the whole upsert→query cycle, filesystem state included.
+    *
+    * Scale shape: stats are one map-combinable aggregate over (doc_id, dl)
+    * distinct rows; the scoring join touches only the query terms'
+    * postings (a pushed-down filter on `tok`); the final top-10 is
+    * TakeOrderedAndProject. Nothing rereads the corpus.
+    */
+  private val bm25Incremental = {
+    val termsSql = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    q("pipe_bm25_incremental",
+      s"""WITH $docsNormCte,
+         |$wordsCte,
+         |post AS (
+         |  SELECT doc_id, tok, count(*)::BIGINT AS tf, len(w)::BIGINT AS dl
+         |  FROM (SELECT doc_id, w, unnest(w) AS tok FROM words)
+         |  WHERE tok <> '' GROUP BY doc_id, tok, len(w)),
+         |dl AS (SELECT DISTINCT doc_id, dl FROM post),
+         |stats AS (
+         |  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+         |tf AS (SELECT doc_id, tok, tf, dl FROM post WHERE tok IN $termsSql),
+         |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+         |contrib AS (
+         |  SELECT t.doc_id,
+         |    CAST(floor(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         |      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75
+         |        * (t.dl / (s.sum_dl::DOUBLE / s.n_docs)))))
+         |      * 1000000000 + 0.5) AS BIGINT) AS c
+         |  FROM tf t JOIN dfreq f ON f.tok = t.tok, stats s)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS bm25
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val docs = graft.Tables.t(s, dir, "documents").select("doc_id", "text")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-incr-bm25").toString + "/postings"
+      upsertPostings(docs.filter(col("doc_id") % 10 =!= 0), path)
+      upsertPostings(docs.filter(col("doc_id") % 10 === 0), path)
+      val idx = graft.state.StateStore.loadTable(s, path,
+        postingsOf(docs.limit(0)).schema)
+      val dl = idx.select("doc_id", "dl").distinct()
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val tf = idx.filter(col("tok").isin(Bm25Terms: _*))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      tf.crossJoin(broadcast(stats))
+        .join(broadcast(dfreq), Seq("tok"))
+        .select(col("doc_id"),
+          floor(log((col("n_docs") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)) + lit(1.0))
+            * ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * (col("dl") / avgdl))))
+            * lit(1000000000.0) + lit(0.5)).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(10)
+    }
+  }
+
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
     quantize, pq, ivfpq, rerank, filtered, hybrid, hardNegatives,
-    decontaminateSemantic, nprobeSweep)
+    decontaminateSemantic, nprobeSweep, matryoshka, maxsim, bm25Incremental)
 }

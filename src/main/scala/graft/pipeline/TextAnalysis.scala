@@ -1002,8 +1002,54 @@ object TextAnalysis {
       .withColumn("compression_ratio",
         col("deflate_bytes").cast("double") / col("n_bytes"))
 
+  /** k-anonymity rare-combination gate — the release-side privacy pass that
+    * [[pii]]'s content scan can't do: a document whose QUASI-IDENTIFIER
+    * combination (lang, source, length band) is shared by fewer than K
+    * documents is re-identifiable even with the PII strings scrubbed, so
+    * the gate suppresses every member of an under-K combination (classic
+    * k-anonymity, Sweeney 2002, applied at the document-metadata grain a
+    * training-corpus release actually publishes).
+    *
+    * Scale shape: the combo census is one map-combinable aggregate bounded
+    * by |langs|×|sources|×bands rows (a dimension table at any corpus
+    * size), joined back broadcast — two scans, zero wide shuffles, exact
+    * integer counts end to end.
+    */
+  private val KAnon = 5
+  private val kanonSuppress = q("pipe_kanon_suppress",
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(floor(n_chars / 500.0) AS BIGINT) AS band
+       |  FROM documents),
+       |combos AS (
+       |  SELECT lang, source, band, count(*)::BIGINT AS n
+       |  FROM d GROUP BY 1, 2, 3)
+       |SELECT d.source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN c.n < $KAnon THEN 1 ELSE 0 END)::BIGINT AS n_suppressed,
+       |  sum(CASE WHEN c.n >= $KAnon THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  count(DISTINCT CASE WHEN c.n < $KAnon
+       |    THEN d.lang || '|' || d.band::VARCHAR END)::BIGINT
+       |    AS n_suppressed_combos
+       |FROM d JOIN combos c
+       |  ON c.lang = d.lang AND c.source = d.source AND c.band = d.band
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    val d = graft.Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / lit(500.0)).as("band"))
+    val combos = d.groupBy("lang", "source", "band")
+      .agg(count(lit(1)).as("n"))
+    d.join(broadcast(combos), Seq("lang", "source", "band"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") < KAnon, 1L).otherwise(0L)).as("n_suppressed"),
+        sum(when(col("n") >= KAnon, 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(when(col("n") < KAnon,
+          concat_ws("|", col("lang"), col("band")))).as("n_suppressed_combos"))
+      .orderBy("source")
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
     rarity, pii, tfidf, bigramLm, gopher, qualityClassifier, qualitySweep,
     hotNgrams, classifierEval, classifierAuc, calibration, surprisalGate,
-    ngramNovelty, vocabGrowth)
+    ngramNovelty, vocabGrowth, kanonSuppress)
 }

@@ -1464,6 +1464,85 @@ object Graph {
       .orderBy(desc("common_neighbors"), col("a"), col("b")).limit(20)
   }
 
+  /** Adamic-Adar link scoring — the common-neighbors card reweighted by how
+    * INFORMATIVE each shared neighbor is: AA(a,b) = Σ over shared neighbors
+    * w of 1/ln(deg(w)), so a pair sharing one obscure neighbor outranks a
+    * pair sharing one hub everyone touches (Adamic & Adar 2003, the
+    * strongest classic unsupervised link predictor on citation/social
+    * graphs). Runs on the SAME hash-order-capped wedge machinery as
+    * [[linkPredictCapped]] (cap 4096, above the fixture's max degree, so
+    * the oracle's uncapped replay pins a hash-identical result — exact
+    * until the cap must bite, Σ min(deg,cap)² bounded ever after).
+    *
+    * Exactness: each wedge's weight is floored to integer nano-units
+    * BEFORE the per-pair sum (`floor(1e9/ln(deg)+0.5)` of an integer
+    * degree — one libm ln + one division, bit-identical cross-engine like
+    * the BM25 contributions), so no float accumulation crosses an
+    * aggregation boundary; a wedge center has ≥2 neighbors, so ln(deg) ≥
+    * ln 2 and the division is always defined. Weighting degrees are the
+    * TRUE (uncapped) neighborhood sizes.
+    */
+  private val adamicAdar = q("graph_adamic_adar",
+    s"""WITH ${Oracle.linksCte},
+       |$edgesIntSql,
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)
+       |  WHERE a <> b),
+       |canon AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |          FROM eint WHERE a <> b),
+       |deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+       |capped AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY
+       |      ('0x' || substr(md5(a::VARCHAR || ':' || b::VARCHAR), 1, 15))::BIGINT,
+       |      b) AS rn
+       |    FROM und) WHERE rn <= $LinkPredictCap),
+       |wedge AS (
+       |  SELECT x.b AS a, y.b AS b,
+       |    CAST(floor(1000000000.0 / ln(d.deg) + 0.5) AS BIGINT) AS w
+       |  FROM capped x JOIN capped y ON x.a = y.a AND x.b < y.b
+       |  JOIN deg d ON d.node = x.a),
+       |cn AS (
+       |  SELECT a, b, CAST(sum(w) AS BIGINT) AS adamic_adar_nano,
+       |    count(*)::BIGINT AS common_neighbors
+       |  FROM wedge GROUP BY a, b),
+       |cand AS (
+       |  SELECT cn.* FROM cn LEFT JOIN canon c ON c.a = cn.a AND c.b = cn.b
+       |  WHERE c.a IS NULL)
+       |SELECT a, b, common_neighbors, adamic_adar_nano
+       |FROM cand
+       |ORDER BY adamic_adar_nano DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
+    val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
+    val und = e.select("a", "b")
+      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val canon = e.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy("hk", "b")
+    val capped = und
+      .withColumn("hk", graft.functions.Md5Prefix64(
+        concat_ws(":", col("a").cast("string"), col("b").cast("string"))))
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= LinkPredictCap)
+      .select("a", "b")
+    // each wedge carries its center's 1/ln(deg) weight in integer nano-
+    // units; the deg join rides the wedge join's existing center key
+    val wedge = capped.as("x")
+      .join(capped.as("y"), col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .join(deg.withColumnRenamed("node", "ctr").as("d"),
+        col("x.a") === col("ctr"))
+      .select(col("x.b").as("a"), col("y.b").as("b"),
+        floor(lit(1000000000.0) / log(col("deg")) + lit(0.5)).as("w"))
+    wedge.groupBy("a", "b")
+      .agg(sum("w").as("adamic_adar_nano"),
+        count(lit(1)).as("common_neighbors"))
+      .join(canon, Seq("a", "b"), "left_anti")
+      .select("a", "b", "common_neighbors", "adamic_adar_nano")
+      .orderBy(desc("adamic_adar_nano"), col("a"), col("b")).limit(20)
+  }
+
   /** Personalized PageRank — random-walk-with-restart from a SEED set, the
     * "related to these" recommender over the link graph: teleport mass
     * lands only on the seeds, so rank measures proximity to the seed
@@ -1867,6 +1946,6 @@ object Graph {
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
-    lpaCommunities, ktruss, linkPredict, linkPredictCapped_, pprQ, hits,
-    sccBounded)
+    lpaCommunities, ktruss, linkPredict, linkPredictCapped_, adamicAdar,
+    pprQ, hits, sccBounded)
 }

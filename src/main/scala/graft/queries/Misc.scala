@@ -244,6 +244,48 @@ object Misc {
       .orderBy("event_id")
   }
 
+  /** Keyed stream-stream interval join, batch card: every click paired with
+    * the SAME USER's views in the preceding 10 minutes — the attribution
+    * pair stream a click-through model trains on. Unlike [[asof]] (latest
+    * one) and [[rangeJoin]] (keyless count), this emits the full bounded
+    * pair set through [[graft.operators.RangeJoin.intervalJoinKeyed]]: the
+    * shuffle key is (user_id, time bucket), so fan-out is per-user density
+    * per span — never co-temporal-rows² — and AQE splits any hot user.
+    * The streaming twin ([[graft.streaming.IntervalJoin]]) runs the same
+    * predicate as a watermarked stream-stream join; StreamSpec pins the
+    * twins pair-set-equal.
+    */
+  private val intervalJoin = q("stream_interval_join",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |c AS (SELECT event_id AS click_id, user_id, ts AS cts
+      |      FROM ev WHERE event_type = 'click'),
+      |v AS (SELECT event_id AS view_id, user_id, ts AS vts
+      |      FROM ev WHERE event_type = 'view')
+      |SELECT c.click_id, c.user_id, v.view_id,
+      |  (epoch_us(c.cts) - epoch_us(v.vts))::BIGINT AS lag_us
+      |FROM c JOIN v ON v.user_id = c.user_id
+      |  AND v.vts >= c.cts - INTERVAL 10 MINUTE AND v.vts < c.cts
+      |ORDER BY click_id, view_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    graft.operators.RangeJoin
+      .intervalJoinKeyed(clicks, views, Seq("user_id"),
+        leftTime = "cts", rightTime = "vts", lowerSec = -600L, upperSec = 0L)
+      // the bucketed join's range filter is closed on the upper end; the
+      // card's window is [cts - 10min, cts) — drop the ts-equal pair
+      .filter(col("vts") < col("cts"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        (unix_micros(col("cts")) - unix_micros(col("vts"))).as("lag_us"))
+      .orderBy("click_id", "view_id")
+  }
+
   /** Heavy-hitter sketch as a first-class Catalyst aggregate (§2.9): top
     * issue types per project via [[graft.functions.HeavyHitters]]
     * (space-saving, k-bounded state). k=10 ≥ the 5 distinct types, so the
@@ -1494,5 +1536,5 @@ object Misc {
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
-    activeUsers, zorderSkipping, zorderCompact, lateArrivals)
+    activeUsers, zorderSkipping, zorderCompact, lateArrivals, intervalJoin)
 }

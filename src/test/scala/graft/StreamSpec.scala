@@ -462,6 +462,39 @@ class StreamSpec extends AnyFunSuite {
         s"sample diff ${(streamed diff expected).take(3)} / ${(expected diff streamed).take(3)}")
   }
 
+  test("stream-stream interval join matches the batch card's pair set") {
+    import spark.implicits._
+    import graft.streaming.IntervalJoin
+    implicit val ctx = spark.sqlContext
+    // feed the fixture's click+view events in event-time order so the
+    // watermark never drops a row (the documented parity precondition)
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[(Long, Long, String, Timestamp)].collect().sortBy(_._4.getTime)
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val src = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val joined = IntervalJoin.pairs(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "view"))
+    val query = joined.writeStream
+      .outputMode("append").format("memory").queryName("ivj_out").start()
+    try {
+      mem.addData(b1.toIndexedSeq); query.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("ivj_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = SparkEntry.queries("stream_interval_join")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty && streamed == expected,
+      s"pair-set parity broke: ${streamed.size} streamed vs ${expected.size} " +
+        s"expected; sample diff ${(streamed diff expected).take(3)} / " +
+        s"${(expected diff streamed).take(3)}")
+  }
+
   test("streaming gap fill pins its documented late-arrival drop") {
     import spark.implicits._
     import graft.streaming.GapFill
