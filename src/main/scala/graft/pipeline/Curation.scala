@@ -944,7 +944,90 @@ object Curation {
         .orderBy("doc_id")
     }
 
+  /** Pareto-frontier (skyline) selection over (quality, rarity) — the
+    * non-parametric "best of both" pick: a document is selected iff NO other
+    * document strictly dominates it (higher quality with at-least-equal
+    * rarity, or equal quality with strictly higher rarity). Unlike the
+    * calibrated/threshold selections, the skyline needs no weights or
+    * cutoffs — it IS the set of optimal trade-offs, the classic skyline
+    * operator (Börzsönyi et al. 2001) Spark has no built-in for.
+    *
+    * Distributed shape — dominance is resolved in three bounded steps, no
+    * global sort or window anywhere:
+    * 1. quality is banded into ≤1024 integer bands; a per-band max-rarity
+    *    census (map-combinable) and its strictly-higher-band prefix max
+    *    (a triangular join over the ≤1024-row band table, broadcast) kill
+    *    every point dominated from a HIGHER band in one map-side compare;
+    * 2. within a band, a window PARTITIONED by band with a RANGE frame
+    *    over strictly-higher quality resolves intra-band dominance;
+    * 3. a (band, quality) partition max resolves equal-quality ties.
+    * Both coordinates are exact integer nano-units (one floor of identical
+    * doubles per engine), so dominance is integer comparison end to end.
+    */
+  private val pareto = q("pipe_select_pareto",
+    withDocs(s""", ${TextAnalysis.qualitySql},
+       |wx AS (SELECT doc_id, unnest(w) AS word FROM words),
+       |freq AS (SELECT word, count(*)::BIGINT AS f FROM wx GROUP BY word),
+       |thr AS (SELECT (sum(f) // count(*))::BIGINT AS mean_f FROM freq),
+       |rare AS (SELECT word FROM freq, thr WHERE f < mean_f),
+       |perdoc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_rare
+       |  FROM wx JOIN rare USING (word) GROUP BY doc_id),
+       |pts AS (
+       |  SELECT q.doc_id,
+       |    CAST(floor(q.quality * 1000000000 + 0.5) AS BIGINT) AS quality_nano,
+       |    CAST(floor(coalesce(r.n_rare, 0)::DOUBLE / q.n_words * 1000000000
+       |      + 0.5) AS BIGINT) AS rarity_nano
+       |  FROM quality q LEFT JOIN perdoc r USING (doc_id))
+       |SELECT p.doc_id, p.quality_nano, p.rarity_nano
+       |FROM pts p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM pts o
+       |  WHERE (o.quality_nano > p.quality_nano
+       |         AND o.rarity_nano >= p.rarity_nano)
+       |     OR (o.quality_nano = p.quality_nano
+       |         AND o.rarity_nano > p.rarity_nano))
+       |ORDER BY quality_nano DESC, doc_id""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dw = docWords(s, dir)
+    val wx = dw.select(col("doc_id"), explode(col("w")).as("word"))
+    val freq = wx.groupBy("word").agg(count(lit(1)).as("f"))
+    val thr = freq.agg(expr("sum(f) div count(1)").as("mean_f"))
+    val rare = freq.crossJoin(broadcast(thr))
+      .filter(col("f") < col("mean_f")).select("word")
+    val perDoc = wx.join(rare, Seq("word"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    val pts = TextAnalysis.qualityDf(s, dir)
+      .select(col("doc_id"), col("quality"), col("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        floor(col("quality") * lit(1000000000.0) + lit(0.5)).as("qi"),
+        floor(coalesce(col("n_rare"), lit(0L)).cast("double") / col("n_words")
+          * lit(1000000000.0) + lit(0.5)).as("ri"))
+      .withColumn("band", expr("qi div 1048576")) // qi >> 20: <=954 bands
+    val bandMax = pts.groupBy("band").agg(max("ri").as("bmax"))
+    // strictly-higher-band prefix max: triangular join over the bounded
+    // band table (broadcast both sides; never touches the corpus)
+    val hi = bandMax.as("a")
+      .join(broadcast(bandMax.select(col("band").as("hb"),
+        col("bmax").as("hmax"))), col("hb") > col("a.band"))
+      .groupBy(col("a.band").as("band")).agg(max(col("hmax")).as("himax"))
+    val wInBand = Window.partitionBy("band").orderBy(col("qi"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wSameQ = Window.partitionBy("band", "qi")
+    pts.join(broadcast(hi), Seq("band"), "left")
+      .withColumn("inbandmax", max("ri").over(wInBand))
+      .withColumn("sameqmax", max("ri").over(wSameQ))
+      .filter((col("himax").isNull || col("himax") < col("ri")) &&
+        (col("inbandmax").isNull || col("inbandmax") < col("ri")) &&
+        col("sameqmax") === col("ri"))
+      .select(col("doc_id"), col("qi").as("quality_nano"),
+        col("ri").as("rarity_nano"))
+      .orderBy(desc("quality_nano"), col("doc_id"))
+  }
+
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
     stats, lenHist, corpusFinal, qualityCalibrated, dsir, mixTemperature,
-    tokenBudget, budgetSample, curriculum, packEfficiency, sourceDrift)
+    tokenBudget, budgetSample, curriculum, packEfficiency, sourceDrift,
+    pareto)
 }

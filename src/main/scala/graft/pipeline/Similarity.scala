@@ -1242,7 +1242,88 @@ object Similarity {
     }
   }
 
+  /** Binary (1-bit sign) quantization recall card: each 64-dim vector
+    * compresses to its SIGN PATTERN — two 32-bit words, a 32× memory cut —
+    * Hamming distance ranks a top-10 shortlist, full-precision cosine
+    * reranks it, and recall@3 vs exhaustive truth prices the compression
+    * (the same harness as [[matryoshka]]; binary codes are the other
+    * standard cheap first stage, and unlike PQ they need no codebook).
+    * Bits pack as two BIGINTs holding 32 bits each (`bit i ⇔ e[i] > 0`),
+    * so no value ever nears the signed-64 edge and `xor`+`bit_count` is
+    * exact in both engines; packing is a per-row fold inside the scan
+    * (map-only), Hamming is two xors per candidate pair.
+    */
+  private val binary = q("pipe_ann_binary",
+    s"""WITH $embCte,
+       |packed AS (
+       |  SELECT vec_id, e,
+       |    list_sum(list_transform(generate_series(1, 32),
+       |      i -> CASE WHEN e[i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0 END))::BIGINT AS p1,
+       |    list_sum(list_transform(generate_series(33, 64),
+       |      i -> CASE WHEN e[i] > 0 THEN 1::BIGINT << (i - 33) ELSE 0 END))::BIGINT AS p2
+       |  FROM emb),
+       |qset AS (SELECT vec_id AS qid, e AS qe, p1 AS q1, p2 AS q2
+       |         FROM packed WHERE vec_id < 20),
+       |sc AS (
+       |  SELECT s.qid, v.vec_id,
+       |    (bit_count(xor(v.p1, s.q1)) + bit_count(xor(v.p2, s.q2)))::BIGINT AS ham,
+       |    ${sqlCosine("v.e", "s.qe")} AS fscore
+       |  FROM packed v, qset s WHERE v.vec_id <> s.qid),
+       |approx AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY fscore DESC, vec_id) AS rn
+       |    FROM (
+       |      SELECT qid, vec_id, fscore,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY ham, vec_id) AS hrn
+       |      FROM sc) WHERE hrn <= 10) WHERE rn <= 3),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY fscore DESC, vec_id) AS rn
+       |    FROM sc) WHERE rn <= 3)
+       |SELECT t.qid,
+       |  sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 3.0
+       |    AS recall_at_3
+       |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin) { (s, dir) =>
+    val packExpr = (lo: Int, hi: Int) => expr(
+      s"""aggregate(sequence($lo, $hi), 0L,
+         |  (acc, i) -> acc | IF(element_at(e, i) > 0D,
+         |    shiftleft(1L, i - $lo), 0L))""".stripMargin)
+    val e = embDN(s, dir)
+      .withColumn("p1", packExpr(1, 32))
+      .withColumn("p2", packExpr(33, 64))
+    val qset = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        col("p1").as("q1"), col("p2").as("q2"))
+    val scored = e.crossJoin(broadcast(qset))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (bit_count(col("p1").bitwiseXOR(col("q1"))) +
+          bit_count(col("p2").bitwiseXOR(col("q2")))).cast("long").as("ham"),
+        (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("fscore"))
+    val hamW = Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))
+    val fullW = Window.partitionBy("qid").orderBy(desc("fscore"), col("vec_id"))
+    val approx = scored
+      .withColumn("hrn", row_number().over(hamW)).filter(col("hrn") <= 10)
+      .withColumn("rn", row_number().over(fullW)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    val truth = scored
+      .withColumn("rn", row_number().over(fullW)).filter(col("rn") <= 3)
+      .select("qid", "vec_id")
+    truth.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / 3.0)
+        .as("recall_at_3"))
+      .orderBy("qid")
+  }
+
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
     quantize, pq, ivfpq, rerank, filtered, hybrid, hardNegatives,
-    decontaminateSemantic, nprobeSweep, matryoshka, maxsim, bm25Incremental)
+    decontaminateSemantic, nprobeSweep, matryoshka, maxsim, bm25Incremental,
+    binary)
 }

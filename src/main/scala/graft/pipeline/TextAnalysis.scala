@@ -1048,8 +1048,85 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Sliding-segment language-mix (code-switch) detection: [[langId]] gives
+    * one label per document, which silently mislabels mixed-language docs —
+    * the standard mitigation is to re-run the detector over fixed-size word
+    * SEGMENTS and measure how many disagree with the whole-doc label. Docs
+    * with a high `mix_frac` are the code-switched / boilerplate-contaminated
+    * ones a monolingual filter should not trust its doc-level label on.
+    * Segments are non-overlapping [[LangMixSeg]]-word windows sliced from
+    * the already-split word array — explode + slice inside the scan, one
+    * map-combinable per-doc rollup, no joins, no shuffle beyond the
+    * aggregate.
+    */
+  private val LangMixSeg = 20
+  private val langMix = {
+    def segScore(arr: String, ws: Seq[String], l: String): String =
+      s"len(list_filter($arr, x -> x IN ${inList(ws)}))::DOUBLE / len($arr) AS s_$l"
+    val caseSql = stops.init.map { case (l, _) =>
+      val geAll = stops.filter(_._1 != l).map(o => s"s_$l >= s_${o._1}")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${stops.last._1}' END")
+    q("pipe_text_langmix",
+      s"""WITH $docsNormCte,
+         |$wordsCte,
+         |docguess AS (
+         |  SELECT doc_id, $caseSql AS doc_lang FROM (
+         |    SELECT doc_id,
+         |      ${stops.map { case (l, ws) => segScore("w", ws, l) }.mkString(",\n      ")}
+         |    FROM words WHERE len(w) > 0)),
+         |segs AS (
+         |  SELECT doc_id, seg,
+         |    w[seg * $LangMixSeg + 1 : least((seg + 1) * $LangMixSeg, len(w))] AS sw
+         |  FROM (
+         |    SELECT doc_id, w,
+         |      unnest(generate_series(0, (len(w) - 1) // $LangMixSeg)) AS seg
+         |    FROM words WHERE len(w) > 0)),
+         |segguess AS (
+         |  SELECT doc_id, seg, $caseSql AS seg_lang FROM (
+         |    SELECT doc_id, seg,
+         |      ${stops.map { case (l, ws) => segScore("sw", ws, l) }.mkString(",\n      ")}
+         |    FROM segs))
+         |SELECT g.doc_id, d.doc_lang,
+         |  count(*)::BIGINT AS n_segments,
+         |  sum(CASE WHEN g.seg_lang = d.doc_lang THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_agree,
+         |  (count(*) - sum(CASE WHEN g.seg_lang = d.doc_lang THEN 1 ELSE 0 END))::DOUBLE
+         |    / count(*) AS mix_frac
+         |FROM segguess g JOIN docguess d USING (doc_id)
+         |GROUP BY g.doc_id, d.doc_lang ORDER BY g.doc_id""".stripMargin) {
+      (s, dir) =>
+      def scores(arr: String) = stops.map { case (l, ws) =>
+        expr(s"size(filter($arr, x -> x IN ${inList(ws)}))").cast("double")
+          ./(size(col(arr))).as(s"s_$l")
+      }
+      val caseExpr = expr(caseSql)
+      val dw = docWords(s, dir).filter(size(col("w")) > 0)
+      val docGuess = dw.select(col("doc_id") +: scores("w"): _*)
+        .withColumn("doc_lang", caseExpr).select("doc_id", "doc_lang")
+      val segs = dw
+        .withColumn("seg",
+          explode(sequence(lit(0), expr(s"(size(w) - 1) div $LangMixSeg"))))
+        .withColumn("sw", slice(col("w"),
+          col("seg") * LangMixSeg + 1, lit(LangMixSeg)))
+      val segGuess = segs.select(col("doc_id") +: col("seg") +: scores("sw"): _*)
+        .withColumn("seg_lang", caseExpr)
+      segGuess.join(docGuess, Seq("doc_id"))
+        .groupBy("doc_id", "doc_lang")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("seg_lang") === col("doc_lang"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .select(col("doc_id"), col("doc_lang"), col("n_segments"),
+          col("n_agree"),
+          ((col("n_segments") - col("n_agree")).cast("double")
+            / col("n_segments")).as("mix_frac"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
     rarity, pii, tfidf, bigramLm, gopher, qualityClassifier, qualitySweep,
     hotNgrams, classifierEval, classifierAuc, calibration, surprisalGate,
-    ngramNovelty, vocabGrowth, kanonSuppress)
+    ngramNovelty, vocabGrowth, kanonSuppress, langMix)
 }

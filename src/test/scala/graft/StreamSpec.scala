@@ -495,6 +495,51 @@ class StreamSpec extends AnyFunSuite {
         s"${(expected diff streamed).take(3)}")
   }
 
+  test("stream-static SCD2 enrichment picks the version valid at event time") {
+    import spark.implicits._
+    import graft.streaming.Enrich
+    implicit val ctx = spark.sqlContext
+    // SCD2 dim: user 1 was bronze until 12:00 then gold; user 2 always
+    // silver; user 3 has no dim row (must pass through with null tier)
+    val dim = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Option(ts("2024-01-01 12:00:00")), "bronze"),
+      (1L, ts("2024-01-01 12:00:00"), None, "gold"),
+      (2L, ts("2024-01-01 00:00:00"), None, "silver"))
+      .toDF("user_id", "valid_from", "valid_to", "tier")
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val src = mem.toDF().toDF("event_id", "user_id", "ts")
+    val enriched = Enrich.withScd2(src, dim, Seq("user_id"), "ts")
+      .select("event_id", "tier")
+    val query = enriched.writeStream
+      .outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      mem.addData(
+        (10L, 1L, ts("2024-01-01 08:00:00")), // bronze era
+        (11L, 1L, ts("2024-01-01 13:00:00")), // gold era
+        (12L, 2L, ts("2024-01-01 09:00:00")), // silver always
+        (13L, 3L, ts("2024-01-01 09:00:00"))) // no dim row
+      query.processAllAvailable()
+      // a "late replay" of user 1's history still gets the era-correct tier
+      mem.addData((14L, 1L, ts("2024-01-01 11:59:59")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("enrich_out")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(10L -> Some("bronze"), 11L -> Some("gold"),
+      12L -> Some("silver"), 13L -> None, 14L -> Some("bronze")))
+    // twin parity: the same call on a batch frame is the same join
+    val batchIn = Seq((10L, 1L, ts("2024-01-01 08:00:00")),
+      (11L, 1L, ts("2024-01-01 13:00:00")),
+      (12L, 2L, ts("2024-01-01 09:00:00")),
+      (13L, 3L, ts("2024-01-01 09:00:00")),
+      (14L, 1L, ts("2024-01-01 11:59:59")))
+      .toDF("event_id", "user_id", "ts")
+    val batch = Enrich.withScd2(batchIn, dim, Seq("user_id"), "ts")
+      .select("event_id", "tier")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(batch == out)
+  }
+
   test("streaming gap fill pins its documented late-arrival drop") {
     import spark.implicits._
     import graft.streaming.GapFill
