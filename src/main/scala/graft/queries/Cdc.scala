@@ -325,6 +325,69 @@ object Cdc {
       .orderBy("user_id", "event_id")
   }
 
+  /** Fact × SCD2 event-time enrichment: every purchase enriched with the
+    * per-user STATE RUN (the [[scd2]] interval) valid at its own timestamp
+    * — the audit-correct dimension lookup (a late replay enriches with the
+    * attributes true WHEN IT HAPPENED, not today's).
+    *
+    * Scale shape: fact × SCD2 is exactly an AS-OF join on `valid_from`
+    * (in a well-formed SCD2 the latest version starting ≤ ts IS the one
+    * whose interval contains ts), so this composes
+    * [[graft.operators.Asof]] — one co-partitioned sort-merge pass, no
+    * range probe, no broadcast requirement on the (event-scale) dimension.
+    * The broadcast [[graft.streaming.Enrich.withScd2]] form is the
+    * streaming/static-dim twin of the same semantics (StreamSpec).
+    * Equal-timestamp version chains resolve deterministically by the
+    * version's source event id (the as-of tieBreak = the oracle's
+    * `ORDER BY s.ts DESC, s.event_id DESC` rank).
+    */
+  private val scd2Enrich = q("cdc_scd2_enrich",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    value
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM ev),
+      |st AS (SELECT user_id, event_type, ts, event_id FROM ch
+      |       WHERE prev IS NULL OR prev <> event_type),
+      |p AS (SELECT event_id, user_id, ts, value FROM ev
+      |      WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT p.event_id, p.user_id, p.ts, p.value,
+      |    s.event_type AS state, s.ts AS since,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY s.ts DESC, s.event_id DESC) AS rn
+      |  FROM p JOIN st s ON s.user_id = p.user_id AND s.ts <= p.ts)
+      |SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  CAST(value AS DOUBLE) AS purchase_value,
+      |  state, strftime(since, '%Y-%m-%d %H:%M:%S') AS state_since
+      |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val versions = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("vfrom"), col("event_id").as("src_event"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    graft.operators.Asof.join(purchases, versions, Seq("user_id"),
+        leftTime = "ts", rightTime = "vfrom", rightPrefix = "st_",
+        tieBreak = Seq("src_event"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value").cast("double").as("purchase_value"),
+        col("st_state").as("state"),
+        date_format(col("st_vfrom"), "yyyy-MM-dd HH:mm:ss").as("state_since"))
+      .orderBy("event_id")
+  }
+
   /** Per-project sync staleness — the freshness dashboard a CDC operator
     * watches: each project's newest issue update, and how many days it
     * trails the corpus-wide newest (the project that stopped moving is the
@@ -362,6 +425,56 @@ object Cdc {
       .orderBy("project_key")
   }
 
+  /** Activity islands — the backfill planner's primitive: per project, the
+    * maximal runs of CONSECUTIVE active days (days with ≥1 issue update),
+    * so the complement — the gaps between islands — is exactly the set of
+    * contiguous date ranges a re-sync has to cover, batched into the fewest
+    * possible JQL `updated >= X AND updated <= Y` windows (one sync job per
+    * gap, not one per missing day).
+    *
+    * The islands construction is the classic gaps-and-islands sweep:
+    * `epoch_day − row_number()` is constant exactly within a consecutive
+    * run, so one window PARTITIONED BY project (never global) + one
+    * group-by yields every island in two passes over the per-(project, day)
+    * census — which is itself map-combinable and bounded by
+    * |projects| × |days|, not issue volume.
+    */
+  private val islands = q("cdc_activity_islands",
+    Oracle.withIssues(
+      """, days AS (
+        |  SELECT project_key, CAST(updated AS DATE) AS d,
+        |    count(*)::BIGINT AS n_updates
+        |  FROM issues GROUP BY 1, 2),
+        |grp AS (
+        |  SELECT project_key, d, n_updates,
+        |    date_diff('day', DATE '1970-01-01', d)
+        |      - row_number() OVER (PARTITION BY project_key ORDER BY d) AS g
+        |  FROM days)
+        |SELECT project_key,
+        |  strftime(min(d), '%Y-%m-%d') AS island_start,
+        |  strftime(max(d), '%Y-%m-%d') AS island_end,
+        |  count(*)::BIGINT AS n_days,
+        |  sum(n_updates)::BIGINT AS n_updates
+        |FROM grp GROUP BY project_key, g
+        |ORDER BY project_key, island_start""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.issues(s, dir)
+      .select(col("project_key"), to_date(col("updated")).as("d"))
+      .groupBy("project_key", "d").agg(count(lit(1)).as("n_updates"))
+    val w = Window.partitionBy("project_key").orderBy("d")
+    days
+      .withColumn("g", datediff(col("d"), lit("1970-01-01").cast("date"))
+        - row_number().over(w))
+      .groupBy("project_key", "g")
+      .agg(date_format(min("d"), "yyyy-MM-dd").as("island_start"),
+        date_format(max("d"), "yyyy-MM-dd").as("island_end"),
+        count(lit(1)).as("n_days"),
+        sum("n_updates").as("n_updates"))
+      .select("project_key", "island_start", "island_end", "n_days",
+        "n_updates")
+      .orderBy("project_key", "island_start")
+  }
+
   val all: Seq[GQuery] = Seq(changed, upsert, stats, enrich, stateful, history,
-    validate, scd2, staleness)
+    validate, scd2, scd2Enrich, staleness, islands)
 }
