@@ -83,5 +83,34 @@ object Sink {
     s.read.schema(docs.schema).json(path).orderBy("doc_id")
   }
 
-  val all: Seq[GQuery] = Seq(roundtrip, jsonlRoundtrip)
+  /** Hive-partitioned corpus layout: write documents `partitionBy(source,
+    * lang)`, read back with a predicate on both partition columns — the
+    * layout every multi-source corpus store uses so that per-source reads
+    * (mixing, drift, decontamination against one benchmark source) touch
+    * only their directories. The oracle pins the surviving rows; the PLAN
+    * proof that the scan touches only the matching partition directories
+    * (partition pruning, not post-scan filtering) is SinkSpec's job — a
+    * result can't show it.
+    *
+    * `partitionBy` moves the partition columns into directory names, so the
+    * written files hold only the remaining columns and read-back
+    * reconstructs source/lang from the path — the round trip also proves
+    * that reconstruction.
+    */
+  private val partitionedPrune = q("sink_partitioned_prune",
+    """SELECT doc_id, n_chars, lang, source
+      |FROM documents WHERE source = 'src7' AND lang = 'en'
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.t(s, dir, "documents")
+      .select("doc_id", "n_chars", "lang", "source")
+    val path = Files.createTempDirectory("graft-part-prune").toString + "/docs"
+    docs.hint("rebalance").write.mode("overwrite")
+      .partitionBy("source", "lang").parquet(path)
+    s.read.parquet(path)
+      .filter(col("source") === "src7" && col("lang") === "en")
+      .select("doc_id", "n_chars", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GQuery] = Seq(roundtrip, jsonlRoundtrip, partitionedPrune)
 }

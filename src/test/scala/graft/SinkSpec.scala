@@ -248,4 +248,29 @@ class SinkSpec extends AnyFunSuite {
     assert(GitRepo.log(repo).exists(_.startsWith("feat(sync): sync batch 0")))
     assert(GitRepo.isClean(repo))
   }
+
+  test("partitioned corpus layout: two-column predicate prunes to one directory") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-prune-spec").toString + "/docs"
+    Tables.t(spark, sf, "documents")
+      .select("doc_id", "n_chars", "lang", "source")
+      .write.mode("overwrite").partitionBy("source", "lang").parquet(out)
+    val pruned = spark.read.parquet(out)
+      .filter(col("source") === "src7" && col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("src7"),
+      "source/lang predicates must prune partitions at the scan")
+    // the physical proof: after pruning, the scan reads exactly as many
+    // files as live under the ONE matching partition directory
+    pruned.collect()
+    val numFiles = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+      }.sum
+    val dirFiles = new java.io.File(s"$out/source=src7/lang=en").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(numFiles == dirFiles && dirFiles >= 1,
+      s"scan read $numFiles files; the matching directory holds $dirFiles")
+  }
 }
