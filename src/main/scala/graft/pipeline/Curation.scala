@@ -696,6 +696,58 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Epoch-annealed mixing SCHEDULE — the grid a multi-epoch training run
+    * actually consumes: epoch 0 samples sources at their NATURAL token
+    * share (weight = n_tokens), the final epoch at the
+    * [[mixTemperature]]-flattened share (weight = ⌊√n_tokens⌋), and the
+    * epochs between linearly interpolate the two weights — the standard
+    * "start natural, anneal toward flat" curriculum that keeps early
+    * training on-distribution and late training diverse. One row per
+    * (epoch, source) with the exact integer token budget at 1M
+    * tokens/epoch: `w·1e6 div Σw` — integer end to end, shares are one
+    * division each.
+    *
+    * Scale shape: one per-source census (map-combinable), a 4-row epoch
+    * dimension crossed broadcast, per-epoch weight sums joined back
+    * broadcast — |sources|×|epochs| rows, corpus scanned once.
+    */
+  private val Epochs = 4
+  private val mixSchedule = q("pipe_mix_schedule",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |agg AS (
+       |  SELECT d.source, sum(len(w.w))::BIGINT AS n_tokens
+       |  FROM words w JOIN documents d ON d.doc_id = w.doc_id
+       |  GROUP BY d.source),
+       |wt AS (SELECT source, n_tokens,
+       |         floor(sqrt(n_tokens::DOUBLE))::BIGINT AS flat FROM agg),
+       |grid AS (
+       |  SELECT g.e::BIGINT AS epoch, source, n_tokens,
+       |    (n_tokens * (${Epochs - 1} - g.e) + flat * g.e)::BIGINT AS w
+       |  FROM wt, generate_series(0, ${Epochs - 1}) g(e)),
+       |tot AS (SELECT epoch, sum(w)::BIGINT AS wsum FROM grid GROUP BY epoch)
+       |SELECT g.epoch, g.source, g.n_tokens, g.w,
+       |  g.w::DOUBLE / t.wsum AS share,
+       |  (g.w * 1000000 // t.wsum)::BIGINT AS tokens_at_1m
+       |FROM grid g JOIN tot t USING (epoch)
+       |ORDER BY epoch, source""".stripMargin) { (s, dir) =>
+    val agg = docTokens(s, dir)
+      .groupBy("source").agg(sum("t").as("n_tokens"))
+    val wt = agg.withColumn("flat",
+      floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val epochs = s.range(0, Epochs).select(col("id").as("epoch"))
+    val grid = wt.crossJoin(broadcast(epochs))
+      .select(col("epoch"), col("source"), col("n_tokens"),
+        (col("n_tokens") * (lit(Epochs - 1) - col("epoch"))
+          + col("flat") * col("epoch")).as("w"))
+    val tot = grid.groupBy("epoch").agg(sum("w").as("wsum"))
+    grid.join(broadcast(tot), Seq("epoch"))
+      .select(col("epoch"), col("source"), col("n_tokens"), col("w"),
+        (col("w").cast("double") / col("wsum")).as("share"),
+        expr("(w * 1000000) div wsum").as("tokens_at_1m"))
+      .orderBy("epoch", "source")
+  }
+
   /** DSIR-shaped importance selection (hashed-n-gram importance resampling:
     * score raw-pool documents by how much more likely their hashed word
     * features are under a small TARGET domain's unigram distribution than
@@ -1028,6 +1080,6 @@ object Curation {
 
   val all: Seq[GQuery] = Seq(sample, split, corpus, mix, pack, shuffle, chunks,
     stats, lenHist, corpusFinal, qualityCalibrated, dsir, mixTemperature,
-    tokenBudget, budgetSample, curriculum, packEfficiency, sourceDrift,
-    pareto)
+    mixSchedule, tokenBudget, budgetSample, curriculum, packEfficiency,
+    sourceDrift, pareto)
 }

@@ -1608,9 +1608,71 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Span-scrub MATERIALIZATION — the step [[spans]] only measures: rebuild
+    * each document's text with every duplicated span removed EXCEPT its
+    * canonical first occurrence (minimum (doc_id, pos) across the corpus),
+    * the Lee et al. 2022 "deduplicate then train" transform. A word
+    * position is dropped iff some NON-canonical occurrence of a cross-doc-
+    * duplicated span covers it; the canonical copy survives, so the corpus
+    * keeps exactly one copy of every repeated passage.
+    *
+    * Scale shape: the census is one groupBy on the uniform 64-bit span
+    * hash carrying (min occurrence struct, distinct-doc count) — the same
+    * key the span index shuffles on; removed positions roll up per doc
+    * (bounded by doc length), and the rebuild is a map-side indexed
+    * `filter` over the word array (O(len·|removed|) per doc, no shuffle).
+    * Output carries counts + a sha256 of the scrubbed text, not the text.
+    */
+  private val spansScrub = q("pipe_spans_scrub",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |$spanCte,
+       |census AS (
+       |  SELECT h, count(DISTINCT doc_id) AS nd,
+       |    min({'d': doc_id, 'p': pos}) AS c
+       |  FROM sp GROUP BY h),
+       |noncanon AS (
+       |  SELECT s.doc_id, s.pos FROM sp s JOIN census c USING (h)
+       |  WHERE c.nd >= 2
+       |    AND NOT (s.doc_id = struct_extract(c.c, 'd')
+       |             AND s.pos = struct_extract(c.c, 'p'))),
+       |rp AS (
+       |  SELECT doc_id, list(DISTINCT p ORDER BY p) AS ps FROM (
+       |    SELECT doc_id, unnest(generate_series(pos, pos + ${SpanLen - 1})) AS p
+       |    FROM noncanon)
+       |  GROUP BY doc_id)
+       |SELECT w.doc_id, len(w.w)::BIGINT AS n_words,
+       |  coalesce(len(r.ps), 0)::BIGINT AS n_removed,
+       |  sha256(coalesce(array_to_string(
+       |    list_filter(w.w, (x, i) -> NOT list_contains(coalesce(r.ps, []), i)),
+       |    ' '), '')) AS scrubbed_sha
+       |FROM words w LEFT JOIN rp r USING (doc_id)
+       |ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
+    val sp = spanHashes(
+      graft.Tables.t(s, dir, "documents").select("doc_id", "text"))
+    val census = sp.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"),
+        min(struct(col("doc_id"), col("pos"))).as("c"))
+    val nonCanon = sp.join(census, Seq("h"))
+      .filter(col("nd") >= 2 &&
+        !(col("doc_id") === col("c.doc_id") && col("pos") === col("c.pos")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${SpanLen - 1})")).as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+    docWords(s, dir)
+      .join(nonCanon, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        coalesce(size(col("ps")), lit(0)).cast("long").as("n_removed"),
+        sha2(concat_ws(" ", expr(
+          "filter(w, (x, i) -> NOT array_contains(coalesce(ps, array()), i + 1))")),
+          256).as("scrubbed_sha"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
     paragraph, crossSource, tauSweep, lshRecall,
-    spans, spansIncremental, splitSafe, weights, decontaminateMulti,
-    corpusDiff, dedupStats, resolveVerified, minhashEst)
+    spans, spansIncremental, spansScrub, splitSafe, weights,
+    decontaminateMulti, corpusDiff, dedupStats, resolveVerified, minhashEst)
 }

@@ -286,6 +286,87 @@ object Misc {
       .orderBy("click_id", "view_id")
   }
 
+  /** Multi-touch attribution credit — the step AFTER [[intervalJoin]]'s
+    * pair production: each purchase's value splits LINEARLY (equal credit)
+    * across the same user's views in the preceding 30 minutes, in exact
+    * integer cents: every view gets ⌊cents/n⌋ and the division remainder
+    * goes to the LATEST view (deterministic tiebreak view_id), so per-
+    * purchase credits sum to the purchase value TO THE CENT — the invariant
+    * a revenue report reconciles on and float splits always violate.
+    * Purchases with no in-window view keep full credit on a NULL-view
+    * "direct" row (revenue conservation again).
+    *
+    * Scale shape: the pair set comes from the keyed bucketed range join
+    * (per-user density per span, AQE-split hot users); the per-purchase
+    * count and latest-view rank are windows PARTITIONED by purchase id —
+    * bounded by in-window views per purchase, never global.
+    */
+  private val attribution = q("stream_attribution_credit",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    value
+      |  FROM events),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts AS pts,
+      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS cents
+      |  FROM ev WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id AS view_id, user_id, ts AS vts
+      |      FROM ev WHERE event_type = 'view'),
+      |pairs AS (
+      |  SELECT p.purchase_id, p.user_id, p.cents, v.view_id, v.vts,
+      |    count(*) OVER (PARTITION BY p.purchase_id) AS n,
+      |    row_number() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY v.vts DESC, v.view_id DESC) AS rn
+      |  FROM p JOIN v ON v.user_id = p.user_id
+      |    AND v.vts >= p.pts - INTERVAL 30 MINUTE AND v.vts < p.pts),
+      |credits AS (
+      |  SELECT purchase_id, user_id, view_id,
+      |    (cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END)::BIGINT
+      |      AS credit_cents
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT p.purchase_id, p.user_id, NULL::BIGINT AS view_id,
+      |    p.cents AS credit_cents
+      |  FROM p LEFT JOIN (SELECT DISTINCT purchase_id FROM pairs) x
+      |    ON x.purchase_id = p.purchase_id
+      |  WHERE x.purchase_id IS NULL)
+      |SELECT purchase_id, user_id, view_id, credit_cents
+      |FROM credits ORDER BY purchase_id, view_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("vts"))
+    val wN = Window.partitionBy("purchase_id")
+    val wRn = Window.partitionBy("purchase_id")
+      .orderBy(desc("vts"), desc("view_id"))
+    val pairs = graft.operators.RangeJoin
+      .intervalJoinKeyed(purchases, views, Seq("user_id"),
+        leftTime = "pts", rightTime = "vts", lowerSec = -1800L, upperSec = 0L)
+      .filter(col("vts") < col("pts"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(wRn))
+    val touched = pairs.select(
+      col("purchase_id"), col("user_id"), col("view_id"),
+      (expr("cents div n") +
+        when(col("rn") === 1, col("cents") % col("n")).otherwise(0L))
+        .cast("long").as("credit_cents"))
+    val direct = purchases
+      .join(pairs.select("purchase_id").distinct(),
+        Seq("purchase_id"), "left_anti")
+      .select(col("purchase_id"), col("user_id"),
+        lit(null).cast("long").as("view_id"),
+        col("cents").as("credit_cents"))
+    touched.unionByName(direct)
+      .orderBy("purchase_id", "view_id")
+  }
+
   /** Heavy-hitter sketch as a first-class Catalyst aggregate (§2.9): top
     * issue types per project via [[graft.functions.HeavyHitters]]
     * (space-saving, k-bounded state). k=10 ≥ the 5 distinct types, so the
@@ -1536,5 +1617,6 @@ object Misc {
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
-    activeUsers, zorderSkipping, zorderCompact, lateArrivals, intervalJoin)
+    activeUsers, zorderSkipping, zorderCompact, lateArrivals, intervalJoin,
+    attribution)
 }
