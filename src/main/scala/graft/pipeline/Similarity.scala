@@ -1322,8 +1322,52 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Embedding-norm health gate — the pre-flight every vector load needs:
+    * a broken encoder shows up as degenerate L2 norms (near-zero vectors,
+    * runaway magnitudes) long before any similarity metric moves. Norms
+    * land in integer nano-units, the histogram buckets them by
+    * tenth-of-the-mean band, and the outlier gates are the standard
+    * half-mean / double-mean cut in EXACT integer arithmetic
+    * (`2·norm < mean` / `norm > 2·mean`) — no float comparison at the
+    * decision boundary. One scan + a broadcast 1-row mean; |bands| output
+    * rows.
+    */
+  private val embNorms = q("pipe_embed_norms",
+    s"""WITH $embCte,
+       |n AS (
+       |  SELECT vec_id,
+       |    CAST(floor(sqrt(list_dot_product(e, e)) * 1000000000 + 0.5)
+       |      AS BIGINT) AS nn
+       |  FROM emb),
+       |m AS (SELECT (sum(nn) // count(*))::BIGINT AS mean_nn FROM n),
+       |b AS (
+       |  SELECT (nn * 10 // m.mean_nn)::BIGINT AS band, nn,
+       |    CASE WHEN nn * 2 < m.mean_nn THEN 1 ELSE 0 END AS low,
+       |    CASE WHEN nn > m.mean_nn * 2 THEN 1 ELSE 0 END AS high
+       |  FROM n, m)
+       |SELECT band, count(*)::BIGINT AS n_vectors,
+       |  min(nn)::BIGINT AS min_nano, max(nn)::BIGINT AS max_nano,
+       |  sum(low)::BIGINT AS n_low_outliers,
+       |  sum(high)::BIGINT AS n_high_outliers
+       |FROM b GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+    val n = embD(s, dir)
+      .select(col("vec_id"),
+        floor(sqrt(dotD(col("e"), col("e"))) * lit(1000000000.0) + lit(0.5))
+          .as("nn"))
+    val m = n.agg(expr("sum(nn) div count(1)").as("mean_nn"))
+    n.crossJoin(broadcast(m))
+      .select(expr("(nn * 10) div mean_nn").as("band"), col("nn"),
+        when(col("nn") * 2 < col("mean_nn"), 1L).otherwise(0L).as("low"),
+        when(col("nn") > col("mean_nn") * 2, 1L).otherwise(0L).as("high"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_vectors"),
+        min("nn").as("min_nano"), max("nn").as("max_nano"),
+        sum("low").as("n_low_outliers"), sum("high").as("n_high_outliers"))
+      .orderBy("band")
+  }
+
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
     quantize, pq, ivfpq, rerank, filtered, hybrid, hardNegatives,
     decontaminateSemantic, nprobeSweep, matryoshka, maxsim, bm25Incremental,
-    binary)
+    binary, embNorms)
 }

@@ -1304,6 +1304,131 @@ object Graph {
       .orderBy("bucket")
   }
 
+  /** Local clustering coefficient per node — "how much of a clique is this
+    * node's neighborhood": lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v)
+    * the triangles through v. The per-node form of [[triangles]]' global
+    * closure: same degree-ordered orientation (each triangle enumerated
+    * EXACTLY once, O(E^1.5) wedge work), but the wedge keeps its center so
+    * the found triangle attributes to all three corners — one explode +
+    * one count per node. lcc lands in integer nano-units (one floored
+    * division of exact integers), top-25 via TakeOrderedAndProject.
+    */
+  private val clusteringCoeff = {
+    val orientCtes =
+      """und2 AS (
+        |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM eint WHERE a <> b),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM und2 UNION ALL SELECT b FROM und2)
+        |  GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und2.a < und2.b)
+        |         THEN und2.a ELSE und2.b END AS s,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND und2.a < und2.b)
+        |         THEN und2.b ELSE und2.a END AS t
+        |  FROM und2
+        |  JOIN deg da ON da.n = und2.a
+        |  JOIN deg db ON db.n = und2.b)""".stripMargin
+    q("graph_clustering_coeff",
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |$orientCtes,
+         |wv AS (
+         |  SELECT o1.s, least(o1.t, o2.t) AS v, greatest(o1.t, o2.t) AS x
+         |  FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),
+         |tri AS (SELECT wv.s, wv.v, wv.x
+         |        FROM wv JOIN und2 ON und2.a = wv.v AND und2.b = wv.x),
+         |pern AS (
+         |  SELECT n, count(*)::BIGINT AS t FROM (
+         |    SELECT s AS n FROM tri UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT x FROM tri)
+         |  GROUP BY n)
+         |SELECT d.n AS node, d.d::BIGINT AS degree,
+         |  coalesce(p.t, 0)::BIGINT AS n_triangles,
+         |  CAST(floor(2000000000.0 * coalesce(p.t, 0) / (d.d * (d.d - 1))
+         |    + 0.5) AS BIGINT) AS lcc_nano
+         |FROM deg d LEFT JOIN pern p ON p.n = d.n
+         |WHERE d.d >= 2
+         |ORDER BY lcc_nano DESC, node LIMIT 25""".stripMargin) { (s, dir) =>
+      val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
+      val und = e.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct()
+        .transform(graft.Iterative.truncate)
+      val deg = und.select(col("a").as("n"))
+        .unionByName(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val o = orientEdges(und)
+      val wv = o.select(col("s"), col("t").as("t1"))
+        .join(o.select(col("s"), col("t").as("t2")), Seq("s"))
+        .filter(col("t1") < col("t2"))
+        .select(col("s"), least(col("t1"), col("t2")).as("v"),
+          greatest(col("t1"), col("t2")).as("x"))
+      val tri = wv.join(und.select(col("a").as("v"), col("b").as("x")),
+        Seq("v", "x"))
+      val pern = tri.select(col("s").as("n"))
+        .unionByName(tri.select(col("v").as("n")))
+        .unionByName(tri.select(col("x").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("t"))
+      deg.join(pern, Seq("n"), "left")
+        .filter(col("d") >= 2)
+        .select(col("n").as("node"), col("d").as("degree"),
+          coalesce(col("t"), lit(0L)).as("n_triangles"),
+          floor(lit(2000000000.0) * coalesce(col("t"), lit(0L))
+            / (col("d") * (col("d") - 1)) + lit(0.5)).as("lcc_nano"))
+        .orderBy(desc("lcc_nano"), col("node")).limit(25)
+    }
+  }
+
+  /** Degree assortativity — one number for "do hubs link to hubs":
+    * Pearson correlation of endpoint degrees over the symmetrized edge
+    * list (Newman 2002). All five sufficient statistics are exact integer
+    * sums accumulated in DECIMAL(38,0) (long products overflow once
+    * M·Σxy passes 2⁶³ — at trillion-edge scale, not here, but the engine
+    * form is the one that has to survive there); r is one final
+    * numerator/denominator division of exact decimals through double.
+    * One scan over edges joined to the degree table, one 1-row aggregate.
+    */
+  private val assortativity = q("graph_assortativity",
+    s"""WITH ${Oracle.linksCte},
+       |$edgesIntSql,
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)
+       |  WHERE a <> b),
+       |deg AS (SELECT a AS n, count(*)::BIGINT AS d FROM und GROUP BY 1),
+       |pairs AS (
+       |  SELECT da.d AS x, db.d AS y
+       |  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b),
+       |s AS (
+       |  SELECT count(*)::DECIMAL(38,0) AS m,
+       |    sum(x::DECIMAL(38,0) * y)::DECIMAL(38,0) AS sxy,
+       |    sum(x::DECIMAL(38,0))::DECIMAL(38,0) AS sx,
+       |    sum((x::DECIMAL(38,0)) * x)::DECIMAL(38,0) AS sxx
+       |  FROM pairs)
+       |SELECT (m / 2)::BIGINT AS n_edges,
+       |  ((m * sxy - sx * sx)::DOUBLE
+       |    / ((m * sxx - sx * sx)::DOUBLE)) AS assortativity
+       |FROM s""".stripMargin) { (s, dir) =>
+    val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
+    val und = e.select("a", "b")
+      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val pairs = und
+      .join(deg.select(col("n").as("a"), col("d").as("x")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("y")), Seq("b"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    pairs.agg(
+        count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(dec(col("x")) * col("y")).cast("decimal(38,0)").as("sxy"),
+        sum(dec(col("x"))).cast("decimal(38,0)").as("sx"),
+        sum(dec(col("x")) * col("x")).cast("decimal(38,0)").as("sxx"))
+      .select(expr("cast(m / 2 as bigint)").as("n_edges"),
+        (((col("m") * col("sxy") - col("sx") * col("sx")).cast("double"))
+          / ((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          .as("assortativity"))
+  }
+
   /** k-bounded harmonic centrality (k=3): for every node, Σ over nodes
     * within 3 hops of 1/d — the centrality that ranks "who can reach the
     * most, fastest" WITHOUT the all-pairs-shortest-paths cost unbounded
@@ -2023,5 +2148,5 @@ object Graph {
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
     lpaCommunities, ktruss, linkPredict, linkPredictCapped_, adamicAdar,
-    harmonicK3, pprQ, hits, sccBounded)
+    harmonicK3, clusteringCoeff, assortativity, pprQ, hits, sccBounded)
 }
