@@ -1125,8 +1125,64 @@ object TextAnalysis {
     }
   }
 
+  /** Quality-filter ENSEMBLE — what a production curation stack actually
+    * ships: no single gate is trusted alone, so each document collects a
+    * vote from three independent filter families (the [[gopher]] hard-rule
+    * gate, the [[surprisalGate]] integer-LM gate, and the composite
+    * [[quality]] score at its 0.5 boundary) and survives on 2-of-3
+    * majority. Disagreement is the signal: a doc one gate kills and two
+    * keep is exactly the band a threshold re-tune or human audit looks at,
+    * and the per-doc vote vector is what that audit reads.
+    *
+    * Scale shape: the three verdict frames are the gates' own plans (map-
+    * level rules, one word census, the memoized quality fragment), joined
+    * on doc_id — no new corpus pass beyond what the gates already cost.
+    */
+  private val ensemble = q("pipe_quality_ensemble",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |$gopherCtes,
+       |$qualitySql,
+       |uw AS (SELECT doc_id, unnest(w) AS word FROM words WHERE len(w) > 0),
+       |cnt AS (SELECT word, count(*)::BIGINT AS c FROM uw GROUP BY word),
+       |surp AS (
+       |  SELECT u.doc_id,
+       |    sum(length(bin(c.c)) - 1)::BIGINT >= 3 * count(*)::BIGINT
+       |      AS surprisal_pass
+       |  FROM uw u JOIN cnt c USING (word) GROUP BY u.doc_id),
+       |v AS (
+       |  SELECT g.doc_id, g.passes AS gopher_pass, s.surprisal_pass,
+       |    q.quality >= 0.5 AS quality_pass
+       |  FROM gate g JOIN surp s USING (doc_id)
+       |  JOIN quality q USING (doc_id))
+       |SELECT doc_id, gopher_pass, surprisal_pass, quality_pass,
+       |  (gopher_pass::INT + surprisal_pass::INT + quality_pass::INT)::BIGINT
+       |    AS votes,
+       |  gopher_pass::INT + surprisal_pass::INT + quality_pass::INT >= 2
+       |    AS keep
+       |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val g = gopherDf(s, dir).select(col("doc_id"),
+      col("passes").as("gopher_pass"))
+    val uw = docWords(s, dir).filter(size(col("w")) > 0)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+    val cnt = uw.groupBy("word").agg(count(lit(1)).as("c"))
+    val surp = uw.join(cnt, Seq("word"))
+      .groupBy("doc_id")
+      .agg((sum((length(bin(col("c"))) - 1).cast("long"))
+        >= lit(3L) * count(lit(1))).as("surprisal_pass"))
+    val qp = qualityDf(s, dir).select(col("doc_id"),
+      (col("quality") >= 0.5).as("quality_pass"))
+    val votes = col("gopher_pass").cast("int") +
+      col("surprisal_pass").cast("int") + col("quality_pass").cast("int")
+    g.join(surp, Seq("doc_id")).join(qp, Seq("doc_id"))
+      .select(col("doc_id"), col("gopher_pass"), col("surprisal_pass"),
+        col("quality_pass"), votes.cast("long").as("votes"),
+        (votes >= 2).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
     rarity, pii, tfidf, bigramLm, gopher, qualityClassifier, qualitySweep,
     hotNgrams, classifierEval, classifierAuc, calibration, surprisalGate,
-    ngramNovelty, vocabGrowth, kanonSuppress, langMix)
+    ngramNovelty, vocabGrowth, kanonSuppress, langMix, ensemble)
 }

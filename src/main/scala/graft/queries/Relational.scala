@@ -211,6 +211,33 @@ object Relational {
         .orderBy("o_orderkey").offset(100).limit(50)
     },
 
+    // ---- S3/O7: keyset (cursor) pagination — the scale-safe page fetch.
+    // OFFSET n scans and discards n rows, so deep paging is O(page·depth);
+    // a keyset cursor turns page N+1 into a pushed-down range predicate on
+    // the sort key — (updated, key) strictly after the last row served —
+    // and every page costs one pruned scan + TakeOrderedAndProject,
+    // independent of depth. The tuple comparison spells out as the
+    // (a > t) OR (a = t AND b > k) disjunction both engines plan the
+    // same way; the (updated, key) order is total, so pages are
+    // deterministic and gap/dup-free under concurrent appends of later
+    // timestamps.
+    q("q15_keyset_page",
+      graft.Oracle.withIssues(
+        """SELECT key, project_key,
+          |  strftime(updated, '%Y-%m-%d %H:%M:%S') AS updated_s
+          |FROM issues
+          |WHERE updated > TIMESTAMP '1997-06-01 00:00:00'
+          |   OR (updated = TIMESTAMP '1997-06-01 00:00:00' AND key > 'P1-100')
+          |ORDER BY updated, key LIMIT 10""".stripMargin)) { (s, dir) =>
+      val t0 = lit("1997-06-01 00:00:00").cast("timestamp")
+      graft.Tables.issues(s, dir)
+        .filter(col("updated") > t0 ||
+          (col("updated") === t0 && col("key") > "P1-100"))
+        .orderBy(col("updated"), col("key")).limit(10)
+        .select(col("key"), col("project_key"),
+          date_format(col("updated"), "yyyy-MM-dd HH:mm:ss").as("updated_s"))
+    },
+
     // ---- F1-F5/F11: scalar function pack over the derived issues table -----
     q("q12_scalar_funcs",
       graft.Oracle.withIssues(
