@@ -112,5 +112,34 @@ object Sink {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GQuery] = Seq(roundtrip, jsonlRoundtrip, partitionedPrune)
+  /** Schema evolution on the corpus store: an early batch written WITHOUT a
+    * column, a later batch written WITH it, one `mergeSchema` read over
+    * both — old rows surface the new column as NULL, new rows carry it, and
+    * nothing is rewritten. This is how a 100 TB parquet corpus grows a
+    * field in practice (a quality score added in month 6): rewriting
+    * history is off the table, so the READ path must reconcile the
+    * generations — and the NULL/value split must be exactly the write
+    * boundary, which the oracle pins per row.
+    */
+  private val schemaEvolution = q("sink_schema_evolution",
+    """SELECT doc_id, source, n_chars,
+      |  CASE WHEN doc_id % 2 = 1 THEN lang END AS lang_v2
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.t(s, dir, "documents")
+      .select("doc_id", "source", "n_chars", "lang")
+    val path = Files.createTempDirectory("graft-schema-evo").toString + "/docs"
+    // generation 1: even doc_ids, no lang column yet
+    docs.filter(col("doc_id") % 2 === 0).drop("lang")
+      .hint("rebalance").write.mode("overwrite").parquet(path)
+    // generation 2: odd doc_ids, schema grew a column — plain append
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumnRenamed("lang", "lang_v2")
+      .hint("rebalance").write.mode("append").parquet(path)
+    s.read.option("mergeSchema", "true").parquet(path)
+      .select("doc_id", "source", "n_chars", "lang_v2")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GQuery] = Seq(roundtrip, jsonlRoundtrip, partitionedPrune,
+    schemaEvolution)
 }
