@@ -1670,9 +1670,72 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Span provenance attribution — "who did this doc copy from": for every
+    * document with verbatim overlap, the single OTHER document sharing the
+    * most 5-word spans with it, plus the shared count and the fraction of
+    * the probe's spans it explains. The dedup cards say THAT text repeats;
+    * this one names the source — the audit/licensing question span removal
+    * alone can't answer.
+    *
+    * Scale shape: the pair join is the span inverted index joined to
+    * itself on the hash — Σ df² like every co-occurrence census — so spans
+    * with df > [[ProvenanceDfCap]] (32; fixture max is 4) are dropped from
+    * ATTRIBUTION first: boilerplate shared by everyone names no source and
+    * would otherwise explode the join; the df cap bounds it at cap·|span
+    * rows| (the `pipe_dedup_lsh_recall` discipline — exact until the cap
+    * must bite, which the oracle's capped replay pins). The top-contributor
+    * rank is a window partitioned per probe doc.
+    */
+  private val ProvenanceDfCap = 32
+  private val spansProvenance = q("pipe_spans_provenance",
+    s"""WITH $docsNormCte,
+       |$wordsCte,
+       |$spanCte,
+       |census AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h),
+       |keep AS (SELECT h FROM census WHERE nd BETWEEN 2 AND $ProvenanceDfCap),
+       |spk AS (SELECT DISTINCT s.doc_id, s.pos, s.h
+       |        FROM sp s JOIN keep USING (h)),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM (
+       |          SELECT DISTINCT doc_id, pos FROM sp) GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id, b.doc_id AS src_doc,
+       |    count(DISTINCT a.pos)::BIGINT AS shared
+       |  FROM spk a JOIN spk b ON b.h = a.h AND b.doc_id <> a.doc_id
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, src_doc, shared,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY shared DESC, src_doc) AS rn
+       |  FROM pairs)
+       |SELECT b.doc_id, b.src_doc, b.shared,
+       |  b.shared::DOUBLE / p.n_spans AS explained_frac
+       |FROM best b JOIN per p USING (doc_id)
+       |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sp = spanHashes(
+      graft.Tables.t(s, dir, "documents").select("doc_id", "text"))
+    val census = sp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    val keep = census.filter(col("nd").between(2, ProvenanceDfCap)).select("h")
+    val spk = sp.join(keep, Seq("h"), "left_semi")
+      .select("doc_id", "pos", "h").distinct()
+    val per = sp.select("doc_id", "pos").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val pairs = spk.as("a")
+      .join(spk.select(col("h"), col("doc_id").as("src_doc")).as("b"),
+        col("a.h") === col("b.h") && col("src_doc") =!= col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("src_doc"))
+      .agg(countDistinct(col("a.pos")).as("shared"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("shared"), col("src_doc"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(per, Seq("doc_id"))
+      .select(col("doc_id"), col("src_doc"), col("shared"),
+        (col("shared").cast("double") / col("n_spans")).as("explained_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GQuery] = Seq(exact, minhash, jaccard, containment, simhash,
     embedding, resolve, incremental, decontaminate, survivor, semantic, lines,
     paragraph, crossSource, tauSweep, lshRecall,
-    spans, spansIncremental, spansScrub, splitSafe, weights,
+    spans, spansIncremental, spansScrub, spansProvenance, splitSafe, weights,
     decontaminateMulti, corpusDiff, dedupStats, resolveVerified, minhashEst)
 }

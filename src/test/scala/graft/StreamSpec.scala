@@ -538,6 +538,13 @@ class StreamSpec extends AnyFunSuite {
       .select("event_id", "tier")
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(batch == out)
+    // current-value form: plain key lookup, unmatched rows pass with nulls
+    val cur = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "cur_tier")
+    val dimOut = Enrich.withDim(batchIn, cur, Seq("user_id"))
+      .select("event_id", "cur_tier")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(dimOut == Map(10L -> Some("gold"), 11L -> Some("gold"),
+      12L -> Some("silver"), 13L -> None, 14L -> Some("gold")))
   }
 
   test("streaming gap fill pins its documented late-arrival drop") {
