@@ -168,6 +168,154 @@ object Cli {
         // the server in-process instead of through this blocking path
         new java.util.concurrent.CountDownLatch(1).await()
         0
+      case "profile" =>
+        // the reference's profile management family (reference:
+        // internal/cli/profile.go — list/create/show/update/delete/
+        // templates/export/import) over the same file-backed store the
+        // REST façade mutates; pure driver-side metadata, no Spark session
+        if (args.length < 2) {
+          Console.err.println(s"profile requires a subcommand\n$usage")
+          return 2
+        }
+        val rest = args.toSeq.drop(2)
+        val (pkv, pflags) = parse(rest)
+        val store = new api.ProfileStore(pkv.getOrElse("store", "."))
+        val now = new Timestamp(System.currentTimeMillis())
+        // repeated --var k=v pairs (parse() keeps only the last duplicate key)
+        val vars: Map[String, String] = rest.sliding(2).collect {
+          case Seq("--var", kvs) if kvs.contains("=") =>
+            val Array(k, v) = kvs.split("=", 2); k -> v
+        }.toMap
+        // first token that is neither a flag nor a flag's value
+        def positional: Option[String] = {
+          var i = 0
+          while (i < rest.length) {
+            if (rest(i).startsWith("--")) {
+              i += (if (i + 1 < rest.length && !rest(i + 1).startsWith("--")) 2
+                    else 1)
+            } else return Some(rest(i))
+          }
+          None
+        }
+        def fmt(p: api.ProfileStore.Profile): String =
+          s"${p.name}\t${if (p.jql.nonEmpty) p.jql
+            else if (p.epic_key.nonEmpty) s"epic:${p.epic_key}"
+            else s"keys:${p.issue_keys.mkString(",")}"}\t${p.repository}\t${p.description}"
+        args(1) match {
+          case "list" =>
+            store.list().foreach(p => println(fmt(p))); 0
+          case "templates" =>
+            api.ProfileTemplates.all.foreach { t =>
+              println(s"${t.id}\t${t.title}\t${t.description}")
+              if (pflags.contains("details")) {
+                t.variables.foreach(v => println(s"  var ${v.name}" +
+                  (if (v.required) " (required)"
+                   else s" [default: ${v.default}]") + s" - ${v.description}"))
+                println(s"  example: ${t.example}")
+              }
+            }
+            0
+          case "show" =>
+            positional.orElse(pkv.get("name")) match {
+              case None => Console.err.println("show requires a profile name"); 2
+              case Some(n) => store.get(n) match {
+                case None => Console.err.println(s"not found: $n"); 1
+                case Some(p) =>
+                  println(fmt(p))
+                  println(s"  tags: ${p.tags.mkString(",")}")
+                  println(s"  options: concurrency=${p.options.concurrency} " +
+                    s"rate_limit=${p.options.rate_limit} " +
+                    s"incremental=${p.options.incremental} " +
+                    s"include_links=${p.options.include_links}")
+                  println(s"  usage: times_used=${p.usage.times_used} " +
+                    s"success_rate=${p.usage.success_rate}")
+                  0
+              }
+            }
+          case "create" =>
+            val built: Either[Seq[String], api.ProfileStore.Profile] =
+              pkv.get("template") match {
+                case Some(tid) => api.ProfileTemplates.byId(tid) match {
+                  case None => Left(Seq(s"unknown template: $tid"))
+                  case Some(t) =>
+                    // --name/--repository/--jql flags double as variables so
+                    // the reference's create spelling works unchanged
+                    api.ProfileTemplates.expand(t,
+                      vars ++ (pkv - "store" - "template" - "var"))
+                }
+                case None => pkv.get("name") match {
+                  case None => Left(Seq("create requires --name"))
+                  case Some(n) => Right(api.ProfileStore.Profile(
+                    name = n,
+                    description = pkv.getOrElse("description", ""),
+                    repository = pkv.getOrElse("repository", ""),
+                    jql = pkv.getOrElse("jql", ""),
+                    epic_key = pkv.getOrElse("epic-key", ""),
+                    issue_keys = pkv.get("issue-keys")
+                      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+                      .getOrElse(Nil)))
+                }
+              }
+            built match {
+              case Left(errs) =>
+                errs.foreach(e => Console.err.println(s"error: $e")); 2
+              case Right(p) => store.create(p, now) match {
+                case Left(v) =>
+                  v.errors.foreach(e => Console.err.println(s"error: $e")); 1
+                case Right(cp) => println(s"created ${cp.name}"); 0
+              }
+            }
+          case "update" =>
+            positional.orElse(pkv.get("name")) match {
+              case None => Console.err.println("update requires a profile name"); 2
+              case Some(n) => store.get(n) match {
+                case None => Console.err.println(s"not found: $n"); 1
+                case Some(p0) =>
+                  val p = p0.copy(
+                    description = pkv.getOrElse("description", p0.description),
+                    repository = pkv.getOrElse("repository", p0.repository),
+                    jql = pkv.getOrElse("jql", p0.jql),
+                    epic_key = pkv.getOrElse("epic-key", p0.epic_key))
+                  store.update(n, p, now) match {
+                    case Left(v) =>
+                      v.errors.foreach(e => Console.err.println(s"error: $e")); 1
+                    case Right(None) => Console.err.println(s"not found: $n"); 1
+                    case Right(Some(_)) => println(s"updated $n"); 0
+                  }
+              }
+            }
+          case "delete" =>
+            positional.orElse(pkv.get("name")) match {
+              case None => Console.err.println("delete requires a profile name"); 2
+              case Some(n) =>
+                if (store.delete(n)) { println(s"deleted $n"); 0 }
+                else { Console.err.println(s"not found: $n"); 1 }
+            }
+          case "export" =>
+            val json = store.exportJson()
+            pkv.get("out") match {
+              case Some(f) =>
+                java.nio.file.Files.write(java.nio.file.Paths.get(f),
+                  json.getBytes("UTF-8"))
+                println(s"exported to $f"); 0
+              case None => println(json); 0
+            }
+          case "import" =>
+            pkv.get("in") match {
+              case None => Console.err.println("import requires --in <file>"); 2
+              case Some(f) =>
+                val json = new String(java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(f)), "UTF-8")
+                val (imported, skipped, invalid) =
+                  store.importJson(json, now, pflags.contains("overwrite"))
+                println(s"imported $imported, skipped $skipped" +
+                  (if (invalid.nonEmpty) s", invalid: ${invalid.mkString(",")}"
+                   else ""))
+                if (invalid.nonEmpty) 1 else 0
+            }
+          case other =>
+            Console.err.println(s"unknown profile subcommand: $other\n$usage"); 2
+        }
       case other =>
         Console.err.println(s"unknown command: $other\n$usage"); 2
     }
@@ -255,5 +403,11 @@ object Cli {
       |           [--auth-token T]
       |           (loopback binds get wildcard CORS and no auth; a
       |            non-loopback bind drops the CORS wildcard and enforces
-      |            --auth-token as a Bearer token when one is set)""".stripMargin
+      |            --auth-token as a Bearer token when one is set)
+      |  profile  list|show <name>|create|update <name>|delete <name>|
+      |           templates [--details]|export [--out f]|import --in f
+      |           [--overwrite]
+      |           [--store <dir>] [--name N] [--jql Q] [--repository R]
+      |           [--description D] [--epic-key K] [--issue-keys K1,K2]
+      |           [--template <id> --var k=v ...]""".stripMargin
 }

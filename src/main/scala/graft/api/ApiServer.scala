@@ -188,6 +188,7 @@ final class ApiServer(
       case ("DELETE", List("jobs", id)) => deleteJob(exchange, rid, id)
       case ("POST", List("jobs", id, "cancel")) => cancelJob(exchange, rid, id)
       case ("GET", List("jobs", id, "logs")) => jobLogs(exchange, rid, id)
+      case ("GET", List("templates")) => listTemplates(exchange, rid)
       case ("GET", List("profiles")) => listProfiles(exchange, rid)
       case ("POST", List("profiles")) => createProfile(exchange, rid)
       case ("GET", List("profiles", name)) => getProfile(exchange, rid, name)
@@ -239,6 +240,7 @@ final class ApiServer(
         "GET /api/v1/jobs", "GET /api/v1/jobs/{id}", "DELETE /api/v1/jobs/{id}",
         "POST /api/v1/jobs/{id}/cancel", "GET /api/v1/jobs/{id}/logs",
         "GET /api/v1/jobs/queue/status",
+        "GET /api/v1/templates",
         "GET /api/v1/profiles", "POST /api/v1/profiles", "GET /api/v1/profiles/{name}",
         "PUT /api/v1/profiles/{name}", "DELETE /api/v1/profiles/{name}")))
 
@@ -532,6 +534,24 @@ final class ApiServer(
     val all = profiles.list()
     writeJson(exchange, rid, 200, Map(
       "profiles" -> all.map(profileJson), "count" -> all.size))
+  }
+
+  /** Built-in profile templates (reference: internal/cli/profile.go
+    * `profile templates`; pkg/profile/templates.go catalog) — the same
+    * catalog the CLI lists, served for UI pickers.
+    */
+  private def listTemplates(exchange: HttpExchange, rid: String): Unit = {
+    val ts = ProfileTemplates.all.map { t =>
+      Map(
+        "id" -> t.id, "name" -> t.title, "description" -> t.description,
+        "category" -> t.category,
+        "variables" -> t.variables.map(v => Map(
+          "name" -> v.name, "description" -> v.description,
+          "required" -> v.required, "default" -> v.default,
+          "example" -> v.example)),
+        "example" -> t.example)
+    }
+    writeJson(exchange, rid, 200, Map("templates" -> ts, "count" -> ts.size))
   }
 
   private def getProfile(exchange: HttpExchange, rid: String, name: String): Unit =

@@ -227,4 +227,33 @@ final class ProfileStore(root: String) {
   def exportJson(): String = lock.synchronized {
     new String(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(load()), UTF_8)
   }
+
+  /** Merge-import a collection exported by [[exportJson]]: each profile is
+    * validated and added; an existing name is skipped unless `overwrite`
+    * (the safe default for merging a teammate's export into a live store —
+    * import must never silently clobber local tuning). Timestamps refresh
+    * to `now` so usage accounting starts clean on the importing side.
+    * Returns (imported, skipped, invalid-names).
+    */
+  def importJson(json: String, now: Timestamp,
+      overwrite: Boolean = false): (Int, Int, Seq[String]) = lock.synchronized {
+    val in = mapper.readValue(json.getBytes(UTF_8), classOf[Collection])
+    var c = load()
+    var imported = 0
+    var skipped = 0
+    val invalid = Seq.newBuilder[String]
+    in.profiles.values.toSeq.sortBy(_.name).foreach { p =>
+      val v = validate(p)
+      if (!v.valid) invalid += p.name
+      else if (c.profiles.contains(p.name) && !overwrite) skipped += 1
+      else {
+        c = c.copy(profiles = c.profiles + (p.name -> p.copy(
+          created_at_ms = now.getTime, updated_at_ms = now.getTime,
+          usage = UsageStats())))
+        imported += 1
+      }
+    }
+    save(c)
+    (imported, skipped, invalid.result())
+  }
 }

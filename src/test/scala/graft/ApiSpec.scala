@@ -104,8 +104,23 @@ class ApiSpec extends AnyFunSuite {
     val (ds, dr) = call("GET", s"$base/docs")
     assert(ds == 200)
     val endpoints = data(dr)("endpoints").asInstanceOf[Seq[Any]].map(String.valueOf)
-    assert(endpoints.size == 17)
+    assert(endpoints.size == 18)
     assert(endpoints.contains("POST /api/v1/sync/jql"))
+  }
+
+  test("templates catalog lists built-ins with variable specs") {
+    val (s, r) = call("GET", s"$base/templates")
+    assert(s == 200 && r("success") == true)
+    val ts = data(r)("templates").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(data(r)("count") == ts.size && ts.size >= 7)
+    val ids = ts.map(_("id")).toSet
+    assert(Set("epic-all-issues", "project-active-issues", "custom-jql")
+      .subsetOf(ids.map(String.valueOf)))
+    val epic = ts.find(_("id") == "epic-all-issues").get
+    val vars = epic("variables").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(vars.exists(v => v("name") == "epic_key" && v("required") == true))
   }
 
   test("unknown endpoint is a 404 with the error envelope") {

@@ -73,6 +73,54 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.run(Array.empty[String]) == 2)
   }
 
+  test("profile: full CRUD + templates + export/import round-trip") {
+    val store = tmp("graft-cli-prof")
+    def p(args: String*): Int =
+      Cli.run(("profile" +: args :+ "--store" :+ store).toArray)
+    // create from flags, show, list
+    assert(p("create", "--name", "plain", "--jql", "project = P1",
+      "--repository", "./r") == 0)
+    assert(p("show", "plain") == 0)
+    assert(p("show", "missing") == 1)
+    assert(p("list") == 0)
+    // duplicate create fails
+    assert(p("create", "--name", "plain", "--jql", "x") == 1)
+    // create from a template: flags double as variables
+    assert(p("create", "--template", "project-active-issues",
+      "--name", "proj-active", "--var", "project_key=P2",
+      "--var", "repository=./p2") == 0)
+    val created = new api.ProfileStore(store).get("proj-active").get
+    assert(created.jql == "project = P2 AND status != Closed AND status != Done")
+    assert(created.repository == "./p2")
+    // a missing required variable is a usage error
+    assert(p("create", "--template", "epic-all-issues", "--name", "e1") == 2)
+    assert(p("create", "--template", "nope", "--name", "x") == 2)
+    // update + delete
+    assert(p("update", "plain", "--jql", "project = P9") == 0)
+    assert(new api.ProfileStore(store).get("plain").get.jql == "project = P9")
+    assert(p("update", "missing", "--jql", "x") == 1)
+    // templates listing
+    assert(p("templates") == 0)
+    assert(p("templates", "--details") == 0)
+    // export → import into a fresh store (merge semantics: no overwrite)
+    val out = s"${tmp("graft-cli-prof-exp")}/profiles-export.json"
+    assert(p("export", "--out", out) == 0)
+    val store2 = tmp("graft-cli-prof2")
+    assert(Cli.run(Array("profile", "import", "--in", out,
+      "--store", store2)) == 0)
+    val s2 = new api.ProfileStore(store2)
+    assert(s2.list().map(_.name).toSet == Set("plain", "proj-active"))
+    // re-import without --overwrite skips everything, changes nothing
+    assert(Cli.run(Array("profile", "import", "--in", out,
+      "--store", store2)) == 0)
+    assert(s2.list().size == 2)
+    assert(p("delete", "plain") == 0)
+    assert(p("delete", "plain") == 1)
+    // missing subcommand / bad subcommand are usage errors
+    assert(Cli.run(Array("profile")) == 2)
+    assert(Cli.run(Array("profile", "bogus")) == 2)
+  }
+
   test("serve: missing args exit 2; startServer binds and answers health") {
     assert(Cli.run(Array("serve")) == 2)
     val work = java.nio.file.Files.createTempDirectory("graft-cli-serve").toString
