@@ -10,10 +10,13 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{
   * graft.Cli sync     --source <sfDir> --repo <dir> --state <path>
-  *                    [--jql <query>] [--incremental] [--force] [--dry-run]
+  *                    [--jql <query>] [--issues K1,K2]
+  *                    [--profile <name> --store <dir>]
+  *                    [--incremental] [--force] [--dry-run]
   *                    [--projects P1,P2]
   * graft.Cli recover  --source <sfDir> --repo <dir> --state <path> [--repair]
   * graft.Cli validate --jql <query>
+  * graft.Cli profile  list|show|create|update|delete|templates|export|import
   * }}}
   *
   * Everything here is flag parsing and printing; all semantics live in
@@ -86,16 +89,45 @@ object Cli {
             0
           } else {
             val src = kv("source")
+            // profile-driven sync (reference: internal/cli/sync.go --profile):
+            // the saved profile supplies jql/keys/epic + option defaults;
+            // explicit flags override, and usage accounting flows back
+            val store = new api.ProfileStore(kv.getOrElse("store", "."))
+            val prof = kv.get("profile") match {
+              case Some(n) => store.get(n) match {
+                case some @ Some(_) => some
+                case None =>
+                  Console.err.println(s"profile not found: $n"); return 1
+              }
+              case None => None
+            }
+            // selection precedence: explicit --jql > explicit --issues >
+            // profile jql > profile issue list > profile epic
+            val keysOf = (s: String) =>
+              s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            def keysJql(ks: Seq[String]) =
+              ks.map(k => "\"" + k + "\"").mkString("key in (", ", ", ")")
+            val jql = kv.get("jql")
+              .orElse(kv.get("issues").map(ks => keysJql(keysOf(ks))))
+              .orElse(prof.map(_.jql).filter(_.nonEmpty))
+              .orElse(prof.map(_.issue_keys).filter(_.nonEmpty).map(keysJql))
+              .orElse(prof.map(_.epic_key).filter(_.nonEmpty)
+                .map(k => s""""Epic Link" = $k"""))
             val opts = engine.SyncEngine.SyncOptions(
-              jql = kv.get("jql"),
-              incremental = flags.contains("incremental"),
-              force = flags.contains("force"),
-              dryRun = flags.contains("dry-run"),
+              jql = jql,
+              incremental = flags.contains("incremental") ||
+                prof.exists(_.options.incremental),
+              force = flags.contains("force") || prof.exists(_.options.force),
+              dryRun = flags.contains("dry-run") ||
+                prof.exists(_.options.dry_run),
               projects = kv.get("projects").map(_.split(',').toSeq).getOrElse(Nil))
+            val now = new Timestamp(System.currentTimeMillis())
             val r = engine.SyncEngine.run(spark,
               Tables.issuesFull(spark, src), Tables.links(spark, src),
-              kv("repo"), kv("state"), opts,
-              now = new Timestamp(System.currentTimeMillis()))
+              kv("repo"), kv("state"), opts, now = now)
+            prof.foreach(p => store.recordUsage(p.name, r.elapsed_ms,
+              success = r.failed == 0,
+              new Timestamp(System.currentTimeMillis())))
             println(s"""{"op_id":"${r.op_id}","total":${r.total},""" +
               s""""successful":${r.successful},"failed":${r.failed},""" +
               s""""skipped":${r.skipped},"elapsed_ms":${r.elapsed_ms},""" +
@@ -392,8 +424,13 @@ object Cli {
   private val usage: String =
     """usage:
       |  sync     --source <sfDir> --repo <dir> --state <path>
-      |           [--jql <query>] [--incremental] [--force] [--dry-run]
+      |           [--jql <query>] [--issues K1,K2] [--profile <name>
+      |            --store <dir>] [--incremental] [--force] [--dry-run]
       |           [--projects P1,P2]
+      |           (selection precedence: --jql > --issues > profile jql >
+      |            profile issue list > profile epic; profile options set
+      |            incremental/force/dry-run defaults and usage is recorded
+      |            back; parallelism/rate are Spark-session-level, not flags)
       |  recover  --source <sfDir> --repo <dir> --state <path> [--repair]
       |  validate --jql <query>
       |  reconcile --source <sfDir> --repo <dir> --state <path>

@@ -121,6 +121,38 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.run(Array("profile", "bogus")) == 2)
   }
 
+  test("sync: --issues key list and --profile selection with usage accounting") {
+    spark
+    val repo = tmp("graft-cli-keys-repo")
+    val state = s"${tmp("graft-cli-keys-state")}/state"
+    // two explicit keys (taken from the fixture — issue numbering is
+    // sparse) sync exactly those two issues
+    import org.apache.spark.sql.functions.col
+    val Array(k1, k2, k3) = Tables.issues(spark, sf)
+      .filter(col("project_key") === "P1").select("key")
+      .orderBy("key").limit(3).collect().map(_.getString(0))
+    val rc = Cli.run(Array("sync", "--source", sf, "--repo", repo,
+      "--state", state, "--issues", s"$k1,$k2"))
+    assert(rc == 0)
+    assert(Files.exists(Paths.get(repo, "projects", "P1", "issues", s"$k1.yaml")))
+    assert(Files.exists(Paths.get(repo, "projects", "P1", "issues", s"$k2.yaml")))
+    assert(!Files.exists(Paths.get(repo, "projects", "P1", "issues", s"$k3.yaml")))
+    // profile-driven: the profile's jql selects, usage is recorded back
+    val store = tmp("graft-cli-sync-prof")
+    assert(Cli.run(Array("profile", "create", "--name", "p3only",
+      "--jql", s"""key in ("$k3")""", "--repository", "./r",
+      "--store", store)) == 0)
+    assert(Cli.run(Array("sync", "--source", sf, "--repo", repo,
+      "--state", s"${tmp("s2")}/state", "--profile", "p3only",
+      "--store", store)) == 0)
+    assert(Files.exists(Paths.get(repo, "projects", "P1", "issues", s"$k3.yaml")))
+    val used = new api.ProfileStore(store).get("p3only").get.usage
+    assert(used.times_used == 1 && used.success_count == 1)
+    // unknown profile is an error, not a full-corpus sync
+    assert(Cli.run(Array("sync", "--source", sf, "--repo", repo,
+      "--state", state, "--profile", "nope", "--store", store)) == 1)
+  }
+
   test("serve: missing args exit 2; startServer binds and answers health") {
     assert(Cli.run(Array("serve")) == 2)
     val work = java.nio.file.Files.createTempDirectory("graft-cli-serve").toString
