@@ -353,17 +353,27 @@ object Cli {
     }
   }
 
-  /** Parse a reconcile resources file: a JSON array of
+  /** Parse a reconcile resources file: an array of
     * `{name, sync_type, jql_query?, project_key?, issue_keys?, schedule?,
     *   retry?: {max_retries, backoff_multiplier, initial_delay_sec},
     *   dry_run?}` — the CRD-shaped spec triple of the reference operator
-    * (reference: internal/operator/types/types.go:12-67).
+    * (reference: internal/operator/types/types.go:12-67). A `.yaml`/`.yml`
+    * file is accepted in the same shape (the reference's resources ARE
+    * K8s YAML manifests); everything else parses as JSON. YAML loads
+    * through snakeyaml (already the YAML sink's parser) and re-serializes
+    * to a Jackson tree so both formats flow through one field extractor.
     */
   private[graft] def parseResources(path: String): Seq[jobs.SyncResource] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)))
-    require(root.isArray, "resources file must be a JSON array")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val lower = path.toLowerCase
+    val root =
+      if (lower.endsWith(".yaml") || lower.endsWith(".yml")) {
+        val loaded = new org.yaml.snakeyaml.Yaml()
+          .load[Object](new String(bytes, "UTF-8"))
+        mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](loaded)
+      } else mapper.readTree(bytes)
+    require(root.isArray, "resources file must be a JSON/YAML array")
     import scala.jdk.CollectionConverters._
     root.elements().asScala.map { n =>
       def str(f: String): Option[String] =

@@ -20,9 +20,18 @@ import org.apache.spark.sql.functions._
   * Parity contract (pinned by StreamSpec): with all events inside the
   * watermark horizon, the emitted pair set is EXACTLY the batch card's
   * rows — an inner join emits each qualifying pair once, exactly-once per
-  * micro-batch epoch. Events later than the watermark delay are dropped by
-  * the engine (the standard lateness trade every stream-stream join makes);
-  * the batch twin over full history remains the exact answer.
+  * micro-batch epoch. Events later than the watermark delay are dropped
+  * once the matching state is evicted (the standard lateness trade every
+  * stream-stream join makes); the batch twin over full history remains the
+  * exact answer.
+  *
+  * Two operational facts StreamSpec pins because they bite in production:
+  * the GLOBAL watermark is the MIN across both legs' watermark nodes, so a
+  * leg that stops receiving data freezes eviction for the whole join (set
+  * `spark.sql.streaming.multipleWatermarkPolicy=max` to trade correctness
+  * for progress); and state cleanup lags one micro-batch (batch N evicts
+  * with the watermark computed from batch N−1's data), so a row later than
+  * the delay can still pair until the next batch commits.
   */
 object IntervalJoin {
 
@@ -43,10 +52,17 @@ object IntervalJoin {
         col("user_id").as("view_user_id"),
         col("ts").cast("timestamp").as("vts"))
       .withWatermark("vts", watermarkDelay)
+    // the range condition is spelled with the arithmetic on the VIEW side
+    // (`cts > vts AND cts <= vts + w` — algebraically identical to
+    // `vts ∈ [cts − w, cts)`): this is the canonical form Spark's
+    // stream-stream join derives BOTH state-cleanup watermarks from; with
+    // the arithmetic on the click column the click-side predicate is not
+    // derived and click state is never evicted (pinned by StreamSpec's
+    // late-view test, which fails under the other spelling)
     c.join(v, expr(
         s"""user_id = view_user_id
-           |AND vts >= cts - interval $windowSec seconds
-           |AND vts < cts""".stripMargin))
+           |AND cts > vts
+           |AND cts <= vts + interval $windowSec seconds""".stripMargin))
       .select(col("click_id"), col("user_id"), col("view_id"),
         (unix_micros(col("cts")) - unix_micros(col("vts"))).as("lag_us"))
   }

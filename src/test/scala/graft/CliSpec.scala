@@ -56,6 +56,22 @@ class CliSpec extends AnyFunSuite {
       "--state", state, "--resources", resFile.toString,
       "--ticks", "2", "--step-ms", "10"))
     assert(rc == 0)
+    // the same resource as a YAML manifest array parses identically
+    val yml = Paths.get(tmp("graft-cli-resy"), "resources.yaml")
+    Files.write(yml,
+      """- name: once-y
+        |  sync_type: jql
+        |  jql_query: project = P1
+        |  dry_run: true
+        |  retry:
+        |    max_retries: 1
+        |    backoff_multiplier: 2.0
+        |    initial_delay_sec: 1
+        |""".stripMargin.getBytes("UTF-8"))
+    val parsed = Cli.parseResources(yml.toString)
+    assert(parsed.size == 1 && parsed.head.name == "once-y" &&
+      parsed.head.spec.jql_query.contains("project = P1") &&
+      parsed.head.retryPolicy.exists(_.maxRetries == 1))
     // bad resources file is a usage error, not a crash
     val bad = Paths.get(tmp("graft-cli-badres"), "r.json")
     Files.write(bad, "{\"not\":\"an array\"}".getBytes("UTF-8"))

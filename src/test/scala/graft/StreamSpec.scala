@@ -495,6 +495,46 @@ class StreamSpec extends AnyFunSuite {
         s"${(expected diff streamed).take(3)}")
   }
 
+  test("stream-stream interval join pins its documented late-view drop") {
+    import spark.implicits._
+    import graft.streaming.IntervalJoin
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val src = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val joined = IntervalJoin.pairs(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "view"),
+      watermarkDelay = "10 minutes")
+    val query = joined.writeStream
+      .outputMode("append").format("memory").queryName("ivj_late").start()
+    try {
+      // a view + its click join normally
+      mem.addData((1L, 7L, "view", ts("2024-01-01 10:00:00")),
+        (2L, 7L, "click", ts("2024-01-01 10:05:00")))
+      query.processAllAvailable()
+      // advance event time far past the horizon ON BOTH LEGS — the global
+      // watermark is the MIN across the two withWatermark nodes, so a leg
+      // that stops receiving data freezes it (the click at 13:00 is placed
+      // where no view can match it); cleanup also lags one micro-batch
+      // (batch N evicts with the watermark computed from batch N-1's
+      // data), so run a filler batch to let click 2's state get evicted...
+      mem.addData((3L, 7L, "view", ts("2024-01-01 12:00:00")),
+        (6L, 7L, "click", ts("2024-01-01 13:00:00")))
+      query.processAllAvailable()
+      mem.addData((5L, 7L, "view", ts("2024-01-01 12:01:00")))
+      query.processAllAvailable()
+      // ...then replay a LATE view that would have matched click 2 — the
+      // state is gone and the pair must NOT appear (the lateness trade
+      // every stream-stream join makes)
+      mem.addData((4L, 7L, "view", ts("2024-01-01 10:01:00"))) // too late
+      query.processAllAvailable()
+    } finally query.stop()
+    val pairs = spark.table("ivj_late")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 1L)),
+      s"late view must not resurrect a closed join window: $pairs")
+  }
+
   test("stream-static SCD2 enrichment picks the version valid at event time") {
     import spark.implicits._
     import graft.streaming.Enrich
