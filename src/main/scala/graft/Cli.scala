@@ -39,7 +39,11 @@ object Cli {
       val a = args(i)
       if (a.startsWith("--")) {
         val name = a.drop(2)
-        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        // both spellings: `--flag value` and the reference's `--flag=value`
+        if (name.contains("=")) {
+          val Array(k, v) = name.split("=", 2)
+          kv += k -> v; i += 1
+        } else if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
           kv += name -> args(i + 1); i += 2
         } else { flags += name; i += 1 }
       } else i += 1
