@@ -570,6 +570,50 @@ object Misc {
       .orderBy("event_type")
   }
 
+  /** Sketch RE-AGGREGATION — the property that makes sketches worth their
+    * error bars at 100 TB: per-day HLL sketches of distinct users merge
+    * into a weekly estimate WITHOUT re-touching the raw events (Spark's
+    * datasketches `hll_sketch_agg` → `hll_union_agg`), so a year of
+    * dailies rolls up to any window at sketch-sized cost. The card pins
+    * the merged estimate inside ±15% of the exact weekly distinct (the
+    * same bounded-error oracle discipline as [[approxDistinct]]: each
+    * engine runs its own estimator, both must land in band), plus the
+    * exact count and how many daily sketches merged.
+    */
+  private val sketchMerge = q("agg_sketch_merge",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |wk AS (
+      |  SELECT date_trunc('week', ts) AS week, user_id,
+      |    date_trunc('day', ts) AS day
+      |  FROM ev)
+      |SELECT strftime(week, '%Y-%m-%d') AS week_s,
+      |  count(DISTINCT day)::BIGINT AS n_days,
+      |  count(DISTINCT user_id)::BIGINT AS n_exact,
+      |  approx_count_distinct(user_id)
+      |    BETWEEN 0.85 * count(DISTINCT user_id)
+      |        AND 1.15 * count(DISTINCT user_id) AS est_ok
+      |FROM wk GROUP BY week ORDER BY week_s""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withColumn("week", date_trunc("week", col("ts")))
+      .withColumn("day", date_trunc("day", col("ts")))
+    // daily sketches (the artifact a real pipeline persists), merged per week
+    val daily = ev.groupBy("week", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val weekly = daily.groupBy("week")
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev.groupBy("week")
+      .agg(countDistinct("user_id").as("n_exact"))
+    weekly.join(exact, Seq("week"))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week_s"),
+        col("n_days"), col("n_exact"),
+        col("est").between(lit(0.85) * col("n_exact"),
+          lit(1.15) * col("n_exact")).as("est_ok"))
+      .orderBy("week_s")
+  }
+
   /** Arbitrary GROUPING SETS — the general form behind cube/rollup (both are
     * sugar for specific set lists): three unrelated breakdowns (by status,
     * by priority, by line number) in ONE Expand + ONE partial→final hash
@@ -1618,5 +1662,5 @@ object Misc {
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
     activeUsers, zorderSkipping, zorderCompact, lateArrivals, intervalJoin,
-    attribution)
+    attribution, sketchMerge)
 }

@@ -140,6 +140,28 @@ object Sink {
       .orderBy("doc_id")
   }
 
+  /** CSV corpus round-trip — the other interchange format that refuses to
+    * die: write the documents table as quoted CSV (AQE-rebalanced like the
+    * JSONL writer), read it back through an explicit schema with quote
+    * handling on, and check full fidelity. What this pins is the CSV
+    * quoting path: commas, double quotes (doubled per RFC 4180), and
+    * leading/trailing spaces in `text` must survive write→read exactly —
+    * the corruption class ad-hoc CSV writers ship.
+    */
+  private val csvRoundtrip = q("sink_csv_roundtrip",
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.t(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val path = Files.createTempDirectory("graft-csv-rt").toString + "/docs"
+    docs.hint("rebalance").write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(path)
+    s.read.schema(docs.schema)
+      .option("header", "true").option("escape", "\"")
+      .csv(path).orderBy("doc_id")
+  }
+
   val all: Seq[GQuery] = Seq(roundtrip, jsonlRoundtrip, partitionedPrune,
-    schemaEvolution)
+    schemaEvolution, csvRoundtrip)
 }
