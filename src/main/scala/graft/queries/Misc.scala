@@ -570,6 +570,73 @@ object Misc {
       .orderBy("event_type")
   }
 
+  /** Item co-visitation ("users who viewed X also viewed Y") — the
+    * market-basket card behind every co-view recommender, over the ITEM
+    * grain ([[cooccurrence]] covers the event-TYPE grain): items parse out
+    * of the JSON `props` payload (the semi-structured column every event
+    * stream actually carries), the per-user item set dedups BEFORE the
+    * self-join, and each user contributes at most [[CovisitCap]] items in
+    * deterministic hash order — the linkPredictCapped discipline, exact
+    * here (fixture vocabulary 100 < cap) and Σ min(items,cap)² bounded on
+    * an open item vocabulary. Lift is exact integer micro-units:
+    * `both·N·1e6 div (ca·cb)`.
+    */
+  private val CovisitCap = 256
+  private val covisitation = q("stream_covisitation",
+    s"""WITH v AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(json_extract_string(props, '$$.k') AS INT) AS item
+       |  FROM events WHERE event_type = 'view'),
+       |capped AS (
+       |  SELECT user_id, item FROM (
+       |    SELECT user_id, item, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ('0x' || substr(md5(user_id::VARCHAR || ':' ||
+       |        item::VARCHAR), 1, 15))::BIGINT, item) AS rn
+       |    FROM v) WHERE rn <= $CovisitCap),
+       |ci AS (SELECT item, count(*)::BIGINT AS c FROM capped GROUP BY item),
+       |n AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM capped),
+       |pairs AS (
+       |  SELECT a.item AS item_a, b.item AS item_b,
+       |    count(*)::BIGINT AS n_both
+       |  FROM capped a JOIN capped b
+       |    ON b.user_id = a.user_id AND a.item < b.item
+       |  GROUP BY 1, 2)
+       |SELECT p.item_a, p.item_b, p.n_both,
+       |  (p.n_both * n.nu * 1000000 // (ca.c * cb.c))::BIGINT AS lift_micro
+       |FROM pairs p JOIN ci ca ON ca.item = p.item_a
+       |JOIN ci cb ON cb.item = p.item_b, n
+       |ORDER BY n_both DESC, item_a, item_b LIMIT 20""".stripMargin) {
+    (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.events(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .distinct()
+    val capW = Window.partitionBy("user_id").orderBy("hk", "item")
+    val capped = v
+      .withColumn("hk", graft.functions.Md5Prefix64(
+        concat_ws(":", col("user_id").cast("string"),
+          col("item").cast("string"))))
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= CovisitCap)
+      .select("user_id", "item")
+    val ci = capped.groupBy("item").agg(count(lit(1)).as("c"))
+    val n = capped.agg(countDistinct("user_id").as("nu"))
+    val pairs = capped.as("a")
+      .join(capped.select(col("user_id"), col("item").as("item_b")).as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("item_b"))
+      .groupBy(col("a.item").as("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(ci.select(col("item").as("item_a"), col("c").as("ca")), Seq("item_a"))
+      .join(ci.select(col("item").as("item_b"), col("c").as("cb")), Seq("item_b"))
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        expr("(n_both * nu * 1000000) div (ca * cb)").as("lift_micro"))
+      .orderBy(desc("n_both"), col("item_a"), col("item_b")).limit(20)
+  }
+
   /** Sketch RE-AGGREGATION — the property that makes sketches worth their
     * error bars at 100 TB: per-day HLL sketches of distinct users merge
     * into a weekly estimate WITHOUT re-touching the raw events (Spark's
@@ -1662,5 +1729,5 @@ object Misc {
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
     activeUsers, zorderSkipping, zorderCompact, lateArrivals, intervalJoin,
-    attribution, sketchMerge)
+    attribution, sketchMerge, covisitation)
 }
