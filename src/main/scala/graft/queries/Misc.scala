@@ -570,6 +570,90 @@ object Misc {
       .orderBy("event_type")
   }
 
+  /** RFM scoring — the classic customer-value segmentation (recency /
+    * frequency / monetary quintiles, 5 = best) over the purchase stream,
+    * with EXACT quintiles and no global window: each metric's global rank
+    * comes from the two-phase bucketed construction every global ordering
+    * here uses — bucket by ⌊log₂ value⌋ (monotone in the metric), rank
+    * locally per bucket, broadcast the ≤64-row bucket totals back as rank
+    * bases — so the plan survives a billion-customer table where a
+    * partitionless `ntile(5)` would move every customer through one task.
+    * All inputs are exact integers (days, counts, DECIMAL cents), ties
+    * break on user_id, and the quintile is integer arithmetic on the exact
+    * rank: bit-identical cross-engine.
+    */
+  private val rfm = q("stream_rfm_scores",
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    (CAST(value AS DECIMAL(18,2)) * 100)::BIGINT AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |mx AS (SELECT max(ts) AS corpus_max FROM p),
+      |u AS (
+      |  SELECT user_id,
+      |    date_diff('day', max(ts), (SELECT corpus_max FROM mx))::BIGINT
+      |      AS recency_days,
+      |    count(*)::BIGINT AS frequency,
+      |    sum(cents)::BIGINT AS monetary_cents
+      |  FROM p GROUP BY user_id),
+      |n AS (SELECT count(*)::BIGINT AS nu FROM u),
+      |r AS (
+      |  SELECT user_id, recency_days, frequency, monetary_cents,
+      |    row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+      |    row_number() OVER (ORDER BY frequency, user_id) AS fr,
+      |    row_number() OVER (ORDER BY monetary_cents, user_id) AS mr
+      |  FROM u)
+      |SELECT user_id, recency_days, frequency, monetary_cents,
+      |  (5 - ((rr - 1) * 5) // n.nu)::BIGINT AS r_quint,
+      |  (1 + ((fr - 1) * 5) // n.nu)::BIGINT AS f_quint,
+      |  (1 + ((mr - 1) * 5) // n.nu)::BIGINT AS m_quint,
+      |  ((5 - ((rr - 1) * 5) // n.nu) * 100 + (1 + ((fr - 1) * 5) // n.nu) * 10
+      |    + (1 + ((mr - 1) * 5) // n.nu))::BIGINT AS rfm_code
+      |FROM r, n ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val mx = p.agg(max("ts").as("corpus_max"))
+    val u = p.groupBy("user_id")
+      .agg(max("ts").as("umax"), count(lit(1)).as("frequency"),
+        sum("cents").as("monetary_cents"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        datediff(col("corpus_max"), col("umax")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val n = u.agg(count(lit(1)).as("nu"))
+    // exact global rank of `metric` without a global window: log2-bucketed
+    // local ranks + broadcast triangular bucket bases (the pipe_shuffle
+    // construction; buckets are monotone in the value, so base+local = global)
+    def rankOf(metric: String, as: String) = {
+      val b = u.select(col("user_id"), col(metric).as("v"))
+        .withColumn("pid", (length(bin(col("v"))) - 1).cast("int"))
+      val per = b.groupBy("pid").agg(count(lit(1)).as("tot"))
+      val bases = per
+        .join(broadcast(per.select(col("pid").as("pid2"), col("tot").as("tot2"))),
+          col("pid2") < col("pid"), "left")
+        .groupBy("pid").agg(coalesce(sum("tot2"), lit(0L)).as("base"))
+      val wLocal = Window.partitionBy("pid").orderBy("v", "user_id")
+      b.withColumn("rn", row_number().over(wLocal))
+        .join(broadcast(bases), Seq("pid"))
+        .select(col("user_id"), (col("base") + col("rn")).as(as))
+    }
+    u.join(rankOf("recency_days", "rr"), Seq("user_id"))
+      .join(rankOf("frequency", "fr"), Seq("user_id"))
+      .join(rankOf("monetary_cents", "mr"), Seq("user_id"))
+      .crossJoin(broadcast(n))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        (lit(5) - expr("((rr - 1) * 5) div nu")).cast("long").as("r_quint"),
+        (lit(1) + expr("((fr - 1) * 5) div nu")).cast("long").as("f_quint"),
+        (lit(1) + expr("((mr - 1) * 5) div nu")).cast("long").as("m_quint"))
+      .withColumn("rfm_code",
+        (col("r_quint") * 100 + col("f_quint") * 10 + col("m_quint"))
+          .cast("long"))
+      .orderBy("user_id")
+  }
+
   /** Item co-visitation ("users who viewed X also viewed Y") — the
     * market-basket card behind every co-view recommender, over the ITEM
     * grain ([[cooccurrence]] covers the event-TYPE grain): items parse out
@@ -1729,5 +1813,5 @@ object Misc {
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
     activeUsers, zorderSkipping, zorderCompact, lateArrivals, intervalJoin,
-    attribution, sketchMerge, covisitation)
+    attribution, sketchMerge, covisitation, rfm)
 }
