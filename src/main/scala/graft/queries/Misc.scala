@@ -1479,6 +1479,78 @@ object Misc {
     * top-10 paths + exact shares; path cardinality is ≤ |types|³
     * regardless of corpus size.
     */
+  /** Session duration / bounce profile — the engagement dashboard next to
+    * [[sessionPaths]]' opening paths: the same 30-minute-gap sessionization
+    * (user-partitioned windows only), rolled up into a power-of-two
+    * duration histogram with per-bucket session counts, mean events, and
+    * zero-duration sessions (bounces — reported in the `bucket = -1` row so
+    * they don't distort the log histogram). All
+    * integers (exact microsecond durations, event counts); shares are one
+    * division each. The census is |users|×|sessions|-bounded before the
+    * final |buckets|-row rollup.
+    */
+  private val sessionDuration = q("stream_session_duration",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+      |m AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m),
+      |per AS (
+      |  SELECT user_id, sid, count(*)::BIGINT AS n_events,
+      |    (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS dur_us
+      |  FROM s GROUP BY user_id, sid),
+      |b AS (
+      |  SELECT CASE WHEN dur_us = 0 THEN -1
+      |    ELSE (length(bin(dur_us // 1000000)) - 1) END::BIGINT AS bucket,
+      |    n_events, dur_us
+      |  FROM per),
+      |tot AS (SELECT count(*)::BIGINT AS n FROM per)
+      |SELECT b.bucket, count(*)::BIGINT AS n_sessions,
+      |  sum(b.n_events)::BIGINT AS n_events,
+      |  max(b.dur_us)::BIGINT AS max_dur_us,
+      |  count(*)::DOUBLE / tot.n AS share
+      |FROM b, tot GROUP BY b.bucket, tot.n
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    val m = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val per = m.groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max("ts")) - unix_micros(min("ts"))).as("dur_us"))
+    val tot = per.agg(count(lit(1)).as("n"))
+    per
+      .select(
+        when(col("dur_us") === 0, lit(-1L))
+          .otherwise((length(bin(expr("dur_us div 1000000"))) - 1)
+            .cast("long")).as("bucket"),
+        col("n_events"), col("dur_us"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"),
+        max("dur_us").as("max_dur_us"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_sessions"), col("n_events"),
+        col("max_dur_us"),
+        (col("n_sessions").cast("double") / col("n")).as("share"))
+      .orderBy("bucket")
+  }
+
   private val sessionPaths = q("stream_session_paths",
     """WITH ev AS (
       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
@@ -1813,5 +1885,5 @@ object Misc {
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
     activeUsers, zorderSkipping, zorderCompact, lateArrivals, intervalJoin,
-    attribution, sketchMerge, covisitation, rfm)
+    attribution, sketchMerge, covisitation, rfm, sessionDuration)
 }
