@@ -32,11 +32,17 @@ object Bench {
     * A baseline at a DIFFERENT sf also refuses (a smoke sweep at sf0.01
     * must never replace the sf0.1 regression reference — that exact
     * clobber happened twice in earlier rounds); Left(-1) marks that case.
-    * Returns Right(()) to allow, Left(medianRatio | -1) to refuse.
+    * A run with ANY per-query error refuses unconditionally (Left(-2)): a
+    * mid-sweep crash (SIGTERM, OOM, stopped SparkContext) records fast
+    * failures for every remaining query while enough clean canaries can
+    * still pass the drift bound — exactly how a poisoned partial run once
+    * reached the baseline file.
+    * Returns Right(()) to allow, Left(medianRatio | -1 | -2) to refuse.
     */
   private[graft] def refreshAllowed(path: java.nio.file.Path,
       fresh: Map[String, Double], freshSf: String,
-      bound: Double = 1.3): Either[Double, Unit] = {
+      bound: Double = 1.3, hasErrors: Boolean = false): Either[Double, Unit] = {
+    if (hasErrors) return Left(-2.0)
     val parsed = scala.util.Try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readAllBytes(path))
@@ -295,7 +301,8 @@ object Bench {
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val basePath = java.nio.file.Paths.get("bench_full.json")
-    val guard = refreshAllowed(basePath, results.toMap, sfDir)
+    val guard = refreshAllowed(basePath, results.toMap, sfDir,
+      hasErrors = errors.nonEmpty)
     val driftJson = guard.fold(
       m => s""""drift_flagged":true,"drift_median":${"%.3f".formatLocal(java.util.Locale.ROOT, m)},""",
       _ => "")

@@ -59,6 +59,20 @@ class BenchSpec extends AnyFunSuite {
       .isRight)
   }
 
+  test("refreshAllowed refuses a run with errors even when canaries agree") {
+    // a mid-sweep crash leaves fast failures for the remaining queries
+    // while the clean prefix matches the baseline perfectly — the partial
+    // run must be parked regardless of drift (Left(-2) marks the case)
+    val dir = Files.createTempDirectory("graft-bench-spec")
+    val base = baseline()
+    val f = writeBaseline(dir, base, "/sf0.1")
+    assert(Bench.refreshAllowed(f, base, "/sf0.1", hasErrors = true)
+      == Left(-2.0))
+    // and even with no baseline to defend, an errored run never writes one
+    assert(Bench.refreshAllowed(dir.resolve("missing.json"), base, "/sf0.1",
+      hasErrors = true) == Left(-2.0))
+  }
+
   test("refreshAllowed never replaces a baseline from another sf") {
     val dir = Files.createTempDirectory("graft-bench-spec")
     val f = writeBaseline(dir, baseline(), "/sf0.1")
