@@ -23,27 +23,13 @@ object Bench {
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0)
   }
 
-  /** Whether a fresh sweep may REPLACE the committed baseline at `path`:
-    * refuse when the unchanged-query median drifts beyond `bound` in either
-    * direction (the round-9 driver sweep replaced a clean 202s baseline
-    * with a contended-host 405s one on identical code — this guard is what
-    * stops that). Missing/unreadable baseline, a different sf, or too few
-    * canaries ⇒ allow (nothing trustworthy to defend).
-    * A baseline at a DIFFERENT sf also refuses (a smoke sweep at sf0.01
-    * must never replace the sf0.1 regression reference — that exact
-    * clobber happened twice in earlier rounds); Left(-1) marks that case.
-    * A run with ANY per-query error refuses unconditionally (Left(-2)): a
-    * mid-sweep crash (SIGTERM, OOM, stopped SparkContext) records fast
-    * failures for every remaining query while enough clean canaries can
-    * still pass the drift bound — exactly how a poisoned partial run once
-    * reached the baseline file.
-    * Returns Right(()) to allow, Left(medianRatio | -1 | -2) to refuse.
-    */
-  private[graft] def refreshAllowed(path: java.nio.file.Path,
-      fresh: Map[String, Double], freshSf: String,
-      bound: Double = 1.3, hasErrors: Boolean = false): Either[Double, Unit] = {
-    if (hasErrors) return Left(-2.0)
-    val parsed = scala.util.Try {
+  /** A parsed bench run file (baseline / anchor / candidate slot). */
+  private[graft] final case class RunFile(sf: String,
+      queries: Map[String, Double], sync: Double, incr: Double,
+      staged: Boolean)
+
+  private[graft] def readRun(path: java.nio.file.Path): Option[RunFile] =
+    scala.util.Try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readAllBytes(path))
       val sf = Option(root.get("sf")).map(_.asText).getOrElse("")
@@ -51,16 +37,93 @@ object Bench {
         import scala.jdk.CollectionConverters._
         qn.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
       }.getOrElse(Map.empty[String, Double])
-      (sf, qs)
-    }.toOption
-    parsed match {
-      case Some((sf, base)) if sf == freshSf =>
-        medianDriftRatio(base, fresh) match {
-          case Some(m) if m > bound || m < 1.0 / bound => Left(m)
-          case _ => Right(())
+      def num(k: String) = Option(root.get(k)).map(_.asDouble()).getOrElse(0.0)
+      RunFile(sf, qs, num("sync_issues_per_sec"),
+        num("incr_scan_issues_per_sec"),
+        Option(root.get("staged")).exists(_.asBoolean(false)))
+    }.toOption.filter(_.queries.nonEmpty)
+
+  /** What to do with a fresh sweep. */
+  private[graft] sealed trait RefreshDecision
+  /** Replace the committed baseline. */
+  private[graft] case object Promote extends RefreshDecision
+  /** Clean run, but the first of its kind — stage it in the candidate slot
+    * and promote only when a SECOND window agrees (two-window rule). */
+  private[graft] case object Stage extends RefreshDecision
+  /** Out-of-band run — park it in the candidate slot, flagged, and leave
+    * the baseline alone. */
+  private[graft] final case class Park(reason: String) extends RefreshDecision
+
+  /** The full baseline-refresh decision for one fresh sweep. History this
+    * guard exists to stop repeating:
+    *   - round 9: a contended-host driver sweep replaced a clean 202 s
+    *     baseline with a 405 s one on identical code → the query-median
+    *     drift bound (`bound`, both directions).
+    *   - earlier rounds: an sf0.01 smoke sweep clobbered the sf0.1
+    *     reference twice → the sf pin.
+    *   - a poisoned partial run (mid-sweep crash records fast failures)
+    *     once reached the baseline → any-error refusal.
+    *   - round 10: a sweep with query drift 1.28 (just under the bound)
+    *     carried a sync leg of 4,888/s — 6× under the committed 30,015/s
+    *     and 3.5× under the worst of five documented same-code windows —
+    *     and rode into the baseline ungated → the throughput band: clean
+    *     query drift plus an out-of-band sync/incr leg is diagnostic of an
+    *     I/O-throttled window, not an engine change ([syncBandLo,
+    *     syncBandHi]× the committed leg).
+    *   - the ratchet: successive just-under-bound drifts compound
+    *     (1.28³ ≈ 2.1×) because each refresh becomes the next comparison
+    *     point → (a) two-window promotion: a clean run only STAGES into
+    *     bench_candidate.json; it promotes when a second clean window
+    *     agrees with the staged one within `bound`; (b) a pinned anchor
+    *     (bench_anchor.json, the best condition-stamped run): any refresh
+    *     whose median drifts beyond `anchorBound` from the anchor is
+    *     refused regardless of the rolling comparison.
+    * Bootstrap (no readable baseline) promotes directly — nothing to
+    * defend. The anchor only moves forward when a promoted run is FASTER
+    * than it (see main), so it cannot ratchet slow.
+    */
+  private[graft] def refreshDecision(
+      basePath: java.nio.file.Path, anchorPath: java.nio.file.Path,
+      candPath: java.nio.file.Path,
+      fresh: Map[String, Double], freshSync: Double, freshIncr: Double,
+      freshSf: String, hasErrors: Boolean,
+      bound: Double = 1.3, syncBandLo: Double = 0.5, syncBandHi: Double = 2.0,
+      anchorBound: Double = 1.5): RefreshDecision = {
+    if (hasErrors) return Park("errors")
+    val baseOpt = readRun(basePath)
+    baseOpt match {
+      case Some(b) if b.sf != freshSf => return Park("sf_mismatch")
+      case Some(b) =>
+        medianDriftRatio(b.queries, fresh) match {
+          case Some(m) if m > bound || m < 1.0 / bound =>
+            return Park(f"query_drift=$m%.3f")
+          case _ => ()
         }
-      case Some(_) => Left(-1.0) // baseline exists for another sf: never replace
-      case None => Right(()) // no readable baseline: nothing to defend
+        def outOfBand(base: Double, f: Double): Boolean =
+          base > 0 && f > 0 && (f < base * syncBandLo || f > base * syncBandHi)
+        if (outOfBand(b.sync, freshSync))
+          return Park(f"sync_out_of_band=${freshSync / b.sync}%.2f")
+        if (outOfBand(b.incr, freshIncr))
+          return Park(f"incr_out_of_band=${freshIncr / b.incr}%.2f")
+      case None => ()
+    }
+    readRun(anchorPath).filter(_.sf == freshSf).foreach { a =>
+      medianDriftRatio(a.queries, fresh) match {
+        case Some(m) if m > anchorBound || m < 1.0 / anchorBound =>
+          return Park(f"anchor_drift=$m%.3f")
+        case _ => ()
+      }
+    }
+    if (baseOpt.isEmpty) Promote // bootstrap: nothing to defend
+    else readRun(candPath) match {
+      // second window: promote only when a STAGED (itself gate-clean)
+      // candidate exists and the fresh run agrees with it within the bound.
+      // exists (not forall): <5 shared canaries means the registry changed
+      // between windows — agreement is unverifiable, so re-stage.
+      case Some(c) if c.sf == freshSf && c.staged &&
+          medianDriftRatio(c.queries, fresh)
+            .exists(m => m <= bound && m >= 1.0 / bound) => Promote
+      case _ => Stage
     }
   }
 
@@ -236,7 +299,14 @@ object Bench {
       }
       val t = once() match {
         case None => Double.NaN // failed: never report a timing for it
-        case Some(t1) => once().fold(t1)(t2 => math.min(t1, t2))
+        case Some(t1) => once() match {
+          case Some(t2) => math.min(t1, t2)
+          // run 1 succeeded, run 2 flaked: one clean measurement stands.
+          // Drop the recorded error — a query must never appear BOTH timed
+          // and errored in the same sweep (and a lone second-run blip must
+          // not trip the any-error refresh refusal on an otherwise clean run)
+          case None => errors.remove(name); t1
+        }
       }
       name -> t
     }.filterNot(_._2.isNaN)
@@ -266,20 +336,9 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // drift of THIS sweep's unchanged queries vs the committed baseline —
     // stamped into the stdout line so a contended-host sweep is self-labeled
-    val driftStdout = scala.util.Try(
-      medianDriftRatio(
-        {
-          val root = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get("bench_full.json")))
-          import scala.jdk.CollectionConverters._
-          if (Option(root.get("sf")).map(_.asText).contains(sfDir))
-            Option(root.get("queries")).map(_.properties().asScala
-              .map(e => e.getKey -> e.getValue.asDouble()).toMap)
-              .getOrElse(Map.empty[String, Double])
-          else Map.empty[String, Double]
-        },
-        results.toMap)).toOption.flatten
+    val driftStdout = readRun(java.nio.file.Paths.get("bench_full.json"))
+      .filter(_.sf == sfDir)
+      .flatMap(b => medianDriftRatio(b.queries, results.toMap))
     val driftField = driftStdout
       .map(m => s""""drift_vs_baseline":${f2(m)},""").getOrElse("")
     def mkLine(extra: String): String =
@@ -293,24 +352,44 @@ object Bench {
       mkLine("")
     ).find(_.length <= 1600).getOrElse(mkLine("").take(1600))
     // full-precision copy for local profiling (driver ignores files). The
-    // committed bench_full.json is the regression REFERENCE, so it only gets
-    // replaced when the canary drift guard passes: if the unchanged-query
-    // median vs the existing baseline moved >1.3x either way, this run
-    // measured the host, not the engine — park it in bench_candidate.json
-    // and leave the baseline alone.
+    // committed bench_full.json is the regression REFERENCE; refreshDecision
+    // (scaladoc above) decides whether this run replaces it (Promote),
+    // stages as the first of two agreeing windows (Stage), or parks flagged
+    // (Park) — the baseline is only ever touched by Promote.
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val basePath = java.nio.file.Paths.get("bench_full.json")
-    val guard = refreshAllowed(basePath, results.toMap, sfDir,
-      hasErrors = errors.nonEmpty)
-    val driftJson = guard.fold(
-      m => s""""drift_flagged":true,"drift_median":${"%.3f".formatLocal(java.util.Locale.ROOT, m)},""",
-      _ => "")
-    val fullJson =
-      s"""{"total":$total,"queries":$full,"errors":$errJson,$driftJson${runConditionsJson()},"sync_issues_per_sec":$syncIps,"incr_scan_issues_per_sec":$incrIps,"sf":"$sfDir"}\n"""
-    val target = guard.fold(_ => "bench_candidate.json", _ => "bench_full.json")
-    scala.util.Try(java.nio.file.Files.write(
-      java.nio.file.Paths.get(target), fullJson.getBytes("UTF-8")))
+    val candPath = java.nio.file.Paths.get("bench_candidate.json")
+    val anchorPath = java.nio.file.Paths.get("bench_anchor.json")
+    val decision = refreshDecision(basePath, anchorPath, candPath,
+      results.toMap, syncIps, incrIps, sfDir, hasErrors = errors.nonEmpty)
+    def fullJson(marker: String): String =
+      s"""{"total":$total,"queries":$full,"errors":$errJson,$marker${runConditionsJson()},"sync_issues_per_sec":$syncIps,"incr_scan_issues_per_sec":$incrIps,"sf":"$sfDir"}\n"""
+    scala.util.Try(decision match {
+      case Promote =>
+        java.nio.file.Files.write(basePath,
+          fullJson("").getBytes("UTF-8"))
+        java.nio.file.Files.deleteIfExists(candPath)
+        // anchor = the best condition-stamped run: it moves only FORWARD
+        // (a promoted run that is faster than it, median < 1.0, or whose
+        // query overlap with it has decayed below judgeable) — so a chain
+        // of just-under-bound slowdowns can never drag the anchor along
+        val anchorStale = readRun(anchorPath) match {
+          case Some(a) if a.sf == sfDir =>
+            medianDriftRatio(a.queries, results.toMap).forall(_ < 1.0)
+          case _ => true
+        }
+        if (anchorStale)
+          java.nio.file.Files.write(anchorPath,
+            fullJson("\"anchor\":true,").getBytes("UTF-8"))
+      case Stage =>
+        java.nio.file.Files.write(candPath,
+          fullJson("\"staged\":true,").getBytes("UTF-8"))
+      case Park(reason) =>
+        java.nio.file.Files.write(candPath,
+          fullJson(s""""drift_flagged":true,"park_reason":"$reason",""")
+            .getBytes("UTF-8"))
+    })
     spark.stop()
     println(line)
   }

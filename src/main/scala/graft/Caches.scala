@@ -51,6 +51,27 @@ object Caches {
   val MaxDirsKey = "spark.graft.fragmentCacheMaxDirs"
   private val DefaultMaxDirs = 8
 
+  /** One per-JVM scratch root for queries that materialize a small local
+    * index (incremental BM25 postings, incremental IVF). Previously each
+    * execution called `Files.createTempDirectory` and never cleaned up, so
+    * every 224-query sweep leaked a postings tree under /tmp — rounds of
+    * sweeps accumulated until the stale-dir reaper caught them an hour
+    * later. One root, removed by a shutdown hook, bounds the leak to the
+    * live JVM; per-call subdirs keep executions isolated.
+    */
+  lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try(java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () }))))
+    root
+  }
+
+  /** A fresh subdirectory under [[scratchRoot]] (deleted at JVM exit). */
+  def scratchDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+
   private final case class Entry(df: DataFrame, persisted: Boolean)
 
   // keyed strongly; stopped-context entries are pruned on the next access

@@ -452,9 +452,9 @@ object Cli {
       |  serve    --source <sfDir> --repo <dir> --state <path>
       |           [--host 127.0.0.1] [--port 8080] [--rate-limit N]
       |           [--auth-token T]
-      |           (loopback binds get wildcard CORS and no auth; a
-      |            non-loopback bind drops the CORS wildcard and enforces
-      |            --auth-token as a Bearer token when one is set)
+      |           (a configured --auth-token is always enforced as a
+      |            Bearer token; loopback binds additionally get wildcard
+      |            CORS, non-loopback binds do not)
       |  profile  list|show <name>|create|update <name>|delete <name>|
       |           templates [--details]|export [--out f]|import --in f
       |           [--overwrite]

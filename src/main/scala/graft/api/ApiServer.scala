@@ -131,10 +131,24 @@ final class ApiServer(
     try java.net.InetAddress.getByName(host).isLoopbackAddress
     catch { case _: Throwable => false }
 
+  /** A configured token is enforced on EVERY bind, loopback included: the
+    * common deployment reverse-proxies or port-forwards to 127.0.0.1, so a
+    * loopback bind does not imply a trusted caller. Loopback only relaxes
+    * DEFAULT: with no token configured the server is open, which is only
+    * a sensible default on loopback — hence the loopback-only CORS
+    * wildcard above. The comparison is constant-time
+    * (MessageDigest.isEqual) so the token can't be recovered
+    * byte-at-a-time from response timing.
+    */
   private def authorized(exchange: HttpExchange): Boolean =
-    loopbackHost || authToken.forall { t =>
-      Option(exchange.getRequestHeaders.getFirst("Authorization"))
-        .contains(s"Bearer $t")
+    authToken match {
+      case None => true
+      case Some(t) =>
+        Option(exchange.getRequestHeaders.getFirst("Authorization")).exists {
+          h =>
+            java.security.MessageDigest.isEqual(
+              h.getBytes("UTF-8"), s"Bearer $t".getBytes("UTF-8"))
+        }
     }
 
   private def handle(exchange: HttpExchange): Unit = {

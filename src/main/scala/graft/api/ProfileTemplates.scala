@@ -191,8 +191,14 @@ object ProfileTemplates {
     if (missing.nonEmpty) return Left(missing)
     val env = t.variables.map(v => v.name -> vars.getOrElse(v.name, v.default))
       .toMap ++ vars
+    // ONE left-to-right regex pass over {word} placeholders, looking each
+    // up in env exactly once and never rescanning substituted output — a
+    // value that itself contains "{name}" stays literal instead of being
+    // re-expanded by whichever map entries happen to iterate later
+    val Placeholder = "\\{(\\w+)\\}".r
     def sub(s: String): String =
-      env.foldLeft(s) { case (acc, (k, v)) => acc.replace(s"{$k}", v) }
+      Placeholder.replaceAllIn(s, m => scala.util.matching.Regex
+        .quoteReplacement(env.getOrElse(m.group(1), m.matched)))
     val p = t.profile
     val keys = p.issue_keys.map(sub).flatMap(_.split(",")).map(_.trim)
       .filter(_.nonEmpty)

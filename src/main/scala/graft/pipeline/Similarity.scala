@@ -529,8 +529,7 @@ object Similarity {
     val e = embDN(s, dir)
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cn"))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-incr-ivf").toString + "/ivf"
+    val path = graft.Caches.scratchDir("incr-ivf").toString + "/ivf"
     upsertIvf(e.filter(col("vec_id") % 10 =!= 0).select("vec_id", "e", "nrm"),
       cents, path)
     val late = e.filter(col("vec_id") % 10 === 0)
@@ -1218,8 +1217,7 @@ object Similarity {
          |FROM contrib GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
       val docs = graft.Tables.t(s, dir, "documents").select("doc_id", "text")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-incr-bm25").toString + "/postings"
+      val path = graft.Caches.scratchDir("incr-bm25").toString + "/postings"
       upsertPostings(docs.filter(col("doc_id") % 10 =!= 0), path)
       upsertPostings(docs.filter(col("doc_id") % 10 === 0), path)
       val idx = graft.state.StateStore.loadTable(s, path,

@@ -164,7 +164,12 @@ final class JiraHttpScanBuilder(url: String, jql: String, token: String,
 
 final case class HttpPage(url: String, jql: String, token: String,
     startAt: Long, maxResults: Long, maxPerSecond: Option[Int])
-  extends InputPartition
+  extends InputPartition {
+  // case-class toString would print the bearer token verbatim into task
+  // failure messages and plan dumps; redact it entirely
+  override def toString: String =
+    s"HttpPage($url,$jql,***,$startAt,$maxResults,$maxPerSecond)"
+}
 
 final class JiraHttpScan(url: String, jql: String, token: String,
     pageSize: Int, maxPerSecond: Option[Int], limit: Option[Int])

@@ -372,6 +372,47 @@ class ApiSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("a configured token is enforced on a LOOPBACK bind too") {
+    // the common deployment reverse-proxies to 127.0.0.1 — a loopback bind
+    // must not silently disable an explicitly configured --auth-token
+    val srv = new ApiServer(spark, manager, store,
+      () => issuesDf, () => linksDf, s"$work/repos4", s"$work/state4",
+      authToken = Some("sekret2"), version = "test-auth-lo",
+      clock = () => tick())
+    val port = srv.start()
+    try {
+      val url = s"http://127.0.0.1:$port/api/v1/health"
+      val bare = http.send(
+        HttpRequest.newBuilder(URI.create(url)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bare.statusCode() == 401,
+        "loopback must not bypass an explicitly configured token")
+      val authed = http.send(
+        HttpRequest.newBuilder(URI.create(url))
+          .header("Authorization", "Bearer sekret2").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(authed.statusCode() == 200)
+    } finally srv.stop()
+  }
+
+  test("template expansion never re-expands placeholders inside values") {
+    import graft.api.ProfileTemplates
+    val t = ProfileTemplates.byId("issue-list").get
+    // a variable value that itself looks like a placeholder must land
+    // literally — one pass, no rescanning of substituted output
+    val p = ProfileTemplates.expand(t, Map(
+      "name" -> "release", "issue_keys" -> "PROJ-1",
+      "repository" -> "{name}")).toOption.get
+    assert(p.repository == "{name}",
+      s"value '{name}' must stay literal, got '${p.repository}'")
+    assert(p.name == "release")
+    // an unknown placeholder in the template survives untouched
+    val p2 = ProfileTemplates.expand(t, Map(
+      "name" -> "r{nope}x", "issue_keys" -> "PROJ-1",
+      "repository" -> "./r")).toOption.get
+    assert(p2.name == "r{nope}x")
+  }
+
   test("jobs listing pages in stable (submittedAt, id) order") {
     val m = new JobManager(spark)
     // three jobs at strictly increasing submit times

@@ -37,55 +37,138 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.medianDriftRatio(baseline(20, 0.01), baseline(20, 0.01)).isEmpty)
   }
 
-  private def writeBaseline(dir: Path, qs: Map[String, Double],
-      sf: String): Path = {
-    val f = dir.resolve("bench_full.json")
+  private def writeRun(dir: Path, name: String, qs: Map[String, Double],
+      sf: String, sync: Double = 0.0, incr: Double = 0.0,
+      staged: Boolean = false): Path = {
+    val f = dir.resolve(name)
     val body = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val st = if (staged) "\"staged\":true," else ""
     Files.write(f,
-      s"""{"total":1.0,"queries":{$body},"errors":{},"sf":"$sf"}""".getBytes("UTF-8"))
+      (s"""{"total":1.0,"queries":{$body},"errors":{},$st""" +
+        s""""sync_issues_per_sec":$sync,"incr_scan_issues_per_sec":$incr,""" +
+        s""""sf":"$sf"}""").getBytes("UTF-8"))
     f
   }
 
-  test("refreshAllowed refuses a 2x-drifted sweep and allows a stable one") {
+  /** decision against a dir holding (optionally) baseline/anchor/candidate */
+  private def decide(dir: Path, fresh: Map[String, Double], sf: String,
+      sync: Double = 0.0, incr: Double = 0.0, hasErrors: Boolean = false) =
+    Bench.refreshDecision(dir.resolve("bench_full.json"),
+      dir.resolve("bench_anchor.json"), dir.resolve("bench_candidate.json"),
+      fresh, sync, incr, sf, hasErrors)
+
+  private def isPark(d: Bench.RefreshDecision, prefix: String): Boolean =
+    d match {
+      case Bench.Park(r) => r.startsWith(prefix)
+      case _ => false
+    }
+
+  test("refreshDecision parks a 2x-drifted sweep, either direction") {
     val dir = Files.createTempDirectory("graft-bench-spec")
     val base = baseline()
-    val f = writeBaseline(dir, base, "/sf0.1")
-    assert(Bench.refreshAllowed(f, base.view.mapValues(_ * 2).toMap, "/sf0.1")
-      == Left(2.0))
+    writeRun(dir, "bench_full.json", base, "/sf0.1")
+    assert(isPark(decide(dir, base.view.mapValues(_ * 2).toMap, "/sf0.1"),
+      "query_drift"))
     // symmetric: a suspiciously-2x-FASTER sweep is also not a refresh basis
-    assert(Bench.refreshAllowed(f, base.view.mapValues(_ / 2).toMap, "/sf0.1")
-      == Left(0.5))
-    assert(Bench.refreshAllowed(f, base.view.mapValues(_ * 1.1).toMap, "/sf0.1")
-      .isRight)
+    assert(isPark(decide(dir, base.view.mapValues(_ / 2).toMap, "/sf0.1"),
+      "query_drift"))
+    // a mild in-bound sweep is clean — but only STAGES (two-window rule)
+    assert(decide(dir, base.view.mapValues(_ * 1.1).toMap, "/sf0.1")
+      == Bench.Stage)
   }
 
-  test("refreshAllowed refuses a run with errors even when canaries agree") {
+  test("refreshDecision parks a run with errors even when canaries agree") {
     // a mid-sweep crash leaves fast failures for the remaining queries
     // while the clean prefix matches the baseline perfectly — the partial
-    // run must be parked regardless of drift (Left(-2) marks the case)
+    // run must be parked regardless of drift
     val dir = Files.createTempDirectory("graft-bench-spec")
     val base = baseline()
-    val f = writeBaseline(dir, base, "/sf0.1")
-    assert(Bench.refreshAllowed(f, base, "/sf0.1", hasErrors = true)
-      == Left(-2.0))
+    writeRun(dir, "bench_full.json", base, "/sf0.1")
+    assert(decide(dir, base, "/sf0.1", hasErrors = true)
+      == Bench.Park("errors"))
     // and even with no baseline to defend, an errored run never writes one
-    assert(Bench.refreshAllowed(dir.resolve("missing.json"), base, "/sf0.1",
-      hasErrors = true) == Left(-2.0))
+    val empty = Files.createTempDirectory("graft-bench-spec")
+    assert(decide(empty, base, "/sf0.1", hasErrors = true)
+      == Bench.Park("errors"))
   }
 
-  test("refreshAllowed never replaces a baseline from another sf") {
+  test("refreshDecision never replaces a baseline from another sf") {
     val dir = Files.createTempDirectory("graft-bench-spec")
-    val f = writeBaseline(dir, baseline(), "/sf0.1")
-    assert(Bench.refreshAllowed(f, baseline(), "/sf0.01") == Left(-1.0))
+    writeRun(dir, "bench_full.json", baseline(), "/sf0.1")
+    assert(decide(dir, baseline(), "/sf0.01") == Bench.Park("sf_mismatch"))
   }
 
-  test("refreshAllowed allows when no readable baseline exists") {
+  test("refreshDecision promotes directly when no readable baseline exists") {
     val dir = Files.createTempDirectory("graft-bench-spec")
-    assert(Bench.refreshAllowed(dir.resolve("missing.json"),
-      baseline(), "/sf0.1").isRight)
-    val garbled = dir.resolve("bad.json")
-    Files.write(garbled, "not json".getBytes("UTF-8"))
-    assert(Bench.refreshAllowed(garbled, baseline(), "/sf0.1").isRight)
+    assert(decide(dir, baseline(), "/sf0.1") == Bench.Promote)
+    Files.write(dir.resolve("bench_full.json"), "not json".getBytes("UTF-8"))
+    assert(decide(dir, baseline(), "/sf0.1") == Bench.Promote)
+  }
+
+  test("clean query drift but out-of-band sync/incr leg parks the run") {
+    // the round-10 hole: query drift 1.28 passed while the sync leg was 6x
+    // under the committed window — that combination is an I/O-throttled
+    // host, not an engine change, and must never reach the baseline
+    val dir = Files.createTempDirectory("graft-bench-spec")
+    val base = baseline()
+    writeRun(dir, "bench_full.json", base, "/sf0.1",
+      sync = 30000.0, incr = 100000.0)
+    val fresh = base.view.mapValues(_ * 1.05).toMap
+    assert(isPark(decide(dir, fresh, "/sf0.1", sync = 4888.0, incr = 90000.0),
+      "sync_out_of_band"))
+    assert(isPark(decide(dir, fresh, "/sf0.1", sync = 29000.0, incr = 20000.0),
+      "incr_out_of_band"))
+    // within the 0.5-2.0x band on both legs: clean (stages)
+    assert(decide(dir, fresh, "/sf0.1", sync = 20000.0, incr = 110000.0)
+      == Bench.Stage)
+    // a missing leg (0.0: --sync-only skip or legacy baseline) is not judged
+    assert(decide(dir, fresh, "/sf0.1", sync = 0.0, incr = 0.0) == Bench.Stage)
+  }
+
+  test("two-window rule: first clean run stages, promotion needs agreement") {
+    val dir = Files.createTempDirectory("graft-bench-spec")
+    val base = baseline()
+    writeRun(dir, "bench_full.json", base, "/sf0.1")
+    val w1 = base.view.mapValues(_ * 1.2).toMap
+    // no candidate yet: the clean window stages
+    assert(decide(dir, w1, "/sf0.1") == Bench.Stage)
+    writeRun(dir, "bench_candidate.json", w1, "/sf0.1", staged = true)
+    // second window agreeing with the staged one (and clean vs baseline)
+    assert(decide(dir, base.view.mapValues(_ * 1.15).toMap, "/sf0.1")
+      == Bench.Promote)
+    // second window that does NOT agree with the staged candidate re-stages
+    assert(decide(dir, base.view.mapValues(_ / 1.25).toMap, "/sf0.1")
+      == Bench.Stage)
+    // a PARKED (non-staged) candidate is never a promotion basis
+    writeRun(dir, "bench_candidate.json", w1, "/sf0.1", staged = false)
+    assert(decide(dir, base.view.mapValues(_ * 1.15).toMap, "/sf0.1")
+      == Bench.Stage)
+  }
+
+  test("anchor stops the ratchet: three 1.28x steps, the fourth is refused") {
+    // each step alone is under the 1.3 rolling bound; compounding
+    // 1.28^3 = 2.1x would sail through a baseline-only guard. The pinned
+    // anchor refuses any refresh beyond 1.5x from the BEST run regardless
+    // of the rolling comparison.
+    val dir = Files.createTempDirectory("graft-bench-spec")
+    var cur = baseline()
+    writeRun(dir, "bench_full.json", cur, "/sf0.1")
+    writeRun(dir, "bench_anchor.json", cur, "/sf0.1")
+    var refusedAt = -1
+    for (step <- 1 to 4 if refusedAt < 0) {
+      val fresh = cur.view.mapValues(_ * 1.28).toMap
+      decide(dir, fresh, "/sf0.1") match {
+        case Bench.Park(r) =>
+          assert(r.startsWith("anchor_drift"), s"step $step parked on $r")
+          refusedAt = step
+        case _ =>
+          // simulate the two-window promotion completing at this level
+          writeRun(dir, "bench_full.json", fresh, "/sf0.1")
+          cur = fresh
+      }
+    }
+    // 1.28^1=1.28 ok, 1.28^2=1.64 > 1.5 → the ratchet stops at step 2
+    assert(refusedAt == 2, s"anchor should refuse at step 2, got $refusedAt")
   }
 
   test("run-condition stamp carries nproc, load and timing protocol") {
