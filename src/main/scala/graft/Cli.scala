@@ -421,16 +421,34 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = kv("source")
+    val mgr = new jobs.JobManager(spark)
+    val issuesFn = () => Tables.issuesFull(spark, src)
+    val linksFn = () => Tables.links(spark, src)
+    // --reconcile <resources file> runs the operator's control loop inside
+    // serve: declared resources fire on the real clock every
+    // --reconcile-interval-ms (reference requeues every 30 s,
+    // internal/operator/controllers/jirasync_controller.go:472-554), and
+    // their phase/backoff state is readable at GET /api/v1/resources
+    val reconciler = kv.get("reconcile").map { path =>
+      val rec = new jobs.Reconciler(spark, mgr, issuesFn, linksFn,
+        kv("repo"), kv("state"))
+      val t0 = new Timestamp(System.currentTimeMillis())
+      parseResources(path).foreach(r => rec.apply(r, t0))
+      rec
+    }
     val server = new api.ApiServer(spark,
-      new jobs.JobManager(spark),
+      mgr,
       new api.ProfileStore(s"${kv("state")}/profiles"),
-      () => Tables.issuesFull(spark, src), () => Tables.links(spark, src),
+      issuesFn, linksFn,
       kv("repo"), kv("state"),
       host = kv.getOrElse("host", "127.0.0.1"),
       port = kv.get("port").flatMap(_.toIntOption).getOrElse(8080),
       rateLimitPerMinute = kv.get("rate-limit").flatMap(_.toIntOption).getOrElse(0),
       authToken = kv.get("auth-token"),
-      version = "0.1.0")
+      version = "0.1.0",
+      reconciler = reconciler,
+      reconcileIntervalMs = kv.get("reconcile-interval-ms")
+        .flatMap(_.toLongOption).getOrElse(30000L))
     val port = server.start()
     (server, port)
   }
@@ -451,7 +469,8 @@ object Cli {
       |           --resources <file.json> [--ticks N] [--step-ms MS]
       |  serve    --source <sfDir> --repo <dir> --state <path>
       |           [--host 127.0.0.1] [--port 8080] [--rate-limit N]
-      |           [--auth-token T]
+      |           [--auth-token T] [--reconcile <resources.json>]
+      |           [--reconcile-interval-ms 30000]
       |           (a configured --auth-token is always enforced as a
       |            Bearer token; loopback binds additionally get wildcard
       |            CORS, non-loopback binds do not)

@@ -45,7 +45,9 @@ final class ApiServer(
     rateLimitPerMinute: Int = 0,
     authToken: Option[String] = None,
     version: String = "dev",
-    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+    clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+    reconciler: Option[graft.jobs.Reconciler] = None,
+    reconcileIntervalMs: Long = 30000L) {
 
   private val mapper = {
     val m = new ObjectMapper()
@@ -75,22 +77,47 @@ final class ApiServer(
     jobs.runPending(issues(), links(), repoRoot, stateRoot, clock())
   }
 
+  /** Long-lived control loop over the injected [[graft.jobs.Reconciler]] —
+    * the reference operator's requeue-every-30s Reconcile driver
+    * (reference: internal/operator/controllers/jirasync_controller.go:472-554)
+    * on the real (or injected) clock. Each pass takes the SAME execution
+    * lock as the async job worker, so the phase machine stays
+    * single-writer; the loop polls at `reconcileIntervalMs` but fire times
+    * come from `clock()` through the Reconciler's deterministic `tick`, so
+    * a fake clock drives the identical semantics the ReconcilerSpec pins.
+    */
+  private val reconcileTicker: Option[Thread] = reconciler.map { r =>
+    val t = new Thread(() => {
+      while (running.get()) {
+        try executionLock.synchronized { r.tick(clock()) }
+        catch { case _: InterruptedException => () ; case _: Throwable => () }
+        try Thread.sleep(reconcileIntervalMs)
+        catch { case _: InterruptedException => () }
+      }
+    }, "graft-reconcile")
+    t.setDaemon(true)
+    t
+  }
+
   /** Bind and serve; returns the bound port (pass port=0 for ephemeral). */
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/api/v1/", handle _)
+    server.createContext("/metrics", metricsHandle _)
     server.setExecutor(Executors.newFixedThreadPool(4, r => {
       val t = new Thread(r, "graft-api"); t.setDaemon(true); t
     }))
     startedAtMs.set(clock().getTime)
     running.set(true)
     worker.start()
+    reconcileTicker.foreach(_.start())
     server.start()
     server.getAddress.getPort
   }
 
   def stop(): Unit = {
     running.set(false)
+    reconcileTicker.foreach(_.interrupt())
     if (server != null) server.stop(0)
   }
 
@@ -202,6 +229,8 @@ final class ApiServer(
       case ("DELETE", List("jobs", id)) => deleteJob(exchange, rid, id)
       case ("POST", List("jobs", id, "cancel")) => cancelJob(exchange, rid, id)
       case ("GET", List("jobs", id, "logs")) => jobLogs(exchange, rid, id)
+      case ("GET", List("resources")) => listResources(exchange, rid)
+      case ("GET", List("resources", name)) => getResource(exchange, rid, name)
       case ("GET", List("templates")) => listTemplates(exchange, rid)
       case ("GET", List("profiles")) => listProfiles(exchange, rid)
       case ("POST", List("profiles")) => createProfile(exchange, rid)
@@ -254,9 +283,102 @@ final class ApiServer(
         "GET /api/v1/jobs", "GET /api/v1/jobs/{id}", "DELETE /api/v1/jobs/{id}",
         "POST /api/v1/jobs/{id}/cancel", "GET /api/v1/jobs/{id}/logs",
         "GET /api/v1/jobs/queue/status",
+        "GET /api/v1/resources", "GET /api/v1/resources/{name}",
         "GET /api/v1/templates",
         "GET /api/v1/profiles", "POST /api/v1/profiles", "GET /api/v1/profiles/{name}",
         "PUT /api/v1/profiles/{name}", "DELETE /api/v1/profiles/{name}")))
+
+  // ---- Prometheus text-format metrics (reference: the operator's
+  // controller metrics, internal/operator/controllers/jirasync_controller.go:100-179)
+  // served at /metrics OUTSIDE the /api/v1 envelope, as scrapers expect ----
+
+  private def promEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  private[graft] def metricsText(): String = {
+    val sb = new StringBuilder
+    def gauge(name: String, help: String,
+        rows: Seq[(Map[String, String], Double)]): Unit = {
+      sb.append(s"# HELP $name $help\n# TYPE $name gauge\n")
+      rows.foreach { case (labels, v) =>
+        val l = if (labels.isEmpty) ""
+          else labels.toSeq.sortBy(_._1)
+            .map { case (k, x) => s"""$k="${promEscape(x)}"""" }
+            .mkString("{", ",", "}")
+        val vs = if (v == v.floor && !v.isInfinite) v.toLong.toString else v.toString
+        sb.append(s"$name$l $vs\n")
+      }
+    }
+    gauge("graft_uptime_seconds", "Seconds since the server started",
+      Seq(Map.empty[String, String] ->
+        ((clock().getTime - startedAtMs.get()) / 1000.0).floor))
+    gauge("graft_http_requests_total", "Requests handled since start",
+      Seq(Map.empty[String, String] -> requestIds.get().toDouble))
+    val phases = Seq("Pending", "Running", "Completed", "Failed", "Cancelled")
+    val byPhase = jobs.queueStatus()
+    gauge("graft_jobs", "Jobs in the manager by phase",
+      phases.map(p => Map("phase" -> p) -> byPhase.getOrElse(p, 0).toDouble))
+    gauge("graft_rate_limit_clients", "Distinct clients in the current window",
+      Seq(Map.empty[String, String] -> rateWindowEntries.toDouble))
+    reconciler.foreach { r =>
+      val rs = r.list()
+      val rPhases = Seq("Scheduled", "Pending", "Running", "Completed", "Failed")
+      gauge("graft_resources", "Reconciled resources by phase",
+        rPhases.map(p =>
+          Map("phase" -> p) -> rs.count(_.phase == p).toDouble))
+      gauge("graft_resource_retries", "Retries consumed per resource",
+        rs.map(st =>
+          Map("resource" -> st.resource.name) -> st.retryCount.toDouble))
+    }
+    sb.toString
+  }
+
+  private def metricsHandle(exchange: HttpExchange): Unit = {
+    try {
+      if (!authorized(exchange)) {
+        exchange.sendResponseHeaders(401, -1)
+      } else {
+        val bytes = metricsText().getBytes("UTF-8")
+        exchange.getResponseHeaders.set("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        exchange.sendResponseHeaders(200, bytes.length)
+        val out = exchange.getResponseBody
+        out.write(bytes); out.close()
+      }
+    } catch { case _: Throwable => () }
+    finally exchange.close()
+  }
+
+  // ---- reconciled resources (reference: the operator's status subresource,
+  // internal/operator/types/types.go:30-55 JiraSyncStatus) ----
+
+  private def resourceJson(st: graft.jobs.Reconciler#ResourceState): Map[String, Any] =
+    Map(
+      "name" -> st.resource.name,
+      "phase" -> st.phase,
+      "schedule" -> st.resource.schedule.isDefined,
+      "next_run_at" -> st.nextRunAt.map(_.toString).orNull,
+      "retry_count" -> st.retryCount,
+      "max_retries" -> st.resource.retryPolicy.map(_.maxRetries).getOrElse(0),
+      "job_id" -> st.jobId.orNull,
+      "last_error" -> st.lastError.orNull)
+
+  private def listResources(exchange: HttpExchange, rid: String): Unit =
+    reconciler match {
+      case None => writeError(exchange, rid, 404, "NOT_FOUND",
+        "Reconciler not enabled",
+        "start serve with --reconcile <resources.json>")
+      case Some(r) =>
+        val rs = r.list().map(resourceJson)
+        writeJson(exchange, rid, 200, Map("resources" -> rs, "count" -> rs.size))
+    }
+
+  private def getResource(exchange: HttpExchange, rid: String, name: String): Unit =
+    reconciler.flatMap(_.status(name)) match {
+      case None => writeError(exchange, rid, 404, "NOT_FOUND",
+        "Unknown resource", name)
+      case Some(st) => writeJson(exchange, rid, 200, resourceJson(st))
+    }
 
   // ---- sync (reference: handlers_sync.go) ----
 

@@ -894,8 +894,7 @@ object Dedup {
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin)) {
     (s, dir) =>
     val docs = graft.Tables.t(s, dir, "documents").select("doc_id", "text")
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-incr-sigs").toString + "/sigs"
+    val path = graft.Caches.scratchDir("incr-sigs").toString + "/sigs"
     upsertSignatures(docs.filter(col("doc_id") % 10 =!= 0), path)
     val late = docs.filter(col("doc_id") % 10 === 0)
     upsertSignatures(late, path)
@@ -1253,8 +1252,7 @@ object Dedup {
        |LEFT JOIN dper d USING (doc_id) LEFT JOIN cov c USING (doc_id)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = graft.Tables.t(s, dir, "documents").select("doc_id", "text")
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-incr-spans").toString + "/spans"
+    val path = graft.Caches.scratchDir("incr-spans").toString + "/spans"
     upsertSpans(docs.filter(col("doc_id") % 10 =!= 0), path)
     val late = docs.filter(col("doc_id") % 10 === 0)
     upsertSpans(late, path)

@@ -388,8 +388,7 @@ object Multimodal {
        |SELECT doc_a, doc_b, kind, hamming, hamming <= 6 AS near FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val media = mediaTable(s, dir)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-incr-phash").toString + "/phash"
+    val path = graft.Caches.scratchDir("incr-phash").toString + "/phash"
     upsertPhash(media.filter(col("doc_id") % 10 =!= 0), path)
     val late = media.filter(col("doc_id") % 10 === 0)
     upsertPhash(late, path)

@@ -1505,6 +1505,115 @@ object Graph {
       .orderBy(desc("harmonic_nano"), col("node")).limit(25)
   }
 
+  /** Production twin of [[harmonicK3]]: the same 3-hop BFS census with a
+    * PER-HOP, PER-SOURCE frontier cap in deterministic hash order — the
+    * same discipline as [[linkPredictCapped]]. The exact card's cost driver
+    * is the hop-pair frame (Σ 3-hop neighborhood sizes), which on a
+    * small-world / hub-dense graph approaches |V|² pairs by hop 2; capping
+    * each source's frontier at `hopCap` before the next expansion bounds
+    * the frame at |V|·hopCap rows per hop regardless of topology. The cap
+    * is applied in md5-prefix hash order of `(src, n)` — content-determined,
+    * engine-independent, replayable in SQL — never "whatever rows arrived
+    * first". Hop h's exclusion anti-joins run against the CAPPED earlier
+    * hops (the frames actually kept), so the semantics are fully defined by
+    * (graph, hopCap) alone. The per-src cap window is partitioned by src —
+    * never a global window.
+    *
+    * Returns the full `(node, c1, c2, c3, harmonic_nano)` frame; callers
+    * apply their own top-k. At a cap above every per-source hop frontier
+    * the result is hash-identical to the exact census — the oracle row
+    * pins exactly that, and GraphSpec pins cap-monotone coverage (counts
+    * never exceed the exact card's, and grow monotonically with the cap).
+    */
+  def harmonicCapped(edges: DataFrame, hopCap: Int): DataFrame = {
+    val e = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e.select("a", "b")
+      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("hk", "n")
+    def cap(df: DataFrame) = df
+      .withColumn("hk", graft.functions.Md5Prefix64(
+        concat_ws(":", col("src").cast("string"), col("n").cast("string"))))
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= hopCap)
+      .select("src", "n")
+    val h1 = cap(und.select(col("a").as("src"), col("b").as("n")))
+    def expand(prev: DataFrame, excl: Seq[DataFrame]) = {
+      val next = prev
+        .join(und.select(col("a").as("n"), col("b").as("n2")), Seq("n"))
+        .select(col("src"), col("n2").as("n")).distinct()
+        .filter(col("n") =!= col("src"))
+      excl.foldLeft(next)((d, x) => d.join(x, Seq("src", "n"), "left_anti"))
+    }
+    val h2 = cap(expand(h1, Seq(h1)))
+    val h3 = cap(expand(h2, Seq(h1, h2)))
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy("src").agg(count(lit(1)).as(name))
+    cnt(h1, "c1")
+      .join(cnt(h2, "c2"), Seq("src"), "left")
+      .join(cnt(h3, "c3"), Seq("src"), "left")
+      .select(col("src").as("node"),
+        col("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("c3"), lit(0L)).as("c3"))
+      .withColumn("harmonic_nano",
+        col("c1") * lit(1000000000L) + col("c2") * lit(500000000L)
+          + col("c3") * lit(333333333L))
+  }
+
+  /** Registered per-hop cap for [[harmonicCapped]]: far above the fixture's
+    * largest per-source hop frontier, so the oracle (which replays the SAME
+    * hash-order capping) pins a result hash-identical to the exact
+    * [[harmonicK3]] card — proving the capped path changes nothing until
+    * the topology forces it to.
+    */
+  private val HarmonicHopCap = 8192
+
+  private def harmonicCapSql(inner: String): String =
+    s"""SELECT src, n FROM (
+       |    SELECT src, n, row_number() OVER (PARTITION BY src ORDER BY
+       |      ('0x' || substr(md5(src::VARCHAR || ':' || n::VARCHAR), 1, 15))::BIGINT,
+       |      n) AS rn
+       |    FROM ($inner)) WHERE rn <= $HarmonicHopCap""".stripMargin
+
+  private val harmonicCapped_ = q("graph_harmonic_capped",
+    s"""WITH ${Oracle.linksCte},
+       |$edgesIntSql,
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)
+       |  WHERE a <> b),
+       |h1 AS (${harmonicCapSql("SELECT a AS src, b AS n FROM und")}),
+       |h2 AS (${harmonicCapSql(
+      """SELECT DISTINCT h.src, u.b AS n
+        |      FROM h1 h JOIN und u ON u.a = h.n
+        |      WHERE u.b <> h.src
+        |        AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.src = h.src AND x.n = u.b)"""
+        .stripMargin)}),
+       |h3 AS (${harmonicCapSql(
+      """SELECT DISTINCT h.src, u.b AS n
+        |      FROM h2 h JOIN und u ON u.a = h.n
+        |      WHERE u.b <> h.src
+        |        AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.src = h.src AND x.n = u.b)
+        |        AND NOT EXISTS (SELECT 1 FROM h2 x WHERE x.src = h.src AND x.n = u.b)"""
+        .stripMargin)}),
+       |c AS (
+       |  SELECT src,
+       |    (SELECT count(*) FROM h1 WHERE h1.src = s.src)::BIGINT AS c1,
+       |    (SELECT count(*) FROM h2 WHERE h2.src = s.src)::BIGINT AS c2,
+       |    (SELECT count(*) FROM h3 WHERE h3.src = s.src)::BIGINT AS c3
+       |  FROM (SELECT DISTINCT src FROM h1) s)
+       |SELECT src AS node, c1, c2, c3,
+       |  (c1 * 1000000000 + c2 * 500000000 + c3 * 333333333)::BIGINT
+       |    AS harmonic_nano
+       |FROM c ORDER BY harmonic_nano DESC, node LIMIT 25""".stripMargin) {
+    (s, dir) =>
+    harmonicCapped(edgesInt(s, dir), HarmonicHopCap)
+      .orderBy(desc("harmonic_nano"), col("node")).limit(25)
+  }
+
   /** Link prediction by common-neighborhood — the "which edge is missing?"
     * card over the dependency graph: for every NON-adjacent node pair that
     * shares at least one neighbor, the shared-neighbor count and the
@@ -2148,5 +2257,6 @@ object Graph {
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
     lpaCommunities, ktruss, linkPredict, linkPredictCapped_, adamicAdar,
-    harmonicK3, clusteringCoeff, assortativity, pprQ, hits, sccBounded)
+    harmonicK3, harmonicCapped_, clusteringCoeff, assortativity, pprQ, hits,
+    sccBounded)
 }

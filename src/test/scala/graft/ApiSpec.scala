@@ -104,7 +104,7 @@ class ApiSpec extends AnyFunSuite {
     val (ds, dr) = call("GET", s"$base/docs")
     assert(ds == 200)
     val endpoints = data(dr)("endpoints").asInstanceOf[Seq[Any]].map(String.valueOf)
-    assert(endpoints.size == 18)
+    assert(endpoints.size == 20)
     assert(endpoints.contains("POST /api/v1/sync/jql"))
   }
 
@@ -426,5 +426,129 @@ class ApiSpec extends AnyFunSuite {
     // a job submitted later never reshuffles the earlier pages
     val id4 = m.submit(spec("P1-4"), new Timestamp(1000000000000L + 4000L))
     assert(m.list().map(_.id) == ids :+ id4)
+  }
+
+  test("serve --reconcile: backoff walks and schedules fire through the REST facade") {
+    import graft.jobs.{Cron, Reconciler, RetryPolicy, SyncResource}
+    val rwork = Files.createTempDirectory("graft-api-rec").toString
+    val rManager = new JobManager(spark)
+    // controllable clock: the ticker thread polls every 25 ms of real time,
+    // but every fire decision reads THIS clock — the fake-clock semantics
+    // ReconcilerSpec pins, driven by a live control loop
+    val recClock = new java.util.concurrent.atomic.AtomicLong(
+      Timestamp.valueOf("2002-06-01 00:00:00").getTime)
+    def now() = new Timestamp(recClock.get())
+    val rec = new Reconciler(spark, rManager,
+      () => issuesDf, () => linksDf, s"$rwork/repos", s"$rwork/state")
+    def spec(jql: String) = SyncJobSpec("jql", Nil, Some(jql), None, None,
+      "repo", None, max_retries = 0, backoff_base_sec = 1,
+      backoff_cap_sec = 2, dry_run = true)
+    rec.apply(SyncResource("doomed", spec("project = AND AND"),
+      retryPolicy = Some(RetryPolicy(maxRetries = 2, backoffMultiplier = 2.0,
+        initialDelaySec = 10))), now())
+    rec.apply(SyncResource("quarterly", spec("project = P1"),
+      schedule = Some(Cron.parse("*/15 * * * *"))), now())
+    val srv = new ApiServer(spark, rManager, store,
+      () => issuesDf, () => linksDf, s"$rwork/repos", s"$rwork/state",
+      version = "test-rec", clock = () => now(),
+      reconciler = Some(rec), reconcileIntervalMs = 25L)
+    val rb = s"http://127.0.0.1:${srv.start()}/api/v1"
+    def resource(name: String): Map[String, Any] =
+      data(call("GET", s"$rb/resources/$name")._2)
+    def await(cond: () => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cond() && System.currentTimeMillis() < deadline) Thread.sleep(25)
+      assert(cond(), s"timed out waiting for $what")
+    }
+    try {
+      // listing shows both declared resources
+      val (ls, lr) = call("GET", s"$rb/resources")
+      assert(ls == 200 && data(lr)("count") == 2)
+
+      // the failing resource's first attempt fires immediately (unscheduled
+      // one-shot), fails, and re-arms 10 s out per the retry policy
+      await(() => resource("doomed")("retry_count") == 1,
+        "first failure to consume retry 1")
+      val d1 = resource("doomed")
+      assert(d1("phase") == "Scheduled" &&
+        String.valueOf(d1("next_run_at")).startsWith("2002-06-01 00:00:10"))
+      assert(d1("last_error") != null)
+
+      // nothing moves while the clock is parked before the retry window
+      Thread.sleep(150)
+      assert(resource("doomed")("retry_count") == 1)
+
+      // advance past the retry; the next failure backs off 10x2 = 20 s
+      recClock.addAndGet(10000)
+      await(() => resource("doomed")("retry_count") == 2,
+        "retry 2 after the 10 s backoff")
+      assert(String.valueOf(resource("doomed")("next_run_at"))
+        .startsWith("2002-06-01 00:00:30"))
+
+      // budget (maxRetries=2) exhausts on the next failure: terminal Failed
+      recClock.addAndGet(20000)
+      await(() => resource("doomed")("phase") == "Failed",
+        "retries to exhaust into Failed")
+      assert(resource("doomed")("next_run_at") == null)
+
+      // the cron resource fires exactly at its quarter-hour match
+      assert(resource("quarterly")("phase") == "Scheduled")
+      recClock.set(Timestamp.valueOf("2002-06-01 00:15:00").getTime)
+      await(() => resource("quarterly")("job_id") != null,
+        "the */15 schedule to fire at 00:15")
+      await(() => resource("quarterly")("phase") == "Scheduled",
+        "the completed run to re-arm")
+      val q = resource("quarterly")
+      assert(String.valueOf(q("next_run_at")).startsWith("2002-06-01 00:30:00"))
+      // and its job is visible through the ordinary jobs route
+      val jid = String.valueOf(q("job_id"))
+      val (js, jr) = call("GET", s"$rb/jobs/$jid")
+      assert(js == 200 && data(jr)("status") == "Completed")
+    } finally srv.stop()
+
+    // a server without a reconciler 404s the resources routes
+    val (ns, nr) = call("GET", s"$base/resources")
+    assert(ns == 404 && error(nr)("code") == "NOT_FOUND")
+  }
+
+  test("/metrics scrapes Prometheus text format with job and resource gauges") {
+    // prime at least one job through the shared server so phases are nonzero
+    call("POST", s"$base/sync/single", s"""{"issue_key":"$someKey"}""")
+    val resp = http.send(
+      HttpRequest.newBuilder(
+        URI.create(s"${base.stripSuffix("/api/v1")}/metrics")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    assert(resp.headers().firstValue("Content-Type").orElse("")
+      .startsWith("text/plain"))
+    val body = resp.body()
+    // text format 0.0.4: HELP/TYPE headers and one sample per line
+    assert(body.contains("# TYPE graft_jobs gauge"))
+    assert(body.contains("# HELP graft_uptime_seconds"))
+    val jobLine = "graft_jobs\\{phase=\"(\\w+)\"\\} (\\d+)".r
+    val byPhase = jobLine.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    assert(byPhase.keySet == Set("Pending", "Running", "Completed",
+      "Failed", "Cancelled"))
+    assert(byPhase("Completed") >= 1, s"no completed jobs in: $byPhase")
+    assert("graft_http_requests_total (\\d+)".r.findFirstMatchIn(body)
+      .exists(_.group(1).toLong >= 1))
+    // a token-guarded server refuses an unauthenticated scrape
+    val g = new ApiServer(spark, manager, store, () => issuesDf, () => linksDf,
+      s"$work/repos", s"$work/state", version = "test-m",
+      clock = () => tick(), authToken = Some("sekret3"))
+    val gp = g.start()
+    try {
+      val denied = http.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$gp/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(denied.statusCode() == 401)
+      val ok = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$gp/metrics"))
+          .header("Authorization", "Bearer sekret3").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200 && ok.body().contains("graft_jobs"))
+    } finally g.stop()
   }
 }

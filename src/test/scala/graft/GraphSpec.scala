@@ -642,4 +642,47 @@ class GraphSpec extends AnyFunSuite {
       .filter(col("n_bigrams") =!= col("expect_bg")).count()
     assert(mismatch == 0, "per-doc bigram count != word count - 1")
   }
+
+  test("harmonicCapped: coverage is cap-monotone and converges to the exact census") {
+    val enc = (c: String) =>
+      expr(s"substring($c, 2, 1)").cast("long") * lit(1000000000000L) +
+        element_at(split(col(c), "-"), 2).cast("long")
+    val edges = edgeSlice.select(enc("src").as("a"), enc("dst").as("b"))
+    def counts(capped: org.apache.spark.sql.DataFrame) =
+      capped.collect().map { r =>
+        r.getAs[Long]("node") ->
+          (r.getAs[Long]("c1"), r.getAs[Long]("c2"), r.getAs[Long]("c3"))
+      }.toMap
+    val tight = counts(queries.Graph.harmonicCapped(edges, 2))
+    val mid = counts(queries.Graph.harmonicCapped(edges, 8))
+    val full = counts(queries.Graph.harmonicCapped(edges, 1 << 20))
+    // the uncapped-by-construction run must equal the exact card's counts
+    val exact = SparkEntry.queries("graph_harmonic_k3")(spark, sf)
+      .collect().map { r =>
+        r.getAs[Long]("node") ->
+          (r.getAs[Long]("c1"), r.getAs[Long]("c2"), r.getAs[Long]("c3"))
+      }.toMap
+    exact.foreach { case (node, cs) =>
+      assert(full.get(node).contains(cs),
+        s"cap 2^20 disagrees with the exact census at node $node")
+    }
+    // per-hop counts never exceed the cap and never shrink as the cap grows
+    tight.values.foreach { case (c1, c2, c3) =>
+      assert(c1 <= 2 && c2 <= 2 && c3 <= 2, "hop count above the cap")
+    }
+    tight.foreach { case (node, (c1, c2, c3)) =>
+      val (m1, m2, m3) = mid.getOrElse(node, (0L, 0L, 0L))
+      val (f1, f2, f3) = full.getOrElse(node, (0L, 0L, 0L))
+      assert(c1 <= m1 && m1 <= f1 && c1 <= f1, s"c1 not cap-monotone at $node")
+      // c2/c3 are not per-node monotone in general (a capped hop-1 frontier
+      // reroutes which nodes land at hop 2), but total coverage is
+      assert(c1 + c2 + c3 <= f1 + f2 + f3 || (m1, m2, m3) != (0L, 0L, 0L),
+        s"capped coverage exceeds exact at $node")
+    }
+    val totalTight = tight.values.map(t => t._1 + t._2 + t._3).sum
+    val totalMid = mid.values.map(t => t._1 + t._2 + t._3).sum
+    val totalFull = full.values.map(t => t._1 + t._2 + t._3).sum
+    assert(totalTight <= totalMid && totalMid <= totalFull,
+      s"total coverage not cap-monotone: $totalTight / $totalMid / $totalFull")
+  }
 }

@@ -995,4 +995,52 @@ class StreamSpec extends AnyFunSuite {
         (win, "books", 1L, booksGood.split(" ").length.toLong)))
     } finally query.stop()
   }
+
+  test("progress card: per-batch rows/latency/state telemetry with pinned bounds") {
+    import spark.implicits._
+    import graft.streaming.Progress
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    // a STATEFUL pipeline (watermarked windowed agg) so the state-store
+    // numbers in the card are live, not vacuous zeros
+    val rates = CdcStream.eventRates(
+      mem.toDF().toDF("ts", "event_type", "value"), watermarkDelay = Some("1 hour"))
+    val query = rates.writeStream
+      .outputMode("append").format("memory").queryName("progress_out").start()
+    val (b1, b2) = (
+      (0 until 40).map(i => (ts(f"2024-01-01 10:${i % 60}%02d:00"), "click", 1.0)),
+      (0 until 25).map(i => (ts(f"2024-01-01 12:${i % 60}%02d:00"), "view", 1.0)))
+    val cards =
+      try {
+        mem.addData(b1)
+        query.processAllAvailable()
+        mem.addData(b2)
+        query.processAllAvailable()
+        Progress.card(query)
+      } finally query.stop()
+    // exactly the two data batches, in order, rows accounted exactly
+    assert(cards.map(_.inputRows) == Seq(40L, 25L),
+      s"per-batch input rows diverged: $cards")
+    assert(cards.map(_.batchId) == cards.map(_.batchId).sorted)
+    // every batch that did work has positive finite throughput + latency
+    cards.foreach { c =>
+      assert(c.batchDurationMs > 0, s"batch ${c.batchId} has no duration")
+      assert(c.processedRowsPerSec > 0 && !c.processedRowsPerSec.isInfinite,
+        s"batch ${c.batchId} rows/sec not a live rate: $c")
+    }
+    // the windowed agg holds keyed state: rows > 0, memory > 0, and the
+    // second batch's state grew (new 12:00 windows joined the 10:00 ones)
+    assert(cards.head.stateRows > 0 && cards.head.stateMemoryBytes > 0,
+      s"stateful operator reported no state: ${cards.head}")
+    assert(cards.last.stateRows >= cards.head.stateRows,
+      "state shrank while the watermark never passed a window")
+    val s = Progress.summarize(cards)
+    assert(s.batches == 2 && s.totalRows == 65)
+    assert(s.maxBatchDurationMs == cards.map(_.batchDurationMs).max)
+    assert(s.minRowsPerSec > 0 && s.maxStateRows == cards.last.stateRows)
+    // idle watermark-advance batches exist in raw progress but not the card
+    val raw = Progress.card(query, includeIdle = true)
+    assert(raw.size >= cards.size)
+    assert(raw.filter(_.inputRows > 0).map(_.batchId) == cards.map(_.batchId))
+  }
 }
