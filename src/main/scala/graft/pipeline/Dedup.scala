@@ -307,7 +307,7 @@ object Dedup {
        |  (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
        |  (SELECT count(*) FROM hit)::BIGINT AS n_hit,
        |  (SELECT count(*) FROM hit)::DOUBLE
-       |    / (SELECT count(*) FROM truth) AS recall""".stripMargin)) {
+       |    / nullif((SELECT count(*) FROM truth), 0) AS recall""".stripMargin)) {
     (s, dir) =>
     val sh = docShingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -336,11 +336,17 @@ object Dedup {
     val flagged = truth.join(
       cand.select(col("doc_a"), col("doc_b"), lit(1L).as("__hit")),
       Seq("doc_a", "doc_b"), "left")
+    // coalesce the fold itself: over an EMPTY truth frame sum() is NULL in
+    // Spark but DuckDB's count(*) is 0 — a divergence only a corpus with
+    // zero true near-dup pairs exposes (caught by the sf1 synthetic run)
     flagged.agg(count(lit(1)).as("n_true"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("n_hit"))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      // nullif: recall over ZERO true pairs is undefined, not an ANSI
+      // divide-by-zero crash — both dialects yield NULL (sf1-caught edge)
       .select(col("n_true"), col("n_candidates"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_true")).as("recall"))
+        (col("n_hit").cast("double") / nullif(col("n_true"), lit(0L)))
+          .as("recall"))
   }
 
   /** MinHash estimator calibration — the sketch-quality card completing

@@ -1364,8 +1364,57 @@ object Similarity {
       .orderBy("band")
   }
 
+  /** Exact phrase search over positional postings — the retrieval feature
+    * BM25's bag-of-words scoring cannot express ("table hash" as a phrase,
+    * not two independent terms). Postings are `(tok, doc_id, pos)`; a
+    * 2-term phrase match is ONE equi-join on `(doc_id, pos)` between the
+    * first term's postings and the second term's postings shifted by −1 —
+    * never a scan of document text at query time, and never a positions²
+    * blowup (the join key includes the position itself).
+    *
+    * Scale shape: at 100 TB the postings live materialized and
+    * TERM-BUCKETED (the same layout [[bm25Incremental]] maintains
+    * CDC-incrementally), so a phrase probe reads exactly the phrase terms'
+    * buckets — index-only, corpus-size-independent; each term's posting
+    * slice is df-bounded and the adjacency join is equi-keyed on
+    * `(doc_id, pos)`, so it hashes, never sorts globally. This card builds
+    * the postings inline from the fixture (the probe plan is identical
+    * either way) and returns per-doc match counts with the first match
+    * position — exact integers end to end.
+    */
+  private val phrase = {
+    val p0t = "table"; val p1t = "hash"
+    q("pipe_search_phrase",
+      s"""WITH $docsNormCte,
+         |$wordsCte,
+         |pos AS (
+         |  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS p
+         |  FROM words),
+         |hits AS (
+         |  SELECT a.doc_id, a.p AS pos
+         |  FROM (SELECT doc_id, p FROM pos WHERE tok = '$p0t') a
+         |  JOIN (SELECT doc_id, p FROM pos WHERE tok = '$p1t') b
+         |    ON b.doc_id = a.doc_id AND b.p = a.p + 1)
+         |SELECT doc_id, count(*)::BIGINT AS n_matches,
+         |  min(pos)::BIGINT AS first_pos
+         |FROM hits GROUP BY doc_id
+         |ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val pos = docWords(s, dir)
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), col("tok"),
+          (col("p0") + 1).cast("long").as("p"))
+      val a = pos.filter(col("tok") === p0t).select(col("doc_id"), col("p"))
+      val b = pos.filter(col("tok") === p1t)
+        .select(col("doc_id"), (col("p") - 1).as("p"))
+      a.join(b, Seq("doc_id", "p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), min(col("p")).as("first_pos"))
+        .orderBy(desc("n_matches"), col("doc_id")).limit(20)
+    }
+  }
+
   val all: Seq[GQuery] = Seq(brute, ivf, lsh, knnJoin, recall, incremental,
     quantize, pq, ivfpq, rerank, filtered, hybrid, hardNegatives,
     decontaminateSemantic, nprobeSweep, matryoshka, maxsim, bm25Incremental,
-    binary, embNorms)
+    binary, embNorms, phrase)
 }

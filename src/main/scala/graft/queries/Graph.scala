@@ -2185,10 +2185,17 @@ object Graph {
 
   private val sccBounded = {
     val k = 3
+    // MATERIALIZED: every round references its predecessor twice and the
+    // edge frame once; left to its default heuristics DuckDB inlines the
+    // multi-referenced CTEs, so round k re-derives the whole tree below it
+    // (~2^k copies of the 6M-row links pipeline live at once — measured
+    // >80 GB of spill at sf1 before the sandbox disk ran out). Forcing
+    // one-shot materialization is semantics-neutral and keeps the replay
+    // linear in k, exactly like the Spark side's per-round frames.
     def chain(prefix: String, from: String, to: String): String =
       (1 to k).map { i =>
         val prev = s"$prefix${i - 1}"
-        s"""$prefix$i AS (
+        s"""$prefix$i AS MATERIALIZED (
            |  SELECT l.node, least(l.lbl, coalesce(m.nm, l.lbl)) AS lbl
            |  FROM $prev l LEFT JOIN (
            |    SELECT e.$to AS node, min(p.lbl) AS nm
@@ -2204,8 +2211,9 @@ object Graph {
          |    CASE WHEN direction = 'outward' THEN ${encSql("dst")}
          |         ELSE ${encSql("src")} END AS b
          |  FROM links),
-         |e AS (SELECT DISTINCT a, b FROM oriented WHERE a <> b),
-         |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+         |e AS MATERIALIZED (SELECT DISTINCT a, b FROM oriented WHERE a <> b),
+         |nodes AS MATERIALIZED (
+         |  SELECT a AS node FROM e UNION SELECT b FROM e),
          |f0 AS (SELECT node, node AS lbl FROM nodes),
          |b0 AS (SELECT node, node AS lbl FROM nodes),
          |${chain("f", "a", "b")},

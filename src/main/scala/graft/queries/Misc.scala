@@ -1879,11 +1879,82 @@ object Misc {
       .orderBy("day_s")
   }
 
+  /** A/B experiment readout — the two-proportion z-test every product
+    * experiment ships with: users split into control/treatment by a
+    * DETERMINISTIC hash of their id (here `user_id % 2` — the fixture ids
+    * are already uniform; production salts the hash per experiment),
+    * conversion = the user produced at least one HIGH-VALUE purchase
+    * (`value > 90` — the fixture's every-user-buys saturation makes the
+    * bare any-purchase rate 1.0, which degenerates the pooled variance),
+    * and the z-statistic comes from the pooled-proportion formula on exact
+    * integer counts.
+    *
+    * Scale shape: one user-keyed aggregate (did this user convert — a
+    * map-side max of an indicator), then a 2-group aggregate; no window,
+    * no join, nothing keyed finer than the user. Exactness: all counts are
+    * integers; the rates and z are a FIXED scalar expression tree over
+    * those integers evaluated once on the single output row — IEEE doubles
+    * are deterministic under a fixed op order, so both engines produce the
+    * same bits, and z is additionally floored to nano-units.
+    */
+  private val abTest = q("stream_ab_test",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1
+      |      ELSE 0 END)::BIGINT AS conv
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT user_id % 2 AS variant, count(*)::BIGINT AS n_users,
+      |    sum(conv)::BIGINT AS n_conv
+      |  FROM u GROUP BY 1),
+      |w AS (
+      |  SELECT
+      |    max(CASE WHEN variant = 0 THEN n_users END)::BIGINT AS users_c,
+      |    max(CASE WHEN variant = 0 THEN n_conv END)::BIGINT AS conv_c,
+      |    max(CASE WHEN variant = 1 THEN n_users END)::BIGINT AS users_t,
+      |    max(CASE WHEN variant = 1 THEN n_conv END)::BIGINT AS conv_t
+      |  FROM v)
+      |SELECT users_c, conv_c, users_t, conv_t,
+      |  conv_c::DOUBLE / users_c AS cvr_c,
+      |  conv_t::DOUBLE / users_t AS cvr_t,
+      |  CAST(floor((conv_t::DOUBLE / users_t - conv_c::DOUBLE / users_c)
+      |    / nullif(sqrt(((conv_c + conv_t)::DOUBLE / (users_c + users_t))
+      |      * (1 - (conv_c + conv_t)::DOUBLE / (users_c + users_t))
+      |      * (1.0 / users_c + 1.0 / users_t)), 0) * 1000000000 + 0.5)
+      |    AS BIGINT) AS z_nano
+      |FROM w""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase"
+          && col("value") > 90, 1).otherwise(0))
+        .cast("long").as("conv"))
+    val v = u.groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    val w = v.agg(
+      max(when(col("variant") === 0, col("n_users"))).as("users_c"),
+      max(when(col("variant") === 0, col("n_conv"))).as("conv_c"),
+      max(when(col("variant") === 1, col("n_users"))).as("users_t"),
+      max(when(col("variant") === 1, col("n_conv"))).as("conv_t"))
+    val pooled = (col("conv_c") + col("conv_t")).cast("double") /
+      (col("users_c") + col("users_t"))
+    w.select(col("users_c"), col("conv_c"), col("users_t"), col("conv_t"),
+      (col("conv_c").cast("double") / col("users_c")).as("cvr_c"),
+      (col("conv_t").cast("double") / col("users_t")).as("cvr_t"),
+      // nullif: at saturated conversion (p = 0 or 1) the pooled variance is
+      // zero and z is undefined — NULL in both dialects, never an ANSI
+      // divide-by-zero (the sf1 synthetic corpus saturates and caught this)
+      floor((col("conv_t").cast("double") / col("users_t")
+          - col("conv_c").cast("double") / col("users_c"))
+        / nullif(sqrt(pooled * (lit(1) - pooled)
+          * (lit(1.0) / col("users_c") + lit(1.0) / col("users_t"))), lit(0.0))
+        * lit(1000000000L) + lit(0.5)).cast("long").as("z_nano"))
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
     activeUsers, zorderSkipping, zorderCompact, lateArrivals, intervalJoin,
-    attribution, sketchMerge, covisitation, rfm, sessionDuration)
+    attribution, sketchMerge, covisitation, rfm, sessionDuration, abTest)
 }

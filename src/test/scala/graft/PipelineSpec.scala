@@ -1706,4 +1706,51 @@ class PipelineSpec extends AnyFunSuite {
     val defShares = base.keySet.diff(Set("src0", "src1")).map(share)
     assert(share("src0") > defShares.max)
   }
+
+  test("phrase search: matches replay a brute-force scan of the normalized text") {
+    val got = SparkEntry.queries("pipe_search_phrase")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute-force census on the driver over the same normalization
+    val docs = pipeline.docWords(spark, sf).select("doc_id", "w").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val expected = docs.flatMap { case (id, w) =>
+      val hits = w.indices.dropRight(1)
+        .filter(i => w(i) == "table" && w(i + 1) == "hash")
+      if (hits.isEmpty) None
+      else Some(id -> (hits.size.toLong, (hits.min + 1).toLong))
+    }.toMap
+    assert(got.nonEmpty, "phrase must occur in the fixture")
+    got.foreach { case (id, v) =>
+      assert(expected.get(id).contains(v),
+        s"doc $id: got $v, brute force says ${expected.get(id)}")
+    }
+    // the LIMIT-20 cut keeps the highest match counts
+    val cut = expected.values.map(_._1).toSeq.sorted(Ordering[Long].reverse)
+      .take(got.size)
+    assert(got.values.map(_._1).toSeq.sorted == cut.sorted)
+  }
+
+  test("A/B readout: counts tie to a driver replay and z matches its own formula") {
+    val row = SparkEntry.queries("stream_ab_test")(spark, sf).head
+    val (nc, cc, nt, ct) = (row.getAs[Long]("users_c"), row.getAs[Long]("conv_c"),
+      row.getAs[Long]("users_t"), row.getAs[Long]("conv_t"))
+    // driver replay of assignment + conversion over the raw events
+    val conv = Tables.events(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        u -> rows.exists(r => r.getString(1) == "purchase" && r.getDouble(2) > 90)
+      }
+    val (ec, et) = conv.partition(_._1 % 2 == 0)
+    assert((nc, cc) == (ec.size.toLong, ec.count(_._2).toLong))
+    assert((nt, ct) == (et.size.toLong, et.count(_._2).toLong))
+    // interior rates (the card degenerates at 0 or 1 — pinned here so a
+    // fixture regeneration that saturates conversion fails loudly)
+    assert(cc > 0 && cc < nc && ct > 0 && ct < nt)
+    val (pc, pt) = (cc.toDouble / nc, ct.toDouble / nt)
+    val pp = (cc + ct).toDouble / (nc + nt)
+    val z = (pt - pc) / math.sqrt(pp * (1 - pp) * (1.0 / nc + 1.0 / nt))
+    assert(row.getAs[Long]("z_nano") == math.floor(z * 1e9 + 0.5).toLong)
+    assert(row.getAs[Double]("cvr_c") == pc && row.getAs[Double]("cvr_t") == pt)
+  }
 }
