@@ -1950,11 +1950,91 @@ object Misc {
         * lit(1000000000L) + lit(0.5)).cast("long").as("z_nano"))
   }
 
+  /** Experiment power analysis — the design-side companion of
+    * [[abTest]]: from the same deterministic assignment and conversion
+    * counts, the minimum detectable effect at the standard 80% power /
+    * two-sided α = 0.05 (z constants 1.959964 and 0.841621 as fixed
+    * literals — the textbook two-proportion approximation), and the
+    * per-arm sample size that WOULD power the observed effect. The
+    * question this answers — "was this experiment big enough to see what
+    * it claims to see?" — is the first thing a readout review asks.
+    *
+    * Scale shape: identical to the readout card (one user-keyed indicator
+    * aggregate, one 2-group aggregate, a single-row scalar epilogue).
+    * Exactness: counts are integers; MDE and n-required are one fixed
+    * expression tree each, floored to nano-units / whole users, and the
+    * n-required division is nullif-guarded when the observed effect is
+    * exactly zero (no effect → no finite sample size powers it).
+    */
+  private val abPower = q("stream_ab_power",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1
+      |      ELSE 0 END)::BIGINT AS conv
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT user_id % 2 AS variant, count(*)::BIGINT AS n_users,
+      |    sum(conv)::BIGINT AS n_conv
+      |  FROM u GROUP BY 1),
+      |w AS (
+      |  SELECT
+      |    max(CASE WHEN variant = 0 THEN n_users END)::BIGINT AS users_c,
+      |    max(CASE WHEN variant = 0 THEN n_conv END)::BIGINT AS conv_c,
+      |    max(CASE WHEN variant = 1 THEN n_users END)::BIGINT AS users_t,
+      |    max(CASE WHEN variant = 1 THEN n_conv END)::BIGINT AS conv_t
+      |  FROM v),
+      |s AS (
+      |  SELECT users_c, users_t,
+      |    (conv_c + conv_t)::DOUBLE / (users_c + users_t) AS pooled,
+      |    conv_t::DOUBLE / users_t - conv_c::DOUBLE / users_c AS delta
+      |  FROM w)
+      |SELECT users_c, users_t,
+      |  CAST(floor(pooled * 1000000000 + 0.5) AS BIGINT) AS pooled_nano,
+      |  CAST(floor((1.959964 + 0.841621)
+      |    * sqrt(pooled * (1 - pooled) * (1.0 / users_c + 1.0 / users_t))
+      |    * 1000000000 + 0.5) AS BIGINT) AS mde_nano,
+      |  CAST(ceil(2 * pooled * (1 - pooled)
+      |    * ((1.959964 + 0.841621) / nullif(abs(delta), 0))
+      |    * ((1.959964 + 0.841621) / nullif(abs(delta), 0)))
+      |    AS BIGINT) AS n_required_per_arm
+      |FROM s""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase"
+          && col("value") > 90, 1).otherwise(0))
+        .cast("long").as("conv"))
+    val v = u.groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    val w = v.agg(
+      max(when(col("variant") === 0, col("n_users"))).as("users_c"),
+      max(when(col("variant") === 0, col("n_conv"))).as("conv_c"),
+      max(when(col("variant") === 1, col("n_users"))).as("users_t"),
+      max(when(col("variant") === 1, col("n_conv"))).as("conv_t"))
+    val zsum = lit(1.959964) + lit(0.841621)
+    val base = w.select(col("users_c"), col("users_t"),
+      ((col("conv_c") + col("conv_t")).cast("double")
+        / (col("users_c") + col("users_t"))).as("pooled"),
+      (col("conv_t").cast("double") / col("users_t")
+        - col("conv_c").cast("double") / col("users_c")).as("delta"))
+    base.select(col("users_c"), col("users_t"),
+      floor(col("pooled") * lit(1000000000L) + lit(0.5)).cast("long")
+        .as("pooled_nano"),
+      floor(zsum
+        * sqrt(col("pooled") * (lit(1) - col("pooled"))
+          * (lit(1.0) / col("users_c") + lit(1.0) / col("users_t")))
+        * lit(1000000000L) + lit(0.5)).cast("long").as("mde_nano"),
+      ceil(lit(2) * col("pooled") * (lit(1) - col("pooled"))
+        * (zsum / nullif(abs(col("delta")), lit(0.0)))
+        * (zsum / nullif(abs(col("delta")), lit(0.0))))
+        .cast("long").as("n_required_per_arm"))
+  }
+
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
     funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
     activeUsers, zorderSkipping, zorderCompact, lateArrivals, intervalJoin,
-    attribution, sketchMerge, covisitation, rfm, sessionDuration, abTest)
+    attribution, sketchMerge, covisitation, rfm, sessionDuration, abTest,
+    abPower)
 }
