@@ -357,55 +357,121 @@ object Cli {
     }
   }
 
-  /** Parse a reconcile resources file: an array of
-    * `{name, sync_type, jql_query?, project_key?, issue_keys?, schedule?,
-    *   retry?: {max_retries, backoff_multiplier, initial_delay_sec},
-    *   dry_run?}` — the CRD-shaped spec triple of the reference operator
-    * (reference: internal/operator/types/types.go:12-67). A `.yaml`/`.yml`
-    * file is accepted in the same shape (the reference's resources ARE
-    * K8s YAML manifests); everything else parses as JSON. YAML loads
-    * through snakeyaml (already the YAML sink's parser) and re-serializes
-    * to a Jackson tree so both formats flow through one field extractor.
+  /** Parse a reconcile resources file. Two shapes are accepted and may be
+    * mixed in one file:
+    *
+    *  1. the flat shape: `{name, sync_type, jql_query?, project_key?,
+    *     issue_keys?, schedule?, retry?: {max_retries, backoff_multiplier,
+    *     initial_delay_sec}, dry_run?}`;
+    *  2. a K8s custom-resource manifest (`deploy/crds/graftsync-crd.yaml`):
+    *     `{apiVersion, kind: GraftSync, metadata: {name}, spec: {syncType,
+    *     target: {issueKeys|jqlQuery|projectKey|epicKey}, destination:
+    *     {repository, ...}, schedule?, retryPolicy?: {maxRetries,
+    *     backoffMultiplier, initialDelay}, dryRun?}}` — the camelCase spec
+    *     grammar of the reference CRD
+    *     (reference: internal/operator/types/types.go:12-67), so a manifest
+    *     written for `kubectl apply` drives `serve --reconcile` unchanged.
+    *
+    * A `.yaml`/`.yml` file may be a single document, a YAML array, or a
+    * `---`-separated multi-document stream (the normal kubectl layout);
+    * everything else parses as JSON (object or array). YAML loads through
+    * snakeyaml (already the YAML sink's parser) and re-serializes to a
+    * Jackson tree so both formats flow through one field extractor.
     */
   private[graft] def parseResources(path: String): Seq[jobs.SyncResource] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val lower = path.toLowerCase
-    val root =
-      if (lower.endsWith(".yaml") || lower.endsWith(".yml")) {
-        val loaded = new org.yaml.snakeyaml.Yaml()
-          .load[Object](new String(bytes, "UTF-8"))
-        mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](loaded)
-      } else mapper.readTree(bytes)
-    require(root.isArray, "resources file must be a JSON/YAML array")
     import scala.jdk.CollectionConverters._
-    root.elements().asScala.map { n =>
-      def str(f: String): Option[String] =
-        Option(n.get(f)).filter(!_.isNull).map(_.asText).filter(_.nonEmpty)
-      val name = str("name").getOrElse(
-        throw new IllegalArgumentException("resource needs a 'name'"))
-      val spec = model.SyncJobSpec(
-        sync_type = str("sync_type").getOrElse("jql"),
-        issue_keys = Option(n.get("issue_keys")).filter(_.isArray)
-          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
-        jql_query = str("jql_query"),
-        project_key = str("project_key"),
-        epic_key = str("epic_key"),
-        destination = str("destination").getOrElse("repo"),
-        schedule = str("schedule"),
-        max_retries = 0, backoff_base_sec = 1, backoff_cap_sec = 2,
-        dry_run = Option(n.get("dry_run")).exists(_.asBoolean(false)))
-      val retry = Option(n.get("retry")).filter(!_.isNull).map { r =>
-        jobs.RetryPolicy(
-          maxRetries = Option(r.get("max_retries")).map(_.asInt(0)).getOrElse(0),
-          backoffMultiplier = Option(r.get("backoff_multiplier"))
-            .map(_.asDouble(2.0)).getOrElse(2.0),
-          initialDelaySec = Option(r.get("initial_delay_sec"))
-            .map(_.asInt(30)).getOrElse(30))
-      }
-      jobs.SyncResource(name, spec, str("schedule").map(jobs.Cron.parse), retry)
-    }.toSeq
+    val docs: Seq[com.fasterxml.jackson.databind.JsonNode] =
+      if (lower.endsWith(".yaml") || lower.endsWith(".yml")) {
+        new org.yaml.snakeyaml.Yaml()
+          .loadAll(new String(bytes, "UTF-8")).asScala.toSeq
+          .filter(_ != null)
+          .map(mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode])
+      } else Seq(mapper.readTree(bytes))
+    val nodes = docs.flatMap { d =>
+      if (d.isArray) d.elements().asScala.toSeq else Seq(d)
+    }
+    require(nodes.nonEmpty, "resources file holds no resources")
+    nodes.map { n =>
+      if (n.has("spec") && n.has("metadata")) parseManifestResource(n)
+      else parseFlatResource(n)
+    }
   }
+
+  private def jstr(n: com.fasterxml.jackson.databind.JsonNode, f: String)
+      : Option[String] =
+    Option(n.get(f)).filter(!_.isNull).map(_.asText).filter(_.nonEmpty)
+
+  private def parseFlatResource(
+      n: com.fasterxml.jackson.databind.JsonNode): jobs.SyncResource = {
+    import scala.jdk.CollectionConverters._
+    def str(f: String) = jstr(n, f)
+    val name = str("name").getOrElse(
+      throw new IllegalArgumentException("resource needs a 'name'"))
+    val spec = model.SyncJobSpec(
+      sync_type = str("sync_type").getOrElse("jql"),
+      issue_keys = Option(n.get("issue_keys")).filter(_.isArray)
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+      jql_query = str("jql_query"),
+      project_key = str("project_key"),
+      epic_key = str("epic_key"),
+      destination = str("destination").getOrElse("repo"),
+      schedule = str("schedule"),
+      max_retries = 0, backoff_base_sec = 1, backoff_cap_sec = 2,
+      dry_run = Option(n.get("dry_run")).exists(_.asBoolean(false)))
+    val retry = Option(n.get("retry")).filter(!_.isNull).map { r =>
+      jobs.RetryPolicy(
+        maxRetries = Option(r.get("max_retries")).map(_.asInt(0)).getOrElse(0),
+        backoffMultiplier = Option(r.get("backoff_multiplier"))
+          .map(_.asDouble(2.0)).getOrElse(2.0),
+        initialDelaySec = Option(r.get("initial_delay_sec"))
+          .map(_.asInt(30)).getOrElse(30))
+    }
+    jobs.SyncResource(name, spec, str("schedule").map(jobs.Cron.parse), retry)
+  }
+
+  /** K8s GraftSync manifest → SyncResource. Unknown kinds are rejected so a
+    * file that accidentally includes a Deployment doesn't silently become a
+    * sync job.
+    */
+  private def parseManifestResource(
+      n: com.fasterxml.jackson.databind.JsonNode): jobs.SyncResource = {
+    import scala.jdk.CollectionConverters._
+    val kind = jstr(n, "kind").getOrElse("")
+    require(kind == "GraftSync",
+      s"unsupported manifest kind '$kind' (expected GraftSync)")
+    val name = Option(n.get("metadata")).flatMap(jstr(_, "name")).getOrElse(
+      throw new IllegalArgumentException("manifest needs metadata.name"))
+    val spec = n.get("spec")
+    val target = Option(spec.get("target")).getOrElse(
+      com.fasterxml.jackson.databind.node.MissingNode.getInstance()
+        : com.fasterxml.jackson.databind.JsonNode)
+    val dest = Option(spec.get("destination")).flatMap(jstr(_, "repository"))
+    val job = model.SyncJobSpec(
+      sync_type = jstr(spec, "syncType").getOrElse("jql"),
+      issue_keys = Option(target.get("issueKeys")).filter(_.isArray)
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+      jql_query = jstr(target, "jqlQuery"),
+      project_key = jstr(target, "projectKey"),
+      epic_key = jstr(target, "epicKey"),
+      destination = dest.getOrElse("repo"),
+      schedule = jstr(spec, "schedule"),
+      max_retries = 0, backoff_base_sec = 1, backoff_cap_sec = 2,
+      dry_run = Option(spec.get("dryRun")).exists(_.asBoolean(false)))
+    val retry = Option(spec.get("retryPolicy")).filter(!_.isNull).map { r =>
+      jobs.RetryPolicy(
+        maxRetries = Option(r.get("maxRetries")).map(_.asInt(0)).getOrElse(0),
+        backoffMultiplier = Option(r.get("backoffMultiplier"))
+          .map(_.asDouble(2.0)).getOrElse(2.0),
+        initialDelaySec = Option(r.get("initialDelay"))
+          .map(_.asInt(30)).getOrElse(30))
+    }
+    jobs.SyncResource(name, job, jstr(spec, "schedule").map(jobs.Cron.parse),
+      retry)
+  }
+
 
   /** Build and start the REST façade from CLI flags
     * (reference: cmd/api-server/main.go flag surface).
@@ -444,7 +510,9 @@ object Cli {
       host = kv.getOrElse("host", "127.0.0.1"),
       port = kv.get("port").flatMap(_.toIntOption).getOrElse(8080),
       rateLimitPerMinute = kv.get("rate-limit").flatMap(_.toIntOption).getOrElse(0),
-      authToken = kv.get("auth-token"),
+      // flag wins; GRAFT_AUTH_TOKEN is the K8s-secret-friendly spelling
+      // (deploy/operator.yaml mounts the token as env, never as argv)
+      authToken = kv.get("auth-token").orElse(sys.env.get("GRAFT_AUTH_TOKEN")),
       version = "0.1.0",
       reconciler = reconciler,
       reconcileIntervalMs = kv.get("reconcile-interval-ms")

@@ -2261,10 +2261,194 @@ object Graph {
     }
   }
 
+  /** Bounded weighted single-source shortest paths (Bellman-Ford, k
+    * relaxation rounds) from a deterministic source sample — the weighted
+    * sibling of [[khop]]. Edge weights are derived arithmetically from the
+    * endpoints (`1 + (a + 2b) mod 7`), not read from data, so both engines
+    * see identical integers with no float or hash divergence. Each round is
+    * one (dist ⨝ edges) equi-join + a `(s, node) → min(d)` hash aggregate —
+    * O(k·|reached|·degree) row work, never a transitive closure. Per-round
+    * min-combine keeps the frame at one row per (source, node), so a dense
+    * cycle cannot re-expand path multiplicity; lineage truncated per round.
+    * At 100 TB the source sample rate (here `a mod 100 < 5`) is the cost
+    * knob, exactly like landmark-based distance oracles; k bounds the
+    * radius. The oracle replays the same k rounds as MATERIALIZED chained
+    * CTEs (see [[sccBounded]] for why materialization is forced).
+    * Reference computes only unweighted link walks
+    * (pkg/links/links.go:31-95); weighted radius queries are the
+    * generalization a dependency-cost analysis needs.
+    */
+  private val ssspBounded = {
+    val k = 4
+    val stepSql = (1 to k).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT s, node, min(d) AS d FROM (
+         |    SELECT s, node, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT p.s, e.b AS node, p.d + e.w AS d
+         |    FROM d${i - 1} p JOIN e ON e.a = p.node
+         |  ) GROUP BY s, node)""".stripMargin
+    }.mkString(",\n")
+    q("graph_sssp_bounded",
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |e AS MATERIALIZED (
+         |  SELECT a, b, 1 + (a + 2 * b) % 7 AS w
+         |  FROM (SELECT DISTINCT a, b FROM eint)),
+         |seeds AS (SELECT DISTINCT a AS s FROM e WHERE a % 100 < 5),
+         |d0 AS (SELECT s, s AS node, 0::BIGINT AS d FROM seeds),
+         |$stepSql
+         |SELECT 'P' || CAST(s // 1000000000000 AS STRING) || '-'
+         |    || CAST(s % 1000000000000 AS STRING) AS seed_key,
+         |  (count(*) - 1)::BIGINT AS n_reached,
+         |  max(d)::BIGINT AS max_dist,
+         |  sum(d)::BIGINT AS total_dist
+         |FROM d$k GROUP BY s ORDER BY seed_key""".stripMargin) { (s, dir) =>
+      val e = edgesInt(s, dir).distinct()
+        .withColumn("w", (col("a") + col("b") * 2) % 7 + 1)
+        .transform(graft.Iterative.truncate)
+      val seeds = e.filter(col("a") % 100 < 5).select(col("a").as("s")).distinct()
+      var dist = seeds.select(col("s"), col("s").as("node"),
+        lit(0L).as("d")).transform(graft.Iterative.truncate)
+      (1 to k).foreach { _ =>
+        val relaxed = e.join(
+            dist.select(col("s"), col("node").as("a"), col("d")), Seq("a"))
+          .select(col("s"), col("b").as("node"), (col("d") + col("w")).as("d"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("s", "node").agg(min("d").as("d"))
+          .transform(graft.Iterative.truncate)
+      }
+      dist.groupBy("s")
+        .agg((count(lit(1)) - 1).as("n_reached"),
+          max("d").as("max_dist"), sum("d").as("total_dist"))
+        .select(concat(lit("P"), expr("s div 1000000000000").cast("string"),
+            lit("-"), (col("s") % lit(1000000000000L)).cast("string"))
+            .as("seed_key"),
+          col("n_reached"), col("max_dist"), col("total_dist"))
+        .orderBy("seed_key")
+    }
+  }
+
+  /** Bounded stress centrality: the number of sampled-source shortest paths
+    * (≤ L hops) passing through each node. This is the integer-exact member
+    * of the betweenness family — Brandes' betweenness divides by σ_st and
+    * its fractional dependency sums would hash-differ across engines at the
+    * last ulp, while stress keeps everything in BIGINT path COUNTS:
+    * forward BFS layers carry σ (number of shortest s→v paths, summed per
+    * first-reach layer), the backward pass counts suffix continuations
+    * S(v) = Σ_{w ∈ next layer, (v,w) ∈ E} (1 + S(w)) down the
+    * shortest-path DAG, and σ(v)·S(v) is exactly the number of shortest
+    * paths through v (BFS layers partition first-reached nodes, so every
+    * shortest-path edge crosses one level — the DAG needs no distance
+    * comparison). Work is 2L equi-join rounds over layer frames: the
+    * forward frontier anti-joins the visited set (first reach only), the
+    * backward pass is one join per level. At 100 TB the source sample is
+    * the budget knob (classic sampled betweenness), L bounds the frontier
+    * like [[harmonicCapped_]], and hub-dense layer blowup is bounded by the
+    * same per-hop cap discipline if needed. Reference's link analytics stop
+    * at reachability (pkg/links/links.go); path-through centrality is what
+    * ranks which issues sit on critical dependency chains.
+    */
+  private val stressBounded = {
+    q("graph_stress_bounded",
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |e AS MATERIALIZED (SELECT DISTINCT a, b FROM eint),
+         |seeds AS (SELECT DISTINCT a AS s FROM e),
+         |f0 AS (SELECT s, s AS v, 1::BIGINT AS sigma FROM seeds),
+         |v0 AS (SELECT s, v FROM f0),
+         |f1 AS MATERIALIZED (
+         |  SELECT p.s, e.b AS v, sum(p.sigma) AS sigma
+         |  FROM f0 p JOIN e ON e.a = p.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM v0 x WHERE x.s = p.s AND x.v = e.b)
+         |  GROUP BY p.s, e.b),
+         |v1 AS (SELECT s, v FROM v0 UNION SELECT s, v FROM f1),
+         |f2 AS MATERIALIZED (
+         |  SELECT p.s, e.b AS v, sum(p.sigma) AS sigma
+         |  FROM f1 p JOIN e ON e.a = p.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM v1 x WHERE x.s = p.s AND x.v = e.b)
+         |  GROUP BY p.s, e.b),
+         |v2 AS (SELECT s, v FROM v1 UNION SELECT s, v FROM f2),
+         |f3 AS MATERIALIZED (
+         |  SELECT p.s, e.b AS v, sum(p.sigma) AS sigma
+         |  FROM f2 p JOIN e ON e.a = p.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM v2 x WHERE x.s = p.s AND x.v = e.b)
+         |  GROUP BY p.s, e.b),
+         |m2 AS (
+         |  SELECT f.s, f.v, sum(1)::BIGINT AS sd
+         |  FROM f2 f JOIN e ON e.a = f.v
+         |  JOIN f3 t ON t.s = f.s AND t.v = e.b GROUP BY f.s, f.v),
+         |s2 AS MATERIALIZED (
+         |  SELECT f.s, f.v, f.sigma, coalesce(m.sd, 0) AS sdown
+         |  FROM f2 f LEFT JOIN m2 m ON m.s = f.s AND m.v = f.v),
+         |m1 AS (
+         |  SELECT f.s, f.v, sum(1 + t.sdown)::BIGINT AS sd
+         |  FROM f1 f JOIN e ON e.a = f.v
+         |  JOIN s2 t ON t.s = f.s AND t.v = e.b GROUP BY f.s, f.v),
+         |s1 AS (
+         |  SELECT f.s, f.v, f.sigma, coalesce(m.sd, 0) AS sdown
+         |  FROM f1 f LEFT JOIN m1 m ON m.s = f.s AND m.v = f.v),
+         |thru AS (
+         |  SELECT v, sum(sigma * sdown)::BIGINT AS stress
+         |  FROM (SELECT s, v, sigma, sdown FROM s1
+         |        UNION ALL SELECT s, v, sigma, sdown FROM s2)
+         |  GROUP BY v HAVING sum(sigma * sdown) > 0)
+         |SELECT 'P' || CAST(v // 1000000000000 AS STRING) || '-'
+         |    || CAST(v % 1000000000000 AS STRING) AS node_key, stress
+         |FROM thru ORDER BY node_key""".stripMargin) { (s, dir) =>
+      val e = edgesInt(s, dir).distinct().transform(graft.Iterative.truncate)
+      // full-source census on the bounded slice — at 100 TB the seed set
+      // is where sampling bites (WHERE a % k = 0), shrinking every
+      // downstream frame proportionally; the algorithm is unchanged
+      val seeds = e.select(col("a").as("s")).distinct()
+      val f0 = seeds.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+        .transform(graft.Iterative.truncate)
+      // forward: layer d+1 = (layer d ⨝ edges) minus already-visited,
+      // σ summed per first-reach — one join + one anti-join + one agg
+      def forward(prev: DataFrame, visited: DataFrame): DataFrame =
+        prev.select(col("s"), col("v").as("a"), col("sigma"))
+          .join(e, Seq("a"))
+          .select(col("s"), col("b").as("v"), col("sigma"))
+          .join(visited, Seq("s", "v"), "left_anti")
+          .groupBy("s", "v").agg(sum("sigma").as("sigma"))
+          .transform(graft.Iterative.truncate)
+      val v0 = f0.select("s", "v")
+      val f1 = forward(f0, v0)
+      val v1 = v0.unionByName(f1.select("s", "v")).distinct()
+        .transform(graft.Iterative.truncate)
+      val f2 = forward(f1, v1)
+      val v2 = v1.unionByName(f2.select("s", "v")).distinct()
+        .transform(graft.Iterative.truncate)
+      val f3 = forward(f2, v2)
+      // backward: suffix-continuation counts down the level DAG
+      def backward(layer: DataFrame, next: DataFrame): DataFrame = {
+        val m = layer.select(col("s"), col("v"))
+          .join(e.select(col("a").as("v"), col("b")), Seq("v"))
+          .join(next.select(col("s"), col("v").as("b"), col("sdown")),
+            Seq("s", "b"))
+          .groupBy("s", "v").agg(sum(col("sdown") + 1).as("sd"))
+        layer.join(m, Seq("s", "v"), "left")
+          .select(col("s"), col("v"), col("sigma"),
+            coalesce(col("sd"), lit(0L)).as("sdown"))
+      }
+      val s3 = f3.withColumn("sdown", lit(0L))
+      val s2 = backward(f2, s3)
+      val s1 = backward(f1, s2)
+      s1.unionByName(s2.select("s", "v", "sigma", "sdown"))
+        .select(col("v"), (col("sigma") * col("sdown")).as("c"))
+        .groupBy("v").agg(sum("c").as("stress"))
+        .filter(col("stress") > 0)
+        .select(concat(lit("P"), expr("v div 1000000000000").cast("string"),
+            lit("-"), (col("v") % lit(1000000000000L)).cast("string"))
+            .as("node_key"), col("stress"))
+        .orderBy("node_key")
+    }
+  }
+
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
     lpaCommunities, ktruss, linkPredict, linkPredictCapped_, adamicAdar,
     harmonicK3, harmonicCapped_, clusteringCoeff, assortativity, pprQ, hits,
-    sccBounded)
+    sccBounded, ssspBounded, stressBounded)
 }

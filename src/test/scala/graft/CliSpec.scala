@@ -80,6 +80,68 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.run(Array("reconcile", "--source", sf)) == 2)
   }
 
+  test("reconcile: K8s GraftSync manifests parse (deploy/examples + CRD)") {
+    // the committed example drives the loop verbatim — kubectl multi-doc
+    val parsed = Cli.parseResources("deploy/examples/graftsync-example.yaml")
+    assert(parsed.size == 2)
+    val nightly = parsed.find(_.name == "nightly-project-sync").get
+    assert(nightly.spec.sync_type == "jql")
+    assert(nightly.spec.jql_query.contains("project = PROJ AND updated >= -1d"))
+    assert(nightly.spec.destination == "/data/repo")
+    assert(nightly.schedule.isDefined) // "0 2 * * *"
+    assert(nightly.retryPolicy.exists(r =>
+      r.maxRetries == 3 && r.backoffMultiplier == 2.0 && r.initialDelaySec == 30))
+    val hotfix = parsed.find(_.name == "hotfix-batch").get
+    assert(hotfix.spec.sync_type == "batch" && hotfix.spec.dry_run &&
+      hotfix.spec.issue_keys == Seq("PROJ-101", "PROJ-102") &&
+      hotfix.schedule.isEmpty && hotfix.retryPolicy.isEmpty)
+    // a manifest of the wrong kind is rejected, not silently synced
+    val badKind = Paths.get(tmp("graft-cli-badkind"), "r.yaml")
+    Files.write(badKind,
+      """apiVersion: apps/v1
+        |kind: Deployment
+        |metadata:
+        |  name: oops
+        |spec:
+        |  replicas: 1
+        |""".stripMargin.getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Cli.parseResources(badKind.toString))
+    // flat and manifest shapes may mix in one YAML stream
+    val mixed = Paths.get(tmp("graft-cli-mixed"), "r.yaml")
+    Files.write(mixed,
+      """- name: flat-one
+        |  sync_type: jql
+        |  jql_query: project = P1
+        |---
+        |apiVersion: graft.dev/v1alpha1
+        |kind: GraftSync
+        |metadata:
+        |  name: manifest-one
+        |spec:
+        |  syncType: single
+        |  target:
+        |    issueKeys: [P1-1]
+        |  destination:
+        |    repository: ./r
+        |""".stripMargin.getBytes("UTF-8"))
+    val both = Cli.parseResources(mixed.toString)
+    assert(both.map(_.name) == Seq("flat-one", "manifest-one"))
+    assert(both.last.spec.issue_keys == Seq("P1-1"))
+    // the CRD itself is well-formed YAML with the GraftSync names + schema
+    val crd = new String(Files.readAllBytes(
+      Paths.get("deploy/crds/graftsync-crd.yaml")), "UTF-8")
+    val tree = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](crd)
+    assert(tree.get("kind") == "CustomResourceDefinition")
+    val spec = tree.get("spec").asInstanceOf[java.util.Map[String, Object]]
+    assert(spec.get("group") == "graft.dev")
+    assert(spec.get("names").asInstanceOf[java.util.Map[String, Object]]
+      .get("kind") == "GraftSync")
+    // every phase the Reconciler can publish is an allowed status enum value
+    val crdText = crd
+    Seq("Scheduled", "Pending", "Running", "Completed", "Failed", "Retrying")
+      .foreach(p => assert(crdText.contains(p), s"CRD missing phase $p"))
+  }
+
   test("validate: good JQL exits 0, bad JQL 1, missing args 2") {
     assert(Cli.run(Array("validate", "--jql", "project = P1 ORDER BY key ASC")) == 0)
     assert(Cli.run(Array("validate", "--jql", "project = ")) == 1)

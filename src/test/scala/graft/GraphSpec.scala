@@ -685,4 +685,87 @@ class GraphSpec extends AnyFunSuite {
     assert(totalTight <= totalMid && totalMid <= totalFull,
       s"total coverage not cap-monotone: $totalTight / $totalMid / $totalFull")
   }
+
+  test("ssspBounded: driver Bellman-Ford replay matches; dist bounded by k*maxW") {
+    val enc = (c: String) =>
+      expr(s"substring($c, 2, 1)").cast("long") * lit(1000000000000L) +
+        element_at(split(col(c), "-"), 2).cast("long")
+    val edges = edgeSlice.select(enc("src").as("a"), enc("dst").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val w = edges.map { case (a, b) => (a, b) -> (1 + (a + 2 * b) % 7) }.toMap
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = edges.map(_._1).distinct.filter(_ % 100 < 5)
+    val k = 4
+    // k rounds of relaxation, exactly the distributed loop's semantics
+    val expect = seeds.map { s =>
+      var dist = Map(s -> 0L)
+      (1 to k).foreach { _ =>
+        val relaxed = dist.toSeq.flatMap { case (v, d) =>
+          adj.getOrElse(v, Array.empty[Long]).map(n => n -> (d + w((v, n))))
+        }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+      }
+      val others = dist.removed(s).values
+      s -> (dist.size - 1L,
+        if (others.isEmpty) 0L else others.max, others.sum)
+    }.toMap
+    val got = SparkEntry.queries("graph_sssp_bounded")(spark, sf).collect()
+      .map { r =>
+        val key = r.getString(0)
+        val id = key.substring(1, 2).toLong * 1000000000000L +
+          key.split("-")(1).toLong
+        id -> (r.getLong(1), r.getLong(2), r.getLong(3))
+      }.toMap
+    assert(got.keySet == expect.keySet, "seed sets differ")
+    expect.foreach { case (s, e) =>
+      assert(got(s) == e, s"sssp mismatch at seed $s: got ${got(s)}, want $e")
+    }
+    // a k-round relaxation can never exceed k hops of max weight
+    got.values.foreach { case (_, maxD, _) => assert(maxD <= k * 7L) }
+  }
+
+  test("stressBounded: brute-force shortest-path enumeration matches the census") {
+    val enc = (c: String) =>
+      expr(s"substring($c, 2, 1)").cast("long") * lit(1000000000000L) +
+        element_at(split(col(c), "-"), 2).cast("long")
+    val edges = edgeSlice.select(enc("src").as("a"), enc("dst").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = edges.map(_._1).distinct
+    val L = 3
+    // brute force: BFS distances per seed, then enumerate every shortest
+    // path of length <= L by DFS along dist-increasing edges, counting
+    // strictly-interior nodes — the definition the DAG algebra implements
+    val stress = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    seeds.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0)
+      var frontier = List(s)
+      (1 to L).foreach { d =>
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = d)
+      }
+      def walk(v: Long, path: List[Long]): Unit = {
+        if (path.size > 1) // a complete shortest path s -> ... -> v
+          path.tail.dropRight(1).foreach(u => stress(u) += 1)
+        if (dist(v) < L)
+          adj.getOrElse(v, Array.empty[Long])
+            .filter(n => dist.get(n).contains(dist(v) + 1))
+            .foreach(n => walk(n, path :+ n))
+      }
+      walk(s, List(s))
+    }
+    val expect = stress.filter(_._2 > 0).toMap
+    val got = SparkEntry.queries("graph_stress_bounded")(spark, sf).collect()
+      .map { r =>
+        val key = r.getString(0)
+        val id = key.substring(1, 2).toLong * 1000000000000L +
+          key.split("-")(1).toLong
+        id -> r.getLong(1)
+      }.toMap
+    assert(got == expect,
+      s"stress census != brute force (got ${got.size} rows, want ${expect.size})")
+  }
 }
