@@ -308,8 +308,7 @@ object SyncEngine {
     // findings are usually the exceptional set, but a restored backup or
     // mass corruption makes them corpus-proportional, and a driver collect
     // there is fatal at scale.
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-recover").toString + "/findings"
+    val outDir = graft.Caches.scratchDir("recover").toString + "/findings"
     StateStore.validate(state, filesOnDisk).write.parquet(outDir)
     val findings = spark.read.schema(StateStore.validateSchema).parquet(outDir)
     if (repair) {

@@ -1181,8 +1181,107 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Flesch readability over the corpus, per source: the classic
+    * surface-statistics readability screen (Flesch 1948) that curation
+    * stacks run next to [[quality]] to catch prose that is grammatical but
+    * unreadably dense (or trivially simple) before it reaches a training
+    * mix. All three inputs are per-doc INTEGER counts from one scan —
+    * words = `[a-z]+` runs, syllables = vowel-group `[aeiouy]+` runs (the
+    * standard dictionary-free heuristic), sentences = `[.!?]+` runs floored
+    * at 1 — summed per group as BIGINTs, so the only floats are two final
+    * divisions and one fixed-constant polynomial evaluated once per GROUP
+    * (identical expression shape both engines, then floored to integer
+    * micro-units), never accumulated. Scale shape: map-only codegen'd
+    * regex counting + one map-combinable aggregate; output is |sources|
+    * rows at any corpus size.
+    */
+  private val readability = q("pipe_text_readability",
+    """WITH c AS (
+      |  SELECT source,
+      |    greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1) AS w,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs,
+      |    sum(w)::BIGINT AS n_words, sum(y)::BIGINT AS n_syllables,
+      |    sum(s)::BIGINT AS n_sentences
+      |  FROM c GROUP BY source)
+      |SELECT source, n_docs, n_words, n_syllables, n_sentences,
+      |  n_words::DOUBLE / n_sentences AS words_per_sentence,
+      |  n_syllables::DOUBLE / n_words AS syllables_per_word,
+      |  CAST(floor((206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+      |    - 84.6 * (n_syllables::DOUBLE / n_words)) * 1000000.0 + 0.5)
+      |    AS BIGINT) AS flesch_micro
+      |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+    val c = graft.Tables.t(s, dir, "documents").select(
+      col("source"),
+      greatest(regexp_count(lower(col("text")), lit("[a-z]+")), lit(1)).as("w"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).as("y"),
+      greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).as("s"))
+    c.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("y").as("n_syllables"), sum("s").as("n_sentences"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_syllables"), col("n_sentences"),
+        (col("n_words").cast("double") / col("n_sentences"))
+          .as("words_per_sentence"),
+        (col("n_syllables").cast("double") / col("n_words"))
+          .as("syllables_per_word"),
+        floor((lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("flesch_micro"))
+      .orderBy("source")
+  }
+
+  /** Differentially-private count release over (lang, source) — the
+    * privacy-preserving twin of the plain histogram, published next to
+    * [[kanonSuppress]]: each group's count is perturbed with DISCRETE
+    * Laplace noise (two-sided geometric, the integer-valued mechanism of
+    * Ghosh-Roughgarden-Sundararajan 2009) at ε = 0.5 per release, then
+    * clamped at 0. Noise is drawn by inverse-CDF lookup: a 20-bit uniform
+    * comes from the seeded 60-bit md5 hash of the group key (deterministic
+    * ⇒ oracle-replayable, and exactly the seeded-PRNG-per-key shape a
+    * production release uses so reruns don't leak fresh noise draws), and
+    * the CDF thresholds are PRECOMPUTED integers for r = e^(−ε), support
+    * clamped to ±8 with the tail mass folded into the extremes — the
+    * lookup is one shared CASE expression, no float in sight. Scale
+    * shape: one map-combinable count aggregate + a per-group scalar map;
+    * |langs|·|sources| output rows at any corpus size.
+    */
+  private val DpThresholds: Seq[(Int, Int)] = Seq(
+    -8 -> 11955, -7 -> 19710, -6 -> 32496, -5 -> 53577, -4 -> 88333,
+    -3 -> 145636, -2 -> 240113, -1 -> 395880, 0 -> 652696, 1 -> 808463,
+    2 -> 902940, 3 -> 960243, 4 -> 994999, 5 -> 1016080, 6 -> 1028866,
+    7 -> 1036621)
+  private def dpNoiseCase(u: String): String =
+    DpThresholds.map { case (k, t) => s"WHEN $u < $t THEN ($k)" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+  private val dpRelease = q("pipe_dp_release",
+    s"""WITH g AS (
+       |  SELECT lang, source, count(*)::BIGINT AS n
+       |  FROM documents GROUP BY 1, 2),
+       |un AS (
+       |  SELECT lang, source, n,
+       |    ${sqlHash64("lang || '|' || source || '|dp-seed-1'")} % 1048576 AS u
+       |  FROM g)
+       |SELECT lang, source,
+       |  greatest(n + (${dpNoiseCase("u")}), 0)::BIGINT AS n_noisy
+       |FROM un ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    graft.Tables.t(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .withColumn("u", graft.pipeline.hash64(
+        concat(col("lang"), lit("|"), col("source"), lit("|dp-seed-1")))
+        % lit(1048576L))
+      .select(col("lang"), col("source"),
+        greatest(col("n") + expr(dpNoiseCase("u")), lit(0L)).as("n_noisy"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[GQuery] = Seq(langId, quality, tokens, fingerprint, repetition,
     rarity, pii, tfidf, bigramLm, gopher, qualityClassifier, qualitySweep,
     hotNgrams, classifierEval, classifierAuc, calibration, surprisalGate,
-    ngramNovelty, vocabGrowth, kanonSuppress, langMix, ensemble)
+    ngramNovelty, vocabGrowth, kanonSuppress, langMix, ensemble, readability,
+    dpRelease)
 }

@@ -934,8 +934,8 @@ object Misc {
          |    AND f.max_ts_us >= b.tmin + (b.tmax - b.tmin + 1) // 4) AS prunable
          |FROM f, b ORDER BY zfile""".stripMargin
     q("meta_zorder_skipping", sql) { (s, dir) =>
-      zorderSkippingCard(s, dir, java.nio.file.Files
-        .createTempDirectory("graft-zorder-skip").toString + "/events_z")
+      zorderSkippingCard(s, dir, graft.Caches
+        .scratchDir("zorder-skip").toString + "/events_z")
     }
   }
 
@@ -1029,8 +1029,8 @@ object Misc {
          |  sum(CASE WHEN is_late THEN 1 ELSE 0 END) > 0 AS rewritten
          |FROM c GROUP BY 1 ORDER BY zfile""".stripMargin
     q("meta_zorder_compact", sql) { (s, dir) =>
-      zorderCompactCard(s, dir, java.nio.file.Files
-        .createTempDirectory("graft-zorder-compact").toString + "/events_z")
+      zorderCompactCard(s, dir, graft.Caches
+        .scratchDir("zorder-compact").toString + "/events_z")
     }
   }
 
@@ -1089,8 +1089,8 @@ object Misc {
     val dirty = late.select("zfile").distinct()
     val existingDirty = s.read.parquet(path)
       .join(dirty.hint("broadcast"), Seq("zfile"), "left_semi")
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft-zorder-stage").toString + "/delta"
+    val staging = graft.Caches
+      .scratchDir("zorder-stage").toString + "/delta"
     existingDirty.select(zorderCols.map(col): _*)
       .unionByName(late.select(zorderCols.map(col): _*))
       .repartition(col("zfile"))
@@ -1369,6 +1369,59 @@ object Misc {
       .groupBy("status_name")
       .agg(count(lit(1)).as("n_links"), countDistinct("src").as("n_issues"))
       .orderBy("status_name")
+  }
+
+  /** Bucketed co-located join — the THIRD leg of the shuffle-elimination
+    * toolkit next to [[joinSkew]] (diagnose) and [[saltedJoin]] (mitigate):
+    * eliminate the join shuffle entirely by writing both sides bucketed on
+    * the join key with the same bucket count. Each bucket pair is
+    * co-located by construction, so the sort-merge join consumes the two
+    * bucketed scans with NO Exchange on either side (BucketingSpec pins
+    * that plan shape; a control shows the unbucketed twin shuffles). This
+    * is the 100 TB shape for every repeated big-fact⨝big-dim join — pay
+    * one bucketed write, then every subsequent sync/rescan joins
+    * shuffle-free; the engine's issues⨝state CDC merge is the in-repo
+    * consumer (SCALING.md).
+    *
+    * The oracle is the PLAIN join over the raw parquet, so any bucketing
+    * bug that routes a key to the wrong bucket (dropping or duplicating
+    * join matches) hash-fails. Money is summed as integer cents
+    * (`floor(price·100 + 0.5)` per row) — no float accumulation. Bucketed
+    * tables land under the session scratch root (removed at JVM exit) via
+    * an explicit external-table path; names are dropped first so repeated
+    * executions stay idempotent.
+    */
+  private val bucketedJoin = q("meta_bucketed_join",
+    """SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+      |  count(DISTINCT c.c_custkey)::BIGINT AS n_customers,
+      |  sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+      |    AS sum_cents
+      |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) {
+    (s, dir) =>
+    val base = graft.Caches.scratchDir("bucketed-join").toString
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    Tables.t(s, dir, "orders")
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      .write.format("parquet").option("path", s"$base/orders")
+      .bucketBy(16, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("graft_bkt_orders")
+    Tables.t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.format("parquet").option("path", s"$base/customer")
+      .bucketBy(16, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("graft_bkt_customer")
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_customer").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct("c_custkey").as("n_customers"),
+        sum("cents").as("sum_cents"))
+      .orderBy("c_mktsegment")
   }
 
   /** Conversion-lag statistics for the funnel's full converters: exact
@@ -2032,7 +2085,8 @@ object Misc {
   val all: Seq[GQuery] = Seq(linksGc, validate, windowAgg, sessionAgg, keyFuncs,
     wireRoundtrip, asof, rangeJoin, heavyHitters, pivotMatrix, quantiles,
     rollup, moments, analytics, approxDistinct, groupingSets, tableStats,
-    funnel, retention, joinSkew, conversionLag, saltedJoin, cooccurrence,
+    funnel, retention, joinSkew, conversionLag, saltedJoin, bucketedJoin,
+    cooccurrence,
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
     activeUsers, zorderSkipping, zorderCompact, lateArrivals, intervalJoin,
     attribution, sketchMerge, covisitation, rfm, sessionDuration, abTest,

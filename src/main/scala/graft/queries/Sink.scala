@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
@@ -46,7 +45,7 @@ object Sink {
       issues.filter(col("project_key") === "P1" &&
         expr("cast(element_at(split(key, '-'), 2) as int) < 2000")),
       Tables.links(s, dir), allIssues = issues)
-    val repo = Files.createTempDirectory("graft-yaml-rt").toString
+    val repo = graft.Caches.scratchDir("yaml-rt").toString
     Yaml.writeIssues(slice, repo)
     Yaml.readIssues(s, repo)
       .select(col("key"), col("project_key"), col("summary"), col("status_name"),
@@ -78,7 +77,7 @@ object Sink {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.t(s, dir, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars")
-    val path = Files.createTempDirectory("graft-jsonl-rt").toString + "/docs"
+    val path = graft.Caches.scratchDir("jsonl-rt").toString + "/docs"
     docs.hint("rebalance").write.mode("overwrite").json(path)
     s.read.schema(docs.schema).json(path).orderBy("doc_id")
   }
@@ -103,7 +102,7 @@ object Sink {
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.t(s, dir, "documents")
       .select("doc_id", "n_chars", "lang", "source")
-    val path = Files.createTempDirectory("graft-part-prune").toString + "/docs"
+    val path = graft.Caches.scratchDir("part-prune").toString + "/docs"
     docs.hint("rebalance").write.mode("overwrite")
       .partitionBy("source", "lang").parquet(path)
     s.read.parquet(path)
@@ -127,7 +126,7 @@ object Sink {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.t(s, dir, "documents")
       .select("doc_id", "source", "n_chars", "lang")
-    val path = Files.createTempDirectory("graft-schema-evo").toString + "/docs"
+    val path = graft.Caches.scratchDir("schema-evo").toString + "/docs"
     // generation 1: even doc_ids, no lang column yet
     docs.filter(col("doc_id") % 2 === 0).drop("lang")
       .hint("rebalance").write.mode("overwrite").parquet(path)
@@ -153,7 +152,7 @@ object Sink {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.t(s, dir, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars")
-    val path = Files.createTempDirectory("graft-csv-rt").toString + "/docs"
+    val path = graft.Caches.scratchDir("csv-rt").toString + "/docs"
     docs.hint("rebalance").write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
       .csv(path)

@@ -17,7 +17,7 @@ object SyncProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-    val work = java.nio.file.Files.createTempDirectory("graft-sync-prof").toString
+    val work = graft.Caches.scratchDir("sync-prof").toString
     val limit = sys.env.getOrElse("SPARK_GRAFT_SYNC_LIMIT", "20000").toLong
     val issues = graft.Tables.issuesFull(spark, sfDir).filter(
       expr(s"cast(element_at(split(key, '-'), 2) as int) < $limit")).cache()

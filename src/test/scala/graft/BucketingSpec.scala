@@ -49,4 +49,18 @@ class BucketingSpec extends AnyFunSuite {
     val controlPlan = unbucketed.queryExecution.executedPlan.toString
     assert(controlPlan.contains("Exchange") || controlPlan.contains("Broadcast"))
   }
+
+  test("meta_bucketed_join card consumes bucketed scans with no join-key exchange") {
+    val df = SparkEntry.queries("meta_bucketed_join")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // the downstream groupBy(c_mktsegment) may exchange on the GROUP key;
+    // the JOIN keys must never be re-shuffled — bucketing already placed them
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed card join still shuffles its keys:\n${plan.take(2000)}")
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan does not report bucket pruning metadata:\n${plan.take(2000)}")
+  }
 }

@@ -1753,4 +1753,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getAs[Long]("z_nano") == math.floor(z * 1e9 + 0.5).toLong)
     assert(row.getAs[Double]("cvr_c") == pc && row.getAs[Double]("cvr_t") == pt)
   }
+
+  test("readability: group sums tie to a driver regex replay; flesch ties to its formula") {
+    val rows = SparkEntry.queries("pipe_text_readability")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver replay over the raw text with the same three regexes
+    val docs = Tables.t(spark, sf, "documents").select("source", "text").collect()
+    val bySource = docs.groupBy(_.getString(0)).map { case (src, rs) =>
+      val counts = rs.map { r =>
+        val t = r.getString(1)
+        val w = math.max("[a-z]+".r.findAllIn(t.toLowerCase).size, 1)
+        val y = "[aeiouy]+".r.findAllIn(t.toLowerCase).size
+        val s = math.max("[.!?]+".r.findAllIn(t).size, 1)
+        (w.toLong, y.toLong, s.toLong)
+      }
+      src -> ((rs.length.toLong, counts.map(_._1).sum, counts.map(_._2).sum,
+        counts.map(_._3).sum))
+    }
+    rows.foreach { r =>
+      val (nd, nw, ny, ns) = bySource(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd && r.getAs[Long]("n_words") == nw &&
+        r.getAs[Long]("n_syllables") == ny && r.getAs[Long]("n_sentences") == ns)
+      val flesch = 206.835 - 1.015 * (nw.toDouble / ns) - 84.6 * (ny.toDouble / nw)
+      assert(r.getAs[Long]("flesch_micro") ==
+        math.floor(flesch * 1e6 + 0.5).toLong)
+    }
+  }
+
+  test("dp release: every noisy count is within the clamped ±8 noise support and ≥ 0") {
+    val noisy = SparkEntry.queries("pipe_dp_release")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_noisy")).toMap
+    val truth = Tables.t(spark, sf, "documents")
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+    assert(noisy.keySet == truth.keySet)
+    noisy.foreach { case (k, v) =>
+      assert(v >= 0, s"$k released a negative count")
+      assert(math.abs(v - truth(k)) <= 8, s"$k noise outside the ±8 support")
+    }
+    // the mechanism must actually perturb: not every group can be exact
+    assert(noisy.exists { case (k, v) => v != truth(k) })
+  }
 }
