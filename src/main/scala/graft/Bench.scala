@@ -361,36 +361,51 @@ object Bench {
     val basePath = java.nio.file.Paths.get("bench_full.json")
     val candPath = java.nio.file.Paths.get("bench_candidate.json")
     val anchorPath = java.nio.file.Paths.get("bench_anchor.json")
+    val parkedPath = java.nio.file.Paths.get("bench_parked.json")
     val decision = refreshDecision(basePath, anchorPath, candPath,
       results.toMap, syncIps, incrIps, sfDir, hasErrors = errors.nonEmpty)
     def fullJson(marker: String): String =
       s"""{"total":$total,"queries":$full,"errors":$errJson,$marker${runConditionsJson()},"sync_issues_per_sec":$syncIps,"incr_scan_issues_per_sec":$incrIps,"sf":"$sfDir"}\n"""
-    scala.util.Try(decision match {
-      case Promote =>
-        java.nio.file.Files.write(basePath,
-          fullJson("").getBytes("UTF-8"))
-        java.nio.file.Files.deleteIfExists(candPath)
-        // anchor = the best condition-stamped run: it moves only FORWARD
-        // (a promoted run that is faster than it, median < 1.0, or whose
-        // query overlap with it has decayed below judgeable) — so a chain
-        // of just-under-bound slowdowns can never drag the anchor along
-        val anchorStale = readRun(anchorPath) match {
-          case Some(a) if a.sf == sfDir =>
-            medianDriftRatio(a.queries, results.toMap).forall(_ < 1.0)
-          case _ => true
-        }
-        if (anchorStale)
-          java.nio.file.Files.write(anchorPath,
-            fullJson("\"anchor\":true,").getBytes("UTF-8"))
-      case Stage =>
-        java.nio.file.Files.write(candPath,
-          fullJson("\"staged\":true,").getBytes("UTF-8"))
-      case Park(reason) =>
-        java.nio.file.Files.write(candPath,
-          fullJson(s""""drift_flagged":true,"park_reason":"$reason",""")
-            .getBytes("UTF-8"))
-    })
+    scala.util.Try(persistDecision(decision, basePath, anchorPath, candPath,
+      parkedPath, fullJson, sfDir, results.toMap))
     spark.stop()
     println(line)
+  }
+
+  /** Applies a [[RefreshDecision]] to the baseline/candidate/anchor files.
+    * A Park run writes to its OWN slot (`parkedPath`): parking into the
+    * candidate slot would destroy a STAGED candidate, resetting two-window
+    * promotion progress — on a host that alternates clean and contended
+    * sweeps, the baseline would then never refresh despite unlimited
+    * agreeing clean windows.
+    */
+  private[graft] def persistDecision(decision: RefreshDecision,
+      basePath: java.nio.file.Path, anchorPath: java.nio.file.Path,
+      candPath: java.nio.file.Path, parkedPath: java.nio.file.Path,
+      fullJson: String => String, sfDir: String,
+      fresh: Map[String, Double]): Unit = decision match {
+    case Promote =>
+      java.nio.file.Files.write(basePath,
+        fullJson("").getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(candPath)
+      // anchor = the best condition-stamped run: it moves only FORWARD
+      // (a promoted run that is faster than it, median < 1.0, or whose
+      // query overlap with it has decayed below judgeable) — so a chain
+      // of just-under-bound slowdowns can never drag the anchor along
+      val anchorStale = readRun(anchorPath) match {
+        case Some(a) if a.sf == sfDir =>
+          medianDriftRatio(a.queries, fresh).forall(_ < 1.0)
+        case _ => true
+      }
+      if (anchorStale)
+        java.nio.file.Files.write(anchorPath,
+          fullJson("\"anchor\":true,").getBytes("UTF-8"))
+    case Stage =>
+      java.nio.file.Files.write(candPath,
+        fullJson("\"staged\":true,").getBytes("UTF-8"))
+    case Park(reason) =>
+      java.nio.file.Files.write(parkedPath,
+        fullJson(s""""drift_flagged":true,"park_reason":"$reason",""")
+          .getBytes("UTF-8"))
   }
 }

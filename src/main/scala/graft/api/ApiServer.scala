@@ -178,6 +178,19 @@ final class ApiServer(
         }
     }
 
+  /** GET /api/v1/health is exempt from bearer auth: kubelet liveness /
+    * readiness probes cannot carry a secret-sourced header (httpGet probes
+    * take only literal httpHeaders), so an authenticated health endpoint
+    * makes every token-configured pod unready by construction. The
+    * endpoint is read-only and reveals only phase counts and uptime;
+    * everything mutating stays behind [[authorized]]. Same posture as
+    * `/metrics` below — protect both with a NetworkPolicy when the
+    * telemetry itself is sensitive.
+    */
+  private def isOpenProbe(exchange: HttpExchange): Boolean =
+    exchange.getRequestMethod == "GET" &&
+      exchange.getRequestURI.getPath.stripSuffix("/") == "/api/v1/health"
+
   private def handle(exchange: HttpExchange): Unit = {
     val requestId = s"req-${requestIds.incrementAndGet()}"
     try {
@@ -191,7 +204,7 @@ final class ApiServer(
       h.set("X-Request-Id", requestId)
       if (exchange.getRequestMethod == "OPTIONS") {
         exchange.sendResponseHeaders(204, -1)
-      } else if (!authorized(exchange)) {
+      } else if (!isOpenProbe(exchange) && !authorized(exchange)) {
         writeError(exchange, requestId, 401, "UNAUTHORIZED",
           "Authentication required", "provide Authorization: Bearer <token>")
       } else if (rateLimited(exchange)) {
@@ -297,9 +310,9 @@ final class ApiServer(
 
   private[graft] def metricsText(): String = {
     val sb = new StringBuilder
-    def gauge(name: String, help: String,
+    def emit(name: String, help: String, mtype: String,
         rows: Seq[(Map[String, String], Double)]): Unit = {
-      sb.append(s"# HELP $name $help\n# TYPE $name gauge\n")
+      sb.append(s"# HELP $name $help\n# TYPE $name $mtype\n")
       rows.foreach { case (labels, v) =>
         val l = if (labels.isEmpty) ""
           else labels.toSeq.sortBy(_._1)
@@ -309,11 +322,16 @@ final class ApiServer(
         sb.append(s"$name$l $vs\n")
       }
     }
+    def gauge(name: String, help: String,
+        rows: Seq[(Map[String, String], Double)]): Unit =
+      emit(name, help, "gauge", rows)
     gauge("graft_uptime_seconds", "Seconds since the server started",
       Seq(Map.empty[String, String] ->
         ((clock().getTime - startedAtMs.get()) / 1000.0).floor))
-    gauge("graft_http_requests_total", "Requests handled since start",
-      Seq(Map.empty[String, String] -> requestIds.get().toDouble))
+    // a *_total metric is a COUNTER (monotone since process start): rate()/
+    // increase() and promtool both key off the declared type
+    emit("graft_http_requests_total", "Requests handled since start",
+      "counter", Seq(Map.empty[String, String] -> requestIds.get().toDouble))
     val phases = Seq("Pending", "Running", "Completed", "Failed", "Cancelled")
     val byPhase = jobs.queueStatus()
     gauge("graft_jobs", "Jobs in the manager by phase",
@@ -333,18 +351,21 @@ final class ApiServer(
     sb.toString
   }
 
+  /** Served WITHOUT bearer auth, like `/api/v1/health`: annotation-driven
+    * Prometheus scrapes (`prometheus.io/scrape`) cannot attach a per-target
+    * bearer token, so an authenticated scrape endpoint silently produces a
+    * fleet of `401` targets. The exposition is read-only counters/gauges;
+    * restrict reachability with a NetworkPolicy where that telemetry is
+    * sensitive.
+    */
   private def metricsHandle(exchange: HttpExchange): Unit = {
     try {
-      if (!authorized(exchange)) {
-        exchange.sendResponseHeaders(401, -1)
-      } else {
-        val bytes = metricsText().getBytes("UTF-8")
-        exchange.getResponseHeaders.set("Content-Type",
-          "text/plain; version=0.0.4; charset=utf-8")
-        exchange.sendResponseHeaders(200, bytes.length)
-        val out = exchange.getResponseBody
-        out.write(bytes); out.close()
-      }
+      val bytes = metricsText().getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      exchange.sendResponseHeaders(200, bytes.length)
+      val out = exchange.getResponseBody
+      out.write(bytes); out.close()
     } catch { case _: Throwable => () }
     finally exchange.close()
   }

@@ -1476,21 +1476,34 @@ object Graph {
        |    AS harmonic_nano
        |FROM c ORDER BY harmonic_nano DESC, node LIMIT 25""".stripMargin) {
     (s, dir) =>
-    val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
+    harmonicCensus(edgesInt(s, dir), identity)
+      .orderBy(desc("harmonic_nano"), col("node")).limit(25)
+  }
+
+  /** The shared 3-hop harmonic census pipeline: [[harmonicK3]] is the
+    * `identity` per-hop-transform instance, [[harmonicCapped]] plugs the
+    * hash-order frontier cap in. One implementation means a fix to the
+    * exclusion anti-joins or the nano weights can never apply to one card
+    * and not the other.
+    */
+  private def harmonicCensus(edges: DataFrame,
+      capHop: DataFrame => DataFrame): DataFrame = {
+    val e = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
     val und = e.select("a", "b")
       .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-    val h1 = und.select(col("a").as("src"), col("b").as("n"))
-    def expand(prev: org.apache.spark.sql.DataFrame,
-        excl: Seq[org.apache.spark.sql.DataFrame]) = {
+    val h1 = capHop(und.select(col("a").as("src"), col("b").as("n")))
+    def expand(prev: DataFrame, excl: Seq[DataFrame]) = {
       val next = prev
         .join(und.select(col("a").as("n"), col("b").as("n2")), Seq("n"))
         .select(col("src"), col("n2").as("n")).distinct()
         .filter(col("n") =!= col("src"))
       excl.foldLeft(next)((d, x) => d.join(x, Seq("src", "n"), "left_anti"))
     }
-    val h2 = expand(h1, Seq(h1))
-    val h3 = expand(h2, Seq(h1, h2))
-    def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+    val h2 = capHop(expand(h1, Seq(h1)))
+    val h3 = capHop(expand(h2, Seq(h1, h2)))
+    def cnt(df: DataFrame, name: String) =
       df.groupBy("src").agg(count(lit(1)).as(name))
     cnt(h1, "c1")
       .join(cnt(h2, "c2"), Seq("src"), "left")
@@ -1502,7 +1515,6 @@ object Graph {
       .withColumn("harmonic_nano",
         col("c1") * lit(1000000000L) + col("c2") * lit(500000000L)
           + col("c3") * lit(333333333L))
-      .orderBy(desc("harmonic_nano"), col("node")).limit(25)
   }
 
   /** Production twin of [[harmonicK3]]: the same 3-hop BFS census with a
@@ -1526,11 +1538,6 @@ object Graph {
     * never exceed the exact card's, and grow monotonically with the cap).
     */
   def harmonicCapped(edges: DataFrame, hopCap: Int): DataFrame = {
-    val e = edges.toDF("a", "b")
-      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-    val und = e.select("a", "b")
-      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy("hk", "n")
     def cap(df: DataFrame) = df
@@ -1539,28 +1546,7 @@ object Graph {
       .withColumn("rn", row_number().over(capW))
       .filter(col("rn") <= hopCap)
       .select("src", "n")
-    val h1 = cap(und.select(col("a").as("src"), col("b").as("n")))
-    def expand(prev: DataFrame, excl: Seq[DataFrame]) = {
-      val next = prev
-        .join(und.select(col("a").as("n"), col("b").as("n2")), Seq("n"))
-        .select(col("src"), col("n2").as("n")).distinct()
-        .filter(col("n") =!= col("src"))
-      excl.foldLeft(next)((d, x) => d.join(x, Seq("src", "n"), "left_anti"))
-    }
-    val h2 = cap(expand(h1, Seq(h1)))
-    val h3 = cap(expand(h2, Seq(h1, h2)))
-    def cnt(df: DataFrame, name: String) =
-      df.groupBy("src").agg(count(lit(1)).as(name))
-    cnt(h1, "c1")
-      .join(cnt(h2, "c2"), Seq("src"), "left")
-      .join(cnt(h3, "c3"), Seq("src"), "left")
-      .select(col("src").as("node"),
-        col("c1"),
-        coalesce(col("c2"), lit(0L)).as("c2"),
-        coalesce(col("c3"), lit(0L)).as("c3"))
-      .withColumn("harmonic_nano",
-        col("c1") * lit(1000000000L) + col("c2") * lit(500000000L)
-          + col("c3") * lit(333333333L))
+    harmonicCensus(edges, cap)
   }
 
   /** Registered per-hop cap for [[harmonicCapped]]: far above the fixture's

@@ -1950,8 +1950,15 @@ object Misc {
     * are deterministic under a fixed op order, so both engines produce the
     * same bits, and z is additionally floored to nano-units.
     */
-  private val abTest = q("stream_ab_test",
-    """WITH u AS (
+  /** The experiment-arm census shared by [[abTest]] and [[abPower]]: one
+    * deterministic assignment (`user_id % 2`), one conversion definition
+    * (a high-value purchase), one 2×2 count frame `(users_c, conv_c,
+    * users_t, conv_t)`. Both the SQL CTE text and the Spark frame exist
+    * exactly once so the readout and its power analysis can never
+    * silently diverge on what the experiment WAS.
+    */
+  private val abArmsCtes =
+    """u AS (
       |  SELECT user_id,
       |    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1
       |      ELSE 0 END)::BIGINT AS conv
@@ -1966,7 +1973,26 @@ object Misc {
       |    max(CASE WHEN variant = 0 THEN n_conv END)::BIGINT AS conv_c,
       |    max(CASE WHEN variant = 1 THEN n_users END)::BIGINT AS users_t,
       |    max(CASE WHEN variant = 1 THEN n_conv END)::BIGINT AS conv_t
-      |  FROM v)
+      |  FROM v)""".stripMargin
+
+  private def abArms(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val u = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase"
+          && col("value") > 90, 1).otherwise(0))
+        .cast("long").as("conv"))
+    val v = u.groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    v.agg(
+      max(when(col("variant") === 0, col("n_users"))).as("users_c"),
+      max(when(col("variant") === 0, col("n_conv"))).as("conv_c"),
+      max(when(col("variant") === 1, col("n_users"))).as("users_t"),
+      max(when(col("variant") === 1, col("n_conv"))).as("conv_t"))
+  }
+
+  private val abTest = q("stream_ab_test",
+    s"""WITH $abArmsCtes
       |SELECT users_c, conv_c, users_t, conv_t,
       |  conv_c::DOUBLE / users_c AS cvr_c,
       |  conv_t::DOUBLE / users_t AS cvr_t,
@@ -1976,18 +2002,7 @@ object Misc {
       |      * (1.0 / users_c + 1.0 / users_t)), 0) * 1000000000 + 0.5)
       |    AS BIGINT) AS z_nano
       |FROM w""".stripMargin) { (s, dir) =>
-    val u = Tables.events(s, dir)
-      .groupBy("user_id")
-      .agg(max(when(col("event_type") === "purchase"
-          && col("value") > 90, 1).otherwise(0))
-        .cast("long").as("conv"))
-    val v = u.groupBy((col("user_id") % 2).as("variant"))
-      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
-    val w = v.agg(
-      max(when(col("variant") === 0, col("n_users"))).as("users_c"),
-      max(when(col("variant") === 0, col("n_conv"))).as("conv_c"),
-      max(when(col("variant") === 1, col("n_users"))).as("users_t"),
-      max(when(col("variant") === 1, col("n_conv"))).as("conv_t"))
+    val w = abArms(s, dir)
     val pooled = (col("conv_c") + col("conv_t")).cast("double") /
       (col("users_c") + col("users_t"))
     w.select(col("users_c"), col("conv_c"), col("users_t"), col("conv_t"),
@@ -2020,22 +2035,7 @@ object Misc {
     * exactly zero (no effect → no finite sample size powers it).
     */
   private val abPower = q("stream_ab_power",
-    """WITH u AS (
-      |  SELECT user_id,
-      |    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1
-      |      ELSE 0 END)::BIGINT AS conv
-      |  FROM events GROUP BY user_id),
-      |v AS (
-      |  SELECT user_id % 2 AS variant, count(*)::BIGINT AS n_users,
-      |    sum(conv)::BIGINT AS n_conv
-      |  FROM u GROUP BY 1),
-      |w AS (
-      |  SELECT
-      |    max(CASE WHEN variant = 0 THEN n_users END)::BIGINT AS users_c,
-      |    max(CASE WHEN variant = 0 THEN n_conv END)::BIGINT AS conv_c,
-      |    max(CASE WHEN variant = 1 THEN n_users END)::BIGINT AS users_t,
-      |    max(CASE WHEN variant = 1 THEN n_conv END)::BIGINT AS conv_t
-      |  FROM v),
+    s"""WITH $abArmsCtes,
       |s AS (
       |  SELECT users_c, users_t,
       |    (conv_c + conv_t)::DOUBLE / (users_c + users_t) AS pooled,
@@ -2051,18 +2051,7 @@ object Misc {
       |    * ((1.959964 + 0.841621) / nullif(abs(delta), 0)))
       |    AS BIGINT) AS n_required_per_arm
       |FROM s""".stripMargin) { (s, dir) =>
-    val u = Tables.events(s, dir)
-      .groupBy("user_id")
-      .agg(max(when(col("event_type") === "purchase"
-          && col("value") > 90, 1).otherwise(0))
-        .cast("long").as("conv"))
-    val v = u.groupBy((col("user_id") % 2).as("variant"))
-      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
-    val w = v.agg(
-      max(when(col("variant") === 0, col("n_users"))).as("users_c"),
-      max(when(col("variant") === 0, col("n_conv"))).as("conv_c"),
-      max(when(col("variant") === 1, col("n_users"))).as("users_t"),
-      max(when(col("variant") === 1, col("n_conv"))).as("conv_t"))
+    val w = abArms(s, dir)
     val zsum = lit(1.959964) + lit(0.841621)
     val base = w.select(col("users_c"), col("users_t"),
       ((col("conv_c") + col("conv_t")).cast("double")

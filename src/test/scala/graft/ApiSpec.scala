@@ -347,7 +347,7 @@ class ApiSpec extends AnyFunSuite {
       clock = () => tick())
     val port = srv.start()
     try {
-      val url = s"http://127.0.0.1:$port/api/v1/health"
+      val url = s"http://127.0.0.1:$port/api/v1/jobs"
       // no token → 401 with the error envelope, and no wildcard CORS header
       val bare = http.send(
         HttpRequest.newBuilder(URI.create(url)).GET().build(),
@@ -369,6 +369,16 @@ class ApiSpec extends AnyFunSuite {
           .header("Authorization", "Bearer nope").GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(wrong.statusCode() == 401)
+      // GET /health is the kubelet probe: exempt from the token (httpGet
+      // probes cannot carry a secret-sourced header), but still no wildcard
+      // CORS on a non-loopback bind
+      val probe = http.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/api/v1/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(probe.statusCode() == 200,
+        "health probe must not require the bearer token")
+      assert(probe.headers.firstValue("Access-Control-Allow-Origin").isEmpty)
     } finally srv.stop()
   }
 
@@ -381,7 +391,7 @@ class ApiSpec extends AnyFunSuite {
       clock = () => tick())
     val port = srv.start()
     try {
-      val url = s"http://127.0.0.1:$port/api/v1/health"
+      val url = s"http://127.0.0.1:$port/api/v1/jobs"
       val bare = http.send(
         HttpRequest.newBuilder(URI.create(url)).GET().build(),
         HttpResponse.BodyHandlers.ofString())
@@ -533,22 +543,28 @@ class ApiSpec extends AnyFunSuite {
     assert(byPhase("Completed") >= 1, s"no completed jobs in: $byPhase")
     assert("graft_http_requests_total (\\d+)".r.findFirstMatchIn(body)
       .exists(_.group(1).toLong >= 1))
-    // a token-guarded server refuses an unauthenticated scrape
+    // *_total is a monotone counter — the declared type must say so, or
+    // rate()/increase() and promtool reject the metric
+    assert(body.contains("# TYPE graft_http_requests_total counter"))
+    // the scrape endpoint stays open on a token-guarded server: annotation-
+    // driven Prometheus discovery cannot attach a bearer token per target
     val g = new ApiServer(spark, manager, store, () => issuesDf, () => linksDf,
       s"$work/repos", s"$work/state", version = "test-m",
       clock = () => tick(), authToken = Some("sekret3"))
     val gp = g.start()
     try {
-      val denied = http.send(
+      val open = http.send(
         HttpRequest.newBuilder(
           URI.create(s"http://127.0.0.1:$gp/metrics")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(denied.statusCode() == 401)
-      val ok = http.send(
-        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$gp/metrics"))
-          .header("Authorization", "Bearer sekret3").GET().build(),
+      assert(open.statusCode() == 200 && open.body().contains("graft_jobs"),
+        "an unauthenticated scrape must succeed — probes can't carry secrets")
+      // while the API beside it still enforces the token
+      val denied = http.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$gp/api/v1/jobs")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(ok.statusCode() == 200 && ok.body().contains("graft_jobs"))
+      assert(denied.statusCode() == 401)
     } finally g.stop()
   }
 }

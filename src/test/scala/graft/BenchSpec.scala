@@ -145,6 +145,35 @@ class BenchSpec extends AnyFunSuite {
       == Bench.Stage)
   }
 
+  test("a parked run lands in its own slot and never destroys a staged candidate") {
+    // host alternating clean/contended sweeps: without a separate park slot,
+    // window 2's park overwrites window 1's staged candidate and window 3
+    // re-stages instead of promoting — promotion starves forever
+    val dir = Files.createTempDirectory("graft-bench-spec")
+    val base = baseline()
+    writeRun(dir, "bench_full.json", base, "/sf0.1")
+    val w1 = base.view.mapValues(_ * 1.1).toMap
+    val (basePath, anchorPath, candPath, parkedPath) =
+      (dir.resolve("bench_full.json"), dir.resolve("bench_anchor.json"),
+        dir.resolve("bench_candidate.json"), dir.resolve("bench_parked.json"))
+    def json(marker: String): String =
+      s"""{"total":1.0,"queries":{},"errors":{},$marker"sync_issues_per_sec":0.0,"incr_scan_issues_per_sec":0.0,"sf":"/sf0.1"}"""
+    // window 1: clean → stages
+    Bench.persistDecision(Bench.Stage, basePath, anchorPath, candPath,
+      parkedPath, json, "/sf0.1", w1)
+    writeRun(dir, "bench_candidate.json", w1, "/sf0.1", staged = true)
+    // window 2: contended → parks, into parkedPath only
+    Bench.persistDecision(Bench.Park("query_drift=2.000"), basePath,
+      anchorPath, candPath, parkedPath, json, "/sf0.1",
+      base.view.mapValues(_ * 2).toMap)
+    assert(Files.exists(parkedPath), "park must write its own slot")
+    assert(new String(Files.readAllBytes(candPath), "UTF-8")
+      .contains("\"staged\":true"), "park must not clobber the staged candidate")
+    // window 3: clean and agreeing with window 1 → promotes
+    assert(decide(dir, base.view.mapValues(_ * 1.12).toMap, "/sf0.1")
+      == Bench.Promote)
+  }
+
   test("anchor stops the ratchet: three 1.28x steps, the fourth is refused") {
     // each step alone is under the 1.3 rolling bound; compounding
     // 1.28^3 = 2.1x would sail through a baseline-only guard. The pinned
