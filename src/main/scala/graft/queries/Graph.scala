@@ -1446,31 +1446,39 @@ object Graph {
     * over a SAMPLED source set — the per-src pipeline is independent, so
     * sampling is a filter on `src`, nothing else changes.
     */
+  /** The exact 3-hop census CTE chain shared by the [[harmonicK3]] and
+    * [[neighborhoodFn]] oracles — the SQL twin of [[harmonicCensus]]
+    * (identity instance): `und` the undirected dedup, `h1/h2/h3` pairs at
+    * exactly distance 1/2/3, `c` the per-source hop counts.
+    */
+  private val harmonicHopsSql: String =
+    """und AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)
+      |  WHERE a <> b),
+      |h1 AS (SELECT a AS src, b AS n FROM und),
+      |h2 AS (
+      |  SELECT DISTINCT h.src, u.b AS n
+      |  FROM h1 h JOIN und u ON u.a = h.n
+      |  WHERE u.b <> h.src
+      |    AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.src = h.src AND x.n = u.b)),
+      |h3 AS (
+      |  SELECT DISTINCT h.src, u.b AS n
+      |  FROM h2 h JOIN und u ON u.a = h.n
+      |  WHERE u.b <> h.src
+      |    AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.src = h.src AND x.n = u.b)
+      |    AND NOT EXISTS (SELECT 1 FROM h2 x WHERE x.src = h.src AND x.n = u.b)),
+      |c AS (
+      |  SELECT src,
+      |    (SELECT count(*) FROM h1 WHERE h1.src = s.src)::BIGINT AS c1,
+      |    (SELECT count(*) FROM h2 WHERE h2.src = s.src)::BIGINT AS c2,
+      |    (SELECT count(*) FROM h3 WHERE h3.src = s.src)::BIGINT AS c3
+      |  FROM (SELECT DISTINCT src FROM h1) s)""".stripMargin
+
   private val harmonicK3 = q("graph_harmonic_k3",
     s"""WITH ${Oracle.linksCte},
        |$edgesIntSql,
-       |und AS (
-       |  SELECT DISTINCT a, b FROM (
-       |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)
-       |  WHERE a <> b),
-       |h1 AS (SELECT a AS src, b AS n FROM und),
-       |h2 AS (
-       |  SELECT DISTINCT h.src, u.b AS n
-       |  FROM h1 h JOIN und u ON u.a = h.n
-       |  WHERE u.b <> h.src
-       |    AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.src = h.src AND x.n = u.b)),
-       |h3 AS (
-       |  SELECT DISTINCT h.src, u.b AS n
-       |  FROM h2 h JOIN und u ON u.a = h.n
-       |  WHERE u.b <> h.src
-       |    AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.src = h.src AND x.n = u.b)
-       |    AND NOT EXISTS (SELECT 1 FROM h2 x WHERE x.src = h.src AND x.n = u.b)),
-       |c AS (
-       |  SELECT src,
-       |    (SELECT count(*) FROM h1 WHERE h1.src = s.src)::BIGINT AS c1,
-       |    (SELECT count(*) FROM h2 WHERE h2.src = s.src)::BIGINT AS c2,
-       |    (SELECT count(*) FROM h3 WHERE h3.src = s.src)::BIGINT AS c3
-       |  FROM (SELECT DISTINCT src FROM h1) s)
+       |$harmonicHopsSql
        |SELECT src AS node, c1, c2, c3,
        |  (c1 * 1000000000 + c2 * 500000000 + c3 * 333333333)::BIGINT
        |    AS harmonic_nano
@@ -1598,6 +1606,56 @@ object Graph {
     (s, dir) =>
     harmonicCapped(edgesInt(s, dir), HarmonicHopCap)
       .orderBy(desc("harmonic_nano"), col("node")).limit(25)
+  }
+
+  /** Exact neighborhood function N(h) for h ≤ 3 — the hop-census the
+    * effective-diameter estimate is read from (Palmer et al. 2002 ANF;
+    * HyperBall is the sketched production form): for each radius, how many
+    * ordered node pairs are within h hops, cumulatively, and what fraction
+    * of all reachable-in-principle pairs that covers. The curve's knee is
+    * the graph's effective diameter; a crawl whose N(h) saturates by h=2
+    * is hub-collapsed, one that grows linearly is chain-shaped — the
+    * topology pre-flight before any iterative graph workload is sized.
+    *
+    * Reuses [[harmonicCensus]] verbatim (the per-source hop counts ARE the
+    * neighborhood function, aggregated the other way), so the card costs
+    * the same measured-flat pipeline and inherits its exactness: pair
+    * counts are integer sums, the coverage fraction is integer-div to
+    * parts-per-million (`cum·1e6 div n·(n−1)` over nodes with ≥1 edge). At
+    * 100 TB the same plan runs over a sampled source set (a filter on
+    * `src`) or switches to the HLL-sketch per-node frontier — the exact
+    * card is the calibration baseline the sketch is validated against.
+    */
+  private val neighborhoodFn = q("graph_neighborhood_function",
+    s"""WITH ${Oracle.linksCte},
+       |$edgesIntSql,
+       |$harmonicHopsSql,
+       |t AS (
+       |  SELECT count(*)::BIGINT AS n, sum(c1)::BIGINT AS s1,
+       |    sum(c2)::BIGINT AS s2, sum(c3)::BIGINT AS s3
+       |  FROM c)
+       |SELECT h, n_pairs, cum_pairs,
+       |  cum_pairs * 1000000 // (n * (n - 1)) AS reach_ppm
+       |FROM (
+       |  SELECT 1::BIGINT AS h, s1 AS n_pairs, s1 AS cum_pairs, n FROM t
+       |  UNION ALL
+       |  SELECT 2::BIGINT, s2, s1 + s2, n FROM t
+       |  UNION ALL
+       |  SELECT 3::BIGINT, s3, s1 + s2 + s3, n FROM t)
+       |ORDER BY h""".stripMargin) { (s, dir) =>
+    val t = harmonicCensus(edgesInt(s, dir), identity)
+      .agg(count(lit(1)).as("n"), sum("c1").as("s1"),
+        sum("c2").as("s2"), sum("c3").as("s3"))
+    val rows = Seq(
+      (lit(1L), col("s1"), col("s1")),
+      (lit(2L), col("s2"), col("s1") + col("s2")),
+      (lit(3L), col("s3"), col("s1") + col("s2") + col("s3")))
+      .map { case (h, pairs, cum) =>
+        t.select(h.as("h"), pairs.as("n_pairs"), cum.as("cum_pairs"), col("n"))
+          .select(col("h"), col("n_pairs"), col("cum_pairs"),
+            expr("cum_pairs * 1000000 div (n * (n - 1))").as("reach_ppm"))
+      }
+    rows.reduce(_.unionByName(_)).orderBy("h")
   }
 
   /** Link prediction by common-neighborhood — the "which edge is missing?"
@@ -2435,6 +2493,6 @@ object Graph {
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
     lpaCommunities, ktruss, linkPredict, linkPredictCapped_, adamicAdar,
-    harmonicK3, harmonicCapped_, clusteringCoeff, assortativity, pprQ, hits,
-    sccBounded, ssspBounded, stressBounded)
+    harmonicK3, harmonicCapped_, neighborhoodFn, clusteringCoeff,
+    assortativity, pprQ, hits, sccBounded, ssspBounded, stressBounded)
 }

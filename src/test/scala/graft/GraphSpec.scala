@@ -686,6 +686,37 @@ class GraphSpec extends AnyFunSuite {
       s"total coverage not cap-monotone: $totalTight / $totalMid / $totalFull")
   }
 
+  test("neighborhood function: driver BFS replay matches pairs, cumulatives and ppm") {
+    val got = SparkEntry.queries("graph_neighborhood_function")(spark, sf)
+      .collect().map(r => r.getAs[Long]("h") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("cum_pairs"),
+          r.getAs[Long]("reach_ppm"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // exact per-source BFS on the collected slice
+    val raw = edgeSlice.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).filter(p => p._1 != p._2)
+    val und = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    var c = Map(1 -> 0L, 2 -> 0L, 3 -> 0L)
+    nodes.foreach { s0 =>
+      var seen = Set(s0)
+      var frontier = Set(s0)
+      (1 to 3).foreach { h =>
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+        c = c.updated(h, c(h) + frontier.size)
+      }
+    }
+    val n = nodes.size.toLong
+    var cum = 0L
+    (1 to 3).foreach { h =>
+      cum += c(h)
+      assert(got(h.toLong) == ((c(h), cum, cum * 1000000L / (n * (n - 1)))),
+        s"hop $h: got ${got(h.toLong)}, replay says (${c(h)}, $cum)")
+    }
+  }
+
   test("ssspBounded: driver Bellman-Ford replay matches; dist bounded by k*maxW") {
     val enc = (c: String) =>
       expr(s"substring($c, 2, 1)").cast("long") * lit(1000000000000L) +
