@@ -462,6 +462,105 @@ object Multimodal {
     }
   }
 
+  /** Per-frame 16-bit aHash signatures over each video's sampled 2-second
+    * frame windows — the batched-decoder output a scene-cut pass consumes.
+    * Window math is in BYTES (one frame window = 200 bytes of the 10
+    * ms/byte fake stream); the payload is ASCII, so the oracle's character
+    * arithmetic replays it exactly (same equivalence [[phash]] pins).
+    */
+  def frameSigs(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video" && length(col("content")) > 0)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val bpf = 200
+        val cells = 16
+        batch.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          val nf = (n + bpf - 1) / bpf
+          (0 until nf).iterator.map { k =>
+            val off = k * bpf
+            val wlen = math.min(bpf, n - off)
+            val s = Array.tabulate(cells)(i =>
+              (bytes(off + i * wlen / cells) & 0xff).toLong)
+            val mean = s.sum / cells
+            var h = 0L
+            var i = 0
+            while (i < cells) { if (s(i) > mean) h |= (1L << i); i += 1 }
+            (id, k.toLong, h)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "sig")
+  }
+
+  /** Scene-cut segmentation — the shot detector that runs before any
+    * per-scene captioning/embedding so a 2-hour video becomes scene-sized
+    * work units instead of one blob: consecutive sampled frames whose
+    * perceptual signatures differ by ≥ [[SceneCutBits]] of 16 aHash bits
+    * open a new segment (classic threshold-on-frame-difference detection);
+    * output is one row per (video, segment) with its frame span. On the
+    * text-derived stand-in payload consecutive windows are near-random, so
+    * the threshold sits high (uniform Hamming mean = 8) and segments are
+    * short — a codec-backed [[MediaDecoder]] feeds real downsampled pixels
+    * into the SAME thresholding and the same plan.
+    *
+    * Scale shape: signatures are map-side in the batched decoder (one pass
+    * over the bytes); the lag/running-sum windows are partitioned by
+    * doc_id (frames per video are duration-bounded — never a global
+    * window); the segment rollup is one hash aggregate. All arithmetic is
+    * integer end to end.
+    */
+  private val SceneCutBits = 10
+  private val sceneSegments = q("mm_scene_segments",
+    s"""WITH v AS (
+       |  SELECT doc_id, text, len(text) AS n FROM documents
+       |  WHERE $kindCase = 'video' AND len(text) > 0),
+       |fr AS (
+       |  SELECT doc_id, f, f * 200 AS off, least(200, n - f * 200) AS wlen, text
+       |  FROM v, unnest(generate_series(0, (n + 199) // 200 - 1)) t(f)),
+       |sg AS (
+       |  SELECT doc_id, f,
+       |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+       |      CASE WHEN ascii(substr(text, off + ((i - 1) * wlen) // 16 + 1, 1))::BIGINT >
+       |        list_sum(list_transform(generate_series(1, 16), j ->
+       |          ascii(substr(text, off + ((j - 1) * wlen) // 16 + 1, 1))::BIGINT)) // 16
+       |      THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+       |  FROM fr),
+       |cd AS (
+       |  SELECT doc_id, f, sig,
+       |    lag(sig) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+       |  FROM sg),
+       |ct AS (
+       |  SELECT doc_id, f,
+       |    CASE WHEN prev IS NULL OR bit_count(xor(sig, prev)) < $SceneCutBits
+       |      THEN 0 ELSE 1 END AS cut
+       |  FROM cd),
+       |seg AS (
+       |  SELECT doc_id, f,
+       |    (sum(cut) OVER (PARTITION BY doc_id ORDER BY f))::BIGINT AS seg
+       |  FROM ct)
+       |SELECT doc_id, seg, count(*)::BIGINT AS n_frames,
+       |  (min(f) * 2000)::BIGINT AS start_ms,
+       |  ((max(f) + 1) * 2000)::BIGINT AS end_ms
+       |FROM seg GROUP BY doc_id, seg
+       |ORDER BY doc_id, seg""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frameSigs(mediaTable(s, dir))
+      .withColumn("prev", lag("sig", 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull
+          || bit_count(expr("sig ^ prev")) < SceneCutBits, 0L).otherwise(1L))
+      .withColumn("seg", sum("cut").over(w))
+      .groupBy("doc_id", "seg")
+      .agg(count(lit(1)).as("n_frames"),
+        (min("frame_idx") * 2000).as("start_ms"),
+        ((max("frame_idx") + 1) * 2000).as("end_ms"))
+      .orderBy("doc_id", "seg")
+  }
+
   val all: Seq[GQuery] = Seq(meta, resize, frames, features, phashDedup,
-    phashNear, phashIncremental, audioSegments)
+    phashNear, phashIncremental, audioSegments, sceneSegments)
 }

@@ -1932,6 +1932,70 @@ object Misc {
       .orderBy("day_s")
   }
 
+  /** Seasonal-naive forecast baseline — the sanity floor every real
+    * forecasting deployment is judged against: predict each of the last 7
+    * days' per-type event counts from the SAME-WEEKDAY mean over the
+    * training span, and report the mean absolute error. A model that can't
+    * beat this table isn't learning the seasonality it claims to; the
+    * card is the backtest harness shape (train/test split by a cutoff on
+    * the entity's own timeline, never a random row split — that leaks).
+    *
+    * Exactness: daily counts are integers; weekday is epoch-day mod 7
+    * (dayofweek() disagrees across engines on week origin, epoch
+    * arithmetic cannot); the prediction is ONE division (train sum /
+    * train days), each day's absolute error is floored to integer
+    * micro-units BEFORE the final aggregate, and MAE is an integer `div`.
+    * Scale shape: one map-combinable (type, day) census, a broadcast
+    * 1-row max, a (type, weekday)-keyed mean frame of ≤ 7·|types| rows
+    * broadcast into the test join — no window, nothing keyed finer than
+    * (type, day).
+    */
+  private val forecastBaseline = q("stream_forecast_baseline",
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |d AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*)::BIGINT AS n
+      |  FROM ev GROUP BY 1, 2),
+      |mx AS (SELECT max(day) AS mxd FROM d),
+      |dd AS (
+      |  SELECT d.*, mxd,
+      |    date_diff('day', DATE '1970-01-01', day) % 7 AS wd
+      |  FROM d, mx),
+      |m AS (
+      |  SELECT event_type, wd, sum(n)::BIGINT AS s, count(*)::BIGINT AS k
+      |  FROM dd WHERE day <= mxd - 7 GROUP BY 1, 2),
+      |e AS (
+      |  SELECT dd.event_type,
+      |    CAST(floor(abs(dd.n - m.s::DOUBLE / m.k) * 1000000 + 0.5)
+      |      AS BIGINT) AS err_micro
+      |  FROM dd JOIN m ON m.event_type = dd.event_type AND m.wd = dd.wd
+      |  WHERE dd.day > dd.mxd - 7)
+      |SELECT event_type, count(*)::BIGINT AS n_test_days,
+      |  (sum(err_micro) // count(*))::BIGINT AS mae_micro
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val mx = d.agg(max("day").as("mxd"))
+    val dd = d.crossJoin(broadcast(mx))
+      .withColumn("wd", expr("datediff(day, DATE'1970-01-01') % 7"))
+    val m = dd.filter(col("day") <= date_sub(col("mxd"), 7))
+      .groupBy("event_type", "wd")
+      .agg(sum("n").as("s"), count(lit(1)).as("k"))
+    dd.filter(col("day") > date_sub(col("mxd"), 7))
+      .join(broadcast(m), Seq("event_type", "wd"))
+      .select(col("event_type"),
+        floor(abs(col("n") - col("s").cast("double") / col("k"))
+          * lit(1000000L) + lit(0.5)).cast("long").as("err_micro"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test_days"),
+        expr("sum(err_micro) div count(1)").as("mae_micro"))
+      .orderBy("event_type")
+  }
+
   /** A/B experiment readout — the two-proportion z-test every product
     * experiment ships with: users split into control/treatment by a
     * DETERMINISTIC hash of their id (here `user_id % 2` — the fixture ids
@@ -2079,5 +2143,5 @@ object Misc {
     rateAnomaly, transitionMatrix, funnelWindowed, sessionPaths, gapFill,
     activeUsers, zorderSkipping, zorderCompact, lateArrivals, intervalJoin,
     attribution, sketchMerge, covisitation, rfm, sessionDuration, abTest,
-    abPower)
+    abPower, forecastBaseline)
 }

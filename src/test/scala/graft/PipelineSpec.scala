@@ -1794,4 +1794,64 @@ class PipelineSpec extends AnyFunSuite {
     // the mechanism must actually perturb: not every group can be exact
     assert(noisy.exists { case (k, v) => v != truth(k) })
   }
+
+  test("scene segments: driver replay of frame sigs, cuts and segment spans") {
+    val got = SparkEntry.queries("mm_scene_segments")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("start_ms"),
+          r.getAs[Long]("end_ms"))).toMap
+    val vids = pipeline.Multimodal.mediaTable(spark, sf)
+      .filter(col("kind") === "video").select("doc_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+      .filter(_._2.nonEmpty)
+    assert(vids.nonEmpty)
+    val expected = vids.flatMap { case (id, bytes) =>
+      val sigs = (0 until (bytes.length + 199) / 200).map { k =>
+        val off = k * 200
+        val wlen = math.min(200, bytes.length - off)
+        val s = Array.tabulate(16)(i => (bytes(off + i * wlen / 16) & 0xff).toLong)
+        val mean = s.sum / 16
+        s.indices.foldLeft(0L)((h, i) => if (s(i) > mean) h | (1L << i) else h)
+      }
+      val cuts = sigs.indices.map(k =>
+        if (k == 0 || java.lang.Long.bitCount(sigs(k) ^ sigs(k - 1)) < 10) 0 else 1)
+      val segs = cuts.scanLeft(0L)(_ + _).tail
+      sigs.indices.groupBy(segs(_)).map { case (seg, frames) =>
+        (id, seg) -> ((frames.size.toLong,
+          frames.min.toLong * 2000, (frames.max.toLong + 1) * 2000))
+      }
+    }.toMap
+    assert(got == expected)
+    // frames chain with no gaps: segment spans tile each video exactly
+    vids.foreach { case (id, bytes) =>
+      val spans = got.collect { case ((d, _), v) if d == id => v }.toSeq
+      assert(spans.map(_._1).sum == (bytes.length + 199) / 200)
+    }
+  }
+
+  test("forecast baseline: driver replay of the same-weekday mean and MAE") {
+    val got = SparkEntry.queries("stream_forecast_baseline")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_test_days"), r.getAs[Long]("mae_micro"))).toMap
+    val days = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val mxd = days.map(_._2).max
+    val cut = mxd.minusDays(7)
+    def wd(d: java.time.LocalDate) = (d.toEpochDay % 7).toInt
+    val expected = days.groupBy(_._1).map { case (et, rows) =>
+      val train = rows.filter(r => !r._2.isAfter(cut))
+      val means = train.groupBy(r => wd(r._2)).view
+        .mapValues(rs => rs.map(_._3).sum.toDouble / rs.size).toMap
+      val test = rows.filter(r => r._2.isAfter(cut))
+        .filter(r => means.contains(wd(r._2)))
+      val errs = test.map(r =>
+        math.floor(math.abs(r._3 - means(wd(r._2))) * 1e6 + 0.5).toLong)
+      et -> ((test.size.toLong, errs.sum / test.size))
+    }
+    assert(got == expected)
+    // the split is by the timeline, not by rows: every type has 7 test days
+    assert(got.values.forall(_._1 == 7L))
+  }
 }
