@@ -1658,6 +1658,72 @@ object Graph {
     rows.reduce(_.unionByName(_)).orderBy("h")
   }
 
+  /** Deterministic random-walk corpus ([[WalkLen]] steps from every node) —
+    * the DeepWalk/node2vec data-generation pass: graph-embedding training
+    * consumes walk sequences as its "sentences", and at 100 TB the walk
+    * corpus is a first-class dataset built exactly like this. The walker
+    * is SEEDED: step t from node v moves to sorted-neighbor index
+    * `hash(v:t:seed) mod deg(v)`, so the corpus is reproducible across
+    * runs and engines (a training-data pipeline that regenerates different
+    * walks every run can't cache, diff, or debug its corpus) — the md5
+    * hash is the same 60-bit primitive every sampling card uses.
+    *
+    * Scale shape: one per-node sorted-adjacency index (node-partitioned
+    * window, the same hub-bounded shape as the capped cards — an extreme
+    * hub gets capped/alias-sampled first), then one equi-join per step on
+    * `(current node, chosen index)` carrying the walk prefix as columns —
+    * |V| rows per round, co-partitioned on the walk head. Longer walks
+    * are more rounds of the same join; walks never dead-end (the
+    * undirected frame has deg ≥ 1 everywhere).
+    */
+  private val WalkLen = 4
+  private val walkCorpus = {
+    val steps = (1 to WalkLen).map { t =>
+      val prev = (0 until t).map(i => s"n$i").mkString(", ")
+      s"""w$t AS (
+         |  SELECT $prev, adj.b AS n$t FROM w${t - 1}
+         |  JOIN deg ON deg.a = n${t - 1}
+         |  JOIN adj ON adj.a = n${t - 1}
+         |    AND adj.rn = ('0x' || substr(md5(n${t - 1}::VARCHAR || ':$t:walk'), 1, 15))::BIGINT % d + 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val cols = (0 to WalkLen).map(i => s"n$i").mkString(", ")
+    q("graph_walk_corpus",
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |und AS (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)
+         |  WHERE a <> b),
+         |adj AS (
+         |  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn
+         |  FROM und),
+         |deg AS (SELECT a, count(*)::BIGINT AS d FROM und GROUP BY a),
+         |w0 AS (SELECT a AS n0 FROM deg),
+         |$steps
+         |SELECT $cols FROM w$WalkLen ORDER BY n0""".stripMargin) { (s, dir) =>
+      val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
+      val und = e.select("a", "b")
+        .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+      val adj = und.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a").orderBy("b")))
+      val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+      var walk = deg.select(col("a").as("n0"))
+      (1 to WalkLen).foreach { t =>
+        val cur = s"n${t - 1}"
+        walk = walk
+          .join(deg.select(col("a").as(cur), col("d")), Seq(cur))
+          .withColumn("idx", graft.functions.Md5Prefix64(
+            concat(col(cur).cast("string"), lit(s":$t:walk")))
+            % col("d") + lit(1L))
+          .join(adj.select(col("a").as(cur), col("rn").as("idx"),
+            col("b").as(s"n$t")), Seq(cur, "idx"))
+          .drop("idx", "d")
+      }
+      walk.select((0 to WalkLen).map(i => col(s"n$i")): _*).orderBy("n0")
+    }
+  }
+
   /** Link prediction by common-neighborhood — the "which edge is missing?"
     * card over the dependency graph: for every NON-adjacent node pair that
     * shares at least one neighbor, the shared-neighbor count and the
@@ -2493,6 +2559,6 @@ object Graph {
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
     lpaCommunities, ktruss, linkPredict, linkPredictCapped_, adamicAdar,
-    harmonicK3, harmonicCapped_, neighborhoodFn, clusteringCoeff,
+    harmonicK3, harmonicCapped_, neighborhoodFn, walkCorpus, clusteringCoeff,
     assortativity, pprQ, hits, sccBounded, ssspBounded, stressBounded)
 }

@@ -717,6 +717,35 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("walk corpus: every step follows the seeded hash over the sorted adjacency") {
+    val got = SparkEntry.queries("graph_walk_corpus")(spark, sf).collect()
+      .map(r => (0 to 4).map(i => r.getLong(i)))
+    assert(got.nonEmpty)
+    // rebuild the sorted adjacency on the driver with the same node encoding
+    val enc = (c: String) =>
+      expr(s"substring($c, 2, 1)").cast("long") * lit(1000000000000L) +
+        element_at(split(col(c), "-"), 2).cast("long")
+    val raw = edgeSlice.select(enc("src").as("a"), enc("dst").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(p => p._1 != p._2)
+    val adj = raw.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    def h64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    assert(got.map(_.head).distinct.size == adj.size, "one walk per node")
+    got.foreach { walk =>
+      (1 to 4).foreach { t =>
+        val cur = walk(t - 1)
+        val ns = adj(cur)
+        val idx = (h64(s"$cur:$t:walk") % ns.size).toInt
+        assert(walk(t) == ns(idx),
+          s"walk from ${walk.head}: step $t took ${walk(t)}, seeded hash says ${ns(idx)}")
+      }
+    }
+  }
+
   test("ssspBounded: driver Bellman-Ford replay matches; dist bounded by k*maxW") {
     val enc = (c: String) =>
       expr(s"substring($c, 2, 1)").cast("long") * lit(1000000000000L) +
