@@ -198,7 +198,7 @@ object Cli {
           Console.err.println(s"serve requires ${missing.map("--" + _).mkString(", ")}")
           return 2
         }
-        val (_, port) = startServer(kv)
+        val (_, port) = startServer(kv, flags)
         println(s"""{"listening":"${kv.getOrElse("host", "127.0.0.1")}:$port"}""")
         // serve forever (reference: cmd/api-server/main.go); ApiSpec drives
         // the server in-process instead of through this blocking path
@@ -476,7 +476,8 @@ object Cli {
   /** Build and start the REST façade from CLI flags
     * (reference: cmd/api-server/main.go flag surface).
     */
-  private[graft] def startServer(kv: Map[String, String]): (api.ApiServer, Int) = {
+  private[graft] def startServer(kv: Map[String, String],
+      flags: Set[String] = Set.empty): (api.ApiServer, Int) = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
@@ -516,7 +517,10 @@ object Cli {
       version = "0.1.0",
       reconciler = reconciler,
       reconcileIntervalMs = kv.get("reconcile-interval-ms")
-        .flatMap(_.toLongOption).getOrElse(30000L))
+        .flatMap(_.toLongOption).getOrElse(30000L),
+      // both spellings: bare `--open-metrics` and `--open-metrics=true`
+      openMetrics = flags.contains("open-metrics") ||
+        kv.get("open-metrics").exists(_.equalsIgnoreCase("true")))
     val port = server.start()
     (server, port)
   }
@@ -538,10 +542,12 @@ object Cli {
       |  serve    --source <sfDir> --repo <dir> --state <path>
       |           [--host 127.0.0.1] [--port 8080] [--rate-limit N]
       |           [--auth-token T] [--reconcile <resources.json>]
-      |           [--reconcile-interval-ms 30000]
+      |           [--reconcile-interval-ms 30000] [--open-metrics]
       |           (a configured --auth-token is always enforced as a
-      |            Bearer token; loopback binds additionally get wildcard
-      |            CORS, non-loopback binds do not)
+      |            Bearer token — except GET /api/v1/health, which probes
+      |            must reach, and /metrics when --open-metrics is set for
+      |            tokenless Prometheus scrapes; loopback binds
+      |            additionally get wildcard CORS, non-loopback do not)
       |  profile  list|show <name>|create|update <name>|delete <name>|
       |           templates [--details]|export [--out f]|import --in f
       |           [--overwrite]

@@ -47,7 +47,8 @@ final class ApiServer(
     version: String = "dev",
     clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
     reconciler: Option[graft.jobs.Reconciler] = None,
-    reconcileIntervalMs: Long = 30000L) {
+    reconcileIntervalMs: Long = 30000L,
+    openMetrics: Boolean = false) {
 
   private val mapper = {
     val m = new ObjectMapper()
@@ -178,14 +179,16 @@ final class ApiServer(
         }
     }
 
-  /** GET /api/v1/health is exempt from bearer auth: kubelet liveness /
-    * readiness probes cannot carry a secret-sourced header (httpGet probes
-    * take only literal httpHeaders), so an authenticated health endpoint
-    * makes every token-configured pod unready by construction. The
-    * endpoint is read-only and reveals only phase counts and uptime;
-    * everything mutating stays behind [[authorized]]. Same posture as
-    * `/metrics` below — protect both with a NetworkPolicy when the
-    * telemetry itself is sensitive.
+  /** GET /api/v1/health is exempt from bearer auth AND the rate limiter:
+    * kubelet liveness / readiness probes cannot carry a secret-sourced
+    * header (httpGet probes take only literal httpHeaders), and on a pod
+    * whose service traffic is SNAT'd to one node IP a chatty co-located
+    * client would otherwise consume the shared fixed-window budget and
+    * 429 the probe — either failure marks a healthy pod unready by
+    * construction. The endpoint is read-only and reveals only phase
+    * counts and uptime; everything mutating stays behind [[authorized]]
+    * and the limiter. `/metrics` openness is the explicit
+    * [[openMetrics]] opt-in instead (see [[metricsHandle]]).
     */
   private def isOpenProbe(exchange: HttpExchange): Boolean =
     exchange.getRequestMethod == "GET" &&
@@ -207,7 +210,7 @@ final class ApiServer(
       } else if (!isOpenProbe(exchange) && !authorized(exchange)) {
         writeError(exchange, requestId, 401, "UNAUTHORIZED",
           "Authentication required", "provide Authorization: Bearer <token>")
-      } else if (rateLimited(exchange)) {
+      } else if (!isOpenProbe(exchange) && rateLimited(exchange)) {
         writeError(exchange, requestId, 429, "RATE_LIMITED",
           "Too many requests", s"limit is $rateLimitPerMinute/minute")
       } else route(exchange, requestId)
@@ -351,21 +354,29 @@ final class ApiServer(
     sb.toString
   }
 
-  /** Served WITHOUT bearer auth, like `/api/v1/health`: annotation-driven
-    * Prometheus scrapes (`prometheus.io/scrape`) cannot attach a per-target
-    * bearer token, so an authenticated scrape endpoint silently produces a
-    * fleet of `401` targets. The exposition is read-only counters/gauges;
-    * restrict reachability with a NetworkPolicy where that telemetry is
-    * sensitive.
+  /** Annotation-driven Prometheus scrapes (`prometheus.io/scrape`) cannot
+    * attach a per-target bearer token, so a token-guarded scrape endpoint
+    * silently produces a fleet of `401` targets — but the exposition also
+    * carries resource NAMES (`graft_resource_retries{resource=...}`), so
+    * dropping the guard unconditionally would silently expose telemetry on
+    * existing token-protected binds after an upgrade. The deployment
+    * chooses: `--open-metrics` ([[openMetrics]]) serves the scrape
+    * unauthenticated — `deploy/operator.yaml` sets it, with a
+    * NetworkPolicy as the reachability boundary — while the default keeps
+    * `/metrics` behind the configured token exactly like the API.
     */
   private def metricsHandle(exchange: HttpExchange): Unit = {
     try {
-      val bytes = metricsText().getBytes("UTF-8")
-      exchange.getResponseHeaders.set("Content-Type",
-        "text/plain; version=0.0.4; charset=utf-8")
-      exchange.sendResponseHeaders(200, bytes.length)
-      val out = exchange.getResponseBody
-      out.write(bytes); out.close()
+      if (!openMetrics && !authorized(exchange)) {
+        exchange.sendResponseHeaders(401, -1)
+      } else {
+        val bytes = metricsText().getBytes("UTF-8")
+        exchange.getResponseHeaders.set("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        exchange.sendResponseHeaders(200, bytes.length)
+        val out = exchange.getResponseBody
+        out.write(bytes); out.close()
+      }
     } catch { case _: Throwable => () }
     finally exchange.close()
   }

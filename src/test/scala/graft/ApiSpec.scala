@@ -318,7 +318,8 @@ class ApiSpec extends AnyFunSuite {
       clock = () => new Timestamp(86400000L)) // frozen: the window can't roll
     val port = limited.start()
     try {
-      val url = s"http://127.0.0.1:$port/api/v1/health"
+      // system/info, not health: the probe endpoint bypasses the limiter
+      val url = s"http://127.0.0.1:$port/api/v1/system/info"
       val codes = (1 to 5).map(_ => call("GET", url)._1)
       assert(codes.take(3).forall(_ == 200))
       assert(codes.drop(3).contains(429))
@@ -379,6 +380,25 @@ class ApiSpec extends AnyFunSuite {
       assert(probe.statusCode() == 200,
         "health probe must not require the bearer token")
       assert(probe.headers.firstValue("Access-Control-Allow-Origin").isEmpty)
+    } finally srv.stop()
+  }
+
+  test("health probe bypasses the rate limiter (a 429'd probe kills healthy pods)") {
+    val srv = new ApiServer(spark, manager, store,
+      () => issuesDf, () => linksDf, s"$work/repos5", s"$work/state5",
+      rateLimitPerMinute = 1, version = "test-rl", clock = () => tick())
+    val port = srv.start()
+    try {
+      def get(path: String) = http.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(get("/api/v1/system/info") == 200)
+      // window budget (1/min) exhausted: the API throttles...
+      assert(get("/api/v1/system/info") == 429)
+      // ...but the kubelet probe must still get through
+      assert(get("/api/v1/health") == 200,
+        "health must not consume or be blocked by the shared rate budget")
     } finally srv.stop()
   }
 
@@ -546,25 +566,44 @@ class ApiSpec extends AnyFunSuite {
     // *_total is a monotone counter — the declared type must say so, or
     // rate()/increase() and promtool reject the metric
     assert(body.contains("# TYPE graft_http_requests_total counter"))
-    // the scrape endpoint stays open on a token-guarded server: annotation-
-    // driven Prometheus discovery cannot attach a bearer token per target
+    // default posture: a token-guarded server keeps /metrics behind the
+    // token (resource names ride the labels — upgrades must not silently
+    // expose them)
     val g = new ApiServer(spark, manager, store, () => issuesDf, () => linksDf,
       s"$work/repos", s"$work/state", version = "test-m",
       clock = () => tick(), authToken = Some("sekret3"))
     val gp = g.start()
     try {
-      val open = http.send(
+      val denied = http.send(
         HttpRequest.newBuilder(
           URI.create(s"http://127.0.0.1:$gp/metrics")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
+      assert(denied.statusCode() == 401,
+        "a token-guarded scrape must stay guarded without --open-metrics")
+      val ok = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$gp/metrics"))
+          .header("Authorization", "Bearer sekret3").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200 && ok.body().contains("graft_jobs"))
+    } finally g.stop()
+    // --open-metrics (the K8s scrape posture): unauthenticated scrape
+    // succeeds while the API beside it still enforces the token
+    val o = new ApiServer(spark, manager, store, () => issuesDf, () => linksDf,
+      s"$work/repos", s"$work/state", version = "test-m2",
+      clock = () => tick(), authToken = Some("sekret4"), openMetrics = true)
+    val op = o.start()
+    try {
+      val open = http.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$op/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
       assert(open.statusCode() == 200 && open.body().contains("graft_jobs"),
-        "an unauthenticated scrape must succeed — probes can't carry secrets")
-      // while the API beside it still enforces the token
+        "annotation-driven scrapes can't carry secrets")
       val denied = http.send(
         HttpRequest.newBuilder(
-          URI.create(s"http://127.0.0.1:$gp/api/v1/jobs")).GET().build(),
+          URI.create(s"http://127.0.0.1:$op/api/v1/jobs")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(denied.statusCode() == 401)
-    } finally g.stop()
+    } finally o.stop()
   }
 }
