@@ -58,7 +58,7 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, seed // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
        |  FROM minh GROUP BY doc_id, seed // 4),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
@@ -651,7 +651,7 @@ object Dedup {
   private def resolveRoundsSql(edge: String): String =
     (1 to ResolveRounds).map { i =>
       val prev = s"l${i - 1}"
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT l.doc_id, least(l.cluster, coalesce(m.nm, l.cluster)) AS cluster
          |  FROM $prev l LEFT JOIN (
          |    SELECT $edge.a AS doc_id, min(p.cluster) AS nm
@@ -660,9 +660,9 @@ object Dedup {
     }.mkString(",\n")
 
   private[pipeline] def resolveCtes: String =
-    s"""e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+    s"""e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand
        |      UNION ALL SELECT doc_b, doc_a FROM cand),
-       |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+       |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS cluster FROM documents),
        |${resolveRoundsSql("e")}""".stripMargin
 
   private val resolve =
@@ -783,7 +783,7 @@ object Dedup {
     q("pipe_dedup_clusters_verified",
       withDocs(s""", $minhashSql,
          |$pairCtes,
-         |ve AS (
+         |ve AS MATERIALIZED (
          |  SELECT x.a, x.b FROM (
          |    SELECT i.doc_a AS a, i.doc_b AS b, i.i, za.n AS na, zb.n AS nb
          |    FROM inter i
@@ -795,7 +795,7 @@ object Dedup {
          |    JOIN sizes za ON za.doc_id = i.doc_a
          |    JOIN sizes zb ON zb.doc_id = i.doc_b) x
          |  WHERE 10 * x.i >= 7 * (x.na + x.nb - x.i)),
-         |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS cluster FROM documents),
          |${resolveRoundsSql("ve")}
          |SELECT doc_id, cluster, doc_id = cluster AS kept
          |FROM l$ResolveRounds ORDER BY doc_id""".stripMargin)) { (s, dir) =>
@@ -1116,7 +1116,7 @@ object Dedup {
     * `words` in scope).
     */
   private val spanCte: String =
-    s"""sp AS (
+    s"""sp AS MATERIALIZED (
        |  SELECT doc_id,
        |    unnest(generate_series(1, len(w) - ${SpanLen - 1})) AS pos,
        |    unnest(list_transform(generate_series(1, len(w) - ${SpanLen - 1}),
@@ -1633,24 +1633,29 @@ object Dedup {
        |$spanCte,
        |census AS (
        |  SELECT h, count(DISTINCT doc_id) AS nd,
-       |    min({'d': doc_id, 'p': pos}) AS c
+       |    min(doc_id * 4294967296 + pos) AS canon
        |  FROM sp GROUP BY h),
        |noncanon AS (
        |  SELECT s.doc_id, s.pos FROM sp s JOIN census c USING (h)
        |  WHERE c.nd >= 2
-       |    AND NOT (s.doc_id = struct_extract(c.c, 'd')
-       |             AND s.pos = struct_extract(c.c, 'p'))),
-       |rp AS (
-       |  SELECT doc_id, list(DISTINCT p ORDER BY p) AS ps FROM (
+       |    AND s.doc_id * 4294967296 + s.pos <> c.canon),
+       |rp AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, p FROM (
        |    SELECT doc_id, unnest(generate_series(pos, pos + ${SpanLen - 1})) AS p
-       |    FROM noncanon)
-       |  GROUP BY doc_id)
+       |    FROM noncanon)),
+       |wi AS (
+       |  SELECT doc_id, unnest(w) AS x, unnest(generate_series(1, len(w))) AS i
+       |  FROM words),
+       |agg AS (
+       |  SELECT wi.doc_id, count(*)::BIGINT AS n_kept,
+       |    string_agg(wi.x, ' ' ORDER BY wi.i) AS scrubbed
+       |  FROM wi LEFT JOIN rp ON rp.doc_id = wi.doc_id AND rp.p = wi.i
+       |  WHERE rp.p IS NULL
+       |  GROUP BY wi.doc_id)
        |SELECT w.doc_id, len(w.w)::BIGINT AS n_words,
-       |  coalesce(len(r.ps), 0)::BIGINT AS n_removed,
-       |  sha256(coalesce(array_to_string(
-       |    list_filter(w.w, (x, i) -> NOT list_contains(coalesce(r.ps, []), i)),
-       |    ' '), '')) AS scrubbed_sha
-       |FROM words w LEFT JOIN rp r USING (doc_id)
+       |  (len(w.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       |  sha256(coalesce(a.scrubbed, '')) AS scrubbed_sha
+       |FROM words w LEFT JOIN agg a USING (doc_id)
        |ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
     val sp = spanHashes(
       graft.Tables.t(s, dir, "documents").select("doc_id", "text"))

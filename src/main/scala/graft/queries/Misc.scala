@@ -512,8 +512,14 @@ object Misc {
     * pass. One exchange on `user_id`, one sort per partition, every function
     * shares the same window. The running sum accumulates in DECIMAL (a
     * cumulative double sum is fold-order-dependent; decimal is exact in both
-    * engines), and the ordering key (ts, event_id) is total so frames are
-    * identical cross-engine.
+    * engines), the ordering key (ts, event_id) is total so frames are
+    * identical cross-engine, and percent_rank is materialized as EXACT
+    * integer micro-units from its own definition — `(rank−1)·1e6 div
+    * (n−1)` in pure BIGINTs — because `round(percent_rank(), 6)` straddles
+    * decimal rounding boundaries between engines once partitions are large
+    * enough that `(rank−1)/(n−1)` lands on .xxxxx5 values (the full-registry
+    * sf1 rehearsal caught exactly that: 48 boundary rows at ~6k-event
+    * users).
     */
   private val analytics = q("agg_window_analytics",
     """WITH ev AS (
@@ -525,12 +531,16 @@ object Misc {
       |    PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
       |  ntile(4) OVER w AS quartile,
-      |  round(percent_rank() OVER w, 6) AS pr
+      |  CASE WHEN count(*) OVER (PARTITION BY user_id) = 1 THEN 0
+      |    ELSE ((rank() OVER w - 1) * 1000000)
+      |      // (count(*) OVER (PARTITION BY user_id) - 1) END::BIGINT
+      |    AS pr_micro
       |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val part = Window.partitionBy("user_id")
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"),
         col("ts").cast("timestamp").as("ts"), col("value"))
@@ -540,7 +550,11 @@ object Misc {
         sum(col("value").cast("decimal(18,2)")).over(run)
           .cast("double").as("running_value"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"))
+        when(count(lit(1)).over(part) === 1, lit(0L))
+          .otherwise(expr(
+            "((rank() over (partition by user_id order by ts, event_id) - 1)"
+              + " * 1000000) div (count(1) over (partition by user_id) - 1)"))
+          .as("pr_micro"))
       .orderBy("user_id", "event_id")
   }
 
