@@ -271,11 +271,19 @@ final class ApiServer(
       case "healthy" => ("healthy", 200)
       case _ => ("unhealthy", 503)
     }
-    writeJson(exchange, rid, overall._2, Map(
-      "status" -> overall._1,
-      "version" -> version,
-      "uptime_ms" -> (clock().getTime - startedAtMs.get()),
-      "components" -> Map("job_manager" -> jobManagerHealth)))
+    // The probe exemption ([[isOpenProbe]]) makes this endpoint reachable
+    // without auth on any bind — so an UNAUTHENTICATED caller gets only the
+    // status word a probe needs (the HTTP code already carries it); version,
+    // uptime and component error text are reserved for bearer-carrying
+    // callers. A kubelet httpGet probe only reads the status code either way.
+    if (!authorized(exchange))
+      writeJson(exchange, rid, overall._2, Map("status" -> overall._1))
+    else
+      writeJson(exchange, rid, overall._2, Map(
+        "status" -> overall._1,
+        "version" -> version,
+        "uptime_ms" -> (clock().getTime - startedAtMs.get()),
+        "components" -> Map("job_manager" -> jobManagerHealth)))
   }
 
   private def systemInfo(exchange: HttpExchange, rid: String): Unit =

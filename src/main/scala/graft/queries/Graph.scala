@@ -1643,19 +1643,20 @@ object Graph {
        |  UNION ALL
        |  SELECT 3::BIGINT, s3, s1 + s2 + s3, n FROM t)
        |ORDER BY h""".stripMargin) { (s, dir) =>
-    val t = harmonicCensus(edgesInt(s, dir), identity)
+    // the census collapses to ONE row — collect it once on the driver
+    // (referencing the aggregate frame in three union legs re-ran the full
+    // 3-hop census three times per execution) and emit the three h-rows as
+    // literals; integer ppm math on the driver is the same BIGINT div
+    val r = harmonicCensus(edgesInt(s, dir), identity)
       .agg(count(lit(1)).as("n"), sum("c1").as("s1"),
         sum("c2").as("s2"), sum("c3").as("s3"))
-    val rows = Seq(
-      (lit(1L), col("s1"), col("s1")),
-      (lit(2L), col("s2"), col("s1") + col("s2")),
-      (lit(3L), col("s3"), col("s1") + col("s2") + col("s3")))
-      .map { case (h, pairs, cum) =>
-        t.select(h.as("h"), pairs.as("n_pairs"), cum.as("cum_pairs"), col("n"))
-          .select(col("h"), col("n_pairs"), col("cum_pairs"),
-            expr("cum_pairs * 1000000 div (n * (n - 1))").as("reach_ppm"))
-      }
-    rows.reduce(_.unionByName(_)).orderBy("h")
+      .head()
+    val (n, s1, s2, s3) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val denom = n * (n - 1)
+    val rows = Seq((1L, s1, s1), (2L, s2, s1 + s2), (3L, s3, s1 + s2 + s3))
+      .map { case (h, pairs, cum) => (h, pairs, cum, cum * 1000000L / denom) }
+    import s.implicits._
+    rows.toDF("h", "n_pairs", "cum_pairs", "reach_ppm").orderBy("h")
   }
 
   /** Deterministic random-walk corpus ([[WalkLen]] steps from every node) —

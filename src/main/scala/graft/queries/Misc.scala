@@ -1413,23 +1413,41 @@ object Misc {
       |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) {
     (s, dir) =>
-    val base = graft.Caches.scratchDir("bucketed-join").toString
-    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-    s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    val scratch = graft.Caches.scratchDir("bucketed-join")
+    val base = scratch.toString
+    // catalog names carry the (unique) scratch-dir nonce: two concurrent
+    // executions in one JVM each get their own tables — a fixed global name
+    // raced (one run's drop removed the other's table mid-query). The
+    // returned frame stays LAZY over the catalog tables (the bucket metadata
+    // that makes the join exchange-free lives there — BucketingSpec inspects
+    // exactly that plan), so this run's tables can't be dropped here; instead
+    // each run garbage-collects nonce tables RETIRED by earlier runs
+    // (retirement happens after the next run registers, so a table is only
+    // dropped once a fresher one exists — never under a concurrent reader
+    // that registered after it).
+    val nonce = scratch.getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val tblO = s"graft_bkt_orders_$nonce"
+    val tblC = s"graft_bkt_customer_$nonce"
+    bucketedJoinRetired.synchronized {
+      while (bucketedJoinRetired.size > 4)
+        s.sql(s"DROP TABLE IF EXISTS ${bucketedJoinRetired.dequeue()}")
+      bucketedJoinRetired.enqueue(tblO)
+      bucketedJoinRetired.enqueue(tblC)
+    }
     Tables.t(s, dir, "orders")
       .select(col("o_custkey"),
         floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
           .as("cents"))
       .write.format("parquet").option("path", s"$base/orders")
       .bucketBy(16, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").saveAsTable("graft_bkt_orders")
+      .mode("overwrite").saveAsTable(tblO)
     Tables.t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
       .write.format("parquet").option("path", s"$base/customer")
       .bucketBy(16, "c_custkey").sortBy("c_custkey")
-      .mode("overwrite").saveAsTable("graft_bkt_customer")
-    s.table("graft_bkt_orders")
-      .join(s.table("graft_bkt_customer").hint("merge"),
+      .mode("overwrite").saveAsTable(tblC)
+    s.table(tblO)
+      .join(s.table(tblC).hint("merge"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
@@ -1437,6 +1455,12 @@ object Misc {
         sum("cents").as("sum_cents"))
       .orderBy("c_mktsegment")
   }
+
+  /** FIFO of nonce-named bucketed tables from past [[bucketedJoin]] runs;
+    * kept a few entries deep so a just-returned lazy frame (or a concurrent
+    * run) is never read out from under — see the card for the protocol.
+    */
+  private val bucketedJoinRetired = scala.collection.mutable.Queue.empty[String]
 
   /** Conversion-lag statistics for the funnel's full converters: exact
     * microsecond lag from first signup to first qualifying purchase, as

@@ -380,6 +380,21 @@ class ApiSpec extends AnyFunSuite {
       assert(probe.statusCode() == 200,
         "health probe must not require the bearer token")
       assert(probe.headers.firstValue("Access-Control-Allow-Origin").isEmpty)
+      // ...and the UNAUTHENTICATED body is minimal: the probe only needs the
+      // status word — version, uptime and component detail would otherwise be
+      // an unthrottled unauthenticated disclosure on a non-loopback bind
+      val probeData = parse(probe.body())("data").asInstanceOf[Map[String, Any]]
+      assert(probeData.keySet == Set("status"),
+        s"unauthenticated health body must carry only 'status', got ${probeData.keySet}")
+      // a bearer-carrying caller still gets the full diagnostic body
+      val authedHealth = http.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/api/v1/health"))
+          .header("Authorization", "Bearer sekret").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val healthData =
+        parse(authedHealth.body())("data").asInstanceOf[Map[String, Any]]
+      assert(Set("version", "uptime_ms", "components").subsetOf(healthData.keySet))
     } finally srv.stop()
   }
 
