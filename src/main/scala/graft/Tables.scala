@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table catalog: the driver-generated TPC-H-ish parquet tables plus the
@@ -98,6 +98,48 @@ object Tables {
   def issuesFull(spark: SparkSession, sfDir: String): DataFrame =
     graft.sink.Yaml.withRelationships(issues(spark, sfDir), links(spark, sfDir))
 
+  /** Per-issue STATUS CHANGELOG derived from `orders` — the interval table
+    * JQL's history operators (`status WAS X`, `status CHANGED FROM a TO b`)
+    * evaluate against. JIRA keeps this as the issue changelog; the reference
+    * syncs current snapshots only, so the engine derives a deterministic
+    * changelog both engines can replay: issue key's walk has
+    * `1 + o_orderkey % 4` steps (so ~25% of issues NEVER changed), each step
+    * `1 + o_orderkey % 7` days apart starting at `created`, stepping through
+    * the To Do → In Progress → Done cycle so that the LAST step equals the
+    * issues table's current `status_name` — `WAS` therefore includes the
+    * current value, exactly JIRA's rule. One narrow projection + one
+    * `explode(sequence(...))` per row: no shuffle, scales linearly, and the
+    * open interval (`valid_to IS NULL`) marks the live version like any SCD2.
+    */
+  def statusHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val proj = concat(lit("P"), (col("o_custkey") % 7).cast("string"))
+    val key = concat(proj, lit("-"), col("o_orderkey").cast("string"))
+    val idx = when(col("o_orderstatus") === "F", 2)
+      .when(col("o_orderstatus") === "O", 1).otherwise(0)
+    val base = o.select(
+      key.as("key"), proj.as("project_key"),
+      col("o_orderdate").as("created"),
+      idx.as("idx"),
+      (col("o_orderkey") % 4 + 1).cast("int").as("n"),
+      (col("o_orderkey") % 7 + 1).cast("int").as("stride"))
+    // status at step i of the walk that ENDS on the current status index:
+    // cycle[(idx - (n-1) + i) mod 3] — consecutive steps always differ
+    def statusAt(i: Column): Column = element_at(
+      array(lit("To Do"), lit("In Progress"), lit("Done")),
+      (((col("idx") - (col("n") - 1) + i) % 3 + 3) % 3 + 1).cast("int"))
+    base
+      .withColumn("i", explode(sequence(lit(0), col("n") - 1)))
+      .select(
+        col("key"), col("project_key"),
+        (col("i") + 1).cast("int").as("seq"),
+        statusAt(col("i")).as("status_name"),
+        when(col("i") > 0, statusAt(col("i") - 1)).as("prev_status"),
+        expr("timestampadd(DAY, i * stride, created)").as("changed_at"),
+        when(col("i") < col("n") - 1,
+          expr("timestampadd(DAY, (i + 1) * stride, created)")).as("valid_to"))
+  }
+
   /** Domain `links` edge table derived from lineitem⨝orders: each lineitem
     * becomes one typed, directed edge from its order's issue. Replaces the
     * reference's symlink edges (reference: pkg/links/links.go:31-95).
@@ -167,9 +209,36 @@ object Oracle {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |)""".stripMargin
 
+  /** DuckDB twin of [[Tables.statusHistory]] (lateral generate_series is
+    * unsupported there, so the per-row expansion is `unnest(generate_series)`
+    * in the SELECT list — same rows).
+    */
+  val historyCte: String =
+    """hbase AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |    CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'O' THEN 1 ELSE 0 END AS idx,
+      |    CAST(o_orderkey % 4 + 1 AS INT) AS n,
+      |    CAST(o_orderkey % 7 + 1 AS INT) AS stride
+      |  FROM orders),
+      |hexp AS (
+      |  SELECT *, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i FROM hbase),
+      |history AS (
+      |  SELECT
+      |    'P' || CAST(o_custkey % 7 AS STRING) || '-' || CAST(o_orderkey AS STRING) AS key,
+      |    'P' || CAST(o_custkey % 7 AS STRING) AS project_key,
+      |    CAST(i + 1 AS INT) AS seq,
+      |    ['To Do','In Progress','Done'][CAST((((idx - (n-1) + i) % 3 + 3) % 3 + 1) AS INT)] AS status_name,
+      |    CASE WHEN i > 0 THEN ['To Do','In Progress','Done'][CAST((((idx - (n-1) + i - 1) % 3 + 3) % 3 + 1) AS INT)] END AS prev_status,
+      |    o_orderdate + i * stride * INTERVAL 1 DAY AS changed_at,
+      |    CASE WHEN i < n - 1 THEN o_orderdate + (i+1) * stride * INTERVAL 1 DAY END AS valid_to
+      |  FROM hexp)""".stripMargin
+
   /** `WITH issues AS (...) <sql>` helper. */
   def withIssues(sql: String): String = s"WITH $issuesCte\n$sql"
   def withLinks(sql: String): String = s"WITH $linksCte\n$sql"
   def withIssuesAndLinks(sql: String): String =
     s"WITH $issuesCte,\n$linksCte\n$sql"
+  def withHistory(sql: String): String = s"WITH $historyCte\n$sql"
+  def withIssuesAndHistory(sql: String): String =
+    s"WITH $issuesCte,\n$historyCte\n$sql"
 }

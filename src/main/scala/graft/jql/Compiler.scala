@@ -45,7 +45,12 @@ final class JqlCompiler(
     issues: DataFrame,
     links: => DataFrame,
     ctx: JqlContext,
-    deterministic: Boolean = true) {
+    deterministic: Boolean = true,
+    // status changelog (SCD2 intervals: key, status_name, prev_status,
+    // changed_at, valid_to) backing the history operators WAS / CHANGED;
+    // by-name with a failing default so non-history deployments never touch it
+    history: => DataFrame =
+      sys.error("WAS/CHANGED need a status-history binding")) {
 
   /** Pending membership joins: (marker column, field column, key set). */
   private val pending = ArrayBuffer.empty[(String, Column, DataFrame)]
@@ -121,6 +126,107 @@ final class JqlCompiler(
       if (neg) fieldCol(f).isNotNull else fieldCol(f).isNull
     case JCmp(f, op, v) => compileCmp(f, op, v)
     case JIn(f, vs, neg) => compileIn(f, vs, neg)
+    case JWas(f, vs, neg, quals) => compileWas(f, vs, neg, quals)
+    case JChanged(f, from, to, quals) => compileChanged(f, from, to, quals)
+  }
+
+  // ---- history operators ---------------------------------------------------
+
+  /** History operators lower to a KEY semi-join against the status changelog
+    * — the same membership-marker mechanism as `issuesInEpic`, so they
+    * compose under OR/NOT and Catalyst plans them as one (AQE-chosen) join
+    * per clause. Only `status` has a changelog; JIRA's own WAS/CHANGED are
+    * likewise restricted to history-tracked fields.
+    *
+    * Window semantics over SCD2 intervals [changed_at, valid_to):
+    * WAS v AFTER d — a v-interval still open after d; BEFORE d — a
+    * v-interval that began before d; ON d — the interval CONTAINING instant
+    * d is a v-interval; DURING (a,b) — a v-interval overlapping [a,b].
+    * No window: ever, INCLUDING the current (open) interval — JIRA's rule.
+    * WAS NOT is "at no such instant" (¬∃, not ∃¬).
+    */
+  private def compileWas(f: JqlField, vs: Seq[JqlValue], neg: Boolean,
+      quals: Seq[JHistQual]): Column = {
+    requireStatus(f, "WAS")
+    val wanted = vs.map(histString(_).toLowerCase)
+    val statusPred = lower(col("status_name")).isin(wanted: _*)
+    val windowPred = quals.map { q =>
+      val d = q.values.map(v => lit(histInstant(v)))
+      q.kind match {
+        case "after" => col("valid_to").isNull || col("valid_to") > d.head
+        case "before" => col("changed_at") < d.head
+        case "on" => col("changed_at") <= d.head &&
+          (col("valid_to").isNull || col("valid_to") > d.head)
+        case "during" => col("changed_at") <= d(1) &&
+          (col("valid_to").isNull || col("valid_to") > d.head)
+        case other => throw JqlParseException(s"$other not valid after WAS", 0)
+      }
+    }.foldLeft(statusPred)(_ && _)
+    histMarker(windowPred, neg)
+  }
+
+  /** CHANGED matches TRANSITION EVENTS (changelog rows with a predecessor):
+    * FROM/TO constrain the endpoints, BEFORE/AFTER/ON/DURING the event time
+    * (ON d = the calendar day starting at d; DURING is inclusive, JIRA's
+    * documented behavior).
+    */
+  private def compileChanged(f: JqlField, from: Option[JqlValue],
+      to: Option[JqlValue], quals: Seq[JHistQual]): Column = {
+    requireStatus(f, "CHANGED")
+    val dayMs = 24L * 3600 * 1000
+    val preds =
+      Seq(col("prev_status").isNotNull) ++
+        from.map(v => lower(col("prev_status")) === histString(v).toLowerCase) ++
+        to.map(v => lower(col("status_name")) === histString(v).toLowerCase) ++
+        quals.map { q =>
+          val d = q.values.map(histInstant)
+          q.kind match {
+            case "after" => col("changed_at") > lit(d.head)
+            case "before" => col("changed_at") < lit(d.head)
+            case "on" => col("changed_at") >= lit(d.head) &&
+              col("changed_at") < lit(new Timestamp(d.head.getTime + dayMs))
+            case "during" => col("changed_at") >= lit(d.head) &&
+              col("changed_at") <= lit(d(1))
+            case other =>
+              throw JqlParseException(s"$other not valid after CHANGED", 0)
+          }
+        }
+    histMarker(preds.reduce(_ && _), neg = false)
+  }
+
+  private def requireStatus(f: JqlField, op: String): Unit =
+    if (f.normalized != "status")
+      throw JqlParseException(
+        s"$op is only supported for 'status' (the history-tracked field)", 0)
+
+  /** Register a key-membership marker against the filtered changelog. The
+    * issue key is never EMPTY, so the marker is two-valued and plain
+    * negation is exact ¬∃.
+    */
+  private def histMarker(pred: Column, neg: Boolean): Column = {
+    markerId += 1
+    val marker = s"__jql_m$markerId"
+    pending += ((marker, col("key"), history.filter(pred).select(col("key").as("__k"))))
+    val exists = coalesce(col(marker), lit(false))
+    if (neg) !exists else exists
+  }
+
+  private def histString(v: JqlValue): String = v match {
+    case JStr(s) => s
+    case JWord(s) => s
+    case JNum(n) => n.toString
+    case JFunc(name, _) =>
+      throw JqlParseException(s"$name() not valid as a history value", 0)
+  }
+
+  /** A qualifier instant: date literal, relative date, or now()/startOfDay(). */
+  private def histInstant(v: JqlValue): Timestamp = v match {
+    case JFunc(name, args) => evalScalarFunc(name, args) match {
+      case t: Timestamp => t
+      case other =>
+        throw JqlParseException(s"$name() is not a date (got $other)", 0)
+    }
+    case other => parseDateValue(histString(other))
   }
 
   /** Person fields match either display name or email, case-insensitively

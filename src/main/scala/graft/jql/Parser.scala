@@ -28,12 +28,22 @@ final class Parser(tokens: Vector[Tok]) {
     case _ => false
   }
 
-  /** Words that terminate a multi-word bare field or value. */
+  /** Words that terminate a multi-word bare field or value. `was`/`changed`
+    * are global keywords (they must stop FIELD absorption: `status WAS X`);
+    * the history-qualifier words (`from`, `to`, `before`, `after`, `on`,
+    * `during`) are NOT — `status = To Do` must keep absorbing `To` — and
+    * only terminate values inside a WAS/CHANGED clause ([[histStops]]).
+    */
   private val keywords = Set(
     "and", "or", "not", "in", "is", "order", "by", "asc", "desc",
-    "empty", "null")
+    "empty", "null", "was", "changed")
+  private val histStops = Set("from", "to", "before", "after", "on", "during", "by")
   private def isBareWord(t: Tok): Boolean = t match {
     case TWord(s, _) => !keywords(s.toLowerCase)
+    case _ => false
+  }
+  private def isHistBareWord(t: Tok): Boolean = t match {
+    case TWord(s, _) => !keywords(s.toLowerCase) && !histStops(s.toLowerCase)
     case _ => false
   }
   private def expectKw(kw: String): Unit =
@@ -140,8 +150,66 @@ final class Parser(tokens: Vector[Tok]) {
         val neg = if (isKw(peek, "not")) { advance(); true } else false
         if (isKw(peek, "empty") || isKw(peek, "null")) { advance(); JEmpty(field, neg) }
         else throw JqlParseException("expected EMPTY or NULL", peek.pos)
+      case t if isKw(t, "was") =>
+        advance()
+        val neg = if (isKw(peek, "not")) { advance(); true } else false
+        val values =
+          if (isKw(peek, "in")) { advance(); parseValueList() }
+          else Seq(parseValue(hist = true))
+        JWas(field, values, neg, parseHistQuals())
+      case t if isKw(t, "changed") =>
+        advance()
+        // FROM / TO are position-free like the date qualifiers; collect
+        // everything, split the value constraints out of the window ones
+        val quals = parseHistQuals(allowFromTo = true)
+        def one(kind: String): Option[JqlValue] =
+          quals.filter(_.kind == kind) match {
+            case Seq() => None
+            case Seq(q) => Some(q.values.head)
+            case _ => throw JqlParseException(s"duplicate $kind in CHANGED", peek.pos)
+          }
+        JChanged(field, one("from"), one("to"),
+          quals.filterNot(q => q.kind == "from" || q.kind == "to"))
       case t => throw JqlParseException("expected operator", t.pos)
     }
+  }
+
+  /** Zero or more history qualifiers after WAS/CHANGED:
+    * `BEFORE v | AFTER v | ON v | DURING (v1, v2)` (+ `FROM v | TO v` when
+    * `allowFromTo`). `BY user` is recognized and rejected explicitly — the
+    * engine's history carries no change actor.
+    */
+  private def parseHistQuals(allowFromTo: Boolean = false): Seq[JHistQual] = {
+    val out = Seq.newBuilder[JHistQual]
+    var more = true
+    while (more) peek match {
+      case t @ TWord(s, _) if histStops(s.toLowerCase) =>
+        val kind = s.toLowerCase
+        if (kind == "by")
+          throw JqlParseException("BY is not supported (history has no actor)", t.pos)
+        if ((kind == "from" || kind == "to") && !allowFromTo)
+          throw JqlParseException(s"${kind.toUpperCase} is only valid after CHANGED", t.pos)
+        advance()
+        if (kind == "during") {
+          peek match {
+            case TPunct("(", _) => advance()
+            case tt => throw JqlParseException("expected '(' after DURING", tt.pos)
+          }
+          val v1 = parseValue(hist = true)
+          peek match {
+            case TPunct(",", _) => advance()
+            case tt => throw JqlParseException("expected ',' in DURING range", tt.pos)
+          }
+          val v2 = parseValue(hist = true)
+          peek match {
+            case TPunct(")", _) => advance()
+            case tt => throw JqlParseException("expected ')' after DURING range", tt.pos)
+          }
+          out += JHistQual("during", Seq(v1, v2))
+        } else out += JHistQual(kind, Seq(parseValue(hist = true)))
+      case _ => more = false
+    }
+    out.result()
   }
 
   private def parseValueList(): Seq[JqlValue] = {
@@ -171,7 +239,10 @@ final class Parser(tokens: Vector[Tok]) {
     vals.result()
   }
 
-  private def parseValue(): JqlValue = peek match {
+  /** `hist` restricts bare multi-word absorption so qualifier words
+    * (`before`, `to`, ...) terminate the value inside WAS/CHANGED clauses.
+    */
+  private def parseValue(hist: Boolean = false): JqlValue = peek match {
     case TStr(s, _) => advance(); JStr(s)
     case TWord(s, _) =>
       advance()
@@ -196,7 +267,8 @@ final class Parser(tokens: Vector[Tok]) {
             // (reference: pkg/jql/builder_test.go:359)
             val parts = Seq.newBuilder[String]
             parts += s
-            while (isBareWord(peek)) parts += advance().asInstanceOf[TWord].s
+            while (if (hist) isHistBareWord(peek) else isBareWord(peek))
+              parts += advance().asInstanceOf[TWord].s
             JWord(parts.result().mkString(" "))
           }
       }

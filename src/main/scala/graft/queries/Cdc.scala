@@ -283,6 +283,29 @@ object Cdc {
       .orderBy("issue", "file_path")
   }
 
+  /** The per-issue STATUS CHANGELOG itself ([[Tables.statusHistory]]), oracle-
+    * pinned so the table every JQL history operator (`WAS` / `CHANGED`)
+    * evaluates against is cell-exact in both engines — interval chaining
+    * (valid_to = next changed_at, open tail), predecessor linkage, and the
+    * end-on-current-status invariant all break the hash if wrong. One
+    * project's slice: the derivation is per-row (explode over a projection),
+    * so one project exercises every code path at 1/7 the dump size.
+    */
+  private val statusHistoryQ = q("cdc_status_history",
+    Oracle.withHistory(
+      """SELECT key, seq, status_name, prev_status,
+        |  strftime(changed_at, '%Y-%m-%d %H:%M:%S') AS changed_at_s,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to_s
+        |FROM history WHERE project_key = 'P1'
+        |ORDER BY key, seq""".stripMargin)) { (s, dir) =>
+    Tables.statusHistory(s, dir)
+      .filter(col("project_key") === "P1")
+      .select(col("key"), col("seq"), col("status_name"), col("prev_status"),
+        date_format(col("changed_at"), "yyyy-MM-dd HH:mm:ss").as("changed_at_s"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to_s"))
+      .orderBy("key", "seq")
+  }
+
   /** C2/C3 generalized: SCD-type-2 history build — compress each key's event
     * stream into validity intervals (`valid_from`, `valid_to`) that change
     * only when the tracked attribute changes. Two window passes per key
@@ -476,5 +499,5 @@ object Cdc {
   }
 
   val all: Seq[GQuery] = Seq(changed, upsert, stats, enrich, stateful, history,
-    validate, scd2, scd2Enrich, staleness, islands)
+    validate, scd2, scd2Enrich, staleness, islands, statusHistoryQ)
 }

@@ -28,7 +28,8 @@ object Jql {
     new JqlCompiler(
       Tables.issues(spark, sfDir),
       Tables.links(spark, sfDir),
-      ctx).compile(jql)
+      ctx,
+      history = Tables.statusHistory(spark, sfDir)).compile(jql)
 
   /** JQL query whose oracle is `SELECT * FROM issues WHERE <where>`. */
   private def jq(name: String, jql: String, oracleWhere: String,
@@ -37,6 +38,14 @@ object Jql {
     q(name, if (withLinks) Oracle.withIssuesAndLinks(sql) else Oracle.withIssues(sql)) {
       (s, dir) => run(s, dir, jql)
     }
+  }
+
+  /** Like [[jq]] but the oracle also sees the status-changelog CTE (the
+    * history operators WAS / CHANGED).
+    */
+  private def jqh(name: String, jql: String, oracleWhere: String): GQuery = {
+    val sql = s"SELECT * FROM issues WHERE $oracleWhere ORDER BY key"
+    q(name, Oracle.withIssuesAndHistory(sql)) { (s, dir) => run(s, dir, jql) }
   }
 
   val all: Seq[GQuery] = Seq(
@@ -129,6 +138,50 @@ object Jql {
     // multi-key ORDER BY (O6) over an IN filter
     jq("jql_order_multi",
       """project in (P2, P3) ORDER BY priority ASC, updated DESC""",
-      "lower(project_key) IN ('p2', 'p3')")
+      "lower(project_key) IN ('p2', 'p3')"),
+
+    // ---- history operators (public JQL the reference's dialect relies on
+    // the server for; evaluated here against the SCD2 status changelog,
+    // Tables.statusHistory) ----
+
+    // WAS value BEFORE instant: a Done interval began before the date
+    jqh("jql_was",
+      """project = P1 AND status WAS "Done" BEFORE "1995-06-01"""",
+      """lower(project_key) = 'p1' AND lower(key) IN (
+        |  SELECT lower(key) FROM history
+        |  WHERE lower(status_name) = 'done'
+        |    AND changed_at < TIMESTAMP '1995-06-01 00:00:00')""".stripMargin),
+
+    // WAS NOT IN + relative window: at NO instant since -400d (from pinned
+    // ctx.now 1998-08-01 → 1997-06-27) was the status any of the listed —
+    // ¬∃ over intervals still open after the cut
+    jqh("jql_was_not",
+      """status WAS NOT IN ("Done", "In Progress") AFTER -400d AND project = P2""",
+      """lower(project_key) = 'p2' AND lower(key) NOT IN (
+        |  SELECT lower(key) FROM history
+        |  WHERE lower(status_name) IN ('done', 'in progress')
+        |    AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-06-27 00:00:00'))""".stripMargin),
+
+    // CHANGED FROM/TO + inclusive DURING window over transition events
+    jqh("jql_changed",
+      """status CHANGED FROM "To Do" TO "In Progress"
+        | DURING ("1994-01-01", "1996-01-01") AND project IN (P2, P3)
+        | ORDER BY updated DESC""".stripMargin,
+      """lower(project_key) IN ('p2', 'p3') AND lower(key) IN (
+        |  SELECT lower(key) FROM history
+        |  WHERE prev_status IS NOT NULL
+        |    AND lower(prev_status) = 'to do'
+        |    AND lower(status_name) = 'in progress'
+        |    AND changed_at >= TIMESTAMP '1994-01-01 00:00:00'
+        |    AND changed_at <= TIMESTAMP '1996-01-01 00:00:00')""".stripMargin),
+
+    // NOT CHANGED AFTER: the stale-issue sweep — no transition since the cut
+    // (never-changed issues included; ¬∃ via the two-valued key marker)
+    jqh("jql_changed_not",
+      """project = P4 AND NOT status CHANGED AFTER "1998-01-01"""",
+      """lower(project_key) = 'p4' AND lower(key) NOT IN (
+        |  SELECT lower(key) FROM history
+        |  WHERE prev_status IS NOT NULL
+        |    AND changed_at > TIMESTAMP '1998-01-01 00:00:00')""".stripMargin)
   )
 }

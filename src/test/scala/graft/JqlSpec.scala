@@ -247,4 +247,104 @@ class JqlSpec extends AnyFunSuite {
     val b = run("""key in (issuesInEpic("E-7"))""").count()
     assert(n <= a + b && n >= math.max(a, b))
   }
+
+  // ---- history operators (WAS / CHANGED over Tables.statusHistory) ----
+
+  test("WAS with no window includes the CURRENT value (JIRA rule)") {
+    // every currently-Done issue WAS Done
+    val currentlyDone = run("""status = Done""").count()
+    val wasDone = run("""status WAS "Done"""").count()
+    assert(wasDone >= currentlyDone && currentlyDone > 0)
+    // and WAS ∪ WAS NOT partitions the corpus (key marker is two-valued)
+    val wasNot = run("""status WAS NOT "Done"""").count()
+    assert(wasDone + wasNot == Tables.issues(spark, sf).count())
+  }
+
+  test("WAS matches a PAST value the current snapshot no longer has") {
+    // an issue whose changelog passed through Done but currently isn't
+    val h = Tables.statusHistory(spark, sf)
+    val pastOnly = h.filter(col("status_name") === "Done")
+      .select("key").distinct()
+      .join(Tables.issues(spark, sf).filter(col("status_name") === "Done")
+        .select("key"), Seq("key"), "left_anti").count()
+    assert(pastOnly > 0, "fixture must contain past-only Done issues")
+    val wasDone = run("""status WAS "Done"""").count()
+    val isDone = run("""status = Done""").count()
+    assert(wasDone == isDone + pastOnly)
+  }
+
+  test("WAS ON instant picks exactly the interval containing it") {
+    val d = "1995-06-01"
+    val n = run(s"""status WAS "In Progress" ON "$d"""").count()
+    val manual = Tables.statusHistory(spark, sf)
+      .filter(col("status_name") === "In Progress" &&
+        col("changed_at") <= lit(java.sql.Timestamp.valueOf(s"$d 00:00:00")) &&
+        (col("valid_to").isNull ||
+          col("valid_to") > lit(java.sql.Timestamp.valueOf(s"$d 00:00:00"))))
+      .select("key").distinct().count()
+    assert(n == manual && n > 0)
+  }
+
+  test("CHANGED with FROM/TO constrains transition endpoints") {
+    val all = run("""status CHANGED""").count()
+    val fromTo = run("""status CHANGED FROM "To Do" TO "In Progress"""").count()
+    assert(all > 0 && fromTo > 0 && fromTo < all)
+    // never-changed issues (single-interval changelogs) are the complement
+    val h = Tables.statusHistory(spark, sf)
+    val everChanged = h.filter(col("prev_status").isNotNull)
+      .select("key").distinct().count()
+    assert(all == everChanged)
+    // NOT CHANGED picks exactly the rest
+    val notChanged = run("""NOT status CHANGED""").count()
+    assert(all + notChanged == Tables.issues(spark, sf).count())
+  }
+
+  test("CHANGED windows: AFTER/BEFORE/DURING agree with manual filters") {
+    val cut = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val h = Tables.statusHistory(spark, sf).filter(col("prev_status").isNotNull)
+    val after = run("""status CHANGED AFTER "1996-01-01"""").count()
+    assert(after == h.filter(col("changed_at") > lit(cut))
+      .select("key").distinct().count())
+    val during = run(
+      """status CHANGED DURING ("1994-01-01", "1996-01-01")""").count()
+    assert(during == h.filter(
+      col("changed_at") >= lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00")) &&
+        col("changed_at") <= lit(cut)).select("key").distinct().count())
+  }
+
+  test("history operators reject unsupported shapes with parse errors") {
+    // WAS/CHANGED only have a changelog for status
+    intercept[JqlParseException](run("""priority WAS "High"""").count())
+    intercept[JqlParseException](run("""assignee CHANGED""").count())
+    // BY has no actor in the engine's history
+    intercept[JqlParseException](run("""status WAS "Done" BY user1""").count())
+    // FROM/TO are CHANGED-only
+    intercept[JqlParseException](run("""status WAS "Done" FROM "To Do"""").count())
+    // duplicate FROM
+    intercept[JqlParseException](
+      run("""status CHANGED FROM "To Do" FROM "Done"""").count())
+    // and a compiler without a history binding fails loudly, not silently
+    val bare = new JqlCompiler(Tables.issues(spark, sf),
+      Tables.links(spark, sf), Jql.ctx)
+    intercept[RuntimeException](bare.compile("""status WAS "Done""""))
+  }
+
+  test("WAS composes with ordinary predicates and ORDER BY") {
+    val df = run(
+      """project = P1 AND status WAS "Done" BEFORE "1995-06-01" ORDER BY updated DESC""")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // output schema is the issues schema (markers dropped)
+    assert(df.columns.toSeq == Tables.issues(spark, sf).columns.toSeq)
+    // bare multi-word value absorption stops at the qualifier word
+    // (`In Progress` must be QUOTED after WAS — bare `In` is the IN keyword,
+    // exactly as in server JQL — so exercise the bare path with `To Do`)
+    val q = Parser.parse("""status WAS To Do BEFORE "1995-06-01"""")
+    q.where match {
+      case Some(JWas(_, Seq(JWord(v)), false, Seq(JHistQual("before", _)))) =>
+        assert(v == "To Do")
+      case other => fail(s"unexpected AST: $other")
+    }
+    intercept[JqlParseException](Parser.parse("status WAS In Progress"))
+  }
 }
