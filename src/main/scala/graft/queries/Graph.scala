@@ -61,6 +61,10 @@ object Graph {
         .select(encNode(col("src")).as("a"), encNode(col("dst")).as("b"))
     }
 
+  /** Test access to the shared bounded edge slice (GraphSpec). */
+  def edgesIntPublic(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    edgesInt(s, dir)
+
   private val edgesIntSql: String =
     s"""eint AS (
        |  SELECT ${encSql("src")} AS a, ${encSql("dst")} AS b FROM links
@@ -1643,20 +1647,25 @@ object Graph {
        |  UNION ALL
        |  SELECT 3::BIGINT, s3, s1 + s2 + s3, n FROM t)
        |ORDER BY h""".stripMargin) { (s, dir) =>
-    // the census collapses to ONE row — collect it once on the driver
-    // (referencing the aggregate frame in three union legs re-ran the full
-    // 3-hop census three times per execution) and emit the three h-rows as
-    // literals; integer ppm math on the driver is the same BIGINT div
-    val r = harmonicCensus(edgesInt(s, dir), identity)
-      .agg(count(lit(1)).as("n"), sum("c1").as("s1"),
-        sum("c2").as("s2"), sum("c3").as("s3"))
-      .head()
-    val (n, s1, s2, s3) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    val denom = n * (n - 1)
-    val rows = Seq((1L, s1, s1), (2L, s2, s1 + s2), (3L, s3, s1 + s2 + s3))
-      .map { case (h, pairs, cum) => (h, pairs, cum, cum * 1000000L / denom) }
-    import s.implicits._
-    rows.toDF("h", "n_pairs", "cum_pairs", "reach_ppm").orderBy("h")
+    // the census collapses to ONE row consumed by three union legs —
+    // memoize it through the fragment registry (one CacheManager entry per
+    // (session, dir), the same discipline as the edge slice) so the heavy
+    // 3-hop census materializes once and every leg reads the cached row
+    val t = graft.Caches.fragment(s, dir, "graph_nf_census") {
+      harmonicCensus(edgesInt(s, dir), identity)
+        .agg(count(lit(1)).as("n"), sum("c1").as("s1"),
+          sum("c2").as("s2"), sum("c3").as("s3"))
+    }
+    val rows = Seq(
+      (lit(1L), col("s1"), col("s1")),
+      (lit(2L), col("s2"), col("s1") + col("s2")),
+      (lit(3L), col("s3"), col("s1") + col("s2") + col("s3")))
+      .map { case (h, pairs, cum) =>
+        t.select(h.as("h"), pairs.as("n_pairs"), cum.as("cum_pairs"), col("n"))
+          .select(col("h"), col("n_pairs"), col("cum_pairs"),
+            expr("cum_pairs * 1000000 div (n * (n - 1))").as("reach_ppm"))
+      }
+    rows.reduce(_.unionByName(_)).orderBy("h")
   }
 
   /** Deterministic random-walk corpus ([[WalkLen]] steps from every node) —
@@ -1722,6 +1731,123 @@ object Graph {
           .drop("idx", "d")
       }
       walk.select((0 to WalkLen).map(i => col(s"n$i")): _*).orderBy("n0")
+    }
+  }
+
+  /** node2vec-BIASED walk corpus, R walks per node — the production
+    * extension of [[walkCorpus]]: embedding pipelines tune the
+    * return/explore trade-off (p/q) and run several walks per node, and at
+    * 100 TB the corpus must still be SEEDED + content-determined so it can
+    * be cached, diffed, and regenerated bit-identically. Integer node2vec
+    * weights (back to the predecessor = [[N2vBack]], staying in the
+    * predecessor's neighborhood = [[N2vCommon]], exploring outward =
+    * [[N2vOut]] — the 1/p : 1 : 1/q triple scaled to integers) drive a
+    * deterministic WEIGHTED pick: per step, candidates are the sorted
+    * adjacency with a per-walk cumulative weight sum, and the md5 hash of
+    * (start, walk-index, step, current) mod total-weight selects the
+    * interval — the same 60-bit primitive as every sampling card, with the
+    * walk index hashed into the seed so the R walks differ. Step 1 has no
+    * predecessor and is uniform, like node2vec's first transition.
+    *
+    * Scale shape: per step one equi-join on the walk head against the
+    * shared sorted-adjacency index plus one LEFT edge-existence probe for
+    * the common-neighbor class, then a walk-id-partitioned window (never
+    * global) for the cumulative pick. |V|·R rows per round, co-partitioned
+    * on the head — same frame discipline as the unbiased card.
+    */
+  private val N2vWalks = 2 // R
+  private val (n2vBack, n2vCommon, n2vOut) = (1, 6, 3)
+  private val walkCorpusBiased = {
+    val steps = (2 to WalkLen).map { t =>
+      val prevCols = (0 until t).map(i => s"n$i").mkString(", ")
+      s"""c$t AS (
+         |  SELECT w.wr, $prevCols, adj.b AS cand,
+         |    CASE WHEN adj.b = w.n${t - 2} THEN $n2vBack
+         |         WHEN pe.a IS NOT NULL THEN $n2vCommon
+         |         ELSE $n2vOut END AS wt
+         |  FROM w${t - 1} w
+         |  JOIN adj ON adj.a = w.n${t - 1}
+         |  LEFT JOIN und pe ON pe.a = w.n${t - 2} AND pe.b = adj.b),
+         |p$t AS (
+         |  SELECT *, sum(wt) OVER (PARTITION BY n0, wr ORDER BY cand) AS cum,
+         |    sum(wt) OVER (PARTITION BY n0, wr) AS tot
+         |  FROM c$t),
+         |w$t AS (
+         |  SELECT wr, $prevCols, cand AS n$t FROM p$t
+         |  WHERE ('0x' || substr(md5(n0::VARCHAR || ':' || wr::VARCHAR ||
+         |      ':$t:' || n${t - 1}::VARCHAR || ':n2v'), 1, 15))::BIGINT
+         |    % tot BETWEEN cum - wt AND cum - 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val cols = (0 to WalkLen).map(i => s"n$i").mkString(", ")
+    q("graph_walk_corpus_biased",
+      s"""WITH ${Oracle.linksCte},
+         |$edgesIntSql,
+         |und AS (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT a, b FROM eint UNION ALL SELECT b, a FROM eint)
+         |  WHERE a <> b),
+         |adj AS (
+         |  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn
+         |  FROM und),
+         |deg AS (SELECT a, count(*)::BIGINT AS d FROM und GROUP BY a),
+         |w0 AS (
+         |  SELECT a AS n0, wr
+         |  FROM deg, generate_series(0, ${N2vWalks - 1}::BIGINT) AS g(wr)),
+         |w1 AS (
+         |  SELECT w0.wr, w0.n0, adj.b AS n1 FROM w0
+         |  JOIN deg ON deg.a = n0
+         |  JOIN adj ON adj.a = n0
+         |    AND adj.rn = ('0x' || substr(md5(n0::VARCHAR || ':' || wr::VARCHAR ||
+         |      ':1:n2v'), 1, 15))::BIGINT % d + 1),
+         |$steps
+         |SELECT wr, $cols FROM w$WalkLen ORDER BY n0, wr""".stripMargin) { (s, dir) =>
+      val win = org.apache.spark.sql.expressions.Window
+      val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
+      val und = e.select("a", "b")
+        .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+        .transform(graft.Iterative.truncate)
+      val adj = und.withColumn("rn",
+        row_number().over(win.partitionBy("a").orderBy("b")))
+      val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+      // R seeded walk instances per node; step 1 uniform over the sorted
+      // adjacency, walk index hashed into the seed
+      var walk = deg.select(col("a").as("n0"))
+        .withColumn("wr", explode(sequence(lit(0L), lit(N2vWalks - 1L))))
+        .join(deg.select(col("a").as("n0"), col("d")), Seq("n0"))
+        .withColumn("idx", graft.functions.Md5Prefix64(
+          concat(col("n0").cast("string"), lit(":"), col("wr").cast("string"),
+            lit(":1:n2v"))) % col("d") + lit(1L))
+        .join(adj.select(col("a").as("n0"), col("rn").as("idx"),
+          col("b").as("n1")), Seq("n0", "idx"))
+        .drop("idx", "d")
+      (2 to WalkLen).foreach { t =>
+        val cur = s"n${t - 1}"
+        val prev = s"n${t - 2}"
+        val cand = walk
+          .join(und.select(col("a").as(cur), col("b").as("cand")), Seq(cur))
+          .join(und.select(col("a").as("__pa"), col("b").as("__pb"),
+            lit(1).as("__common")),
+            col("__pa") === col(prev) && col("__pb") === col("cand"), "left")
+          .withColumn("wt",
+            when(col("cand") === col(prev), lit(n2vBack.toLong))
+              .when(col("__common").isNotNull, lit(n2vCommon.toLong))
+              .otherwise(lit(n2vOut.toLong)))
+          .drop("__pa", "__pb", "__common")
+        val byWalk = win.partitionBy("n0", "wr")
+        val picked = cand
+          .withColumn("cum", sum("wt").over(byWalk.orderBy("cand")))
+          .withColumn("tot", sum("wt").over(byWalk))
+          .withColumn("r", graft.functions.Md5Prefix64(
+            concat(col("n0").cast("string"), lit(":"), col("wr").cast("string"),
+              lit(s":$t:"), col(cur).cast("string"), lit(":n2v"))) % col("tot"))
+          .filter(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
+        walk = picked.withColumnRenamed("cand", s"n$t")
+          .drop("wt", "cum", "tot", "r")
+          .transform(graft.Iterative.truncate)
+      }
+      walk.select((Seq(col("wr")) ++ (0 to WalkLen).map(i => col(s"n$i"))): _*)
+        .orderBy("n0", "wr")
     }
   }
 
@@ -2460,12 +2586,15 @@ object Graph {
     * at reachability (pkg/links/links.go); path-through centrality is what
     * ranks which issues sit on critical dependency chains.
     */
-  private val stressBounded = {
-    q("graph_stress_bounded",
-      s"""WITH ${Oracle.linksCte},
+  /** DuckDB replay of the 3-level stress census, parameterized by the seeds
+    * CTE so the full card and the hash-sampled production twin share one
+    * oracle body.
+    */
+  private def stressSql(seedsCte: String): String =
+    s"""WITH ${Oracle.linksCte},
          |$edgesIntSql,
          |e AS MATERIALIZED (SELECT DISTINCT a, b FROM eint),
-         |seeds AS (SELECT DISTINCT a AS s FROM e),
+         |seeds AS ($seedsCte),
          |f0 AS (SELECT s, s AS v, 1::BIGINT AS sigma FROM seeds),
          |v0 AS (SELECT s, v FROM f0),
          |f1 AS MATERIALIZED (
@@ -2506,60 +2635,105 @@ object Graph {
          |  GROUP BY v HAVING sum(sigma * sdown) > 0)
          |SELECT 'P' || CAST(v // 1000000000000 AS STRING) || '-'
          |    || CAST(v % 1000000000000 AS STRING) AS node_key, stress
-         |FROM thru ORDER BY node_key""".stripMargin) { (s, dir) =>
-      val e = edgesInt(s, dir).distinct().transform(graft.Iterative.truncate)
-      // full-source census on the bounded slice — at 100 TB the seed set
-      // is where sampling bites (WHERE a % k = 0), shrinking every
-      // downstream frame proportionally; the algorithm is unchanged
-      val seeds = e.select(col("a").as("s")).distinct()
-      val f0 = seeds.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+         |FROM thru ORDER BY node_key""".stripMargin
+
+  /** The Spark stress census from a given SEED frame: forward BFS layers
+    * carry σ, backward suffix-continuation counts per level, σ·S summed per
+    * node. Shared by the full card and the sampled twin — sampling changes
+    * WHICH sources contribute, never the algorithm.
+    */
+  private[graft] def stressCensus(e0: DataFrame, seeds: DataFrame): DataFrame = {
+    val e = e0.distinct().transform(graft.Iterative.truncate)
+    val f0 = seeds.select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+      .transform(graft.Iterative.truncate)
+    // forward: layer d+1 = (layer d ⨝ edges) minus already-visited,
+    // σ summed per first-reach — one join + one anti-join + one agg
+    def forward(prev: DataFrame, visited: DataFrame): DataFrame =
+      prev.select(col("s"), col("v").as("a"), col("sigma"))
+        .join(e, Seq("a"))
+        .select(col("s"), col("b").as("v"), col("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .groupBy("s", "v").agg(sum("sigma").as("sigma"))
         .transform(graft.Iterative.truncate)
-      // forward: layer d+1 = (layer d ⨝ edges) minus already-visited,
-      // σ summed per first-reach — one join + one anti-join + one agg
-      def forward(prev: DataFrame, visited: DataFrame): DataFrame =
-        prev.select(col("s"), col("v").as("a"), col("sigma"))
-          .join(e, Seq("a"))
-          .select(col("s"), col("b").as("v"), col("sigma"))
-          .join(visited, Seq("s", "v"), "left_anti")
-          .groupBy("s", "v").agg(sum("sigma").as("sigma"))
-          .transform(graft.Iterative.truncate)
-      val v0 = f0.select("s", "v")
-      val f1 = forward(f0, v0)
-      val v1 = v0.unionByName(f1.select("s", "v")).distinct()
-        .transform(graft.Iterative.truncate)
-      val f2 = forward(f1, v1)
-      val v2 = v1.unionByName(f2.select("s", "v")).distinct()
-        .transform(graft.Iterative.truncate)
-      val f3 = forward(f2, v2)
-      // backward: suffix-continuation counts down the level DAG
-      def backward(layer: DataFrame, next: DataFrame): DataFrame = {
-        val m = layer.select(col("s"), col("v"))
-          .join(e.select(col("a").as("v"), col("b")), Seq("v"))
-          .join(next.select(col("s"), col("v").as("b"), col("sdown")),
-            Seq("s", "b"))
-          .groupBy("s", "v").agg(sum(col("sdown") + 1).as("sd"))
-        layer.join(m, Seq("s", "v"), "left")
-          .select(col("s"), col("v"), col("sigma"),
-            coalesce(col("sd"), lit(0L)).as("sdown"))
-      }
-      val s3 = f3.withColumn("sdown", lit(0L))
-      val s2 = backward(f2, s3)
-      val s1 = backward(f1, s2)
-      s1.unionByName(s2.select("s", "v", "sigma", "sdown"))
-        .select(col("v"), (col("sigma") * col("sdown")).as("c"))
-        .groupBy("v").agg(sum("c").as("stress"))
-        .filter(col("stress") > 0)
-        .select(concat(lit("P"), expr("v div 1000000000000").cast("string"),
-            lit("-"), (col("v") % lit(1000000000000L)).cast("string"))
-            .as("node_key"), col("stress"))
-        .orderBy("node_key")
+    val v0 = f0.select("s", "v")
+    val f1 = forward(f0, v0)
+    val v1 = v0.unionByName(f1.select("s", "v")).distinct()
+      .transform(graft.Iterative.truncate)
+    val f2 = forward(f1, v1)
+    val v2 = v1.unionByName(f2.select("s", "v")).distinct()
+      .transform(graft.Iterative.truncate)
+    val f3 = forward(f2, v2)
+    // backward: suffix-continuation counts down the level DAG
+    def backward(layer: DataFrame, next: DataFrame): DataFrame = {
+      val m = layer.select(col("s"), col("v"))
+        .join(e.select(col("a").as("v"), col("b")), Seq("v"))
+        .join(next.select(col("s"), col("v").as("b"), col("sdown")),
+          Seq("s", "b"))
+        .groupBy("s", "v").agg(sum(col("sdown") + 1).as("sd"))
+      layer.join(m, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("sigma"),
+          coalesce(col("sd"), lit(0L)).as("sdown"))
     }
+    val s3 = f3.withColumn("sdown", lit(0L))
+    val s2 = backward(f2, s3)
+    val s1 = backward(f1, s2)
+    s1.unionByName(s2.select("s", "v", "sigma", "sdown"))
+      .select(col("v"), (col("sigma") * col("sdown")).as("c"))
+      .groupBy("v").agg(sum("c").as("stress"))
+      .filter(col("stress") > 0)
+      .select(concat(lit("P"), expr("v div 1000000000000").cast("string"),
+          lit("-"), (col("v") % lit(1000000000000L)).cast("string"))
+          .as("node_key"), col("stress"))
+      .orderBy("node_key")
   }
+
+  private val stressBounded =
+    q("graph_stress_bounded", stressSql("SELECT DISTINCT a AS s FROM e")) {
+      (s, dir) =>
+      val e = edgesInt(s, dir)
+      stressCensus(e, e.distinct().select(col("a").as("s")).distinct())
+    }
+
+  /** Sampling modulus for the production twin: hash-order, content-
+    * determined (`md5(s||":stress") % mod == 0`), so the SAME sources are
+    * sampled regardless of partitioning, row order, or cluster size — the
+    * classic sampled-betweenness budget knob made reproducible. mod=4 keeps
+    * ~1/4 of sources: enough that the fixture census stays dense while the
+    * sampled/full relationship (pointwise ≤, exact on the sampled sources —
+    * stress is linear in its source set) is testable (GraphSpec).
+    */
+  private[graft] val StressSampleMod = 4
+
+  /** Seeds filtered to the deterministic hash sample. */
+  private[graft] def stressSampledSeeds(e: DataFrame, mod: Int): DataFrame =
+    e.distinct().select(col("a").as("s")).distinct()
+      .filter(graft.functions.Md5Prefix64(
+        concat(col("s").cast("string"), lit(":stress"))) % lit(mod.toLong) === 0L)
+
+  /** SAMPLED stress centrality — the production twin of
+    * [[stressBounded]]: at 100 TB the full-source census is Σ|V|·frontier
+    * work, and the standard budget control is source sampling (sampled
+    * betweenness). The sample is md5-hash-order (content-determined, not
+    * `a % k` — id-order sampling inherits whatever structure the id
+    * assignment has; hash-order is uniform regardless), the oracle replays
+    * the same hash so DuckDB gates the exact sampled census, and GraphSpec
+    * pins mod=1 ≡ the full card plus pointwise monotonicity under the
+    * sample (linearity of stress in its source set).
+    */
+  private val stressSampled =
+    q("graph_stress_sampled", stressSql(
+      s"""SELECT DISTINCT a AS s FROM e
+         |  WHERE ('0x' || substr(md5(CAST(a AS STRING) || ':stress'), 1, 15))::BIGINT
+         |    % $StressSampleMod = 0""".stripMargin)) { (s, dir) =>
+      val e = edgesInt(s, dir)
+      stressCensus(e, stressSampledSeeds(e, StressSampleMod))
+    }
 
   val all: Seq[GQuery] = Seq(components, pagerank, pagerankDeltaQ, khop,
     triangles, componentsConvergedQ, componentsBigStarQ,
     componentsIncrementalQ, componentsDecrementalQ, kcore, degreeHistogram,
     lpaCommunities, ktruss, linkPredict, linkPredictCapped_, adamicAdar,
     harmonicK3, harmonicCapped_, neighborhoodFn, walkCorpus, clusteringCoeff,
-    assortativity, pprQ, hits, sccBounded, ssspBounded, stressBounded)
+    assortativity, pprQ, hits, sccBounded, ssspBounded, stressBounded,
+    stressSampled, walkCorpusBiased)
 }

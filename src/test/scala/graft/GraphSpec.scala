@@ -828,4 +828,76 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expect,
       s"stress census != brute force (got ${got.size} rows, want ${expect.size})")
   }
+
+  test("stressSampled: mod=1 reproduces the full census exactly") {
+    val e = graft.queries.Graph.edgesIntPublic(spark, sf)
+    val full = SparkEntry.queries("graph_stress_bounded")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all1 = graft.queries.Graph.stressCensus(
+      e, graft.queries.Graph.stressSampledSeeds(e, 1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all1 == full, "mod=1 sample must be the identity")
+  }
+
+  test("stressSampled: content-determined sample, pointwise <= the full census") {
+    val e = graft.queries.Graph.edgesIntPublic(spark, sf)
+    val mod = graft.queries.Graph.StressSampleMod
+    val seeds = graft.queries.Graph.stressSampledSeeds(e, mod)
+      .collect().map(_.getLong(0)).toSet
+    val nSources = e.select("a").distinct().count()
+    // a real sample: nonempty, strict subset (rate ~1/mod)
+    assert(seeds.nonEmpty && seeds.size < nSources,
+      s"sample ${seeds.size} of $nSources sources")
+    // content-determined: reshuffling the edge frame yields the SAME sources
+    val reshuffled = graft.queries.Graph.stressSampledSeeds(
+      e.repartition(7), mod).collect().map(_.getLong(0)).toSet
+    assert(reshuffled == seeds, "hash sample must not depend on partitioning")
+    // linearity: stress sums per-source contributions, so any sampled census
+    // is pointwise <= the full one and strictly smaller in total (mod=2 here:
+    // the sf0.001 bounded slice is small enough that the card's mod=4 sample
+    // can legitimately produce an empty census — sf0.01+ is where the
+    // registered card has volume, and its oracle row gates it there)
+    val full = SparkEntry.queries("graph_stress_bounded")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = graft.queries.Graph.stressCensus(
+      e, graft.queries.Graph.stressSampledSeeds(e, 2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.nonEmpty)
+    sampled.foreach { case (k, v) =>
+      assert(full.getOrElse(k, 0L) >= v, s"$k sampled=$v > full=${full.get(k)}")
+    }
+    assert(sampled.values.sum < full.values.sum)
+  }
+
+  test("walkCorpusBiased: R walks per node, and the bias shifts return frequency") {
+    val biased = SparkEntry.queries("graph_walk_corpus_biased")(spark, sf).collect()
+    val unbiased = SparkEntry.queries("graph_walk_corpus")(spark, sf).collect()
+    // R·|V| rows, one per (node, walk-index)
+    assert(biased.length == 2 * unbiased.length,
+      s"${biased.length} biased rows vs ${unbiased.length} nodes")
+    assert(biased.map(r => (r.getLong(r.fieldIndex("n0")), r.getLong(0))).distinct.length
+      == biased.length, "one walk per (n0, wr)")
+    // the two walks per node genuinely differ somewhere (wr is in the seed)
+    def steps(r: org.apache.spark.sql.Row): Seq[Long] =
+      (0 to 4).map(i => r.getLong(r.fieldIndex(s"n$i")))
+    assert(biased.groupBy(r => r.getLong(r.fieldIndex("n0"))).values
+      .exists(ws => ws.map(steps).distinct.length > 1),
+      "walk index must produce distinct walks for some node")
+    // return-step frequency (n_t == n_{t-2}): the back-weight (1) is the
+    // smallest of the weight triple (1:6:3), so biased walks return less
+    // often than the uniform walker
+    def returnRate(rows: Array[org.apache.spark.sql.Row]): Double = {
+      var ret = 0; var tot = 0
+      rows.foreach { r =>
+        val s = steps(r)
+        (2 to 4).foreach { t =>
+          tot += 1; if (s(t) == s(t - 2)) ret += 1
+        }
+      }
+      ret.toDouble / tot
+    }
+    val rb = returnRate(biased)
+    val ru = returnRate(unbiased)
+    assert(rb < ru, s"biased return rate $rb must undercut uniform $ru")
+  }
 }
