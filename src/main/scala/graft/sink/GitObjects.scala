@@ -81,4 +81,78 @@ object GitObjects {
     }
     sha
   }
+
+  /** One entry of a tree object: `isTree` selects the mode (40000 vs
+    * 100644) — the only two kinds this corpus layout produces.
+    */
+  final case class TreeEntry(name: String, sha: String, isTree: Boolean)
+
+  /** git's tree-entry order: byte-wise name comparison with directory names
+    * compared as if suffixed by '/'.
+    */
+  private[sink] def treeOrder(a: TreeEntry, b: TreeEntry): Boolean = {
+    val an = if (a.isTree) a.name + "/" else a.name
+    val bn = if (b.isTree) b.name + "/" else b.name
+    val ab = an.getBytes(StandardCharsets.UTF_8)
+    val bb = bn.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < ab.length && i < bb.length) {
+      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    ab.length < bb.length
+  }
+
+  private def unhex(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Write a loose TREE object from its entries (sorted here per git's
+    * rule) and return its sha1 hex — the building block that lets the
+    * engine commit without ever touching the git index: entry insertion
+    * into an ordinary index is O(existing entries) per update-index call
+    * (measured 55 s to feed a 75k batch into a 1.5M-entry index), while a
+    * directly-written tree costs only the touched directories.
+    */
+  def writeTree(gitDir: Path, entries: Seq[TreeEntry]): String = {
+    val sorted = entries.sortWith(treeOrder)
+    val body = new java.io.ByteArrayOutputStream(entries.size * 48)
+    sorted.foreach { e =>
+      body.write((if (e.isTree) "40000 " else "100644 ")
+        .getBytes(StandardCharsets.US_ASCII))
+      body.write(e.name.getBytes(StandardCharsets.UTF_8))
+      body.write(0)
+      body.write(unhex(e.sha))
+    }
+    val content = body.toByteArray
+    val header = s"tree ${content.length}\u0000".getBytes(StandardCharsets.US_ASCII)
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(header)
+    md.update(content)
+    val sha = hex(md.digest())
+    val objDir = gitDir.resolve("objects").resolve(sha.substring(0, 2))
+    val objFile = objDir.resolve(sha.substring(2))
+    if (!Files.exists(objFile)) {
+      Files.createDirectories(objDir)
+      val tmp = objDir.resolve(
+        s"tmp_${sha.substring(2)}_p${jvmToken}_t${Thread.currentThread().getId}")
+      val d = new Deflater(1)
+      val os = new DeflaterOutputStream(Files.newOutputStream(tmp), d)
+      try { os.write(header); os.write(content) } finally {
+        try os.close() finally d.end()
+      }
+      try Files.move(tmp, objFile, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      }
+    }
+    sha
+  }
 }

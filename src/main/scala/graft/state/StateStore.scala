@@ -134,6 +134,104 @@ object StateStore {
       throw new java.io.IOException(s"atomic state rename failed: $tmp -> $dst")
   }
 
+  // ---- delta-log extension (continuous ingest) ------------------------------
+  //
+  // The rename-commit above rewrites the WHOLE table per save — correct for
+  // batch sync (one save per run), quadratic for streaming: the sfg1.0 soak
+  // (tools/StreamSoak.scala) measured CDC micro-batches growing 8s → 55s as
+  // the accumulated state was re-written every batch. The streaming path
+  // instead APPENDS a delta of just the touched keys (atomic dir rename, the
+  // same commit primitive) and folds deltas into the base every
+  // [[CompactEvery]] commits — LSM shape: per-batch cost is O(batch) plus an
+  // amortized 1/CompactEvery share of the base rewrite, never the whole
+  // table per batch. Readers resolve latest-per-key across base + deltas;
+  // re-applying an already-compacted delta is a no-op (rows identical), so a
+  // crash between base promotion and delta cleanup stays correct.
+
+  /** Fold deltas into the base once this many are pending. */
+  val CompactEvery: Int = 8
+
+  private val deltaRe = "__delta_(\\d+)$".r.unanchored
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed delta dirs for `path`, oldest first. */
+  private def deltaDirs(spark: SparkSession, path: String): Seq[(Int, Path)] = {
+    val fs = fsOf(spark, path)
+    val parent = new Path(path).getParent
+    val name = new Path(path).getName
+    if (parent == null || !fs.exists(parent)) Nil
+    else fs.listStatus(parent).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case n if n.startsWith(name + "__delta_") =>
+            deltaRe.findFirstMatchIn(n).map(m => m.group(1).toInt -> st.getPath)
+          case _ => None
+        }
+      }
+      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+      .sortBy(_._1)
+  }
+
+  def deltaCount(spark: SparkSession, path: String): Int =
+    deltaDirs(spark, path).size
+
+  /** Latest state per key across the base table and every committed delta.
+    * The winner rule reproduces [[merge]]'s: strictly-newer `last_updated`
+    * wins, `sync_count` (monotone per key) breaks same-instant replays.
+    * With no deltas this IS [[load]].
+    */
+  def loadResolved(spark: SparkSession, path: String): DataFrame = {
+    val deltas = deltaDirs(spark, path)
+    val base = load(spark, path)
+    if (deltas.isEmpty) base
+    else {
+      val all = deltas.foldLeft(base) { (acc, d) =>
+        acc.unionByName(spark.read.schema(schema).parquet(d._2.toString))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key"))
+        .orderBy(col("last_updated").desc, col("sync_count").desc,
+          col("last_synced").desc)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
+  /** Append one batch's merged state rows (touched keys ONLY) as a new
+    * delta: write to `<path>__dtmp`, rename to the next `__delta_<n>` — the
+    * same write-then-rename commit as [[save]], without touching the base.
+    */
+  def appendDelta(rows: DataFrame, path: String): Unit = {
+    val spark = rows.sparkSession
+    val fs = fsOf(spark, path)
+    val tmp = new Path(path + "__dtmp")
+    rows.write.mode("overwrite").parquet(tmp.toString)
+    val next = (0 +: deltaDirs(spark, path).map(_._1)).max + 1
+    val dst = new Path(path + s"__delta_$next")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"delta commit rename failed: $tmp -> $dst")
+  }
+
+  /** Fold every committed delta into the base through the atomic [[save]]
+    * protocol, then drop the folded deltas. Crash-safe at every boundary:
+    * before the save commit the base is untouched and deltas still apply;
+    * after it, re-applying a folded delta resolves to identical rows.
+    */
+  def compactDeltas(spark: SparkSession, path: String): Unit = {
+    val deltas = deltaDirs(spark, path)
+    if (deltas.isEmpty) return
+    // materialize the resolved view BEFORE save() renames the base out from
+    // under its own lineage (stage writes while base is still readable, but
+    // localCheckpoint makes the fold independent of both base and deltas)
+    val resolved = loadResolved(spark, path).localCheckpoint(true)
+    save(resolved, path)
+    val fs = fsOf(spark, path)
+    deltas.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
   /** Explicit restore-from-backup (reference: pkg/state/manager.go:239-267
     * RestoreState) — promotes `<path>__bak` to the primary. Deliberate, never
     * automatic: load() only falls back when an interrupted save left its tmp

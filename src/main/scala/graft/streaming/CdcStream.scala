@@ -43,31 +43,70 @@ object CdcStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val syncedAt = clock()
-        val state = StateStore.load(spark, statePath)
-        // a key updated twice within one micro-batch is the normal CDC case:
-        // collapse to the latest row per key first, otherwise both versions
-        // pass the state join (state knows neither) and the YAML write becomes
-        // nondeterministic last-writer-wins between the two versions
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("updated").desc)
-        val latest = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        // upsert-on-newer keeps replayed micro-batches idempotent (C2) —
-        // exactly-once effect on the state table under at-least-once delivery
-        val fresh = StateStore.changedIssues(latest, state).drop("change_type")
-        val wr = Yaml.writeIssuesCounted(fresh, repoDir)
-        // a key whose file write failed must stay OUT of state (same rule as
-        // SyncEngine): it remains an incremental candidate and the next batch
-        // retries it, instead of being silently marked synced
-        val synced =
-          if (wr.failedKeys.isEmpty) fresh
-          else fresh.filter(!col("key").isin(wr.failedKeys: _*))
-        StateStore.save(
-          StateStore.merge(state, StateStore.fromIssues(synced, syncedAt)), statePath)
-        if (commitToGit && wr.written > 0)
-          GitRepo.commitBatch(repoDir,
-            s"feat(sync): stream batch $id (${wr.written} issues)")
+        // resolved view across base + pending deltas: continuous ingest
+        // APPENDS per-batch deltas instead of rewriting the whole table —
+        // the sfg1.0 soak measured the rewrite-per-batch shape growing
+        // 8s → 55s per micro-batch (quadratic in corpus); the delta log
+        // keeps the state commit O(batch) with an amortized compaction.
+        // Persisted for the batch: the candidate filter, the touched-key
+        // semi-join and the merge all read it, and the resolve window over
+        // base+deltas must run once, not per consumer.
+        val state = StateStore.loadResolved(spark, statePath).persist()
+        try {
+          // a key updated twice within one micro-batch is the normal CDC
+          // case: collapse to the latest row per key first, otherwise both
+          // versions pass the state join (state knows neither) and the YAML
+          // write becomes nondeterministic last-writer-wins between them
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key")).orderBy(col("updated").desc)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          // upsert-on-newer keeps replayed micro-batches idempotent (C2) —
+          // exactly-once effect on the state table under at-least-once
+          // delivery
+          val fresh = StateStore.changedIssues(latest, state).drop("change_type")
+          // files + loose git blobs written DISTRIBUTED, entries spilled to
+          // per-partition manifests: the commit below is index metadata fed
+          // from the manifest — never `git add -A`, whose worktree scan grows
+          // with the accumulated corpus (the soak's other quadratic term:
+          // stat+rehash of every file ever synced, per batch)
+          val wr =
+            if (commitToGit) Left(Yaml.writeIssuesWithBlobsManifest(fresh, repoDir))
+            else Right(Yaml.writeIssuesCounted(fresh, repoDir))
+          val (written, failedKeys) = wr match {
+            case Left(m) => (m.written, m.failedKeys)
+            case Right(r) => (r.written, r.failedKeys)
+          }
+          // a key whose file write failed must stay OUT of state (same rule
+          // as SyncEngine): it remains an incremental candidate and the next
+          // batch retries it, instead of being silently marked synced
+          val synced =
+            if (failedKeys.isEmpty) fresh
+            else fresh.filter(!col("key").isin(failedKeys: _*))
+          // delta = the merge result restricted to this batch's fresh keys:
+          // merge() computes the correct sync_count against the CURRENT rows
+          // of exactly those keys, and only those rows are committed
+          val freshState = StateStore.fromIssues(synced, syncedAt)
+          val touched = state.join(freshState.select("key"), Seq("key"), "left_semi")
+          val delta = StateStore.merge(touched, freshState)
+          if (!delta.isEmpty) {
+            StateStore.appendDelta(delta, statePath)
+            if (StateStore.deltaCount(spark, statePath) >= StateStore.CompactEvery)
+              StateStore.compactDeltas(spark, statePath)
+          }
+          wr match {
+            case Left(m) =>
+              // index-free: merge the manifest's (path, sha) adds straight
+              // into HEAD's trees — the git index's O(existing) insertion
+              // made per-batch commits quadratic over a growing corpus
+              if (m.written > 0)
+                GitRepo.commitTreeDirect(repoDir,
+                  s"feat(sync): stream batch $id ($written issues)", m.entries)
+              m.delete()
+            case Right(_) => ()
+          }
+        } finally state.unpersist()
         ()
       }
       .start()

@@ -209,6 +209,44 @@ class SinkSpec extends AnyFunSuite {
     b1.unpersist()
   }
 
+  test("index-free tree commit: byte-identical trees to the index path, fsck-clean") {
+    // two repos, same batches: one committed through the index
+    // (commitIndexInfo), one through direct tree merging (commitTreeDirect) —
+    // the resulting TREE shas must be identical commit by commit, proving the
+    // hand-written tree objects (sort order, modes, binary shas) match what
+    // git itself builds
+    val viaIndex = Files.createTempDirectory("graft-tree-a").toString
+    val direct = Files.createTempDirectory("graft-tree-b").toString
+    GitRepo.init(viaIndex)
+    GitRepo.init(direct)
+    def treeOf(repo: String): String = scala.sys.process.Process(
+      Seq("git", "rev-parse", "HEAD^{tree}"), new java.io.File(repo)).!!.trim
+    val batches = Seq(
+      Tables.issues(spark, sf).filter(col("project_key").isin("P1", "P2")).limit(60),
+      Tables.issues(spark, sf).filter(col("project_key").isin("P2", "P3")).limit(80),
+      // overlapping keys: updates must replace, not duplicate
+      Tables.issues(spark, sf).filter(col("project_key") === "P1").limit(30)
+        .withColumn("summary", concat(col("summary"), lit(" v2"))))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val w1 = Yaml.writeIssuesWithBlobs(b, viaIndex)
+      assert(GitRepo.commitIndexInfo(viaIndex, s"feat(sync): batch $i", w1.entries).isDefined)
+      val w2 = Yaml.writeIssuesWithBlobs(b, direct)
+      assert(GitRepo.commitTreeDirect(direct, s"feat(sync): batch $i",
+        w2.entries.iterator).isDefined)
+      assert(treeOf(viaIndex) == treeOf(direct),
+        s"batch $i: direct tree diverged from the index-built tree")
+    }
+    // hand-written tree objects are bit-valid to git itself
+    assert(scala.sys.process.Process(
+      Seq("git", "fsck", "--strict"), new java.io.File(direct)).! == 0,
+      "git fsck rejected directly-written tree objects")
+    // idempotent replay: same adds → same root tree → no commit
+    val replay = Yaml.writeIssuesWithBlobs(batches.last, direct)
+    assert(GitRepo.commitTreeDirect(direct, "replay", replay.entries.iterator).isEmpty)
+    // history depth matches (3 commits each), messages intact
+    assert(GitRepo.log(direct).take(3) == GitRepo.log(viaIndex).take(3))
+  }
+
   test("commit message column maps issue types to conventional types") {
     import spark.implicits._
     val df = Seq(("Bug", "P1", "P1-1"), ("Story", "P1", "P1-2"),

@@ -223,4 +223,51 @@ class StateSpec extends AnyFunSuite {
     assert(p11.getAs[Int]("sync_count") == 2)
     assert(p11.getAs[Timestamp]("last_updated") == ts("2024-02-01 00:00:00"))
   }
+
+  test("delta log: append + resolve + threshold compaction, crash-idempotent") {
+    val dir = Files.createTempDirectory("graft-delta").toString
+    val path = s"$dir/state"
+    // base: two keys
+    StateStore.save(StateStore.fromIssues(batchDf(Seq(
+      ("P1-1", "P1", "a", "2024-01-01 00:00:00"),
+      ("P1-2", "P1", "b", "2024-01-01 00:00:00"))), ts("2024-01-02 00:00:00")), path)
+    // delta 1: P1-1 updated (merge computes sync_count against current rows)
+    val b1 = StateStore.fromIssues(
+      batchDf(Seq(("P1-1", "P1", "a2", "2024-02-01 00:00:00"))), ts("2024-02-02 00:00:00"))
+    val cur = StateStore.loadResolved(spark, path)
+    StateStore.appendDelta(
+      StateStore.merge(cur.join(b1.select("key"), Seq("key"), "left_semi"), b1), path)
+    // delta 2: a brand-new key
+    val b2 = StateStore.fromIssues(
+      batchDf(Seq(("P1-3", "P1", "c", "2024-03-01 00:00:00"))), ts("2024-03-02 00:00:00"))
+    StateStore.appendDelta(StateStore.merge(
+      StateStore.loadResolved(spark, path).join(b2.select("key"), Seq("key"), "left_semi"),
+      b2), path)
+    assert(StateStore.deltaCount(spark, path) == 2)
+    // resolved view: latest per key across base + deltas, sync_count carried
+    val resolved = StateStore.loadResolved(spark, path).collect()
+      .map(r => r.getString(0) -> (r.getAs[Timestamp]("last_updated"),
+        r.getAs[Int]("sync_count"))).toMap
+    assert(resolved.keySet == Set("P1-1", "P1-2", "P1-3"))
+    assert(resolved("P1-1") == ((ts("2024-02-01 00:00:00"), 2)))
+    assert(resolved("P1-2")._2 == 1 && resolved("P1-3")._2 == 1)
+    // the base alone is still the OLD view — deltas are separate commits
+    assert(StateStore.load(spark, path).count() == 2)
+    // crash window: a delta surviving past compaction re-applies as a no-op
+    val deltaDir = new java.io.File(dir).listFiles()
+      .find(_.getName.matches("state__delta_\\d+")).get
+    val copy = java.nio.file.Paths.get(dir, "saved_delta")
+    org.apache.commons.io.FileUtils.copyDirectory(deltaDir, copy.toFile)
+    StateStore.compactDeltas(spark, path)
+    assert(StateStore.deltaCount(spark, path) == 0)
+    val afterCompact = StateStore.load(spark, path).collect()
+      .map(r => r.getString(0) -> r.getAs[Int]("sync_count")).toMap
+    assert(afterCompact == Map("P1-1" -> 2, "P1-2" -> 1, "P1-3" -> 1))
+    // resurrect the folded delta (the crash-between-promote-and-cleanup case)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      copy.toFile, java.nio.file.Paths.get(dir, deltaDir.getName).toFile)
+    val replayed = StateStore.loadResolved(spark, path).collect()
+      .map(r => r.getString(0) -> r.getAs[Int]("sync_count")).toMap
+    assert(replayed == afterCompact, "re-applied folded delta must be a no-op")
+  }
 }

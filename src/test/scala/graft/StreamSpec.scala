@@ -41,7 +41,7 @@ class StreamSpec extends AnyFunSuite {
       query.processAllAvailable()
     } finally query.stop()
 
-    val state = StateStore.load(spark, s"$work/state").cache()
+    val state = StateStore.loadResolved(spark, s"$work/state").cache()
     assert(state.count() == 2)
     assert(state.filter(col("key") === "P1-1").head.getAs[Int]("sync_count") == 2)
     val log = GitRepo.log(s"$work/repo")
@@ -80,7 +80,7 @@ class StreamSpec extends AnyFunSuite {
     // restart from the same checkpoint: must consume ONLY the new file
     val q2 = startQuery(ts("2024-02-15 00:00:00"))
     try q2.processAllAvailable() finally q2.stop()
-    val state = StateStore.load(spark, s"$work/state").cache()
+    val state = StateStore.loadResolved(spark, s"$work/state").cache()
     assert(state.count() == 3)
     assert(state.filter(col("key") === "P1-1").head.getAs[Int]("sync_count") == 2,
       "the update must sync exactly once more after restart")
@@ -91,7 +91,7 @@ class StreamSpec extends AnyFunSuite {
     val q3 = startQuery(ts("2024-03-15 00:00:00"))
     try q3.processAllAvailable() finally q3.stop()
     assert(GitRepo.log(s"$work/repo").length == 2)
-    assert(StateStore.load(spark, s"$work/state")
+    assert(StateStore.loadResolved(spark, s"$work/state")
       .filter(col("key") === "P1-1").head.getAs[Int]("sync_count") == 2)
     state.unpersist()
   }
@@ -116,14 +116,14 @@ class StreamSpec extends AnyFunSuite {
       query.processAllAvailable()
       // only the written issue is marked synced — the failed one must remain
       // an incremental candidate
-      assert(StateStore.load(spark, s"$work/state").select("key").as[String]
+      assert(StateStore.loadResolved(spark, s"$work/state").select("key").as[String]
         .collect().toSeq == Seq("P8-1"))
       // unblock and re-deliver: the failed issue syncs on retry
       Files.delete(java.nio.file.Paths.get(repo, "projects", "P9"))
       mem.addData(("P9-1", "P9", "v1", ts("2024-01-01 00:00:00")))
       query.processAllAvailable()
     } finally query.stop()
-    assert(StateStore.load(spark, s"$work/state").count() == 2)
+    assert(StateStore.loadResolved(spark, s"$work/state").count() == 2)
     assert(Files.exists(java.nio.file.Paths.get(repo,
       "projects", "P9", "issues", "P9-1.yaml")))
   }
@@ -144,7 +144,7 @@ class StreamSpec extends AnyFunSuite {
         ("P1-1", "P1", "older", ts("2024-02-01 00:00:00")))
       query.processAllAvailable()
     } finally query.stop()
-    val state = StateStore.load(spark, s"$work/state").collect()
+    val state = StateStore.loadResolved(spark, s"$work/state").collect()
     assert(state.length == 1) // no duplicate state rows
     assert(state.head.getAs[Timestamp]("last_updated") == ts("2024-02-05 00:00:00"))
     // the YAML on disk holds the newer version deterministically
