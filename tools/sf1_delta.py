@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Delta mode for the sf1 correctness rehearsal: CORRECTNESS_sf1.json is a
+snapshot of the registry at the round it ran, so queries registered later
+are uncovered. This tool diffs the CURRENT registry against the committed
+file, runs graft.Verify at the sfg scale for ONLY the missing names, oracles
+them in DuckDB (same compare as tools/compare.py), and merges the verdicts
+back — keeping the sf1 gate current without re-running all 240+ queries.
+
+Usage: python3 tools/sf1_delta.py [sfgDir] [round-label]
+"""
+import json, os, subprocess, sys, glob
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF1_FILE = "CORRECTNESS_sf1.json"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        elif "datetime" in str(df[c].dtype):
+            df[c] = df[c].astype(str)
+        elif df[c].dtype == float:
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main(sf_dir, label):
+    committed = json.load(open(SF1_FILE))
+    done = set(committed.get("results", {}))
+
+    # current registry (no query execution)
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.tools.ListQueries"],
+        capture_output=True, text=True, check=True).stdout
+    registry = {}
+    for line in out.splitlines():
+        parts = line.replace("[info] ", "").split("\t")
+        if len(parts) == 2 and parts[1] in ("oracle", "weak"):
+            registry[parts[0]] = parts[1]
+    assert registry, "ListQueries produced no names"
+
+    missing = sorted(n for n in registry if n not in done)
+    if not missing:
+        print(f"sf1 rehearsal already covers all {len(registry)} queries")
+        return 0
+    print(f"{len(missing)} queries missing from sf1 rehearsal: {missing}")
+
+    # run just those through Verify at the sfg scale (substring filter may
+    # run a superset; harmless)
+    vout = "/tmp/sf1_delta_out"
+    subprocess.run(["rm", "-rf", vout], check=True)
+    subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.Verify {sf_dir} {vout} {','.join(missing)}"],
+        check=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    oracles = json.load(open(f"{vout}/oracle_sql.json"))
+
+    results, failed = {}, []
+    for name in missing:
+        files = glob.glob(f"{vout}/{name}/*.parquet")
+        if not files:
+            results[name] = "fail: no spark output"; failed.append(name); continue
+        spark_df = pq.read_table(files[0]).to_pandas()
+        if name not in oracles:
+            results[name] = f"weak: rows={len(spark_df)} (no oracle)"; continue
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"fail: oracle error {e}"; failed.append(name); continue
+        a, b = norm(spark_df), norm(duck_df)
+        if list(a.columns) != list(b.columns):
+            results[name] = "fail: column mismatch"; failed.append(name)
+        elif len(a) != len(b):
+            results[name] = f"fail: rows {len(a)} vs {len(b)}"; failed.append(name)
+        elif (a.fillna("<N>").astype(str) != b.fillna("<N>").astype(str)).any().any():
+            results[name] = "fail: cell mismatch"; failed.append(name)
+        else:
+            results[name] = "pass"
+        print(f"{results[name].upper().split(':')[0]} {name}")
+
+    committed["results"].update(results)
+    committed.setdefault("delta_runs", []).append({
+        "label": label, "scale_dir": sf_dir, "added": sorted(results)})
+    json.dump(committed, open(SF1_FILE, "w"), indent=1)
+    print(f"merged {len(results)} verdicts into {SF1_FILE} "
+          f"({len(committed['results'])} total); failures: {failed or 'none'}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfg/sfg1.0"
+    label = sys.argv[2] if len(sys.argv) > 2 else "delta"
+    sys.exit(main(sf_dir, label))
