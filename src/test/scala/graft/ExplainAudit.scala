@@ -46,6 +46,31 @@ class ExplainAudit extends AnyFunSuite {
     assert(plan("q03_shipping_priority").contains("TakeOrderedAndProject"))
   }
 
+  test("JQL history operators: changelog membership is a hash join, scan stays narrow") {
+    val p = plan("jql_was")
+    // the WAS marker lowers to the same membership-join machinery as
+    // issuesInEpic — a keyed hash/sort-merge join, never a nested loop
+    assert(p.contains("Join") &&
+      (p.contains("HashJoin") || p.contains("SortMergeJoin")),
+      s"jql_was membership join shape:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "history membership must not plan an NLJ")
+    // the changelog derivation reads only the four orders columns it needs
+    assert(!p.contains("o_comment") && !p.contains("o_totalprice"),
+      "statusHistory scan reads columns it doesn't need")
+  }
+
+  test("biased walk corpus: per-walk windows, no single-partition exchange") {
+    val p = plan("graph_walk_corpus_biased")
+    // the cumulative-weight pick must stay partitioned by walk id — a global
+    // (empty-partition) window would serialize the whole candidate frame
+    assert(!p.contains("Exchange SinglePartition"),
+      s"biased walk plans a global exchange:\n${p.take(2000)}")
+    val pSampled = plan("graph_stress_sampled")
+    assert(!pSampled.contains("Exchange SinglePartition"),
+      "sampled stress census must never gather to one partition")
+  }
+
   test("gap fill: generator-built grid, per-user window, user+day-keyed join") {
     val p = plan("stream_gap_fill")
     // the day grid must come from a generator explode over the per-user

@@ -319,18 +319,23 @@ class JqlFuzzSpec extends AnyFunSuite {
         val it = q.orderBy.iterator
         while (it.hasNext) {
           val (f, asc) = it.next()
-          val c = (fieldOf(a, f), fieldOf(b, f)) match {
-            case (FStr(x), FStr(y)) => (x, y) match {
-              case (None, None) => 0
-              case (None, _) => if (asc) 1 else -1 // nulls last asc, first desc
-              case (_, None) => if (asc) -1 else 1
-              case (Some(u), Some(v)) => u.compareTo(v)
-            }
-            case (FTs(x), FTs(y)) => x.compareTo(y)
-            case (FPerson(_, x), FPerson(_, y)) => x.compareTo(y)
-            case _ => 0
+          // null placement is FINAL (nulls last asc / first desc) — it must
+          // not be negated again by the direction flip, which only applies
+          // to value-vs-value comparisons (the first fuzz hunt over nullable
+          // sort fields caught exactly that double reversal in this replica)
+          (fieldOf(a, f), fieldOf(b, f)) match {
+            case (FStr(None), FStr(None)) => ()
+            case (FStr(None), FStr(_)) => return if (asc) 1 else -1
+            case (FStr(_), FStr(None)) => return if (asc) -1 else 1
+            case (x, y) =>
+              val c = (x, y) match {
+                case (FStr(Some(u)), FStr(Some(v))) => u.compareTo(v)
+                case (FTs(u), FTs(v)) => u.compareTo(v)
+                case (FPerson(_, u), FPerson(_, v)) => u.compareTo(v)
+                case _ => 0
+              }
+              if (c != 0) return if (asc) c else -c
           }
-          if (c != 0) return if (asc) c else -c
         }
         a.key.compareTo(b.key)
       }
@@ -467,8 +472,10 @@ class JqlFuzzSpec extends AnyFunSuite {
       (2, for { a <- genExpr(depth - 1); b <- genExpr(depth - 1) } yield JOr(a, b)),
       (1, genExpr(depth - 1).map(JNot(_))))
 
+  // epicLink is nullable: ordering by it exercises asc-nulls-last /
+  // desc-nulls-first against the interpreter's replica of the rule
   private val orderFields = Seq("key", "updated", "created", "priority", "status",
-    "project")
+    "project", "epicLink")
   private val genOrder: Gen[Seq[(JqlField, Boolean)]] = for {
     n <- Gen.oneOf(0, 0, 1, 1, 2) // bias: most queries have 0-1 sort keys
     fs <- Gen.pick(n, orderFields)
@@ -621,7 +628,12 @@ class JqlFuzzSpec extends AnyFunSuite {
       // string > on priority (binary collation)
       """priority >= "Low" AND priority < "Mediumz"""",
       // ORDER BY with nulls and DESC over a nullable-ish sort prefix
-      """project IN (P2, P3) ORDER BY priority DESC, key ASC""")
+      """project IN (P2, P3) ORDER BY priority DESC, key ASC""",
+      // nullable sort key, both directions: nulls last asc / FIRST desc,
+      // a placement rule the direction flip must not double-reverse
+      // (hunt find: seed 424242 shrank to exactly this)
+      """ORDER BY epicLink DESC""",
+      """ORDER BY epicLink ASC, updated DESC""")
     cases.foreach { jql =>
       val q = Parser.parse(jql)
       val expected = interpret(q)
