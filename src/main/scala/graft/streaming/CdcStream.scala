@@ -26,6 +26,17 @@ object CdcStream {
     *
     * @param clock  logical sync-time source for each batch (injectable for
     *               deterministic tests)
+    * @param commitEvery git-commit cadence in micro-batches (default 1 =
+    *               every batch). Any commit touching a flat directory of N
+    *               files must serialize an O(N) tree object — git's floor,
+    *               measured as the streaming soak's residual growth — and
+    *               cadence is the production lever that amortizes it K×.
+    *               Batches' manifests accumulate ON DISK between commits
+    *               (`.git/graft-manifest/`), so the trade is bounded: state
+    *               table and YAML corpus are always current; after a crash
+    *               only the LAST < K batches' paths are absent from git
+    *               HISTORY (their files exist in the worktree, and any
+    *               subsequent commit or batch resync covers them).
     */
   def start(
       updates: DataFrame,
@@ -34,9 +45,14 @@ object CdcStream {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
       commitToGit: Boolean = true,
+      commitEvery: Int = 1,
       clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())): StreamingQuery = {
     val spark = updates.sparkSession
+    require(commitEvery >= 1, s"commitEvery must be >= 1, got $commitEvery")
     if (commitToGit) GitRepo.init(repoDir)
+    // manifests pending a cadence commit (driver-side; their content lives
+    // on disk, this only holds the handles)
+    val pendingCommit = scala.collection.mutable.ArrayBuffer.empty[Yaml.BlobManifest]
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -99,11 +115,22 @@ object CdcStream {
             case Left(m) =>
               // index-free: merge the manifest's (path, sha) adds straight
               // into HEAD's trees — the git index's O(existing) insertion
-              // made per-batch commits quadratic over a growing corpus
-              if (m.written > 0)
+              // made per-batch commits quadratic over a growing corpus.
+              // Under a cadence > 1, manifests accumulate and one commit
+              // carries the last K batches' adds (latest-wins on path
+              // collisions, which the iterator order preserves: older
+              // manifests feed first, commitTreeDirect's overlay map keeps
+              // the last entry per path).
+              if (m.written > 0) pendingCommit += m else m.delete()
+              if (pendingCommit.nonEmpty &&
+                  (pendingCommit.size >= commitEvery || (id + 1) % commitEvery == 0)) {
+                val n = pendingCommit.map(_.written).sum
                 GitRepo.commitTreeDirect(repoDir,
-                  s"feat(sync): stream batch $id ($written issues)", m.entries)
-              m.delete()
+                  s"feat(sync): stream batch $id ($n issues)",
+                  pendingCommit.iterator.flatMap(_.entries))
+                pendingCommit.foreach(_.delete())
+                pendingCommit.clear()
+              }
             case Right(_) => ()
           }
         } finally state.unpersist()

@@ -54,6 +54,10 @@ object StreamSoak {
     val outPath = args(1)
     val slices = if (args.length > 2) args(2).toInt else 20
     val withGit = !args.contains("nogit") // isolation flag for growth triage
+    // cadence=N arg: exercise the git-commit cadence lever (default 1)
+    val cadence = args.collectFirst {
+      case a if a.startsWith("cadence=") => a.stripPrefix("cadence=").toInt
+    }.getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,7 +98,7 @@ object StreamSoak {
     val t0 = System.nanoTime()
     val cdcQuery = graft.streaming.CdcStream.start(
       srcStream, s"$work/repo", s"$work/state", s"$work/ckpt",
-      commitToGit = withGit,
+      commitToGit = withGit, commitEvery = cadence,
       clock = () => java.sql.Timestamp.valueOf("2002-01-01 00:00:00"))
     val cdcCards =
       try { cdcQuery.processAllAvailable(); graft.streaming.Progress.card(cdcQuery) }

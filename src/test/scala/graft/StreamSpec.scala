@@ -128,6 +128,42 @@ class StreamSpec extends AnyFunSuite {
       "projects", "P9", "issues", "P9-1.yaml")))
   }
 
+  test("commit cadence: K batches fold into one git commit, nothing lost") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val work = Files.createTempDirectory("graft-cdccadence").toString
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    val clockTimes = Iterator.continually(ts("2024-01-15 00:00:00"))
+    val query = CdcStream.start(
+      mem.toDF().toDF("key", "project_key", "summary", "updated"),
+      s"$work/repo", s"$work/state", s"$work/ckpt",
+      commitEvery = 2, clock = () => clockTimes.next())
+    try {
+      // four data batches at cadence 2 → exactly two commits
+      (1 to 4).foreach { i =>
+        mem.addData((s"P1-$i", "P1", s"v$i", ts("2024-01-01 00:00:00")))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val log = GitRepo.log(s"$work/repo")
+    assert(log.length == 2, s"cadence 2 over 4 batches must commit twice: $log")
+    assert(log.forall(_.matches("feat\\(sync\\): stream batch \\d+ \\(2 issues\\)")),
+      s"each commit carries its window's 2 issues: $log")
+    // HEAD's tree holds every file from all four batches (latest commit
+    // includes the earlier ones' paths — trees accumulate)
+    val lsr = scala.sys.process.Process(
+      Seq("git", "ls-tree", "-r", "--name-only", "HEAD"),
+      new java.io.File(s"$work/repo")).!!
+    val committed = lsr.linesIterator.toSet
+    assert((1 to 4).forall(i => committed(s"projects/P1/issues/P1-$i.yaml")),
+      s"missing paths in HEAD: $committed")
+    // and the state table saw all four regardless of commit cadence
+    assert(StateStore.loadResolved(spark, s"$work/state").count() == 4)
+    // fsck accepts the cadence-built trees too
+    assert(scala.sys.process.Process(
+      Seq("git", "fsck", "--strict"), new java.io.File(s"$work/repo")).! == 0)
+  }
+
   test("two updates to one key inside a single micro-batch collapse to the latest") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
