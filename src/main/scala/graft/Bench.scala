@@ -23,6 +23,38 @@ object Bench {
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0)
   }
 
+  /** 90th-percentile fresh/baseline per-query ratio over the shared
+    * canaries — the TAIL canary the median misses. Round 12 measured a sweep
+    * whose median was in-band while individual queries ran 12–18× their
+    * baseline (`pipe_dedup_minhash_est` 0.77→9.44s) and totals walked
+    * 122→198s across promotions; at 100 TB the slowest decile IS the job
+    * time, so a median-only gate optimizes the wrong statistic. Same
+    * sub-50ms exclusion and ≥5-canary floor as [[medianDriftRatio]].
+    */
+  private[graft] def p90DriftRatio(
+      baseline: Map[String, Double], fresh: Map[String, Double]): Option[Double] = {
+    val ratios = baseline.toSeq.collect {
+      case (k, b) if b >= 0.05 && fresh.contains(k) => fresh(k) / b
+    }.sorted
+    if (ratios.size < 5) None
+    else Some(ratios(math.min(ratios.size - 1, (ratios.size * 9) / 10)))
+  }
+
+  /** Fresh/baseline ratio of SUMMED time over the shared canaries — the
+    * aggregate twin of the per-query gates: a broad 1.2× creep that never
+    * trips a per-query bound still compounds into an unusable baseline.
+    */
+  private[graft] def totalDriftRatio(
+      baseline: Map[String, Double], fresh: Map[String, Double]): Option[Double] = {
+    // toSeq FIRST: collecting (b, fresh) pairs straight off the Map would
+    // rebuild a Map keyed by b and silently collapse equal-time queries
+    val shared = baseline.toSeq.collect {
+      case (k, b) if b >= 0.05 && fresh.contains(k) => (b, fresh(k))
+    }
+    if (shared.size < 5) None
+    else Some(shared.map(_._2).sum / shared.map(_._1).sum)
+  }
+
   /** A parsed bench run file (baseline / anchor / candidate slot). */
   private[graft] final case class RunFile(sf: String,
       queries: Map[String, Double], sync: Double, incr: Double,
@@ -78,6 +110,12 @@ object Bench {
     *     (bench_anchor.json, the best condition-stamped run): any refresh
     *     whose median drifts beyond `anchorBound` from the anchor is
     *     refused regardless of the rolling comparison.
+    *   - round 12: the median gate was TAIL-BLIND — a sweep promoted with a
+    *     flat median while single queries ran 12–18× their baseline and
+    *     committed totals ratcheted 122→167s with a 198s candidate staged →
+    *     (a) the p90 gate (`p90Bound` vs baseline, `anchorBound` vs anchor);
+    *     (b) the aggregate band: summed shared-canary time beyond
+    *     `anchorTotalBound`× the anchor parks the run.
     * Bootstrap (no readable baseline) promotes directly — nothing to
     * defend. The anchor only moves forward when a promoted run is FASTER
     * than it (see main), so it cannot ratchet slow.
@@ -88,7 +126,8 @@ object Bench {
       fresh: Map[String, Double], freshSync: Double, freshIncr: Double,
       freshSf: String, hasErrors: Boolean,
       bound: Double = 1.3, syncBandLo: Double = 0.5, syncBandHi: Double = 2.0,
-      anchorBound: Double = 1.5): RefreshDecision = {
+      anchorBound: Double = 1.5, p90Bound: Double = 1.5,
+      anchorTotalBound: Double = 1.4): RefreshDecision = {
     if (hasErrors) return Park("errors")
     val baseOpt = readRun(basePath)
     baseOpt match {
@@ -97,6 +136,13 @@ object Bench {
         medianDriftRatio(b.queries, fresh) match {
           case Some(m) if m > bound || m < 1.0 / bound =>
             return Park(f"query_drift=$m%.3f")
+          case _ => ()
+        }
+        // tail gate (one-sided: a faster tail is welcome): a median-flat run
+        // whose slowest decile exploded is a contended window or a real
+        // regression — either way not a refresh basis until explained
+        p90DriftRatio(b.queries, fresh) match {
+          case Some(p) if p > p90Bound => return Park(f"query_p90=$p%.3f")
           case _ => ()
         }
         def outOfBand(base: Double, f: Double): Boolean =
@@ -111,6 +157,19 @@ object Bench {
       medianDriftRatio(a.queries, fresh) match {
         case Some(m) if m > anchorBound || m < 1.0 / anchorBound =>
           return Park(f"anchor_drift=$m%.3f")
+        case _ => ()
+      }
+      p90DriftRatio(a.queries, fresh) match {
+        case Some(p) if p > anchorBound => return Park(f"anchor_p90=$p%.3f")
+        case _ => ()
+      }
+      // aggregate band vs the pinned BEST run: successive median-clean
+      // promotions ratcheted committed totals 122→167s in round 12 — the
+      // total must stay within anchorTotalBound of the anchor or the run
+      // parks for a regression hunt
+      totalDriftRatio(a.queries, fresh) match {
+        case Some(t) if t > anchorTotalBound =>
+          return Park(f"anchor_total=$t%.3f")
         case _ => ()
       }
     }
@@ -364,8 +423,12 @@ object Bench {
     val parkedPath = java.nio.file.Paths.get("bench_parked.json")
     val decision = refreshDecision(basePath, anchorPath, candPath,
       results.toMap, syncIps, incrIps, sfDir, hasErrors = errors.nonEmpty)
+    // fragment-cache lifecycle over the sweep: a healthy run builds each
+    // fragment exactly once and evicts none — rebuilds/evictions here are
+    // the smoking gun for tail blowups on fragment-composed queries
+    val fstats = Caches.stats
     def fullJson(marker: String): String =
-      s"""{"total":$total,"queries":$full,"errors":$errJson,$marker${runConditionsJson()},"sync_issues_per_sec":$syncIps,"incr_scan_issues_per_sec":$incrIps,"sf":"$sfDir"}\n"""
+      s"""{"total":$total,"queries":$full,"errors":$errJson,$marker${runConditionsJson()},"fragment_hits":${fstats.hits},"fragment_builds":${fstats.builds},"fragment_evictions":${fstats.evictions},"sync_issues_per_sec":$syncIps,"incr_scan_issues_per_sec":$incrIps,"sf":"$sfDir"}\n"""
     scala.util.Try(persistDecision(decision, basePath, anchorPath, candPath,
       parkedPath, fullJson, sfDir, results.toMap))
     spark.stop()

@@ -87,6 +87,19 @@ object Caches {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
+  /** Fragment lifecycle counters since [[resetStats]] — the diagnostic for
+    * "did a sweep silently rebuild fragments?": a healthy full sweep shows
+    * `builds` == distinct fragments and `evictions` == 0; anything else
+    * means mid-sweep eviction/rebuild and explains tail blowups on the
+    * fragment-composed queries. Bench stamps these into bench_full.json.
+    */
+  final case class Stats(hits: Long, builds: Long, evictions: Long)
+  private var nHits = 0L
+  private var nBuilds = 0L
+  private var nEvictions = 0L
+  def stats: Stats = synchronized(Stats(nHits, nBuilds, nEvictions))
+  def resetStats(): Unit = synchronized { nHits = 0; nBuilds = 0; nEvictions = 0 }
+
   /** True when memoization is off for this (thread, session) — the check
     * [[fragment]] applies, exposed for memo registries that cache non-
     * DataFrame artifacts (e.g. the tokenizer's trained merge table) so they
@@ -117,8 +130,9 @@ object Caches {
       dirLru.remove((s, dir)); dirLru.put((s, dir), ())
       val key = (s, dir, name)
       val out = reg.get(key) match {
-        case Some(e) => e.df
+        case Some(e) => nHits += 1; e.df
         case None =>
+          nBuilds += 1
           // build OUTSIDE reg.getOrElseUpdate: nested fragment() calls
           // (candidates build on top of band signatures) re-enter this map
           val df = build
@@ -168,6 +182,7 @@ object Caches {
   def clearDir(s: SparkSession, dir: String): Unit = synchronized {
     reg.filterInPlace { case ((sess, d, _), e) =>
       if ((sess eq s) && d == dir) {
+        nEvictions += 1
         if (e.persisted && !sess.sparkContext.isStopped)
           e.df.unpersist(blocking = false)
         false

@@ -82,10 +82,17 @@ object GitObjects {
     sha
   }
 
-  /** One entry of a tree object: `isTree` selects the mode (40000 vs
-    * 100644) — the only two kinds this corpus layout produces.
+  /** One entry of a tree object. `isTree` selects the default mode (40000 vs
+    * 100644) — the only two kinds this corpus layout produces; `mode`
+    * overrides it so entries READ from an existing tree (executables,
+    * symlinks, submodule gitlinks) round-trip byte-identically instead of
+    * being silently rewritten as plain blobs.
     */
-  final case class TreeEntry(name: String, sha: String, isTree: Boolean)
+  final case class TreeEntry(name: String, sha: String, isTree: Boolean,
+      mode: Option[String] = None) {
+    def modeString: String =
+      mode.getOrElse(if (isTree) "40000" else "100644")
+  }
 
   /** git's tree-entry order: byte-wise name comparison with directory names
     * compared as if suffixed by '/'.
@@ -125,8 +132,7 @@ object GitObjects {
     val sorted = entries.sortWith(treeOrder)
     val body = new java.io.ByteArrayOutputStream(entries.size * 48)
     sorted.foreach { e =>
-      body.write((if (e.isTree) "40000 " else "100644 ")
-        .getBytes(StandardCharsets.US_ASCII))
+      body.write((e.modeString + " ").getBytes(StandardCharsets.US_ASCII))
       body.write(e.name.getBytes(StandardCharsets.UTF_8))
       body.write(0)
       body.write(unhex(e.sha))

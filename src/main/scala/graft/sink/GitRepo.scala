@@ -55,12 +55,35 @@ object GitRepo {
     (code, sync.synchronized(out.result()))
   }
 
+  /** Run git capturing stdout as RAW BYTES (no line splitting) — required
+    * for NUL-delimited output (`ls-tree -z`), where the line-based
+    * [[run]] logger would mangle names containing newlines and append
+    * spurious separators.
+    */
+  private def runRaw(dir: File, args: String*): (Int, Array[Byte]) = {
+    val bytes = new java.io.ByteArrayOutputStream(1 << 16)
+    val io = new ProcessIO(
+      _.close(),
+      out => try {
+        val buf = new Array[Byte](1 << 16)
+        var n = out.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = out.read(buf) }
+      } finally out.close(),
+      err => try scala.io.Source.fromInputStream(err).mkString finally err.close())
+    val p = Process("git" +: args.toSeq, dir).run(io)
+    (p.exitValue(), bytes.toByteArray)
+  }
+
   /** Stream `100644 <sha> 0\t<path>` lines into `update-index --index-info`
     * without materializing the entry list. Safe to re-run with the same
     * entries (index adds are idempotent).
     */
   def feedIndexInfo(repoDir: String, entries: Iterator[(String, String)]): Unit = {
     if (!entries.hasNext) return
+    // the feed BUILDS ON the current index — if a tree-direct streaming run
+    // left it stale, write-tree would emit a tree missing those commits'
+    // files; start from HEAD's tree instead (no-op when already in sync)
+    syncIndexToHead(repoDir)
     val (code, out) = runStreamingInput(new File(repoDir), os => {
       val w = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(os, StandardCharsets.UTF_8), 1 << 16)
@@ -141,9 +164,10 @@ object GitRepo {
     *
     * Adds only (the CDC stream never deletes); returns None when the merged
     * root tree equals HEAD's (idempotent replays). The repo's index is left
-    * untouched and thus stale — `git status` comparisons must use HEAD, or
-    * `git reset --mixed` first; the YAML corpus itself is byte-identical
-    * either way.
+    * untouched and thus stale — a marker records that, and every index-path
+    * entry point ([[isClean]]/[[status]]/[[feedIndexInfo]]/
+    * [[removeFromIndex]]) self-heals via [[syncIndexToHead]] before reading;
+    * the YAML corpus itself is byte-identical either way.
     */
   def commitTreeDirect(repoDir: String, message: String,
       adds: Iterator[(String, String)]): Option[String] = {
@@ -171,19 +195,29 @@ object GitRepo {
       val (code, out) = run(dir, "rev-parse", "-q", "--verify", "HEAD")
       if (code == 0) Some(out.trim) else None
     }
+    // `-z`: NUL-delimited, names UNQUOTED — the default output C-quotes
+    // special/non-ASCII bytes, and a quoted string written back literally
+    // would corrupt the rebuilt tree. The original mode string is carried
+    // through so non-blob entries (executables, symlinks, submodule
+    // gitlinks) re-emit byte-identically instead of degrading to 100644.
     def lsTree(sha: String): Seq[GitObjects.TreeEntry] = {
-      val (code, out) = run(dir, "ls-tree", sha)
-      require(code == 0, s"git ls-tree $sha failed: $out")
-      out.linesIterator.flatMap { line =>
-        // <mode> <type> <sha>\t<name>
-        val tab = line.indexOf('\t')
-        if (tab < 0) None
-        else {
-          val meta = line.substring(0, tab).split(' ')
-          Some(GitObjects.TreeEntry(line.substring(tab + 1), meta(2),
-            meta(1) == "tree"))
-        }
-      }.toSeq
+      val (code, raw) = runRaw(dir, "ls-tree", "-z", sha)
+      require(code == 0, s"git ls-tree $sha failed")
+      new String(raw, StandardCharsets.UTF_8).split(0.toChar).iterator
+        .flatMap { rec =>
+          // <mode> <type> <sha>\t<name>
+          val tab = rec.indexOf('\t')
+          if (tab < 0) None
+          else {
+            val meta = rec.substring(0, tab).split(' ')
+            // ls-tree PRINTS zero-padded modes ("040000"); the binary tree
+            // format stores them unpadded ("40000") — normalize or the
+            // rebuilt tree's sha diverges from git's own
+            val mode = if (meta(0) == "040000") "40000" else meta(0)
+            Some(GitObjects.TreeEntry(rec.substring(tab + 1), meta(2),
+              meta(1) == "tree", mode = Some(mode)))
+          }
+        }.toSeq
     }
     def rebuild(d: String, treeSha: Option[String]): String = {
       val existing = treeSha.map(lsTree).getOrElse(Nil)
@@ -227,20 +261,55 @@ object GitRepo {
       val commit = cout.trim
       val (ucode, uout) = run(dir, "update-ref", "HEAD", commit)
       require(ucode == 0, s"git update-ref failed: $uout")
+      // HEAD moved without the index: mark it stale so the next index-path
+      // entry point ([[syncIndexToHead]] callers) repairs before reading
+      java.nio.file.Files.write(staleMarker(repoDir), Array.emptyByteArray)
       Some(commit)
     } finally { msgFile.delete(); () }
   }
 
+  /** Marker dropped by [[commitTreeDirect]]: the index no longer reflects
+    * HEAD. Guarding the `read-tree` repair on it keeps the streaming loop's
+    * commits O(touched dirs) — an unconditional read-tree per index entry
+    * point would reintroduce the O(corpus) term the tree-direct path removed.
+    */
+  private def staleMarker(repoDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(repoDir, ".git", "graft-index-stale")
+
+  /** If a tree-direct streaming run left the index stale relative to HEAD,
+    * reset it to HEAD's tree (worktree untouched). Without this, any later
+    * index-based reader on the same repo (`git status`, `update-index
+    * --index-info` feeds) would see the tree-direct commits as spurious dirt
+    * — or worse, write-tree a tree MISSING them. No-op when the marker is
+    * absent, so it cannot wipe deliberately staged state (e.g. [[recover]]'s
+    * batched deletions awaiting the next sync commit).
+    */
+  def syncIndexToHead(repoDir: String): Unit = {
+    if (!java.nio.file.Files.exists(staleMarker(repoDir))) return
+    val dir = new File(repoDir)
+    val (hCode, _) = run(dir, "rev-parse", "--verify", "-q", "HEAD")
+    if (hCode == 0) {
+      val (code, out) = run(dir, "read-tree", "HEAD")
+      require(code == 0, s"git read-tree HEAD failed: $out")
+    }
+    java.nio.file.Files.deleteIfExists(staleMarker(repoDir))
+    ()
+  }
+
   /** A clean worktree has no pending changes
-    * (reference: pkg/git/git.go:104-119 ValidateWorkingTree).
+    * (reference: pkg/git/git.go:104-119 ValidateWorkingTree). Compares the
+    * worktree against HEAD (index refreshed first) so a streaming run's
+    * index-free commits don't read as phantom dirt.
     */
   def isClean(repoDir: String): Boolean = {
+    syncIndexToHead(repoDir)
     val (code, out) = run(new File(repoDir), "status", "--porcelain")
     code == 0 && out.trim.isEmpty
   }
 
   /** Repo status introspection (reference: pkg/git/git.go:149-211). */
   def status(repoDir: String): Map[String, String] = {
+    syncIndexToHead(repoDir)
     val (_, branch) = run(new File(repoDir), "rev-parse", "--abbrev-ref", "HEAD")
     val (_, porcelain) = run(new File(repoDir), "status", "--porcelain")
     Map("branch" -> branch.trim, "dirty" -> porcelain.trim.nonEmpty.toString)
@@ -297,6 +366,9 @@ object GitRepo {
     */
   def removeFromIndex(repoDir: String, paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
+    // clear any tree-direct staleness BEFORE staging removals — once they are
+    // staged, a later read-tree repair would silently resurrect the paths
+    syncIndexToHead(repoDir)
     val input = paths.mkString("", "\n", "\n")
     val (code, out) = runWithInput(new File(repoDir), input,
       "update-index", "--remove", "--stdin")

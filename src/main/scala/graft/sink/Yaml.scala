@@ -352,6 +352,44 @@ object Yaml {
     }
   }
 
+  /** Rebuild the manifest handles a prior run left under
+    * `.git/graft-manifest/` — the durability counterpart of the reference's
+    * "nothing acknowledged may be lost" recovery (reference:
+    * pkg/state/manager.go:210-267). A stream stopped (or killed) between the
+    * YAML/blob write and the cadence-boundary commit leaves its manifests on
+    * disk by design; their keys are already marked synced in the state table,
+    * so NOTHING re-emits them — the restart must re-feed them into a commit
+    * or they are permanently absent from git history.
+    *
+    * Un-renamed `*.attempt-*` temp files (a task killed mid-write) are
+    * deleted first: the atomic-rename protocol means only renamed `part-*`
+    * files are complete, and a truncated attempt file could otherwise feed a
+    * corrupt path into the tree. Handles come back oldest-first (dir mtime,
+    * then name) so the commit's latest-wins path overlay preserves batch
+    * order across a multi-batch cadence window.
+    */
+  def recoverManifests(repoDir: String): Seq[BlobManifest] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(repoDir, ".git", "graft-manifest")
+    if (!Files.isDirectory(root)) return Nil
+    Files.list(root).iterator().asScala.toSeq
+      .filter(Files.isDirectory(_))
+      .sortBy(d => (scala.util.Try(Files.getLastModifiedTime(d).toMillis)
+        .getOrElse(Long.MaxValue), d.getFileName.toString))
+      .map { dir =>
+        Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.contains(".attempt-"))
+          .foreach(Files.deleteIfExists(_))
+        var written = 0L
+        val failedKeys = scala.collection.mutable.LinkedHashSet.empty[String]
+        BlobManifest.scan(dir).foreach {
+          case Right(_) => written += 1
+          case Left(k) => failedKeys += k
+        }
+        BlobManifest(dir, written, failedKeys.toSeq)
+      }
+  }
+
   /** [[writeIssuesWithBlobs]] with a MANIFEST handoff instead of a driver
     * collect: each task spills its partition's `(sha, path)` outcomes to a
     * manifest file (temp + atomic rename — a retried or speculative attempt

@@ -33,10 +33,11 @@ object CdcStream {
     *               cadence is the production lever that amortizes it K×.
     *               Batches' manifests accumulate ON DISK between commits
     *               (`.git/graft-manifest/`), so the trade is bounded: state
-    *               table and YAML corpus are always current; after a crash
-    *               only the LAST < K batches' paths are absent from git
-    *               HISTORY (their files exist in the worktree, and any
-    *               subsequent commit or batch resync covers them).
+    *               table and YAML corpus are always current, and a stop or
+    *               crash mid-window loses NOTHING — the next `start()` on the
+    *               same repo recovers the leftover manifests
+    *               ([[Yaml.recoverManifests]]) and commits them immediately,
+    *               so every state-acknowledged issue reaches git history.
     */
   def start(
       updates: DataFrame,
@@ -49,7 +50,26 @@ object CdcStream {
       clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())): StreamingQuery = {
     val spark = updates.sparkSession
     require(commitEvery >= 1, s"commitEvery must be >= 1, got $commitEvery")
-    if (commitToGit) GitRepo.init(repoDir)
+    if (commitToGit) {
+      GitRepo.init(repoDir)
+      // durability: a prior run stopped (or crashed) between a batch's
+      // YAML/blob write and its cadence-boundary commit leaves manifests
+      // under .git/graft-manifest/ whose keys the state table already knows —
+      // changedIssues will never re-emit them, so commit them NOW, not at a
+      // future boundary that may never come (a restart with no new data runs
+      // zero batches). Replays of a checkpoint-uncommitted batch rewrite
+      // byte-identical YAML → identical blob shas → the tree merge stays
+      // idempotent.
+      val leftover = Yaml.recoverManifests(repoDir)
+      if (leftover.nonEmpty) {
+        val n = leftover.map(_.written).sum
+        if (n > 0)
+          GitRepo.commitTreeDirect(repoDir,
+            s"feat(sync): recover $n issues from interrupted stream",
+            leftover.iterator.flatMap(_.entries))
+        leftover.foreach(_.delete())
+      }
+    }
     // manifests pending a cadence commit (driver-side; their content lives
     // on disk, this only holds the handles)
     val pendingCommit = scala.collection.mutable.ArrayBuffer.empty[Yaml.BlobManifest]

@@ -174,6 +174,51 @@ class BenchSpec extends AnyFunSuite {
       == Bench.Promote)
   }
 
+  test("median-flat sweep with an exploded tail parks on the p90 gate") {
+    // the round-12 hole: pipe_dedup_minhash_est ran 12x its baseline while
+    // the sweep's MEDIAN stayed flat — the median-only gate promoted it.
+    // Median optimizes the wrong statistic: at scale the slowest decile IS
+    // the job time.
+    val dir = Files.createTempDirectory("graft-bench-spec")
+    val base = baseline(30)
+    writeRun(dir, "bench_full.json", base, "/sf0.1")
+    // 26 queries flat, the slowest 4 explode 8-18x → median ~1.0, p90 >> 1.5
+    val fresh = base.map { case (k, v) =>
+      k -> (if (Set("q1", "q2", "q3", "q4")(k)) v * 12 else v * 1.02)
+    }
+    assert(Bench.medianDriftRatio(base, fresh).exists(_ < 1.3),
+      "scenario must be median-clean or it tests nothing")
+    assert(isPark(decide(dir, fresh, "/sf0.1"), "query_p90"))
+    // a tail that got FASTER is welcome (one-sided gate)
+    val faster = base.map { case (k, v) =>
+      k -> (if (Set("q1", "q2", "q3", "q4")(k)) v / 12 else v * 1.02)
+    }
+    assert(decide(dir, faster, "/sf0.1") == Bench.Stage)
+  }
+
+  test("totals beyond 1.4x the anchor park even when every per-query gate passes") {
+    // the ratchet's aggregate form: heavy queries creep 1.45x (under every
+    // per-query bound) while the baseline itself already drifted — the
+    // SUMMED time vs the pinned anchor is the stop
+    val dir = Files.createTempDirectory("graft-bench-spec")
+    val anchor = ((1 to 10).map(i => s"s$i" -> 0.1) ++
+      (11 to 20).map(i => s"h$i" -> 2.0)).toMap
+    writeRun(dir, "bench_anchor.json", anchor, "/sf0.1")
+    val fresh = anchor.map { case (k, v) =>
+      k -> (if (k.startsWith("h")) v * 1.45 else v)
+    }
+    // baseline == fresh so the rolling gates are all clean; anchor median
+    // 1.225 and p90 1.45 both pass — only the total (1.43x) trips
+    writeRun(dir, "bench_full.json", fresh, "/sf0.1")
+    assert(isPark(decide(dir, fresh, "/sf0.1"), "anchor_total"))
+    // trim the heavy creep to 1.3x -> total 1.29x: clean again
+    val ok = anchor.map { case (k, v) =>
+      k -> (if (k.startsWith("h")) v * 1.3 else v)
+    }
+    writeRun(dir, "bench_full.json", ok, "/sf0.1")
+    assert(decide(dir, ok, "/sf0.1") == Bench.Stage)
+  }
+
   test("anchor stops the ratchet: three 1.28x steps, the fourth is refused") {
     // each step alone is under the 1.3 rolling bound; compounding
     // 1.28^3 = 2.1x would sail through a baseline-only guard. The pinned

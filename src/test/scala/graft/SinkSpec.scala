@@ -247,6 +247,59 @@ class SinkSpec extends AnyFunSuite {
     assert(GitRepo.log(direct).take(3) == GitRepo.log(viaIndex).take(3))
   }
 
+  test("tree-direct commits: stale index self-heals; modes and special names survive") {
+    val repo = Files.createTempDirectory("graft-stale").toString
+    GitRepo.init(repo)
+    // seed through porcelain git: an executable (mode 100755) and a filename
+    // with bytes that default `ls-tree` would C-quote — both live in the
+    // SAME directory a tree-direct commit will rebuild
+    val dir = java.nio.file.Paths.get(repo, "projects", "P1", "issues")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("hook.sh"), "#!/bin/sh\n".getBytes)
+    dir.resolve("hook.sh").toFile.setExecutable(true)
+    // a double quote forces C-quoting in default `ls-tree` output (kept
+    // ASCII: the container's filesystem encoding can't create non-ASCII
+    // names, but the quoting hazard is identical)
+    val weird = "sp ce\"quote.yaml"
+    Files.write(dir.resolve(weird),
+      "k: v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(GitRepo.commitBatch(repo, "chore: seed").isDefined)
+    // index-free commit into the same directory
+    val b = Tables.issues(spark, sf).filter(col("project_key") === "P1").limit(5)
+    val wr = Yaml.writeIssuesWithBlobs(b, repo)
+    assert(GitRepo.commitTreeDirect(repo, "feat(sync): direct batch",
+      wr.entries.iterator).isDefined)
+    // -z: NUL-delimited and UNQUOTED — quote-bearing names come back raw
+    def lsr() = scala.sys.process.Process(
+      Seq("git", "ls-tree", "-r", "-z", "HEAD"),
+      new java.io.File(repo)).!!.split(0.toChar).toSeq.filter(_.nonEmpty)
+    // the rebuilt tree preserved the exec mode and the raw special name
+    assert(lsr().exists(l => l.startsWith("100755") && l.endsWith("hook.sh")),
+      s"exec mode degraded: ${lsr().mkString("\n")}")
+    assert(lsr().exists(_.endsWith(weird)), "special-byte name corrupted")
+    assert(scala.sys.process.Process(
+      Seq("git", "fsck", "--strict"), new java.io.File(repo)).! == 0)
+    // the index is stale now, but validation self-heals instead of reporting
+    // the tree-direct files as phantom dirt
+    assert(GitRepo.isClean(repo), "stale index must self-heal for validate")
+    assert(GitRepo.status(repo)("dirty") == "false")
+    // and a subsequent INDEX-path commit must not write a tree missing the
+    // tree-direct batch (the write-tree-from-stale-index hazard)
+    val b2 = Tables.issues(spark, sf).filter(col("project_key") === "P2").limit(3)
+    val wr2 = Yaml.writeIssuesWithBlobs(b2, repo)
+    assert(GitRepo.commitTreeDirect(repo, "feat(sync): direct 2",
+      wr2.entries.iterator).isDefined) // restale the index
+    val b3 = Tables.issues(spark, sf).filter(col("project_key") === "P3").limit(3)
+    val wr3 = Yaml.writeIssuesWithBlobs(b3, repo)
+    assert(GitRepo.commitIndexInfo(repo, "feat(sync): via index", wr3.entries).isDefined)
+    val paths = lsr().map(l => l.substring(l.indexOf('\t') + 1)).toSet
+    assert(wr.entries.map(_._1).forall(paths) && wr2.entries.map(_._1).forall(paths) &&
+      wr3.entries.map(_._1).forall(paths),
+      "index-path commit dropped tree-direct files from HEAD")
+    assert(paths.contains(s"projects/P1/issues/$weird") && paths.exists(_.endsWith("hook.sh")))
+    assert(GitRepo.isClean(repo))
+  }
+
   test("commit message column maps issue types to conventional types") {
     import spark.implicits._
     val df = Seq(("Bug", "P1", "P1-1"), ("Story", "P1", "P1-2"),

@@ -164,6 +164,85 @@ class StreamSpec extends AnyFunSuite {
       Seq("git", "fsck", "--strict"), new java.io.File(s"$work/repo")).! == 0)
   }
 
+  test("stop mid-cadence-window: restart recovers the parked manifest into git history") {
+    import spark.implicits._
+    // the durability hole this pins: under commitEvery=K a batch's keys are
+    // state-acknowledged BEFORE the cadence-boundary commit, so a stop inside
+    // the window parks a manifest that nothing re-emits — restart must
+    // recover it or the issues are permanently absent from git history
+    val work = Files.createTempDirectory("graft-cdcrecover").toString
+    val srcDir = s"$work/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val schema = "key STRING, project_key STRING, summary STRING, updated TIMESTAMP"
+    def startQuery() = CdcStream.start(
+      spark.readStream.schema(schema).parquet(srcDir),
+      s"$work/repo", s"$work/state", s"$work/ckpt",
+      commitEvery = 2, clock = () => ts("2024-01-15 00:00:00"))
+    Seq(("P1-1", "P1", "v1", ts("2024-01-01 00:00:00")))
+      .toDF("key", "project_key", "summary", "updated")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // one batch into a cadence-2 window: state knows the key, git doesn't
+    assert(StateStore.loadResolved(spark, s"$work/state").count() == 1)
+    assert(scala.sys.process.Process(
+      Seq("git", "rev-parse", "--verify", "-q", "HEAD"),
+      new java.io.File(s"$work/repo")).! != 0, "nothing may be committed yet")
+    val mroot = java.nio.file.Paths.get(s"$work/repo", ".git", "graft-manifest")
+    import scala.jdk.CollectionConverters._
+    assert(Files.list(mroot).iterator().asScala.size == 1,
+      "the pending manifest must survive the stop")
+    // restart with NO new data: recovery must commit the parked manifest
+    // immediately (a future cadence boundary may never come)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val log = GitRepo.log(s"$work/repo")
+    assert(log == Seq("feat(sync): recover 1 issues from interrupted stream"),
+      s"unexpected log: $log")
+    val lsr = scala.sys.process.Process(
+      Seq("git", "ls-tree", "-r", "--name-only", "HEAD"),
+      new java.io.File(s"$work/repo")).!!
+    assert(lsr.linesIterator.contains("projects/P1/issues/P1-1.yaml"))
+    assert(scala.sys.process.Process(
+      Seq("git", "fsck", "--strict"), new java.io.File(s"$work/repo")).! == 0)
+    assert(Files.list(mroot).iterator().asScala.isEmpty,
+      "recovered manifests must be deleted after the commit")
+  }
+
+  test("kill between state append and commit at cadence 1: restart recovers it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val work = Files.createTempDirectory("graft-cdcrecover1").toString
+    val repo = s"$work/repo"
+    GitRepo.init(repo)
+    // simulate the kill window at commitEvery=1: YAML + blobs + manifest are
+    // on disk (and the key acknowledged in state by appendDelta), the process
+    // dies before commitTreeDirect runs
+    val m = graft.sink.Yaml.writeIssuesWithBlobsManifest(
+      Seq(("P2-7", "P2", "v1", ts("2024-01-01 00:00:00")))
+        .toDF("key", "project_key", "summary", "updated"), repo)
+    assert(m.written == 1)
+    // a task killed mid-write also leaves an un-renamed attempt file with a
+    // possibly-truncated tail — recovery must discard it, not commit it
+    Files.write(m.dir.resolve("part-99999.attempt-3"),
+      "ok\tdeadbeef\tprojects/P2/issues/TRUNC".getBytes)
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    val q = CdcStream.start(
+      mem.toDF().toDF("key", "project_key", "summary", "updated"),
+      repo, s"$work/state", s"$work/ckpt",
+      clock = () => ts("2024-01-15 00:00:00"))
+    q.stop() // recovery already ran inside start()
+    assert(GitRepo.log(repo) ==
+      Seq("feat(sync): recover 1 issues from interrupted stream"))
+    val lsr = scala.sys.process.Process(
+      Seq("git", "ls-tree", "-r", "--name-only", "HEAD"),
+      new java.io.File(repo)).!!.linesIterator.toSet
+    assert(lsr == Set("projects/P2/issues/P2-7.yaml"),
+      s"attempt-file junk leaked into the tree: $lsr")
+    assert(scala.sys.process.Process(
+      Seq("git", "fsck", "--strict"), new java.io.File(repo)).! == 0)
+  }
+
   test("two updates to one key inside a single micro-batch collapse to the latest") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
