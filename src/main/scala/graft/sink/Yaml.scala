@@ -32,6 +32,22 @@ object Yaml {
     */
   val relColumns: Seq[String] = Seq("subtasks", "issue_links")
 
+  /** 256-way shard segment for the OPTIONAL sharded corpus layout:
+    * `projects/{proj}/issues/{shard}/{key}.yaml` with shard = the first two
+    * hex chars of md5(key) — content-determined, so reads, GC, and the state
+    * ledger derive it from the key alone. Default layout stays FLAT
+    * (reference parity, pkg/schema/yaml.go:118-122); sharding is the second
+    * production lever on git's tree floor: any commit into a flat directory
+    * of N files serializes an O(N) tree (SCALING_MEASURED.md run 6), while
+    * 256 shards cut each touched tree to ~N/256 at the cost of one extra
+    * 256-entry level. SQL twin: `substring(md5(key), 1, 2)`.
+    */
+  def shardSeg(key: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(StandardCharsets.UTF_8))
+    f"${d(0) & 0xff}%02x"
+  }
+
   /** Spark SQL type of an optional relationship-array column, used to
     * null-fill partial schemas (the reference's Relationships block,
     * pkg/client/client.go:59-73: subtasks []string + issue_links []IssueLink).
@@ -193,7 +209,8 @@ object Yaml {
     * A row whose file cannot be written counts as failed and does not abort
     * the batch — the reference records failed issues and syncs the rest.
     */
-  def writeIssuesCounted(issues: DataFrame, repoDir: String): WriteResult = {
+  def writeIssuesCounted(issues: DataFrame, repoDir: String,
+      sharded: Boolean = false): WriteResult = {
     val counter = issues.sparkSession.sparkContext.longAccumulator("yaml_written")
     val failures = issues.sparkSession.sparkContext
       .collectionAccumulator[String]("yaml_failed")
@@ -210,17 +227,19 @@ object Yaml {
       graft.functions.YamlRender.forIssue(complete).as("yaml"))
     rendered.foreachPartition { rows: Iterator[Row] =>
       // per-partition directory cache: one createDirectories syscall per
-      // project, not per row
+      // (project, shard), not per row
       val made = new java.util.HashMap[String, java.nio.file.Path]()
       rows.foreach { r =>
         val key = r.getString(0)
         try {
           val proj = r.getString(1)
-          var dir = made.get(proj)
+          val sub = if (sharded) shardSeg(key) else ""
+          var dir = made.get(s"$proj/$sub")
           if (dir == null) {
             dir = Paths.get(repoDir, "projects", proj, "issues")
+            if (sharded) dir = dir.resolve(sub)
             Files.createDirectories(dir)
-            made.put(proj, dir)
+            made.put(s"$proj/$sub", dir)
           }
           Files.write(dir.resolve(s"$key.yaml"),
             r.getString(2).getBytes(StandardCharsets.UTF_8))
@@ -399,7 +418,8 @@ object Yaml {
     * ([[GitRepo.feedIndexInfo]]) and persists until [[BlobManifest.delete]],
     * so commit retries re-feed from disk.
     */
-  def writeIssuesWithBlobsManifest(issues: DataFrame, repoDir: String): BlobManifest = {
+  def writeIssuesWithBlobsManifest(issues: DataFrame, repoDir: String,
+      sharded: Boolean = false): BlobManifest = {
     val complete = (columns ++ relColumns).foldLeft(issues) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(relType(c)))
@@ -424,16 +444,21 @@ object Yaml {
           val key = r.getString(0)
           try {
             val proj = r.getString(1)
-            var dir = made.get(proj)
+            val sub = if (sharded) shardSeg(key) else ""
+            var dir = made.get(s"$proj/$sub")
             if (dir == null) {
               dir = Paths.get(repoDir, "projects", proj, "issues")
+              if (sharded) dir = dir.resolve(sub)
               Files.createDirectories(dir)
-              made.put(proj, dir)
+              made.put(s"$proj/$sub", dir)
             }
             val bytes = r.getString(2).getBytes(StandardCharsets.UTF_8)
             Files.write(dir.resolve(s"$key.yaml"), bytes)
             val sha = GitObjects.writeBlob(gitDir, bytes)
-            w.write(s"ok\t$sha\tprojects/$proj/issues/$key.yaml\n")
+            val rel =
+              if (sharded) s"projects/$proj/issues/$sub/$key.yaml"
+              else s"projects/$proj/issues/$key.yaml"
+            w.write(s"ok\t$sha\t$rel\n")
           } catch { case _: java.io.IOException => w.write(s"fail\t$key\n") }
         }
       } finally w.close()
@@ -464,11 +489,17 @@ object Yaml {
       epic_link: Option[String], parent_issue: Option[String],
       subtasks: Seq[String], issue_links: Seq[YamlLink])
 
-  /** S7: read the YAML tree back into the flat issue schema. */
+  /** S7: read the YAML tree back into the flat issue schema. Layout-agnostic:
+    * the recursive lookup reads the flat AND the sharded corpus layouts (and
+    * any mix mid-migration) in one scan — key identity lives in the document,
+    * not the path.
+    */
   def readIssues(spark: SparkSession, repoDir: String): DataFrame = {
     import spark.implicits._
     val raw = spark.read.option("wholetext", "true")
-      .text(s"$repoDir/projects/*/issues/*.yaml")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.yaml")
+      .text(s"$repoDir/projects")
       .as[String]
     raw.mapPartitions { docs =>
       val yaml = new org.yaml.snakeyaml.Yaml()
@@ -545,7 +576,9 @@ object Yaml {
     if (!anyYaml)
       return Seq.empty[(String, String)].toDF("file_path", "checksum")
     val raw = spark.read.option("wholetext", "true")
-      .text(s"$repoDir/projects/*/issues/*.yaml")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.yaml")
+      .text(s"$repoDir/projects")
       .select(input_file_name().as("src"), col("value"))
       .as[(String, String)]
     raw.mapPartitions { docs =>
@@ -553,7 +586,9 @@ object Yaml {
       val wireFmt = java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
       docs.map { case (src, doc) =>
-        val rel = src.replaceFirst("^.*?(projects/[^/]+/issues/[^/]+\\.yaml)$", "$1")
+        // both layouts: projects/{proj}/issues/[{shard}/]{key}.yaml
+        val rel = src.replaceFirst(
+          "^.*?(projects/[^/]+/issues/(?:[^/]+/)?[^/]+\\.yaml)$", "$1")
         val checksum = try {
           val m = yaml.load[java.util.Map[String, Object]](doc).asScala
           def str(k: String): String =

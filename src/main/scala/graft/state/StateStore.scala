@@ -301,19 +301,26 @@ object StateStore {
     * CDC schemas are tolerated — absent fields checksum as empty, matching
     * what the YAML writer persists for them.
     */
-  def fromIssues(batch: DataFrame, syncedAt: java.sql.Timestamp): DataFrame = {
+  def fromIssues(batch: DataFrame, syncedAt: java.sql.Timestamp,
+      sharded: Boolean = false): DataFrame = {
     val complete = checksumColumns.foldLeft(batch) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(
         if (c == "created" || c == "updated") "timestamp" else "string"))
     }
+    // sharded: the 256-way layout's segment is substring(md5(key),1,2) — the
+    // SQL twin of Yaml.shardSeg, so the ledger's path always names the file
+    // the writer actually produced
+    val shardSeg =
+      if (sharded) concat(substring(md5(col("key")), 1, 2), lit("/"))
+      else lit("")
     complete.select(
       col("key"),
       col("project_key"),
       lit(syncedAt).as("last_synced"),
       col("updated").as("last_updated"),
-      concat(lit("projects/"), col("project_key"), lit("/issues/"), col("key"),
-        lit(".yaml")).as("file_path"),
+      concat(lit("projects/"), col("project_key"), lit("/issues/"), shardSeg,
+        col("key"), lit(".yaml")).as("file_path"),
       lit(null).cast(LongType).as("file_size"),
       recordChecksum(complete.apply).as("checksum"),
       lit("synced").as("sync_status"),

@@ -26,6 +26,15 @@ object CdcStream {
     *
     * @param clock  logical sync-time source for each batch (injectable for
     *               deterministic tests)
+    * @param sharded 256-way directory fan-out
+    *               (`projects/{proj}/issues/{md5[0:2]}/`, [[Yaml.shardSeg]]).
+    *               Default OFF for reference layout parity. The OTHER
+    *               production lever on git's tree floor: a commit into a flat
+    *               directory of N files serializes an O(N) tree no matter how
+    *               the batches are fed; sharding caps each touched tree at
+    *               ~N/256. Choose at repo creation — the layouts don't mix
+    *               within one corpus (reads handle both, the state ledger's
+    *               paths follow the flag).
     * @param commitEvery git-commit cadence in micro-batches (default 1 =
     *               every batch). Any commit touching a flat directory of N
     *               files must serialize an O(N) tree object — git's floor,
@@ -47,6 +56,7 @@ object CdcStream {
       trigger: Trigger = Trigger.ProcessingTime(0L),
       commitToGit: Boolean = true,
       commitEvery: Int = 1,
+      sharded: Boolean = false,
       clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())): StreamingQuery = {
     val spark = updates.sparkSession
     require(commitEvery >= 1, s"commitEvery must be >= 1, got $commitEvery")
@@ -108,8 +118,9 @@ object CdcStream {
           // with the accumulated corpus (the soak's other quadratic term:
           // stat+rehash of every file ever synced, per batch)
           val wr =
-            if (commitToGit) Left(Yaml.writeIssuesWithBlobsManifest(fresh, repoDir))
-            else Right(Yaml.writeIssuesCounted(fresh, repoDir))
+            if (commitToGit)
+              Left(Yaml.writeIssuesWithBlobsManifest(fresh, repoDir, sharded))
+            else Right(Yaml.writeIssuesCounted(fresh, repoDir, sharded))
           val (written, failedKeys) = wr match {
             case Left(m) => (m.written, m.failedKeys)
             case Right(r) => (r.written, r.failedKeys)
@@ -123,7 +134,7 @@ object CdcStream {
           // delta = the merge result restricted to this batch's fresh keys:
           // merge() computes the correct sync_count against the CURRENT rows
           // of exactly those keys, and only those rows are committed
-          val freshState = StateStore.fromIssues(synced, syncedAt)
+          val freshState = StateStore.fromIssues(synced, syncedAt, sharded)
           val touched = state.join(freshState.select("key"), Seq("key"), "left_semi")
           val delta = StateStore.merge(touched, freshState)
           if (!delta.isEmpty) {

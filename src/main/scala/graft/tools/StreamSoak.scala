@@ -58,6 +58,9 @@ object StreamSoak {
     val cadence = args.collectFirst {
       case a if a.startsWith("cadence=") => a.stripPrefix("cadence=").toInt
     }.getOrElse(1)
+    // sharded: the 256-way directory layout — the tree-floor lever the
+    // cadence lever composes with (SCALING_MEASURED.md run 6)
+    val sharded = args.contains("sharded")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,7 +101,7 @@ object StreamSoak {
     val t0 = System.nanoTime()
     val cdcQuery = graft.streaming.CdcStream.start(
       srcStream, s"$work/repo", s"$work/state", s"$work/ckpt",
-      commitToGit = withGit, commitEvery = cadence,
+      commitToGit = withGit, commitEvery = cadence, sharded = sharded,
       clock = () => java.sql.Timestamp.valueOf("2002-01-01 00:00:00"))
     val cdcCards =
       try { cdcQuery.processAllAvailable(); graft.streaming.Progress.card(cdcQuery) }
@@ -157,6 +160,7 @@ object StreamSoak {
     def arr(xs: Seq[Long]) = xs.mkString("[", ",", "]")
     val json =
       s"""{"scale":"${new java.io.File(dir).getName}",
+         |"cadence":$cadence,"sharded":$sharded,
          |"cdc":{"batches":${cdcCards.size},"rows":$nIssues,
          |  "p95_batch_ms":$cdcP95,"max_batch_ms":${(0L +: cdcDur).max},
          |  "batch_ms":${arr(cdcDur)},

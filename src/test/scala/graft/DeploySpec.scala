@@ -176,6 +176,168 @@ class DeploySpec extends AnyFunSuite {
     }
   }
 
+  // ---- helm chart (deploy/chart) -------------------------------------------
+  // The chart's template grammar is a deliberate subset — `{{ .Values.* }}`
+  // and `{{ .Chart.Name }}` substitutions plus ONE whole-document
+  // `{{- if .Values.<flag> }} ... {{- end }}` guard — so this spec can render
+  // it faithfully without a helm binary and validate the output against the
+  // same CRD contract kubectl-applied manifests get.
+
+  private lazy val chartValues: JsonNode = readDocs("deploy/chart/values.yaml").head
+  private lazy val chartName: String =
+    readDocs("deploy/chart/Chart.yaml").head.path("name").asText
+
+  private def valueAt(values: JsonNode, path: String): JsonNode =
+    path.split('.').foldLeft(values)((n, p) => n.path(p))
+
+  private def renderTemplate(text: String, values: JsonNode): String = {
+    val guard = "\\{\\{-? *if +\\.Values\\.([a-zA-Z0-9_.]+) *\\}\\}".r
+    val lines = text.linesIterator.toSeq
+    val body = lines match {
+      case first +: rest if guard.findFirstMatchIn(first).isDefined =>
+        val flag = guard.findFirstMatchIn(first).get.group(1)
+        if (!valueAt(values, flag).asBoolean(false)) return ""
+        rest.filterNot(_.matches("\\{\\{-? *end *\\}\\} *"))
+      case ls => ls
+    }
+    val subst = "\\{\\{ *\\.Values\\.([a-zA-Z0-9_.]+) *\\}\\}".r
+    body.map { l =>
+      val l2 = l.replace("{{ .Chart.Name }}", chartName)
+      subst.replaceAllIn(l2, m => {
+        val v = valueAt(values, m.group(1))
+        assert(!v.isMissingNode && !v.isContainerNode,
+          s"values.yaml has no scalar at '${m.group(1)}'")
+        java.util.regex.Matcher.quoteReplacement(v.asText)
+      })
+    }.mkString("\n")
+  }
+
+  private def renderedChart(values: JsonNode): Map[String, Seq[JsonNode]] = {
+    val dir = java.nio.file.Paths.get("deploy/chart/templates")
+    java.nio.file.Files.list(dir).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".yaml")).map { p =>
+        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        p.getFileName.toString -> yamlDocs(renderTemplate(text, values))
+      }.toMap
+  }
+
+  test("helm chart renders to well-formed manifests that honor the values") {
+    val byFile = renderedChart(chartValues)
+    val docs = byFile.values.flatten.toSeq
+    assert(docs.nonEmpty)
+    // every rendered object is a complete k8s manifest with no leftover
+    // template syntax
+    docs.foreach { d =>
+      assert(d.path("apiVersion").isTextual && d.path("kind").isTextual &&
+        d.path("metadata").path("name").isTextual, s"incomplete manifest: $d")
+      assert(!d.toString.contains("{{"), s"unrendered template bits in: $d")
+    }
+    // the reference chart's template set, re-expressed (reference:
+    // deployments/operator/templates/) — every piece present
+    val kinds = docs.map(_.path("kind").asText).toSet
+    assert(Set("Namespace", "ServiceAccount", "Role", "RoleBinding",
+      "ConfigMap", "Deployment", "PersistentVolumeClaim", "Service",
+      "NetworkPolicy", "PodDisruptionBudget", "CustomResourceDefinition")
+      .subsetOf(kinds), s"chart kinds: $kinds")
+    // deployment honors image + port values and probes the real health route
+    val dep = docs.find(_.path("kind").asText == "Deployment").get
+    val c = dep.path("spec").path("template").path("spec")
+      .path("containers").get(0)
+    assert(c.path("image").asText == "graft:latest")
+    assert(c.path("ports").get(0).path("containerPort").asInt ==
+      chartValues.path("service").path("port").asInt)
+    assert(c.path("readinessProbe").path("httpGet").path("path").asText ==
+      "/api/v1/health")
+    // service and networkpolicy agree with the same port value
+    val svc = docs.find(_.path("kind").asText == "Service").get
+    assert(svc.path("spec").path("ports").get(0).path("port").asInt == 8080)
+    val np = docs.find(_.path("kind").asText == "NetworkPolicy").get
+    assert(np.path("spec").path("ingress").get(0).path("ports").get(0)
+      .path("port").asInt == 8080,
+      "the ADVICE-shipped NetworkPolicy must survive in the chart output")
+    // the chart-installed CRD is byte-equal (as a tree) to the kubectl one
+    val chartCrd = docs.find(_.path("kind").asText == "CustomResourceDefinition").get
+    assert(chartCrd == crd,
+      "chart crd-install.yaml drifted from deploy/crds/graftsync-crd.yaml")
+    // the embedded GraftSync resource validates against that CRD
+    val cm = docs.find(d => d.path("kind").asText == "ConfigMap").get
+    val embedded = yamlDocs(cm.path("data").path("resources.yaml").asText)
+    assert(embedded.nonEmpty)
+    embedded.foreach { d =>
+      val errs = validateManifest(d)
+      assert(errs.isEmpty, s"chart-embedded resource invalid: ${errs.mkString("; ")}")
+    }
+    // selectors match the pod labels (a drift here deploys a headless app)
+    val sel = dep.path("spec").path("selector").path("matchLabels")
+    assert(dep.path("spec").path("template").path("metadata").path("labels") == sel)
+    assert(svc.path("spec").path("selector") == sel)
+    assert(np.path("spec").path("podSelector").path("matchLabels") == sel)
+  }
+
+  test("chart guards: disabling a flag removes exactly that manifest") {
+    val off = chartValues.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    off.path("networkPolicy").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("enabled", false)
+    off.path("crds").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("install", false)
+    val byFile = renderedChart(off)
+    assert(byFile("networkpolicy.yaml").isEmpty)
+    assert(byFile("crd-install.yaml").isEmpty)
+    assert(byFile("deployment.yaml").nonEmpty && byFile("service.yaml").nonEmpty)
+  }
+
+  // ---- api-server kustomize bundle (deploy/api-server) ---------------------
+
+  test("api-server kustomize bundle is complete, consistent, and secret-free") {
+    val kust = readDocs("deploy/api-server/kustomization.yaml").head
+    val resources = kust.path("resources").elements().asScala
+      .map(_.asText).toSeq
+    assert(resources.nonEmpty)
+    val docs = resources.flatMap(r => readDocs(s"deploy/api-server/$r"))
+    docs.foreach { d =>
+      assert(d.path("apiVersion").isTextual && d.path("kind").isTextual,
+        s"incomplete manifest in bundle: $d")
+    }
+    val dep = docs.find(_.path("kind").asText == "Deployment").get
+    val c = dep.path("spec").path("template").path("spec").path("containers").get(0)
+    // envFrom references resolve inside the bundle (configmap) or are the
+    // documented out-of-band secret
+    val cmNames = docs.filter(_.path("kind").asText == "ConfigMap")
+      .map(_.path("metadata").path("name").asText).toSet
+    c.path("envFrom").elements().asScala.foreach { e =>
+      if (e.has("configMapRef"))
+        assert(cmNames(e.path("configMapRef").path("name").asText))
+      if (e.has("secretRef"))
+        assert(e.path("secretRef").path("optional").asBoolean(false),
+          "the secret is applied out-of-band; the ref must be optional")
+    }
+    // config keys are REAL Config.scala knobs, not invented ones
+    val cm = docs.find(_.path("kind").asText == "ConfigMap").get
+    val knownKnobs = Set("JIRA_RATE_LIMIT_DELAY_MS", "JIRA_MAX_CONCURRENT_REQUESTS",
+      "JIRA_BACKOFF_BASE_MS", "JIRA_BACKOFF_CAP_MS")
+    cm.path("data").properties().asScala.foreach(e =>
+      assert(knownKnobs(e.getKey), s"unknown config knob ${e.getKey}"))
+    // the PVC the deployment mounts exists in the bundle
+    val pvcNames = docs.filter(_.path("kind").asText == "PersistentVolumeClaim")
+      .map(_.path("metadata").path("name").asText).toSet
+    dep.path("spec").path("template").path("spec").path("volumes").elements()
+      .asScala.filter(_.has("persistentVolumeClaim")).foreach(v =>
+        assert(pvcNames(v.path("persistentVolumeClaim").path("claimName").asText)))
+    // the secret TEMPLATE is not an applied resource and holds only
+    // placeholders (defense against committing a real credential)
+    assert(!resources.contains("secret-template.yaml"),
+      "the secret template must never be applied with the bundle")
+    val sec = readDocs("deploy/api-server/secret-template.yaml").head
+    sec.path("stringData").properties().asScala.foreach(e =>
+      assert(e.getValue.asText.contains("CHANGE-ME"),
+        s"secret template field ${e.getKey} must stay a placeholder"))
+    // probes target the real health route on the named port
+    assert(c.path("readinessProbe").path("httpGet").path("path").asText ==
+      "/api/v1/health")
+    assert(docs.find(_.path("kind").asText == "Service").get
+      .path("spec").path("ports").get(0).path("targetPort").asText == "http")
+  }
+
   test("schema violations are caught, not waved through (validator is non-vacuous)") {
     val good = readDocs("deploy/examples/graftsync-example.yaml").head
     assert(validateManifest(good).isEmpty)

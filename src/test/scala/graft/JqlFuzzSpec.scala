@@ -438,25 +438,35 @@ class JqlFuzzSpec extends AnyFunSuite {
       yield JIn(fld("key"), Seq(JFunc("issuesInEpic", Seq(e)), str("P0-20")),
         negated = false))
 
-  private val windowVals = Seq(str("1994-01-01"), str("1996-06-15"), w("-400d"),
-    str("1998-01-01"))
+  // the FULL qualifier value space: absolute dates (day + minute forms),
+  // relative dates, and the scalar date functions — every form the grammar
+  // admits as a window instant
+  private val windowVals = Seq[JqlValue](str("1994-01-01"), str("1996-06-15"),
+    w("-400d"), str("1998-01-01"), str("1995-06-01 12:30"), w("-100d"),
+    w("-2w"), JFunc("now", Nil), JFunc("startOfDay", Nil))
   private val genHistQual: Gen[JHistQual] = Gen.oneOf(
     Gen.oneOf(windowVals).map(v => JHistQual("after", Seq(v))),
     Gen.oneOf(windowVals).map(v => JHistQual("before", Seq(v))),
     Gen.oneOf(windowVals).map(v => JHistQual("on", Seq(v))),
-    Gen.const(JHistQual("during", Seq(str("1994-01-01"), str("1996-01-01")))))
+    // DURING with arbitrary (possibly inverted or function-valued) endpoints
+    for { a <- Gen.oneOf(windowVals); b <- Gen.oneOf(windowVals) }
+      yield JHistQual("during", Seq(a, b)))
 
   private val wasVals = Seq(str("To Do"), str("In Progress"), str("Done"), str("done"))
+  // up to THREE stacked qualifiers, duplicates included — the grammar allows
+  // `AFTER a AFTER b` (conjunction) and `AFTER a BEFORE b DURING (c,d)`;
+  // the compiler folds them with && and the interpreter with forall, and the
+  // fuzzer holds the two to agreement
   private val genWas: Gen[JqlExpr] = for {
-    vs <- Gen.nonEmptyListOf(Gen.oneOf(wasVals)).map(_.take(2))
+    vs <- Gen.nonEmptyListOf(Gen.oneOf(wasVals)).map(_.take(3))
     neg <- Gen.oneOf(true, false)
-    quals <- Gen.listOf(genHistQual).map(_.take(2))
+    quals <- Gen.listOf(genHistQual).map(_.take(3))
   } yield JWas(fld("status"), vs, neg, quals)
 
   private val genChanged: Gen[JqlExpr] = for {
     from <- Gen.option(Gen.oneOf(wasVals))
     to <- Gen.option(Gen.oneOf(wasVals))
-    quals <- Gen.listOf(genHistQual).map(_.take(1))
+    quals <- Gen.listOf(genHistQual).map(_.take(3))
   } yield JChanged(fld("status"), from, to, quals)
 
   private val genLeaf: Gen[JqlExpr] = Gen.frequency(
@@ -613,6 +623,29 @@ class JqlFuzzSpec extends AnyFunSuite {
       assert(result.passed, s"fuzzer found a divergence (seed $seed): ${result.status}")
     }
     assert(count >= 600 * seeds.size)
+  }
+
+  test("history qualifier grammar: unsupported/malformed forms are clean parse errors") {
+    // the qualifier space the grammar REJECTS must reject at parse/compile
+    // time with a positioned JqlParseException — never reach Catalyst as a
+    // silently-wrong plan
+    val bad = Seq(
+      """status WAS "Done" BY user5""", // history has no actor
+      """status WAS "Done" FROM "To Do"""", // FROM only valid after CHANGED
+      """status WAS "Done" TO "In Progress"""", // TO likewise
+      """status CHANGED FROM "A" FROM "B"""", // duplicate FROM
+      """status CHANGED TO "A" TO "B"""", // duplicate TO
+      """status CHANGED DURING ("1994-01-01")""", // DURING needs two values
+      """status CHANGED DURING "1994-01-01", "1995-01-01"""", // missing parens
+      """summary WAS "x"""", // only the history-tracked field has a changelog
+      """priority CHANGED""", // same restriction on CHANGED
+      """status WAS linkedIssues("P0-1")""", // subquery not a history value
+      """status CHANGED AFTER now""") // function instant requires call parens
+    bad.foreach { jql =>
+      withClue(s"accepted: $jql") {
+        assertThrows[JqlParseException](Jql.run(spark, sf, jql).collect())
+      }
+    }
   }
 
   test("named regression cases the fuzzer hunt pinned") {

@@ -243,6 +243,48 @@ class StreamSpec extends AnyFunSuite {
       Seq("git", "fsck", "--strict"), new java.io.File(repo)).! == 0)
   }
 
+  test("sharded layout: files, git tree, state paths and reads all agree") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val work = Files.createTempDirectory("graft-cdcshard").toString
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    val query = CdcStream.start(
+      mem.toDF().toDF("key", "project_key", "summary", "updated"),
+      s"$work/repo", s"$work/state", s"$work/ckpt",
+      sharded = true, clock = () => ts("2024-01-15 00:00:00"))
+    val keys = Seq("P1-1", "P1-2", "P1-3", "P2-9")
+    try {
+      mem.addData(keys.map(k =>
+        (k, k.takeWhile(_ != '-'), "v1", ts("2024-01-01 00:00:00"))): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // every file lands at projects/{proj}/issues/{md5[0:2]}/{key}.yaml
+    def relOf(k: String) = {
+      val proj = k.takeWhile(_ != '-')
+      s"projects/$proj/issues/${graft.sink.Yaml.shardSeg(k)}/$k.yaml"
+    }
+    keys.foreach { k =>
+      assert(Files.exists(java.nio.file.Paths.get(s"$work/repo", relOf(k))),
+        s"missing sharded file for $k at ${relOf(k)}")
+    }
+    // the SQL twin in the state ledger derives the same path
+    val statePaths = StateStore.loadResolved(spark, s"$work/state")
+      .select("key", "file_path").as[(String, String)].collect().toMap
+    keys.foreach(k => assert(statePaths(k) == relOf(k),
+      s"state path ${statePaths(k)} != writer path ${relOf(k)}"))
+    // the commit carries the sharded paths and git accepts the deeper tree
+    val lsr = scala.sys.process.Process(
+      Seq("git", "ls-tree", "-r", "--name-only", "HEAD"),
+      new java.io.File(s"$work/repo")).!!.linesIterator.toSet
+    assert(keys.forall(k => lsr(relOf(k))), s"HEAD tree: $lsr")
+    assert(scala.sys.process.Process(
+      Seq("git", "fsck", "--strict"), new java.io.File(s"$work/repo")).! == 0)
+    // the layout-agnostic reader finds the sharded corpus
+    val back = graft.sink.Yaml.readIssues(spark, s"$work/repo")
+      .select("key").as[String].collect().toSet
+    assert(back == keys.toSet)
+  }
+
   test("two updates to one key inside a single micro-batch collapse to the latest") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
