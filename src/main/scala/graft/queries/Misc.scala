@@ -1429,10 +1429,17 @@ object Misc {
     val tblO = s"graft_bkt_orders_$nonce"
     val tblC = s"graft_bkt_customer_$nonce"
     bucketedJoinRetired.synchronized {
-      while (bucketedJoinRetired.size > 4)
-        s.sql(s"DROP TABLE IF EXISTS ${bucketedJoinRetired.dequeue()}")
-      bucketedJoinRetired.enqueue(tblO)
-      bucketedJoinRetired.enqueue(tblC)
+      while (bucketedJoinRetired.size > BucketedKeepRuns) {
+        val r = bucketedJoinRetired.dequeue()
+        r.tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        // dropping an EXTERNAL table leaves its files behind — reclaim the
+        // run's scratch dir too, or a long-lived session leaks one bucketed
+        // copy of both sides per execution
+        scala.util.Try(java.nio.file.Files.walk(r.dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () }))
+      }
+      bucketedJoinRetired.enqueue(BucketedRun(Seq(tblO, tblC), scratch))
     }
     Tables.t(s, dir, "orders")
       .select(col("o_custkey"),
@@ -1456,11 +1463,26 @@ object Misc {
       .orderBy("c_mktsegment")
   }
 
-  /** FIFO of nonce-named bucketed tables from past [[bucketedJoin]] runs;
-    * kept a few entries deep so a just-returned lazy frame (or a concurrent
-    * run) is never read out from under — see the card for the protocol.
+  /** One past [[bucketedJoin]] execution: its catalog tables + the scratch
+    * dir holding their external parquet.
     */
-  private val bucketedJoinRetired = scala.collection.mutable.Queue.empty[String]
+  private final case class BucketedRun(tables: Seq[String],
+      dir: java.nio.file.Path)
+
+  /** Executions kept registered BEHIND the live one: a lazy frame returned
+    * up to this many runs ago can still be collected (catalog tables and
+    * files intact). The old depth of 2 runs dropped tables out from under
+    * frames held across a handful of executions — AnalysisException on next
+    * action — which is a realistic lifetime for a notebook or a retried
+    * driver stage.
+    */
+  private val BucketedKeepRuns = 8
+
+  /** FIFO of past [[bucketedJoin]] runs; retirement drops the catalog
+    * tables AND deletes their external scratch parquet — see the card for
+    * the never-under-a-reader protocol.
+    */
+  private val bucketedJoinRetired = scala.collection.mutable.Queue.empty[BucketedRun]
 
   /** Conversion-lag statistics for the funnel's full converters: exact
     * microsecond lag from first signup to first qualifying purchase, as

@@ -14,8 +14,38 @@ import graft.sink.Yaml
   */
 object Sink {
 
-  private val roundtrip = q("sink_yaml_roundtrip",
-    Oracle.withIssuesAndLinks(
+  /** Shared roundtrip body for the flat and 256-way-sharded layouts — the
+    * ORACLE is identical because the layout must be invisible to readers
+    * (key identity lives in the document, not the path).
+    */
+  private def yamlRoundtrip(s: org.apache.spark.sql.SparkSession, dir: String,
+      sharded: Boolean): org.apache.spark.sql.DataFrame = {
+    // slice FIRST, then enrich: withRelationships semi-join-prunes both
+    // aggregations to the slice's keys (subtask children still drawn from
+    // the full table via allIssues), so the enrichment work is
+    // slice-proportional instead of corpus-proportional
+    val issues = Tables.issues(s, dir)
+    val slice = Yaml.withRelationships(
+      issues.filter(col("project_key") === "P1" &&
+        expr("cast(element_at(split(key, '-'), 2) as int) < 2000")),
+      Tables.links(s, dir), allIssues = issues)
+    val repo = graft.Caches.scratchDir("yaml-rt").toString
+    Yaml.writeIssues(slice, repo, sharded)
+    Yaml.readIssues(s, repo)
+      .select(col("key"), col("project_key"), col("summary"), col("status_name"),
+        col("priority"), col("issuetype"),
+        date_format(col("created"), "yyyy-MM-dd HH:mm:ss").as("created_s"),
+        date_format(col("updated"), "yyyy-MM-dd HH:mm:ss").as("updated_s"),
+        coalesce(col("epic_link"), lit("")).as("epic_link"),
+        coalesce(col("parent_issue"), lit("")).as("parent_issue"),
+        array_join(col("subtasks"), ",").as("subtasks_s"),
+        array_join(expr(
+          "transform(issue_links, l -> concat(l.link_type, '|', l.direction, '|', l.issue_key))"),
+          ";").as("links_s"))
+      .orderBy("key")
+  }
+
+  private val roundtripOracle: String = Oracle.withIssuesAndLinks(
       """, sub AS (
         |  SELECT parent_issue AS pkey, string_agg(key, ',' ORDER BY key) AS subtasks_s
         |  FROM issues WHERE parent_issue IS NOT NULL GROUP BY parent_issue),
@@ -35,30 +65,20 @@ object Sink {
         |LEFT JOIN sub ON sub.pkey = issues.key
         |LEFT JOIN lnk ON lnk.lkey = issues.key
         |WHERE project_key = 'P1' AND string_split(key, '-')[2]::INT < 2000
-        |ORDER BY key""".stripMargin)) { (s, dir) =>
-    // slice FIRST, then enrich: withRelationships semi-join-prunes both
-    // aggregations to the slice's keys (subtask children still drawn from
-    // the full table via allIssues), so the enrichment work is
-    // slice-proportional instead of corpus-proportional
-    val issues = Tables.issues(s, dir)
-    val slice = Yaml.withRelationships(
-      issues.filter(col("project_key") === "P1" &&
-        expr("cast(element_at(split(key, '-'), 2) as int) < 2000")),
-      Tables.links(s, dir), allIssues = issues)
-    val repo = graft.Caches.scratchDir("yaml-rt").toString
-    Yaml.writeIssues(slice, repo)
-    Yaml.readIssues(s, repo)
-      .select(col("key"), col("project_key"), col("summary"), col("status_name"),
-        col("priority"), col("issuetype"),
-        date_format(col("created"), "yyyy-MM-dd HH:mm:ss").as("created_s"),
-        date_format(col("updated"), "yyyy-MM-dd HH:mm:ss").as("updated_s"),
-        coalesce(col("epic_link"), lit("")).as("epic_link"),
-        coalesce(col("parent_issue"), lit("")).as("parent_issue"),
-        array_join(col("subtasks"), ",").as("subtasks_s"),
-        array_join(expr(
-          "transform(issue_links, l -> concat(l.link_type, '|', l.direction, '|', l.issue_key))"),
-          ";").as("links_s"))
-      .orderBy("key")
+        |ORDER BY key""".stripMargin)
+
+  private val roundtrip = q("sink_yaml_roundtrip", roundtripOracle) {
+    (s, dir) => yamlRoundtrip(s, dir, sharded = false)
+  }
+
+  /** The 256-way-sharded layout through the SAME oracle: proves the tree-
+    * floor lever ([[Yaml.shardSeg]], SCALING_MEASURED.md round 13) is
+    * invisible to every reader — identical rows, hashes, and schema out of
+    * a corpus fanned into `issues/{md5[0:2]}/` directories.
+    */
+  private val roundtripSharded = q("sink_yaml_roundtrip_sharded",
+    roundtripOracle) {
+    (s, dir) => yamlRoundtrip(s, dir, sharded = true)
   }
 
   /** JSONL corpus round-trip — the interchange format every training
@@ -161,6 +181,6 @@ object Sink {
       .csv(path).orderBy("doc_id")
   }
 
-  val all: Seq[GQuery] = Seq(roundtrip, jsonlRoundtrip, partitionedPrune,
-    schemaEvolution, csvRoundtrip)
+  val all: Seq[GQuery] = Seq(roundtrip, roundtripSharded, jsonlRoundtrip,
+    partitionedPrune, schemaEvolution, csvRoundtrip)
 }

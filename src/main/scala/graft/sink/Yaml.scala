@@ -257,8 +257,9 @@ object Yaml {
   }
 
   /** [[writeIssuesCounted]] returning only the written count. */
-  def writeIssues(issues: DataFrame, repoDir: String): Long =
-    writeIssuesCounted(issues, repoDir).written
+  def writeIssues(issues: DataFrame, repoDir: String,
+      sharded: Boolean = false): Long =
+    writeIssuesCounted(issues, repoDir, sharded).written
 
   /** Outcome of [[writeIssuesWithBlobs]]: the `(relative path, blob sha)` of
     * every file written — exactly what the driver's index-only commit needs —

@@ -341,6 +341,29 @@ class ApiSpec extends AnyFunSuite {
     assert(srv.noteRequest("10.0.1.1", 1L) == 2)
   }
 
+  test("rate limit window map stays FLAT over a simulated hour of churn") {
+    // sustained distinct-client load, every client unique (the worst case
+    // for a per-key map): after each window roll the map must hold only the
+    // LIVE window's keys — memory is bounded by clients-per-minute, never by
+    // clients-ever-seen. 60 minutes x 500 fresh IPs = 30k distinct keys;
+    // peak map size must stay at 500.
+    val srv = new ApiServer(spark, manager, store,
+      () => issuesDf, () => linksDf, s"$work/repos_flat", s"$work/state_flat",
+      rateLimitPerMinute = 100, version = "test-flat")
+    var peak = 0
+    (0 until 60).foreach { minute =>
+      (0 until 500).foreach { i =>
+        srv.noteRequest(s"10.$minute.${i / 250}.${i % 250}", minute.toLong)
+        peak = math.max(peak, srv.rateWindowEntries)
+      }
+      assert(srv.rateWindowEntries == 500,
+        s"minute $minute holds ${srv.rateWindowEntries} entries, not its own 500")
+    }
+    assert(peak <= 501, s"peak window-map size $peak grew beyond one window")
+    // and a client re-seen in the live window still counts correctly
+    assert(srv.noteRequest("10.59.0.0", 59L) == 2)
+  }
+
   test("non-loopback bind: no CORS wildcard, bearer token enforced") {
     val srv = new ApiServer(spark, manager, store,
       () => issuesDf, () => linksDf, s"$work/repos3", s"$work/state3",

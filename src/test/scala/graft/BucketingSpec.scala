@@ -63,4 +63,24 @@ class BucketingSpec extends AnyFunSuite {
     assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
       s"scan does not report bucket pruning metadata:\n${plan.take(2000)}")
   }
+
+  test("bucketedJoin retirement: recent lazy frames survive, old runs reclaim disk") {
+    import scala.jdk.CollectionConverters._
+    val fn = SparkEntry.queries("meta_bucketed_join")
+    // hold the frames LAZY across many executions — the realistic notebook /
+    // retried-stage lifetime the old 2-run retirement window broke
+    val frames = (1 to 10).map(_ => fn(spark, sf))
+    // a frame from several runs back must still collect (depth >= 8 runs)
+    assert(frames(5).collect().nonEmpty, "a 5-runs-old frame lost its tables")
+    assert(frames.last.collect().nonEmpty)
+    // retirement bounds BOTH the catalog and the disk: at most keep-depth+1
+    // runs of 2 tables each stay registered, and retired runs' external
+    // parquet dirs are deleted (dropping an external table alone leaks them)
+    val live = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_bkt_"))
+    assert(live.length <= 2 * 9, s"catalog holds ${live.length} bucketed tables")
+    val dirs = java.nio.file.Files.list(graft.Caches.scratchRoot)
+      .iterator().asScala.count(_.getFileName.toString.startsWith("bucketed-join"))
+    assert(dirs <= 9, s"$dirs bucketed-join scratch dirs survived retirement")
+  }
 }
