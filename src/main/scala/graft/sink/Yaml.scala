@@ -32,20 +32,39 @@ object Yaml {
     */
   val relColumns: Seq[String] = Seq("subtasks", "issue_links")
 
-  /** 256-way shard segment for the OPTIONAL sharded corpus layout:
-    * `projects/{proj}/issues/{shard}/{key}.yaml` with shard = the first two
-    * hex chars of md5(key) — content-determined, so reads, GC, and the state
-    * ledger derive it from the key alone. Default layout stays FLAT
-    * (reference parity, pkg/schema/yaml.go:118-122); sharding is the second
-    * production lever on git's tree floor: any commit into a flat directory
-    * of N files serializes an O(N) tree (SCALING_MEASURED.md run 6), while
-    * 256 shards cut each touched tree to ~N/256 at the cost of one extra
-    * 256-entry level. SQL twin: `substring(md5(key), 1, 2)`.
+  /** Issues per shard directory in the optional sharded layout. 8192 keeps
+    * every shard tree a small object while the block id stays 5 digits up
+    * to 8.2 billion issues per project.
+    */
+  val ShardBlock: Long = 8192L
+
+  /** Shard segment for the OPTIONAL sharded corpus layout:
+    * `projects/{proj}/issues/{shard}/{key}.yaml`. Content-determined from
+    * the key alone (reads, GC, and the state ledger all derive it), default
+    * layout stays FLAT (reference parity, pkg/schema/yaml.go:118-122).
+    *
+    * The shard is the issue-number RANGE BLOCK — zero-padded
+    * `suffix / 8192` — not a uniform hash, and the difference is the whole
+    * point: git serializes an O(entries) tree object for every directory a
+    * commit touches (SCALING_MEASURED.md run 6), and under a uniform hash a
+    * bulk batch touches EVERY shard, so per-commit tree work stays
+    * O(corpus/shards) forever. Issue numbers are sequence-assigned, so
+    * range blocks make an append-mostly CDC stream touch only the TAIL
+    * block(s) per project — per-commit tree work is O(batch + one block),
+    * constant as the corpus grows. Keys without a numeric suffix fall back
+    * to a 256-way md5 shard (same derivability, hash distribution).
+    * SQL twin: [[graft.state.StateStore.shardSegCol]].
     */
   def shardSeg(key: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes(StandardCharsets.UTF_8))
-    f"${d(0) & 0xff}%02x"
+    val dash = key.lastIndexOf('-')
+    val suffix = if (dash >= 0) key.substring(dash + 1) else key
+    if (suffix.nonEmpty && suffix.length <= 18 && suffix.forall(_.isDigit))
+      f"${suffix.toLong / ShardBlock}%05d"
+    else {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes(StandardCharsets.UTF_8))
+      f"${d(0) & 0xff}%02x"
+    }
   }
 
   /** Spark SQL type of an optional relationship-array column, used to

@@ -301,6 +301,20 @@ object StateStore {
     * CDC schemas are tolerated — absent fields checksum as empty, matching
     * what the YAML writer persists for them.
     */
+  /** Column twin of [[graft.sink.Yaml.shardSeg]] — the sharded layout's
+    * directory segment derived in-plan, so the ledger's path always names
+    * the file the writer actually produced: zero-padded
+    * `issue-number / 8192` range block for numeric-suffix keys, 2-hex md5
+    * fallback otherwise.
+    */
+  def shardSegCol(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val suffix = element_at(split(key, "-"), -1)
+    when(suffix.rlike("^[0-9]{1,18}$"),
+      format_string("%05d",
+        (suffix.cast("long") / lit(graft.sink.Yaml.ShardBlock)).cast("long")))
+      .otherwise(substring(md5(key), 1, 2))
+  }
+
   def fromIssues(batch: DataFrame, syncedAt: java.sql.Timestamp,
       sharded: Boolean = false): DataFrame = {
     val complete = checksumColumns.foldLeft(batch) { (df, c) =>
@@ -308,11 +322,8 @@ object StateStore {
       else df.withColumn(c, lit(null).cast(
         if (c == "created" || c == "updated") "timestamp" else "string"))
     }
-    // sharded: the 256-way layout's segment is substring(md5(key),1,2) — the
-    // SQL twin of Yaml.shardSeg, so the ledger's path always names the file
-    // the writer actually produced
     val shardSeg =
-      if (sharded) concat(substring(md5(col("key")), 1, 2), lit("/"))
+      if (sharded) concat(shardSegCol(col("key")), lit("/"))
       else lit("")
     complete.select(
       col("key"),

@@ -26,15 +26,18 @@ object CdcStream {
     *
     * @param clock  logical sync-time source for each batch (injectable for
     *               deterministic tests)
-    * @param sharded 256-way directory fan-out
-    *               (`projects/{proj}/issues/{md5[0:2]}/`, [[Yaml.shardSeg]]).
-    *               Default OFF for reference layout parity. The OTHER
-    *               production lever on git's tree floor: a commit into a flat
-    *               directory of N files serializes an O(N) tree no matter how
-    *               the batches are fed; sharding caps each touched tree at
-    *               ~N/256. Choose at repo creation — the layouts don't mix
-    *               within one corpus (reads handle both, the state ledger's
-    *               paths follow the flag).
+    * @param sharded range-block directory fan-out
+    *               (`projects/{proj}/issues/{nnnnn}/` with nnnnn =
+    *               issue-number/8192, [[Yaml.shardSeg]]). Default OFF for
+    *               reference layout parity. The OTHER production lever on
+    *               git's tree floor: a commit into a flat directory of N
+    *               files serializes an O(N) tree no matter how the batches
+    *               are fed; range blocks make an append-mostly stream touch
+    *               only the TAIL block per project, so per-commit tree work
+    *               is O(batch), constant as the corpus grows. Choose at repo
+    *               creation — the layouts don't mix within one corpus
+    *               (reads handle both, the state ledger's paths follow the
+    *               flag).
     * @param commitEvery git-commit cadence in micro-batches (default 1 =
     *               every batch). Any commit touching a flat directory of N
     *               files must serialize an O(N) tree object — git's floor,

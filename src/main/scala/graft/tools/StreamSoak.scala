@@ -58,9 +58,15 @@ object StreamSoak {
     val cadence = args.collectFirst {
       case a if a.startsWith("cadence=") => a.stripPrefix("cadence=").toInt
     }.getOrElse(1)
-    // sharded: the 256-way directory layout — the tree-floor lever the
+    // sharded: the range-block directory layout — the tree-floor lever the
     // cadence lever composes with (SCALING_MEASURED.md run 6)
     val sharded = args.contains("sharded")
+    // slice=range replays issues in CREATION ORDER (contiguous issue-number
+    // ranges per micro-batch) — how a real CDC stream arrives, and the
+    // arrival pattern the range-block layout is designed for. The default
+    // (mod) interleaves every batch across the full key range, kept for
+    // comparability with soak runs 1-6.
+    val sliceRange = args.contains("slice=range")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -88,8 +94,14 @@ object StreamSoak {
     // deterministic; all files exist before the stream starts and
     // maxFilesPerTrigger=1 turns each into one micro-batch
     val srcDir = s"$work/cdc_src"
-    val sliced = issues.withColumn("__s",
-      expr(s"cast(element_at(split(key, '-'), 2) as bigint) % $slices"))
+    val sliceExpr =
+      if (sliceRange) {
+        val maxSuffix = issues.agg(max(
+          expr("cast(element_at(split(key, '-'), 2) as bigint)"))).head.getLong(0)
+        expr(s"cast(element_at(split(key, '-'), 2) as bigint) * $slices" +
+          s" div ${maxSuffix + 1}")
+      } else expr(s"cast(element_at(split(key, '-'), 2) as bigint) % $slices")
+    val sliced = issues.withColumn("__s", sliceExpr)
     (0 until slices).foreach { i =>
       sliced.filter(col("__s") === i).drop("__s").coalesce(1)
         .write.mode("append").parquet(srcDir)
@@ -160,7 +172,7 @@ object StreamSoak {
     def arr(xs: Seq[Long]) = xs.mkString("[", ",", "]")
     val json =
       s"""{"scale":"${new java.io.File(dir).getName}",
-         |"cadence":$cadence,"sharded":$sharded,
+         |"cadence":$cadence,"sharded":$sharded,"slice":"${if (sliceRange) "range" else "mod"}",
          |"cdc":{"batches":${cdcCards.size},"rows":$nIssues,
          |  "p95_batch_ms":$cdcP95,"max_batch_ms":${(0L +: cdcDur).max},
          |  "batch_ms":${arr(cdcDur)},

@@ -300,6 +300,32 @@ class SinkSpec extends AnyFunSuite {
     assert(GitRepo.isClean(repo))
   }
 
+  test("property: writeTree's keyed sort equals the definitional tree order") {
+    // writeTree sorts on precomputed utf-8 keys (allocation-free compare);
+    // treeOrder is the definitional per-comparison form. The two must agree
+    // on every name git allows — including non-ASCII, prefixes, and the
+    // dir-as-name+'/' rule — or tree shas silently diverge from git's own.
+    import org.scalacheck.Gen
+    import graft.sink.GitObjects
+    import graft.sink.GitObjects.TreeEntry
+    val genName = Gen.nonEmptyListOf(Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.oneOf('-', '.', '_', ' ', '"', '\'')),
+      (1, Gen.oneOf('é', '中', '\ud83d')), // latin-1, CJK, lone surrogate class
+      (1, Gen.oneOf('a', 'a')))).map(_.mkString.take(24))
+    val genEntries = Gen.listOfN(12, for {
+      n <- genName; t <- Gen.oneOf(true, false)
+    } yield TreeEntry(n, "0" * 40, t)).map(_.distinctBy(e => (e.name, e.isTree)))
+    Iterator.continually(genEntries.sample).flatten.take(300).foreach { es =>
+      val definitional = es.sortWith(GitObjects.treeOrder).map(e => (e.name, e.isTree))
+      val keyed = es
+        .map(e => ((if (e.isTree) e.name + "/" else e.name)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), e))
+        .sortWith((a, b) => java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
+        .map(t => (t._2.name, t._2.isTree))
+      assert(keyed == definitional, s"sort orders diverged on ${es.map(_.name)}")
+    }
+  }
+
   test("commit message column maps issue types to conventional types") {
     import spark.implicits._
     val df = Seq(("Bug", "P1", "P1-1"), ("Story", "P1", "P1-2"),
