@@ -178,25 +178,64 @@ object StateStore {
   def deltaCount(spark: SparkSession, path: String): Int =
     deltaDirs(spark, path).size
 
+  /** Combined on-disk size of the pending delta dirs — the broadcast gate
+    * for [[loadResolved]]'s split plan (metadata only, no job).
+    */
+  private def deltaBytes(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    deltaDirs(spark, path).map { case (_, p) =>
+      scala.util.Try(fs.getContentSummary(p).getLength).getOrElse(Long.MaxValue)
+    }.sum
+  }
+
+  /** Deltas up to this combined size resolve through the broadcast split
+    * plan; larger backlogs (a compaction that kept failing) fall back to the
+    * full window. 256 MB of parquet ≈ a few million touched keys — well
+    * inside executor broadcast budgets.
+    */
+  private val DeltaBroadcastBytes = 256L << 20
+
   /** Latest state per key across the base table and every committed delta.
     * The winner rule reproduces [[merge]]'s: strictly-newer `last_updated`
     * wins, `sync_count` (monotone per key) breaks same-instant replays.
     * With no deltas this IS [[load]].
+    *
+    * Plan shape matters more than anything else here — this runs EVERY
+    * micro-batch: the base holds each key exactly once ([[save]] writes
+    * resolved rows), so only delta-touched keys can conflict. Resolving the
+    * deltas first (a DELTA-sized window) and splitting the base with a
+    * broadcast semi/anti join on the touched keys means the corpus-sized
+    * base is scanned but never exchanged — the original single window over
+    * base ∪ deltas shuffled the WHOLE ledger per micro-batch, the
+    * state-side O(corpus) term the sfg1.0 soak's late batches showed once
+    * the git terms were fixed (SCALING_MEASURED.md round 13). A delta
+    * backlog too big to broadcast ([[DeltaBroadcastBytes]]) falls back to
+    * the full window.
     */
   def loadResolved(spark: SparkSession, path: String): DataFrame = {
     val deltas = deltaDirs(spark, path)
     val base = load(spark, path)
-    if (deltas.isEmpty) base
-    else {
-      val all = deltas.foldLeft(base) { (acc, d) =>
-        acc.unionByName(spark.read.schema(schema).parquet(d._2.toString))
-      }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("key"))
-        .orderBy(col("last_updated").desc, col("sync_count").desc,
-          col("last_synced").desc)
-      all.withColumn("__rn", row_number().over(w))
+    if (deltas.isEmpty) return base
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("last_updated").desc, col("sync_count").desc,
+        col("last_synced").desc)
+    val dAll = deltas.map(d => spark.read.schema(schema).parquet(d._2.toString))
+      .reduce(_ unionByName _)
+    if (deltaBytes(spark, path) > DeltaBroadcastBytes) {
+      // fallback: the one window over everything (correct at any size)
+      base.unionByName(dAll).withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
+    } else {
+      val dRes = dAll.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val dKeys = broadcast(dRes.select("key"))
+      val untouched = base.join(dKeys, Seq("key"), "left_anti")
+      val contested = base.join(dKeys, Seq("key"), "left_semi")
+        .unionByName(dRes)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      untouched.unionByName(contested)
     }
   }
 

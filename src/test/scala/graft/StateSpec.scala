@@ -270,4 +270,64 @@ class StateSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getAs[Int]("sync_count")).toMap
     assert(replayed == afterCompact, "re-applied folded delta must be a no-op")
   }
+
+  test("loadResolved split plan equals the definitional one-window resolution") {
+    // the per-batch hot path resolves deltas-first and splits the base with
+    // broadcast joins (the corpus must never be exchanged per micro-batch);
+    // this pins it row-for-row against the definitional single window over
+    // base ∪ deltas, under overlaps, replays, and multi-delta churn
+    import org.apache.spark.sql.expressions.Window
+    val dir = Files.createTempDirectory("graft-delta-eq").toString
+    val path = s"$dir/state"
+    StateStore.save(StateStore.fromIssues(batchDf(
+      (1 to 40).map(i => (s"P1-$i", "P1", s"v0", "2024-01-01 00:00:00"))),
+      ts("2024-01-02 00:00:00")), path)
+    // delta 1: updates to a slice; delta 2: replay of part of delta 1
+    // (identical rows) + new keys; delta 3: a second update to some keys
+    val d1 = StateStore.fromIssues(batchDf(
+      (1 to 15).map(i => (s"P1-$i", "P1", "v1", "2024-02-01 00:00:00"))),
+      ts("2024-02-02 00:00:00"))
+    StateStore.appendDelta(StateStore.merge(
+      StateStore.loadResolved(spark, path).join(d1.select("key"), Seq("key"), "left_semi"),
+      d1), path)
+    val d2 = StateStore.fromIssues(batchDf(
+      (10 to 15).map(i => (s"P1-$i", "P1", "v1", "2024-02-01 00:00:00")) ++
+        (41 to 45).map(i => (s"P1-$i", "P1", "new", "2024-02-10 00:00:00"))),
+      ts("2024-02-11 00:00:00"))
+    StateStore.appendDelta(StateStore.merge(
+      StateStore.loadResolved(spark, path).join(d2.select("key"), Seq("key"), "left_semi"),
+      d2), path)
+    val d3 = StateStore.fromIssues(batchDf(
+      (5 to 12).map(i => (s"P1-$i", "P1", "v2", "2024-03-01 00:00:00"))),
+      ts("2024-03-02 00:00:00"))
+    StateStore.appendDelta(StateStore.merge(
+      StateStore.loadResolved(spark, path).join(d3.select("key"), Seq("key"), "left_semi"),
+      d3), path)
+    assert(StateStore.deltaCount(spark, path) == 3)
+    // definitional resolution, computed inline
+    val base = StateStore.load(spark, path)
+    val deltas = new java.io.File(dir).listFiles().toSeq
+      .filter(_.getName.matches("state__delta_\\d+"))
+      .map(f => spark.read.schema(StateStore.schema).parquet(f.toString))
+    val all = deltas.foldLeft(base)(_ unionByName _)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("last_updated").desc, col("sync_count").desc,
+        col("last_synced").desc)
+    val definitional = all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Timestamp]("last_updated"), r.getAs[Int]("sync_count"))).toMap
+    val split = StateStore.loadResolved(spark, path)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Timestamp]("last_updated"), r.getAs[Int]("sync_count"))).toMap
+    assert(split == definitional,
+      s"split plan diverged: ${(split.toSet diff definitional.toSet).take(3)}")
+    assert(split.size == 45 && split("P1-7")._2 == 3 && split("P1-20")._2 == 1)
+    // and the split plan's base side is exchange-free: no hashpartitioning
+    // on the corpus-sized anti/semi legs (broadcast joins only)
+    val plan = StateStore.loadResolved(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"base split must broadcast the touched-key set:\n${plan.take(1200)}")
+  }
 }
