@@ -195,6 +195,22 @@ object StateStore {
     */
   private val DeltaBroadcastBytes = 256L << 20
 
+  /** Conf key selecting [[loadResolved]]'s resolution plan:
+    * `auto` (default) uses the broadcast split only when the base is at
+    * least [[SplitMinBaseBytes]] — the regime where a per-batch exchange is
+    * real network I/O; below it a local shuffle is cheaper than the split's
+    * second base scan (measured at sfg1.0: split +4s/batch on a 100 MB
+    * tmpfs base, while the exchange it saves is memory-local). `always` /
+    * `never` pin the plan (tests; clusters that know better).
+    */
+  val SplitResolveKey = "spark.graft.state.splitResolve"
+
+  /** Base size from which `auto` picks the split plan. 1 GB of state
+    * parquet ≈ 15M keys — past any size where shuffling the ledger per
+    * micro-batch is acceptable on a real cluster.
+    */
+  private val SplitMinBaseBytes = 1L << 30
+
   /** Latest state per key across the base table and every committed delta.
     * The winner rule reproduces [[merge]]'s: strictly-newer `last_updated`
     * wins, `sync_count` (monotone per key) breaks same-instant replays.
@@ -208,9 +224,12 @@ object StateStore {
     * base is scanned but never exchanged — the original single window over
     * base ∪ deltas shuffled the WHOLE ledger per micro-batch, the
     * state-side O(corpus) term the sfg1.0 soak's late batches showed once
-    * the git terms were fixed (SCALING_MEASURED.md round 13). A delta
-    * backlog too big to broadcast ([[DeltaBroadcastBytes]]) falls back to
-    * the full window.
+    * the git terms were fixed (SCALING_MEASURED.md round 13). Plan choice
+    * is size-gated ([[SplitResolveKey]]): the split pays a SECOND base scan
+    * to avoid the exchange, which only wins once the exchange is real
+    * network I/O — `auto` switches at [[SplitMinBaseBytes]]; a delta
+    * backlog too big to broadcast ([[DeltaBroadcastBytes]]) always falls
+    * back to the full window.
     */
   def loadResolved(spark: SparkSession, path: String): DataFrame = {
     val deltas = deltaDirs(spark, path)
@@ -222,8 +241,20 @@ object StateStore {
         col("last_synced").desc)
     val dAll = deltas.map(d => spark.read.schema(schema).parquet(d._2.toString))
       .reduce(_ unionByName _)
-    if (deltaBytes(spark, path) > DeltaBroadcastBytes) {
-      // fallback: the one window over everything (correct at any size)
+    val useSplit = spark.conf.get(SplitResolveKey, "auto") match {
+      case "always" => deltaBytes(spark, path) <= DeltaBroadcastBytes
+      case "never" => false
+      case _ =>
+        deltaBytes(spark, path) <= DeltaBroadcastBytes && {
+          val fs = fsOf(spark, path)
+          scala.util.Try(fs.getContentSummary(new Path(path)).getLength)
+            .getOrElse(0L) >= SplitMinBaseBytes
+        }
+    }
+    if (!useSplit) {
+      // the one window over everything — correct at any size, and cheaper
+      // than a second base scan while the ledger is small enough that its
+      // exchange stays node-local
       base.unionByName(dAll).withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     } else {

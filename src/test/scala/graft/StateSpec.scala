@@ -317,17 +317,24 @@ class StateSpec extends AnyFunSuite {
       .filter(col("__rn") === 1).drop("__rn")
       .collect().map(r => r.getString(0) ->
         (r.getAs[Timestamp]("last_updated"), r.getAs[Int]("sync_count"))).toMap
-    val split = StateStore.loadResolved(spark, path)
+    def resolvedMap() = StateStore.loadResolved(spark, path)
       .collect().map(r => r.getString(0) ->
         (r.getAs[Timestamp]("last_updated"), r.getAs[Int]("sync_count"))).toMap
-    assert(split == definitional,
-      s"split plan diverged: ${(split.toSet diff definitional.toSet).take(3)}")
-    assert(split.size == 45 && split("P1-7")._2 == 3 && split("P1-20")._2 == 1)
-    // and the split plan's base side is exchange-free: no hashpartitioning
-    // on the corpus-sized anti/semi legs (broadcast joins only)
-    val plan = StateStore.loadResolved(spark, path)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"base split must broadcast the touched-key set:\n${plan.take(1200)}")
+    // force the split plan (auto would pick the window below 1 GB of base)
+    spark.conf.set(StateStore.SplitResolveKey, "always")
+    try {
+      val split = resolvedMap()
+      assert(split == definitional,
+        s"split plan diverged: ${(split.toSet diff definitional.toSet).take(3)}")
+      assert(split.size == 45 && split("P1-7")._2 == 3 && split("P1-20")._2 == 1)
+      // and the split plan's base side is exchange-free: the touched-key
+      // set is broadcast, never a corpus-sized hashpartitioning
+      val plan = StateStore.loadResolved(spark, path)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"base split must broadcast the touched-key set:\n${plan.take(1200)}")
+    } finally spark.conf.set(StateStore.SplitResolveKey, "auto")
+    // the auto plan (window, at this size) resolves identically
+    assert(resolvedMap() == definitional)
   }
 }
