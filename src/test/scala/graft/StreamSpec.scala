@@ -209,6 +209,35 @@ class StreamSpec extends AnyFunSuite {
       "recovered manifests must be deleted after the commit")
   }
 
+  test("manifest recovery composes with the sharded layout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val work = Files.createTempDirectory("graft-cdcrecshard").toString
+    val repo = s"$work/repo"
+    GitRepo.init(repo)
+    // the kill window again, but the parked manifest carries SHARDED paths —
+    // recovery must commit them verbatim (the tree rebuild crosses the extra
+    // directory level)
+    val m = graft.sink.Yaml.writeIssuesWithBlobsManifest(
+      Seq(("P3-40000", "P3", "v1", ts("2024-01-01 00:00:00")))
+        .toDF("key", "project_key", "summary", "updated"),
+      repo, sharded = true)
+    assert(m.written == 1)
+    val mem = MemoryStream[(String, String, String, Timestamp)]
+    val q = CdcStream.start(
+      mem.toDF().toDF("key", "project_key", "summary", "updated"),
+      repo, s"$work/state", s"$work/ckpt", sharded = true,
+      clock = () => ts("2024-01-15 00:00:00"))
+    q.stop()
+    val shard = graft.sink.Yaml.shardSeg("P3-40000")
+    val lsr = scala.sys.process.Process(
+      Seq("git", "ls-tree", "-r", "--name-only", "HEAD"),
+      new java.io.File(repo)).!!.linesIterator.toSet
+    assert(lsr == Set(s"projects/P3/issues/$shard/P3-40000.yaml"), s"$lsr")
+    assert(scala.sys.process.Process(
+      Seq("git", "fsck", "--strict"), new java.io.File(repo)).! == 0)
+  }
+
   test("kill between state append and commit at cadence 1: restart recovers it") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
