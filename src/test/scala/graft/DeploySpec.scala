@@ -284,6 +284,16 @@ class DeploySpec extends AnyFunSuite {
     assert(byFile("networkpolicy.yaml").isEmpty)
     assert(byFile("crd-install.yaml").isEmpty)
     assert(byFile("deployment.yaml").nonEmpty && byFile("service.yaml").nonEmpty)
+    // the ServiceMonitor needs foreign CRDs → default OFF; enabled it
+    // renders a well-formed monitoring.coreos.com object on the http port
+    assert(renderedChart(chartValues)("servicemonitor.yaml").isEmpty,
+      "servicemonitor must default off (its CRD may be absent)")
+    val mon = chartValues.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    mon.path("monitoring").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("serviceMonitor", true)
+    val sm = renderedChart(mon)("servicemonitor.yaml")
+    assert(sm.nonEmpty && sm.head.path("kind").asText == "ServiceMonitor")
+    assert(sm.head.path("spec").path("endpoints").get(0).path("port").asText == "http")
   }
 
   // ---- api-server kustomize bundle (deploy/api-server) ---------------------
