@@ -37,7 +37,11 @@ object Bench {
       case (k, b) if b >= 0.05 && fresh.contains(k) => fresh(k) / b
     }.sorted
     if (ratios.size < 5) None
-    else Some(ratios(math.min(ratios.size - 1, (ratios.size * 9) / 10)))
+    // nearest-rank p90 (ceil(0.9n)th order statistic): the previous
+    // (n*9)/10 index sat one rank high and selected the MAX outright for
+    // 5..10 canaries, letting a single scheduler-jitter outlier park a
+    // refresh under a gate documented as p90
+    else Some(ratios(math.ceil(ratios.size * 0.9).toInt - 1))
   }
 
   /** Fresh/baseline ratio of SUMMED time over the shared canaries — the

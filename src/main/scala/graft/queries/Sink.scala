@@ -14,8 +14,8 @@ import graft.sink.Yaml
   */
 object Sink {
 
-  /** Shared roundtrip body for the flat and 256-way-sharded layouts — the
-    * ORACLE is identical because the layout must be invisible to readers
+  /** Shared roundtrip body for the flat and range-block-sharded layouts —
+    * the ORACLE is identical because the layout must be invisible to readers
     * (key identity lives in the document, not the path).
     */
   private def yamlRoundtrip(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -71,10 +71,11 @@ object Sink {
     (s, dir) => yamlRoundtrip(s, dir, sharded = false)
   }
 
-  /** The 256-way-sharded layout through the SAME oracle: proves the tree-
-    * floor lever ([[Yaml.shardSeg]], SCALING_MEASURED.md round 13) is
-    * invisible to every reader — identical rows, hashes, and schema out of
-    * a corpus fanned into `issues/{md5[0:2]}/` directories.
+  /** The sharded layout through the SAME oracle: proves the tree-floor
+    * lever ([[Yaml.shardSeg]], SCALING_MEASURED.md round 13) is invisible
+    * to every reader — identical rows, hashes, and schema out of a corpus
+    * fanned into `issues/{suffix div 8192}/` range-block directories
+    * (md5[0:2] only as the non-numeric-key fallback).
     */
   private val roundtripSharded = q("sink_yaml_roundtrip_sharded",
     roundtripOracle) {

@@ -259,11 +259,14 @@ object GitRepo {
           "commit-tree" +: newRoot +: "-F" +: msgFile.getAbsolutePath +: parentArgs): _*)
       require(ccode == 0, s"git commit-tree failed: $cout")
       val commit = cout.trim
+      // mark the index stale BEFORE moving HEAD: a crash between update-ref
+      // and a marker write would leave the index stale-but-unmarked, and a
+      // later index-path commit would write-tree a tree silently missing
+      // these files. Marker-first closes that window — a marker with an
+      // unmoved HEAD just makes [[syncIndexToHead]] a harmless read-tree.
+      java.nio.file.Files.write(staleMarker(repoDir), Array.emptyByteArray)
       val (ucode, uout) = run(dir, "update-ref", "HEAD", commit)
       require(ucode == 0, s"git update-ref failed: $uout")
-      // HEAD moved without the index: mark it stale so the next index-path
-      // entry point ([[syncIndexToHead]] callers) repairs before reading
-      java.nio.file.Files.write(staleMarker(repoDir), Array.emptyByteArray)
       Some(commit)
     } finally { msgFile.delete(); () }
   }

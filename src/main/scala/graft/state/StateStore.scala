@@ -44,10 +44,13 @@ object StateStore {
 
   /** Load the state table, or an empty one on first run
     * (reference: pkg/state/manager.go:99-136 returns fresh state when the
-    * file is absent).
+    * file is absent). Layout-adaptive: a base written in the partitioned
+    * layout ([[setPartitionedBase]]) reads back with its partition column
+    * dropped — the layout is invisible to every consumer, exactly like the
+    * YAML corpus's sharded layout.
     */
   def load(spark: SparkSession, path: String): DataFrame =
-    loadTable(spark, path, schema)
+    loadBaseWithSeg(spark, path).drop(SegCol)
 
   /** [[load]] generalized to ANY table managed by [[save]]'s tmp+bak commit
     * (the signature index reuses the same protocol): same crash recovery —
@@ -58,19 +61,29 @@ object StateStore {
     * inside the commit window reads as an absent table and its data is
     * silently discarded.
     */
-  def loadTable(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  def loadTable(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    resolveReadDir(spark, path) match {
+      case Some(d) => spark.read.schema(schema).parquet(d.toString)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** The directory a [[loadTable]]-style read should scan, after crash-window
+    * recovery: save() writes tmp fully, renames dst→bak, then tmp→dst. A
+    * crash between the renames leaves dst absent with BOTH tmp and bak
+    * present — that marker gates the fallback, so an operator who
+    * deliberately deletes the state dir (leaving only the backup) still gets
+    * the full resync they asked for, never a silent resume from stale state
+    * (the reference makes restore an explicit call,
+    * pkg/state/manager.go:239+). A complete tmp (_SUCCESS present) is the
+    * newer committed-in-progress state — prefer it over the backup. None =
+    * first run, no table.
+    */
+  private def resolveReadDir(spark: SparkSession, path: String): Option[Path] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    if (fs.exists(p)) Some(p)
     else {
-      // crash-window recovery: save() writes tmp fully, renames dst→bak, then
-      // tmp→dst. A crash between the renames leaves dst absent with BOTH tmp
-      // and bak present — that marker gates the fallback, so an operator who
-      // deliberately deletes the state dir (leaving only the backup) still
-      // gets the full resync they asked for, never a silent resume from stale
-      // state (the reference makes restore an explicit call,
-      // pkg/state/manager.go:239+). A complete tmp (_SUCCESS present) is the
-      // newer committed-in-progress state — prefer it over the backup.
       val bak = new Path(path + "__bak")
       val tmp = new Path(path + "__tmp")
       if (fs.exists(tmp) && fs.exists(new Path(tmp, "_SUCCESS"))) {
@@ -81,12 +94,11 @@ object StateStore {
         log.warn(s"state $path missing; completing interrupted save from $tmp")
         if (!fs.rename(tmp, p))
           throw new java.io.IOException(s"state recovery rename failed: $tmp -> $p")
-        spark.read.schema(schema).parquet(path)
+        Some(p)
       } else if (fs.exists(tmp) && fs.exists(bak)) {
         log.warn(s"state $path missing; falling back to backup $bak")
-        spark.read.schema(schema).parquet(bak.toString)
-      } else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        Some(bak)
+      } else None
     }
   }
 
@@ -107,7 +119,14 @@ object StateStore {
     * metadata-only) commit still happens strictly after those barriers.
     */
   private[graft] def stage(state: DataFrame, path: String): Unit =
-    state.write.mode("overwrite").parquet(path + "__tmp")
+    if (isPartitionedBase(state.sparkSession, path)) {
+      // one shuffle keyed on the partition value so each shard block lands
+      // in ONE task → one parquet file per block dir, not tasks×blocks
+      // small files
+      state.withColumn(SegCol, statePartCol(col("key")))
+        .repartition(col(SegCol))
+        .write.mode("overwrite").partitionBy(SegCol).parquet(path + "__tmp")
+    } else state.write.mode("overwrite").parquet(path + "__tmp")
 
   /** Abandon a staged-but-uncommitted state (failure paths): delete the tmp
     * dir so loadTable's interrupted-commit recovery can never promote a state
@@ -133,6 +152,102 @@ object StateStore {
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"atomic state rename failed: $tmp -> $dst")
   }
+
+  // ---- partitioned base layout (per-batch partition pruning) ---------------
+  //
+  // The delta log below makes the state COMMIT O(batch); this layout makes
+  // the per-micro-batch state READ O(batch) too. Every per-batch consumer
+  // (changedIssues, the touched-key semi-join, merge) only looks up the
+  // BATCH's keys, and the shard block is a pure function of the key — so a
+  // resolved view restricted to the batch's blocks is exact for them, and a
+  // base physically partitioned by block turns that restriction into parquet
+  // partition pruning: the base read is O(touched blocks) ≈ O(batch) for an
+  // append-mostly stream, instead of the full-corpus scan (twice, in the
+  // split plan) that was the last O(corpus) term in the streaming path
+  // (SCALING_MEASURED.md round 13). Same argument that chose range blocks
+  // for git trees: sequence-assigned issue numbers make a CDC batch touch
+  // only each project's tail block.
+
+  /** Partition column of the partitioned base layout (never leaves this
+    * object — every reader drops or consumes it internally).
+    */
+  private val SegCol = "__seg"
+
+  private val segSchema: StructType = schema.add(SegCol, StringType, nullable = true)
+
+  /** Issues per state partition. Deliberately COARSER than
+    * [[graft.sink.Yaml.ShardBlock]] (8192): state rows are ~150 B of parquet,
+    * so 65536 keys/block ≈ 10 MB per partition dir — big enough that the
+    * dir count stays manageable at ledger scale (a 12B-key corpus is ~180k
+    * dirs, each a single ~10 MB file thanks to [[stage]]'s repartition) and
+    * each pruned read is still a handful of row groups. The git tree floor
+    * that forced 8192 for YAML dirs does not exist here.
+    */
+  val StatePartBlock: Long = 65536L
+
+  /** Partition value for the partitioned base layout: zero-padded
+    * `issue-number div 65536` range block for numeric-suffix keys, 2-hex md5
+    * fallback otherwise. Integer `div` (see [[shardSegCol]] for why `/` is
+    * wrong), deterministic from the key alone — which is what makes
+    * restriction commute with per-key resolution: every row of a key, base
+    * or delta, carries the same block.
+    */
+  def statePartCol(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val suffix = element_at(split(key, "-"), -1)
+    when(suffix.rlike("^[0-9]{1,18}$"),
+      format_string("%05d",
+        call_function("div", suffix.cast("long"), lit(StatePartBlock))))
+      .otherwise(substring(md5(key), 1, 2))
+  }
+
+  /** Opt this ledger into the partitioned base layout: every future
+    * [[save]]/[[compactDeltas]] rewrite partitions by [[statePartCol]]. An
+    * existing unpartitioned base is rewritten NOW (one-time conversion, the
+    * same cost as one compaction). Readers never consult the marker — they
+    * detect the PHYSICAL layout of the dir they scan — so a crash between
+    * the marker write and the conversion rewrite leaves a correctly-read
+    * unpartitioned base that the next save converts.
+    */
+  def setPartitionedBase(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val marker = new Path(path + "__pbase")
+    if (fs.exists(marker)) return
+    val existing = resolveReadDir(spark, path).map(_ =>
+      load(spark, path).localCheckpoint(true))
+    fs.create(marker).close()
+    existing.foreach(df => save(df, path))
+  }
+
+  /** Whether [[save]] should write the partitioned layout (sticky per-ledger
+    * opt-in, [[setPartitionedBase]]).
+    */
+  def isPartitionedBase(spark: SparkSession, path: String): Boolean =
+    fsOf(spark, path).exists(new Path(path + "__pbase"))
+
+  /** Whether `dir` physically holds the partitioned layout (`__seg=` child
+    * dirs). Read-side truth — the marker only governs writes.
+    */
+  private def dirPartitioned(spark: SparkSession, dir: Path): Boolean = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(dir) && fs.listStatus(dir).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(SegCol + "="))
+  }
+
+  /** The base table with its partition column materialized — from the dirs
+    * for a partitioned base (free), derived from the key otherwise (so
+    * callers can filter on [[SegCol]] either way; only the partitioned
+    * layout turns that filter into pruned I/O).
+    */
+  private def loadBaseWithSeg(spark: SparkSession, path: String): DataFrame =
+    resolveReadDir(spark, path) match {
+      case Some(d) if dirPartitioned(spark, d) =>
+        spark.read.schema(segSchema).parquet(d.toString)
+      case Some(d) =>
+        spark.read.schema(schema).parquet(d.toString)
+          .withColumn(SegCol, statePartCol(col("key")))
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], segSchema)
+    }
 
   // ---- delta-log extension (continuous ingest) ------------------------------
   //
@@ -183,9 +298,17 @@ object StateStore {
     */
   private def deltaBytes(spark: SparkSession, path: String): Long = {
     val fs = fsOf(spark, path)
-    deltaDirs(spark, path).map { case (_, p) =>
-      scala.util.Try(fs.getContentSummary(p).getLength).getOrElse(Long.MaxValue)
-    }.sum
+    // any failed size lookup means the backlog is UNMEASURABLE — treat the
+    // whole set as too-big (one saturated value, never summed: summing a
+    // MaxValue sentinel with real sizes overflows negative and would slip
+    // an unbounded backlog PAST the broadcast gate)
+    val sizes = deltaDirs(spark, path).map { case (_, p) =>
+      scala.util.Try(fs.getContentSummary(p).getLength).toOption
+    }
+    if (sizes.exists(_.isEmpty)) Long.MaxValue
+    else sizes.flatten.foldLeft(0L) { (a, b) =>
+      if (a > Long.MaxValue - b) Long.MaxValue else a + b
+    }
   }
 
   /** Deltas up to this combined size resolve through the broadcast split
@@ -268,6 +391,43 @@ object StateStore {
         .filter(col("__rn") === 1).drop("__rn")
       untouched.unionByName(contested)
     }
+  }
+
+  /** The distinct state-partition blocks covering `keys` — the touched-block
+    * set a pruned per-batch read needs. A driver collect, bounded by the
+    * BATCH's distinct blocks (an append-mostly stream touches each project's
+    * tail block, so typically a handful), never by the corpus.
+    */
+  def touchedSegs(keys: DataFrame): Seq[String] =
+    keys.select(statePartCol(col(keys.columns.head)).as("__s"))
+      .distinct().collect().map(_.getString(0)).toSeq
+
+  /** [[loadResolved]] restricted to the given state-partition blocks — EXACT
+    * for any consumer that only looks up keys inside them (the block is a
+    * pure function of the key, so restriction commutes with latest-per-key
+    * resolution). This is the per-micro-batch state read: with a
+    * [[setPartitionedBase]] ledger the base scan is partition-pruned to the
+    * touched blocks — O(batch) I/O — and the resolve window runs over
+    * O(touched) rows, so neither the split plan nor its broadcast gate is
+    * needed. With an unpartitioned base it is still correct (the filter
+    * prunes rows, not I/O), so callers can adopt it unconditionally.
+    */
+  def loadResolvedPruned(spark: SparkSession, path: String,
+      segs: Seq[String]): DataFrame = {
+    if (segs.isEmpty) return empty(spark)
+    val base = loadBaseWithSeg(spark, path)
+      .filter(col(SegCol).isin(segs: _*)).drop(SegCol)
+    val deltas = deltaDirs(spark, path)
+    if (deltas.isEmpty) return base
+    val dAll = deltas.map(d => spark.read.schema(schema).parquet(d._2.toString))
+      .reduce(_ unionByName _)
+      .filter(statePartCol(col("key")).isin(segs: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("last_updated").desc, col("sync_count").desc,
+        col("last_synced").desc)
+    base.unionByName(dAll).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Append one batch's merged state rows (touched keys ONLY) as a new
@@ -379,9 +539,13 @@ object StateStore {
     */
   def shardSegCol(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val suffix = element_at(split(key, "-"), -1)
+    // integer `div`, never `/`: Divide is double division, and doubles lose
+    // integer precision above 2^53 — an 18-digit suffix near a block
+    // boundary would shard differently here than in the Scala twin
+    // [[graft.sink.Yaml.shardSeg]]'s exact `suffix.toLong / ShardBlock`
     when(suffix.rlike("^[0-9]{1,18}$"),
       format_string("%05d",
-        (suffix.cast("long") / lit(graft.sink.Yaml.ShardBlock)).cast("long")))
+        call_function("div", suffix.cast("long"), lit(graft.sink.Yaml.ShardBlock))))
       .otherwise(substring(md5(key), 1, 2))
   }
 

@@ -38,6 +38,20 @@ object CdcStream {
     *               creation — the layouts don't mix within one corpus
     *               (reads handle both, the state ledger's paths follow the
     *               flag).
+    * @param partitionedState partition the state ledger's base by the
+    *               key-derived range block ([[StateStore.statePartCol]]) and
+    *               prune each micro-batch's state read to the blocks the
+    *               batch touches. Every per-batch state consumer — the
+    *               candidate filter, the touched-key semi-join, the merge —
+    *               only looks up the BATCH's keys, and the block is a pure
+    *               function of the key, so the pruned resolved view is exact
+    *               for them while the base read drops from O(corpus)
+    *               (scanned twice, in the split plan) to O(touched blocks) ≈
+    *               O(batch): the last O(corpus) term in the steady-state
+    *               streaming path. Off by default only for layout stability
+    *               of existing ledgers; it is THE setting for a long-running
+    *               stream. Compactions still rewrite the full base (that is
+    *               the amortized 1/CompactEvery share, unchanged).
     * @param commitEvery git-commit cadence in micro-batches (default 1 =
     *               every batch). Any commit touching a flat directory of N
     *               files must serialize an O(N) tree object — git's floor,
@@ -60,9 +74,11 @@ object CdcStream {
       commitToGit: Boolean = true,
       commitEvery: Int = 1,
       sharded: Boolean = false,
+      partitionedState: Boolean = false,
       clock: () => Timestamp = () => new Timestamp(System.currentTimeMillis())): StreamingQuery = {
     val spark = updates.sparkSession
     require(commitEvery >= 1, s"commitEvery must be >= 1, got $commitEvery")
+    if (partitionedState) StateStore.setPartitionedBase(spark, statePath)
     if (commitToGit) {
       GitRepo.init(repoDir)
       // durability: a prior run stopped (or crashed) between a batch's
@@ -92,6 +108,18 @@ object CdcStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val syncedAt = clock()
+        // a key updated twice within one micro-batch is the normal CDC
+        // case: collapse to the latest row per key first, otherwise both
+        // versions pass the state join (state knows neither) and the YAML
+        // write becomes nondeterministic last-writer-wins between them
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("updated").desc)
+        val latest0 = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        // with pruning on, `latest` feeds both the touched-block collect and
+        // the state join — persist so the dedup window runs once
+        val latest = if (partitionedState) latest0.persist() else latest0
         // resolved view across base + pending deltas: continuous ingest
         // APPENDS per-batch deltas instead of rewriting the whole table —
         // the sfg1.0 soak measured the rewrite-per-batch shape growing
@@ -100,17 +128,14 @@ object CdcStream {
         // Persisted for the batch: the candidate filter, the touched-key
         // semi-join and the merge all read it, and the resolve window over
         // base+deltas must run once, not per consumer.
-        val state = StateStore.loadResolved(spark, statePath).persist()
+        // partitionedState prunes that view to the batch's touched blocks —
+        // exact for this loop's consumers (they only look up batch keys) and
+        // O(batch) base I/O on the partitioned layout.
+        val state = (if (partitionedState)
+          StateStore.loadResolvedPruned(spark, statePath,
+            StateStore.touchedSegs(latest.select("key")))
+        else StateStore.loadResolved(spark, statePath)).persist()
         try {
-          // a key updated twice within one micro-batch is the normal CDC
-          // case: collapse to the latest row per key first, otherwise both
-          // versions pass the state join (state knows neither) and the YAML
-          // write becomes nondeterministic last-writer-wins between them
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("key")).orderBy(col("updated").desc)
-          val latest = batch
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn")
           // upsert-on-newer keeps replayed micro-batches idempotent (C2) —
           // exactly-once effect on the state table under at-least-once
           // delivery
@@ -167,7 +192,10 @@ object CdcStream {
               }
             case Right(_) => ()
           }
-        } finally state.unpersist()
+        } finally {
+          state.unpersist()
+          if (partitionedState) { latest.unpersist(); () }
+        }
         ()
       }
       .start()

@@ -337,4 +337,80 @@ class StateSpec extends AnyFunSuite {
     // the auto plan (window, at this size) resolves identically
     assert(resolvedMap() == definitional)
   }
+
+  test("partitioned base: invisible layout, pruned resolve == unpruned, partition-pruned scan") {
+    val dir = Files.createTempDirectory("graft-pstate").toString
+    val path = s"$dir/state"
+    // suffixes spanning three numeric range blocks (0, 1, 3 at
+    // StatePartBlock=65536) plus one md5-fallback key
+    StateStore.save(StateStore.fromIssues(batchDf(Seq(
+      ("P1-1", "P1", "a", "2024-01-01 00:00:00"),
+      ("P1-2", "P1", "b", "2024-01-01 00:00:00"),
+      ("P1-70000", "P1", "c", "2024-01-01 00:00:00"),
+      ("P1-200000", "P1", "d", "2024-01-01 00:00:00"),
+      ("ABC-DEF", "P2", "e", "2024-01-01 00:00:00"))),
+      ts("2024-01-02 00:00:00")), path)
+    // opt-in converts the existing unpartitioned base in place
+    StateStore.setPartitionedBase(spark, path)
+    def segDirs() = new java.io.File(path).listFiles().toSeq
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__seg="))
+    assert(segDirs().toSet.size == 4, s"expected 4 block dirs, got ${segDirs()}")
+    // layout invisible to plain readers: same schema, same rows
+    val loaded = StateStore.load(spark, path)
+    assert(loaded.columns.toSeq == StateStore.schema.fieldNames.toSeq)
+    assert(loaded.count() == 5)
+    // a delta touching blocks 0 (update) and 1 (insert)
+    val d1 = StateStore.fromIssues(batchDf(Seq(
+      ("P1-2", "P1", "b2", "2024-02-01 00:00:00"),
+      ("P1-70001", "P1", "n", "2024-02-01 00:00:00"))), ts("2024-02-02 00:00:00"))
+    StateStore.appendDelta(StateStore.merge(
+      StateStore.loadResolved(spark, path)
+        .join(d1.select("key"), Seq("key"), "left_semi"), d1), path)
+    val segs = StateStore.touchedSegs(d1.select("key"))
+    assert(segs.toSet == Set("00000", "00001"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getAs[String]("key") -> (r.getAs[Timestamp]("last_updated"),
+        r.getAs[Int]("sync_count"), r.getAs[String]("checksum"))).toMap
+    val pruned = StateStore.loadResolvedPruned(spark, path, segs)
+    // pruned == the full resolve restricted to the same blocks, row-for-row
+    val expected = m(StateStore.loadResolved(spark, path)
+      .filter(StateStore.statePartCol(col("key")).isin(segs: _*)))
+    assert(m(pruned) == expected)
+    assert(m(pruned).keySet == Set("P1-1", "P1-2", "P1-70000", "P1-70001"))
+    assert(m(pruned)("P1-2")._2 == 2 && m(pruned)("P1-70001")._2 == 1)
+    // and the restriction reaches the SCAN as a partition filter — pruned
+    // I/O, not a row filter over a full-corpus read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("__seg"),
+      s"base scan must be partition-pruned:\n${plan.take(1500)}")
+    // compaction preserves the layout and the resolution
+    StateStore.compactDeltas(spark, path)
+    assert(segDirs().nonEmpty, "compacted base lost the partitioned layout")
+    val after = m(StateStore.load(spark, path))
+    assert(after.keySet.size == 6 && after("P1-2")._2 == 2)
+    // an empty touched set resolves to an empty frame with the full schema
+    assert(StateStore.loadResolvedPruned(spark, path, Nil).count() == 0)
+  }
+
+  test("shardSegCol is a bit-exact twin of Yaml.shardSeg across the admitted suffix range") {
+    import spark.implicits._
+    // 2^58-1 is the trap: not double-representable, it rounds UP to 2^58 so
+    // a double-division plan lands one range block high of the exact
+    // `suffix.toLong / 8192` the writer used — state would then point at a
+    // file path no file sits behind
+    val keys = Seq(
+      "P1-0", "P1-1", "P1-8191", "P1-8192", "P1-16383",
+      "P1-288230376151711743",            // 2^58-1: double rounds across the boundary
+      "P1-999999999999999999",            // 18 nines: max admitted numeric suffix
+      "P1-9007199254740993",              // 2^53+1: first non-representable long
+      "ABC-DEF", "NODASH", "P1-",         // md5 fallback cases
+      "P1-1234567890123456789")           // 19 digits: past the numeric gate → md5
+    val got = keys.toDF("key")
+      .select(col("key"), StateStore.shardSegCol(col("key")).as("seg"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    keys.foreach { k =>
+      assert(got(k) == graft.sink.Yaml.shardSeg(k),
+        s"$k: column=${got(k)} scala=${graft.sink.Yaml.shardSeg(k)}")
+    }
+  }
 }

@@ -93,6 +93,10 @@ def main(sf_dir, label):
         print(f"{results[name].upper().split(':')[0]} {name}")
 
     committed["results"].update(results)
+    # keep the headline counters in lockstep with the results map — the
+    # top-level "pass" is what the judge reads first
+    committed["pass"] = sum(1 for v in committed["results"].values() if v == "pass")
+    committed["total"] = len(committed["results"])
     committed.setdefault("delta_runs", []).append({
         "label": label, "scale_dir": sf_dir, "added": sorted(results)})
     json.dump(committed, open(SF1_FILE, "w"), indent=1)
