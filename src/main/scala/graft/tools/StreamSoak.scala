@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
   * the given path (committed as stream_soak_sfg1.json).
   *
   * Usage: runMain graft.tools.StreamSoak <sfgDir> <out.json> [slices]
+  *          [cadence=N] [sharded] [slice=range] [pstate] [skew=P1:0.9] [nogit]
   */
 object StreamSoak {
 
@@ -67,6 +68,21 @@ object StreamSoak {
     // (mod) interleaves every batch across the full key range, kept for
     // comparability with soak runs 1-6.
     val sliceRange = args.contains("slice=range")
+    // pstate: the partitioned state ledger + per-batch pruned reads
+    // (CdcStream partitionedState) — the state-side O(batch) lever
+    val pstate = args.contains("pstate")
+    // skew=P1:0.9 re-keys the corpus so the named project holds that
+    // fraction of all issues (dense re-numbered sequence; the remainder
+    // round-robins over synthetic cold projects). Real ingest is
+    // project-skewed, and this is the shape that stresses the range-block
+    // tail-append argument: nearly every batch hammers ONE project's tail
+    // block. Distinct-key count is preserved, so the state-rows gate is
+    // unchanged.
+    val skew = args.collectFirst {
+      case a if a.startsWith("skew=") =>
+        val Array(p, f) = a.stripPrefix("skew=").split(":")
+        (p, f.toDouble)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,8 +103,29 @@ object StreamSoak {
     else java.nio.file.Files.createTempDirectory("graft-soak")).toString
 
     // ---- leg 1: CDC replay ------------------------------------------------
-    val issues = graft.Tables.issues(spark, dir)
+    val issues0 = graft.Tables.issues(spark, dir)
       .select("key", "project_key", "summary", "updated")
+    val issues = skew match {
+      case None => issues0
+      case Some((hot, frac)) =>
+        // deterministic global rank → dense re-numbering (soak setup cost,
+        // one single-partition window over ~1.5M tiny rows, not a registry
+        // plan); first `frac` of rows become the hot project's contiguous
+        // sequence, the rest round-robin over 4 synthetic cold projects
+        val n = issues0.count()
+        val nHot = math.ceil(n * frac).toLong
+        val ranked = issues0.withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy("project_key", "key")).cast("long"))
+        val coldProj = concat(lit("C"), pmod(col("__r") - nHot - 1, lit(4L)) + 1)
+        val coldSuffix = // integer div: `/` would render fractional suffixes
+          call_function("div", col("__r") - nHot - 1, lit(4L)) + 1
+        ranked.select(
+          when(col("__r") <= nHot, concat(lit(hot), lit("-"), col("__r")))
+            .otherwise(concat(coldProj, lit("-"), coldSuffix)).as("key"),
+          when(col("__r") <= nHot, lit(hot)).otherwise(coldProj).as("project_key"),
+          col("summary"), col("updated"))
+    }
     val nIssues = issues.count()
     // one parquet file per slice, sliced on the key suffix so the replay is
     // deterministic; all files exist before the stream starts and
@@ -114,6 +151,7 @@ object StreamSoak {
     val cdcQuery = graft.streaming.CdcStream.start(
       srcStream, s"$work/repo", s"$work/state", s"$work/ckpt",
       commitToGit = withGit, commitEvery = cadence, sharded = sharded,
+      partitionedState = pstate,
       clock = () => java.sql.Timestamp.valueOf("2002-01-01 00:00:00"))
     val cdcCards =
       try { cdcQuery.processAllAvailable(); graft.streaming.Progress.card(cdcQuery) }
@@ -173,6 +211,7 @@ object StreamSoak {
     val json =
       s"""{"scale":"${new java.io.File(dir).getName}",
          |"cadence":$cadence,"sharded":$sharded,"slice":"${if (sliceRange) "range" else "mod"}",
+         |"pstate":$pstate,"skew":"${skew.map(s => s"${s._1}:${s._2}").getOrElse("none")}",
          |"cdc":{"batches":${cdcCards.size},"rows":$nIssues,
          |  "p95_batch_ms":$cdcP95,"max_batch_ms":${(0L +: cdcDur).max},
          |  "batch_ms":${arr(cdcDur)},

@@ -26,12 +26,23 @@ class DeploySpec extends AnyFunSuite {
 
   private lazy val crd: JsonNode = readDocs("deploy/crds/graftsync-crd.yaml").head
 
-  private lazy val schema: JsonNode = {
-    val versions = crd.path("spec").path("versions").elements().asScala.toSeq
+  private def schemaOf(crdNode: JsonNode): JsonNode = {
+    val versions = crdNode.path("spec").path("versions").elements().asScala.toSeq
     val v = versions.find(_.path("name").asText == "v1alpha1")
       .getOrElse(fail("CRD must serve v1alpha1"))
     v.path("schema").path("openAPIV3Schema")
   }
+
+  private lazy val schema: JsonNode = schemaOf(crd)
+
+  /** Every committed CRD, indexed by the kind it declares — examples are
+    * validated against the CRD matching THEIR kind.
+    */
+  private lazy val crdsByKind: Map[String, JsonNode] =
+    java.nio.file.Files.list(java.nio.file.Paths.get("deploy/crds"))
+      .iterator().asScala.toSeq.map(_.toString).filter(_.endsWith(".yaml"))
+      .map(readDocs(_).head)
+      .map(c => c.path("spec").path("names").path("kind").asText -> c).toMap
 
   // ---- a small openAPIV3Schema validator (the subset the CRD uses) --------
 
@@ -104,17 +115,20 @@ class DeploySpec extends AnyFunSuite {
     errs.result()
   }
 
-  private def validateManifest(doc: JsonNode): Seq[String] = {
+  private def validateAgainst(doc: JsonNode, crdNode: JsonNode): Seq[String] = {
     val errs = Seq.newBuilder[String]
-    val group = crd.path("spec").path("group").asText
-    val kind = crd.path("spec").path("names").path("kind").asText
+    val group = crdNode.path("spec").path("group").asText
+    val kind = crdNode.path("spec").path("names").path("kind").asText
     if (doc.path("apiVersion").asText != s"$group/v1alpha1")
       errs += s"apiVersion ${doc.path("apiVersion").asText} != $group/v1alpha1"
     if (doc.path("kind").asText != kind)
       errs += s"kind ${doc.path("kind").asText} != $kind"
-    errs ++= validate(doc, schema, "$")
+    errs ++= validate(doc, schemaOf(crdNode), "$")
     errs.result()
   }
+
+  private def validateManifest(doc: JsonNode): Seq[String] =
+    validateAgainst(doc, crd)
 
   // ---- contracts ------------------------------------------------------------
 
@@ -139,18 +153,64 @@ class DeploySpec extends AnyFunSuite {
       s"CRD phase enum $phases must cover the Reconciler's phase machine")
   }
 
-  test("every committed example validates against the CRD schema") {
+  test("operator CRD family: APIServer/Project/Schedule surfaces match the reference types") {
+    // GraftApiServer (reference apiserver-crd.yaml): required trio, phase
+    // machine enum covers ApiServerReconciler's phases, replicas bounded
+    val api = crdsByKind("GraftApiServer")
+    val apiSpec = schemaOf(api).path("properties").path("spec")
+    assert(apiSpec.path("required").elements().asScala.map(_.asText).toSet ==
+      Set("jiraCredentials", "image"))
+    val apiPhases = schemaOf(api).path("properties").path("status")
+      .path("properties").path("phase").path("enum")
+      .elements().asScala.map(_.asText).toSet
+    assert(apiPhases == Set("Pending", "Creating", "Running", "Failed", "Deleting"),
+      s"APIServer phase enum $apiPhases must cover the reconciler's machine")
+    assert(apiSpec.path("properties").path("replicas").path("maximum").asInt == 10)
+    // GraftProject (reference jiraproject-crd.yaml): schema-only parity
+    val proj = crdsByKind("GraftProject")
+    assert(schemaOf(proj).path("properties").path("spec").path("required")
+      .elements().asScala.map(_.asText).toSet ==
+      Set("projectKey", "jiraInstance", "destination"))
+    // GraftSchedule (reference syncschedule-crd.yaml): the syncTemplate.spec
+    // grammar is the GraftSync spec — same required trio and syncType enum
+    val sched = crdsByKind("GraftSchedule")
+    val tmpl = schemaOf(sched).path("properties").path("spec").path("properties")
+      .path("syncTemplate").path("properties").path("spec")
+    assert(tmpl.path("required").elements().asScala.map(_.asText).toSet ==
+      Set("syncType", "target", "destination"))
+    val schedEnum = tmpl.path("properties").path("syncType").path("enum")
+      .elements().asScala.map(_.asText).toSet
+    val syncEnum = schema.path("properties").path("spec").path("properties")
+      .path("syncType").path("enum").elements().asScala.map(_.asText).toSet
+    assert(schedEnum == syncEnum,
+      "GraftSchedule's template syncType enum drifted from GraftSync's")
+    // every CRD in the family shares the group and the graft category
+    crdsByKind.values.foreach { c =>
+      assert(c.path("spec").path("group").asText == "graft.dev")
+      assert(c.path("spec").path("names").path("categories")
+        .elements().asScala.map(_.asText).contains("graft"))
+    }
+  }
+
+  test("every committed example validates against its kind's CRD schema") {
     val files = java.nio.file.Files.list(java.nio.file.Paths.get("deploy/examples"))
       .iterator().asScala.toSeq.map(_.toString).filter(_.endsWith(".yaml"))
     assert(files.nonEmpty)
+    val kindsSeen = scala.collection.mutable.Set.empty[String]
     files.foreach { f =>
       val docs = readDocs(f)
       assert(docs.nonEmpty, s"$f holds no documents")
       docs.foreach { d =>
-        val errs = validateManifest(d)
-        assert(errs.isEmpty, s"$f invalid against CRD: ${errs.mkString("; ")}")
+        val kind = d.path("kind").asText
+        val crdFor = crdsByKind.getOrElse(kind, fail(s"$f: no CRD declares kind $kind"))
+        kindsSeen += kind
+        val errs = validateAgainst(d, crdFor)
+        assert(errs.isEmpty, s"$f invalid against $kind CRD: ${errs.mkString("; ")}")
       }
     }
+    // every declared CRD kind ships at least one validated example
+    assert(crdsByKind.keySet.subsetOf(kindsSeen.toSet),
+      s"CRDs without examples: ${crdsByKind.keySet -- kindsSeen}")
   }
 
   test("the operator ConfigMap's embedded resource is CRD-valid and reconciler-parseable") {
@@ -294,6 +354,45 @@ class DeploySpec extends AnyFunSuite {
     val sm = renderedChart(mon)("servicemonitor.yaml")
     assert(sm.nonEmpty && sm.head.path("kind").asText == "ServiceMonitor")
     assert(sm.head.path("spec").path("endpoints").get(0).path("port").asText == "http")
+    // the GraftApiServer bundle: default OFF (needs the out-of-band
+    // credentials secret); enabled it renders the CRD byte-identical to the
+    // kubectl one plus a CR that validates against it
+    assert(renderedChart(chartValues)("apiserver.yaml").isEmpty,
+      "apiserver bundle must default off")
+    val api = chartValues.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    api.path("apiServer").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("enabled", true)
+    val apiDocs = renderedChart(api)("apiserver.yaml")
+    assert(apiDocs.size == 2, s"expected CRD + CR, got ${apiDocs.size} docs")
+    val apiCrd = apiDocs.find(_.path("kind").asText == "CustomResourceDefinition").get
+    assert(apiCrd == crdsByKind("GraftApiServer"),
+      "chart apiserver.yaml CRD drifted from deploy/crds/graftapiserver-crd.yaml")
+    val apiCr = apiDocs.find(_.path("kind").asText == "GraftApiServer").get
+    val errs = validateAgainst(apiCr, crdsByKind("GraftApiServer"))
+    assert(errs.isEmpty, s"chart GraftApiServer CR invalid: ${errs.mkString("; ")}")
+  }
+
+  test("helm lint + template pass when a helm binary is available (env-gated)") {
+    // the in-process renderer above covers the deliberate template subset;
+    // a real helm binary covers everything else (metadata rules, yaml
+    // pitfalls). Same pattern as the live-JIRA test: run when the
+    // environment provides the tool, cancel (not pass) otherwise.
+    import scala.sys.process._
+    val helm = sys.env.getOrElse("GRAFT_HELM_BIN",
+      Process(Seq("sh", "-c", "command -v helm || true")).!!.trim)
+    if (helm.isEmpty) cancel("no helm binary on PATH (set GRAFT_HELM_BIN to force)")
+    val lintOut = new StringBuilder
+    val lint = Process(Seq(helm, "lint", "deploy/chart"))
+      .!(ProcessLogger(s => { lintOut ++= s; lintOut += '\n' }, s => { lintOut ++= s; lintOut += '\n' }))
+    assert(lint == 0, s"helm lint failed:\n$lintOut")
+    val tmplOut = new StringBuilder
+    val tmpl = Process(Seq(helm, "template", "graft", "deploy/chart",
+      "--set", "apiServer.enabled=true", "--set", "monitoring.serviceMonitor=true"))
+      .!(ProcessLogger(s => { tmplOut ++= s; tmplOut += '\n' }, _ => ()))
+    assert(tmpl == 0, "helm template failed")
+    val docs = yamlDocs(tmplOut.toString)
+    assert(docs.nonEmpty)
+    docs.foreach(d => assert(d.path("kind").isTextual, s"malformed rendered doc: $d"))
   }
 
   // ---- api-server kustomize bundle (deploy/api-server) ---------------------

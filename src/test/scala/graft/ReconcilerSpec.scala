@@ -111,6 +111,130 @@ class ReconcilerSpec extends AnyFunSuite {
     assert(rec.tick(ts("2002-01-01 00:10:00"), sleep = _ => ()).isEmpty)
   }
 
+  // ---- ApiServerReconciler (GraftApiServer) -------------------------------
+
+  private def apiManifest(yaml: String): com.fasterxml.jackson.databind.JsonNode = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.valueToTree(new org.yaml.snakeyaml.Yaml().load[Object](yaml))
+  }
+
+  private val apiYaml =
+    """apiVersion: graft.dev/v1alpha1
+      |kind: GraftApiServer
+      |metadata: {name: demo, namespace: ns1}
+      |spec:
+      |  jiraCredentials: {secretRef: {name: jira-creds}}
+      |  image: {repository: graft/api-server, tag: v1.0.0}
+      |  replicas: 2
+      |""".stripMargin
+
+  test("apiserver reconcile: create -> ready -> scale, with drift repair and delete") {
+    import graft.jobs.ApiServerReconciler
+    val cluster = new ApiServerReconciler.InMemoryCluster
+    val rec = new ApiServerReconciler(cluster)
+    val t0 = ts("2024-01-01 00:00:00")
+    // create: CR registered, first tick applies the trio and sits Creating
+    assert(rec.upsert(apiManifest(apiYaml), t0).phase == "Pending")
+    rec.tick(t0)
+    val st1 = rec.status("demo").get
+    assert(st1.phase == "Creating" && st1.endpoint.isEmpty)
+    assert(cluster.get("ConfigMap", "ns1", "demo-api-config").isDefined)
+    assert(cluster.get("Deployment", "ns1", "demo-api").isDefined)
+    assert(cluster.get("Service", "ns1", "demo-api").isDefined)
+    // the applied deployment carries the config-hash annotation and the
+    // CRD-default resources (apiserver_controller.go:44-57)
+    val dep = cluster.get("Deployment", "ns1", "demo-api").get
+    val tpl = dep.path("spec").path("template")
+    assert(tpl.path("metadata").path("annotations")
+      .path("graft.dev/config-hash").asText.nonEmpty)
+    assert(tpl.path("spec").path("containers").get(0).path("resources")
+      .path("requests").path("cpu").asText == "100m")
+    assert(dep.path("spec").path("replicas").asInt == 2)
+    // readiness reaches desired → Running + endpoint published
+    cluster.setReady("ns1", "demo-api", 2)
+    rec.tick(ts("2024-01-01 00:01:00"))
+    val st2 = rec.status("demo").get
+    assert(st2.phase == "Running" && st2.readyReplicas == 2)
+    assert(st2.endpoint.contains("http://demo-api.ns1.svc:80"))
+    assert(st2.conditions("Ready")._1 == "True")
+    assert(st2.conditions("ConfigurationSynced")._1 == "True")
+    // scale: spec update to 5 replicas → re-applied, Creating until ready
+    rec.upsert(apiManifest(apiYaml.replace("replicas: 2", "replicas: 5")),
+      ts("2024-01-01 00:02:00"))
+    rec.tick(ts("2024-01-01 00:02:00"))
+    assert(cluster.get("Deployment", "ns1", "demo-api").get
+      .path("spec").path("replicas").asInt == 5)
+    assert(rec.status("demo").get.phase == "Creating")
+    cluster.setReady("ns1", "demo-api", 5)
+    rec.tick(ts("2024-01-01 00:03:00"))
+    assert(rec.status("demo").get.phase == "Running")
+    // drift: mutate the stored deployment out-of-band → next tick repairs
+    // it and publishes ConfigurationSynced=False for that pass
+    val broken = dep.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    broken.path("spec").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("replicas", 1)
+    cluster.apply(broken)
+    rec.tick(ts("2024-01-01 00:04:00"))
+    assert(rec.status("demo").get.conditions("ConfigurationSynced")._1 == "False")
+    assert(cluster.get("Deployment", "ns1", "demo-api").get
+      .path("spec").path("replicas").asInt == 5, "drift must be repaired")
+    rec.tick(ts("2024-01-01 00:05:00"))
+    assert(rec.status("demo").get.conditions("ConfigurationSynced")._1 == "True")
+    // delete: owned trio removed with the CR (ownership cascade)
+    rec.delete("demo", ts("2024-01-01 00:06:00"))
+    assert(rec.status("demo").isEmpty)
+    assert(cluster.get("Deployment", "ns1", "demo-api").isEmpty)
+    assert(cluster.get("Service", "ns1", "demo-api").isEmpty)
+    assert(cluster.get("ConfigMap", "ns1", "demo-api-config").isEmpty)
+  }
+
+  test("apiserver reconcile: validation failures park the resource, not the loop") {
+    import graft.jobs.ApiServerReconciler
+    val cluster = new ApiServerReconciler.InMemoryCluster
+    val rec = new ApiServerReconciler(cluster)
+    val bad = apiManifest(apiYaml
+      .replace("replicas: 2", "replicas: 99")
+      .replace("name: jira-creds", "name: ''"))
+    val st = rec.upsert(bad, ts("2024-01-01 00:00:00"))
+    assert(st.phase == "Failed")
+    assert(st.lastError.exists(e => e.contains("replicas") && e.contains("secretRef")))
+    rec.tick(ts("2024-01-01 00:01:00"))
+    // nothing applied for the failed resource; a later good spec recovers it
+    assert(cluster.store.isEmpty)
+    rec.upsert(apiManifest(apiYaml), ts("2024-01-01 00:02:00"))
+    rec.tick(ts("2024-01-01 00:02:00"))
+    assert(rec.status("demo").get.phase == "Creating")
+  }
+
+  test("apiserver rendered manifests validate as the CRD example's shape") {
+    import graft.jobs.ApiServerReconciler
+    // the committed example parses with CRD defaults applied
+    val exampleDocs = new org.yaml.snakeyaml.Yaml().loadAll(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("deploy/examples/graftapiserver-example.yaml")), "UTF-8"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    val ex = exampleDocs.asScala.filter(_ != null)
+      .map(mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode]).head
+    val spec = ApiServerReconciler.parseSpec(ex)
+      .fold(e => fail(s"example must parse: $e"), identity)
+    assert(spec.image == "graft/api-server:v1.0.0" && spec.replicas == 2)
+    assert(spec.servicePort == 80 && spec.port == 8080)
+    // defaults arc: a minimal spec gets the reference controller's defaults
+    val minimal = ApiServerReconciler.parseSpec(apiManifest(apiYaml
+      .replace("  replicas: 2\n", ""))).toOption.get
+    assert(minimal.replicas == ApiServerReconciler.DefaultReplicas)
+    assert(minimal.requests == ApiServerReconciler.DefaultRequests)
+    // the rendered configmap data is the env contract the server reads
+    val cm = ApiServerReconciler.configMapData(spec)
+    assert(cm("API_PORT") == "8080" && cm("ENABLE_JOBS") == "true")
+    assert(cm("JOB_IMAGE") == "graft/sync-job:v1.0.0")
+    // config change → different hash → pod-template annotation rolls
+    val h1 = ApiServerReconciler.configHash(spec)
+    val h2 = ApiServerReconciler.configHash(spec.copy(logLevel = "DEBUG"))
+    assert(h1 != h2)
+  }
+
   test("success resets the retry budget; one-shots rest in Completed") {
     val (rec, _) = mkReconciler("oneshot")
     rec.apply(SyncResource("once", jqlSpec("project = P1")),

@@ -1182,6 +1182,63 @@ class StreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("partitionedState stream == full-read stream: state, YAML corpus, git history") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // identical 3-batch replay (insert across two range blocks, update, new
+    // key) through both state-read plans; every observable — resolved state
+    // rows, YAML file set, commit count — must be identical, and the pruned
+    // run's ledger must be physically partitioned
+    def run(partitioned: Boolean): (String, Map[String, (Timestamp, Int)], Seq[String], Int) = {
+      val work = Files.createTempDirectory(s"graft-pstream-$partitioned").toString
+      val clockTimes = Iterator(ts("2024-01-15 00:00:00"),
+        ts("2024-02-15 00:00:00"), ts("2024-03-15 00:00:00"))
+      val mem = MemoryStream[(String, String, String, Timestamp)]
+      val query = CdcStream.start(
+        mem.toDF().toDF("key", "project_key", "summary", "updated"),
+        s"$work/repo", s"$work/state", s"$work/ckpt",
+        sharded = true, partitionedState = partitioned,
+        clock = () => clockTimes.next())
+      try {
+        mem.addData(("P1-1", "P1", "v1", ts("2024-01-01 00:00:00")),
+          ("P1-70000", "P1", "v1", ts("2024-01-01 00:00:00")))
+        query.processAllAvailable()
+        mem.addData(("P1-1", "P1", "v2", ts("2024-02-01 00:00:00")))
+        query.processAllAvailable()
+        mem.addData(("P2-9", "P2", "v1", ts("2024-03-01 00:00:00")))
+        query.processAllAvailable()
+      } finally query.stop()
+      val state = StateStore.loadResolved(spark, s"$work/state")
+        .collect().map(r => r.getAs[String]("key") ->
+          (r.getAs[Timestamp]("last_updated"), r.getAs[Int]("sync_count"))).toMap
+      val files = {
+        val root = java.nio.file.Paths.get(work, "repo")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala
+          .filter(p => p.toString.endsWith(".yaml"))
+          .map(p => root.relativize(p).toString).toSeq.sorted
+      }
+      (work, state, files, GitRepo.log(s"$work/repo").length)
+    }
+    val (workP, stateP, filesP, commitsP) = run(partitioned = true)
+    val (_, stateF, filesF, commitsF) = run(partitioned = false)
+    assert(stateP == stateF, "resolved state diverged between read plans")
+    assert(stateP("P1-1")._2 == 2 && stateP.size == 3)
+    assert(filesP == filesF && filesP.size == 3, s"YAML corpus diverged: $filesP vs $filesF")
+    assert(commitsP == commitsF && commitsP == 3)
+    // the pruned run's ledger really is partitioned on disk (base exists
+    // once a compaction or conversion ran; here conversion ran at start
+    // only if a base existed — so check marker + post-compaction layout)
+    assert(StateStore.isPartitionedBase(spark, s"$workP/state"))
+    StateStore.compactDeltas(spark, s"$workP/state")
+    val segDirs = new java.io.File(s"$workP/state").listFiles().toSeq
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__seg="))
+    assert(segDirs.nonEmpty, "compacted pruned ledger must be physically partitioned")
+    assert(StateStore.loadResolved(spark, s"$workP/state")
+      .collect().map(r => r.getAs[String]("key") ->
+        (r.getAs[Timestamp]("last_updated"), r.getAs[Int]("sync_count"))).toMap == stateF)
+  }
+
   test("progress card: per-batch rows/latency/state telemetry with pinned bounds") {
     import spark.implicits._
     import graft.streaming.Progress
