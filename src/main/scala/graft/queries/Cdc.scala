@@ -498,6 +498,86 @@ object Cdc {
       .orderBy("project_key", "island_start")
   }
 
+  /** Round-14 partitioned-ledger operator (S13 extension): a REAL on-disk
+    * state ledger in the partitioned-base layout — base saved under
+    * `__seg=` range-block dirs, one delta appended — read back through
+    * [[StateStore.loadResolvedPruned]] restricted to the delta's touched
+    * blocks. The oracle recomputes the identical restricted resolution in
+    * SQL, so the card proves BOTH that the physical layout is invisible
+    * (values survive the partitioned write/read round-trip) and that
+    * block-restricted resolution equals the definitional
+    * latest-per-key-within-touched-blocks. Key suffixes are scaled ×40 so
+    * the ledger spans many 65536-blocks at every sf (raw sf0.01 suffixes
+    * would all land in block 0 and the restriction would be vacuous).
+    */
+  private val scaleKeySpark =
+    "concat(project_key, '-', cast(cast(element_at(split(key, '-'), 2) as bigint) * 40 as string))"
+  private val scaleKeySql =
+    "project_key || '-' || CAST(string_split(key, '-')[2]::BIGINT * 40 AS VARCHAR)"
+
+  private val prunedResolve = q("cdc_state_pruned_resolve",
+    Oracle.withIssues(
+      s""", $incomingCte,
+         |s0 AS (SELECT * REPLACE ($scaleKeySql AS key)
+         |  FROM issues WHERE project_key = 'P1'),
+         |i0 AS (SELECT * REPLACE ($scaleKeySql AS key)
+         |  FROM incoming WHERE project_key = 'P1'),
+         |base AS (${stateSql(s"s0 WHERE updated <= TIMESTAMP '$W'", W)}),
+         |fresh AS (
+         |  SELECT i.* FROM i0 i LEFT JOIN base s ON s.key = i.key
+         |  WHERE s.key IS NULL OR i.updated > s.last_synced),
+         |batch AS (${stateSql("fresh", W2)}),
+         |delta AS (
+         |  SELECT b.key,
+         |    CASE WHEN s.key IS NULL OR b.last_updated > s.last_updated
+         |      THEN b.project_key ELSE s.project_key END AS project_key,
+         |    CASE WHEN s.key IS NULL OR b.last_updated > s.last_updated
+         |      THEN b.last_synced ELSE s.last_synced END AS last_synced,
+         |    CASE WHEN s.key IS NULL OR b.last_updated > s.last_updated
+         |      THEN b.last_updated ELSE s.last_updated END AS last_updated,
+         |    CASE WHEN s.key IS NULL OR b.last_updated > s.last_updated
+         |      THEN b.checksum ELSE s.checksum END AS checksum,
+         |    CASE WHEN s.key IS NULL THEN 1
+         |      WHEN b.last_updated > s.last_updated THEN s.sync_count + 1
+         |      ELSE s.sync_count END AS sync_count
+         |  FROM batch b LEFT JOIN base s ON s.key = b.key),
+         |blk AS (SELECT DISTINCT string_split(key, '-')[2]::BIGINT
+         |    // ${StateStore.StatePartBlock} AS b FROM delta),
+         |unioned AS (
+         |  SELECT key, project_key, last_synced, last_updated, checksum, sync_count
+         |  FROM base
+         |  UNION ALL
+         |  SELECT key, project_key, last_synced, last_updated, checksum, sync_count
+         |  FROM delta),
+         |resolved AS (
+         |  SELECT *, row_number() OVER (PARTITION BY key
+         |    ORDER BY last_updated DESC, sync_count DESC, last_synced DESC) AS rn
+         |  FROM unioned
+         |  WHERE string_split(key, '-')[2]::BIGINT // ${StateStore.StatePartBlock}
+         |    IN (SELECT b FROM blk))
+         |SELECT key, project_key, last_synced, last_updated, checksum, sync_count
+         |FROM resolved WHERE rn = 1 ORDER BY key""".stripMargin)) { (s, dir) =>
+    val first = Tables.issues(s, dir).filter(col("project_key") === "P1")
+      .withColumn("key", expr(scaleKeySpark))
+    val inc = incoming(s, dir).filter(col("project_key") === "P1")
+      .withColumn("key", expr(scaleKeySpark))
+    val base = StateStore.fromIssues(first.filter(col("updated") <= lit(W)), W)
+    val fresh = StateStore.changedIssues(inc, base).drop("change_type")
+    val batch = StateStore.fromIssues(fresh, W2)
+    val touched = base.join(batch.select("key"), Seq("key"), "left_semi")
+    val delta = StateStore.merge(touched, batch)
+    val path = graft.Caches.scratchDir("pstate-card").toString + "/state"
+    StateStore.setPartitionedBase(s, path)
+    StateStore.save(base, path)
+    StateStore.appendDelta(delta, path)
+    StateStore.loadResolvedPruned(s, path,
+        StateStore.touchedSegs(delta.select("key")))
+      .select("key", "project_key", "last_synced", "last_updated", "checksum",
+        "sync_count")
+      .orderBy("key")
+  }
+
   val all: Seq[GQuery] = Seq(changed, upsert, stats, enrich, stateful, history,
-    validate, scd2, scd2Enrich, staleness, islands, statusHistoryQ)
+    validate, scd2, scd2Enrich, staleness, islands, statusHistoryQ,
+    prunedResolve)
 }
