@@ -352,6 +352,54 @@ object Cli {
           case other =>
             Console.err.println(s"unknown profile subcommand: $other\n$usage"); 2
         }
+      case "render" =>
+        // the no-client-go operator story completed: parse GraftApiServer
+        // CRs, render the managed ConfigMap/Deployment/Service trio
+        // (jobs/ApiServerReconciler — the same manifests the reconcile loop
+        // applies), and write them as kubectl-appliable YAML. A CI pipeline
+        // gets drift-free manifests from the CR without a controller in the
+        // cluster.
+        val missing = Seq("resources", "out").filterNot(kv.contains)
+        if (missing.nonEmpty) {
+          Console.err.println(s"render requires ${missing.map("--" + _).mkString(", ")}")
+          return 2
+        }
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        import scala.jdk.CollectionConverters._
+        val docs = new org.yaml.snakeyaml.Yaml()
+          .loadAll(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(kv("resources"))), "UTF-8"))
+          .asScala.toSeq.filter(_ != null)
+          .map(mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode])
+          .filter(_.path("kind").asText == "GraftApiServer")
+        if (docs.isEmpty) {
+          Console.err.println("no GraftApiServer documents in --resources"); return 1
+        }
+        val outDir = java.nio.file.Paths.get(kv("out"))
+        java.nio.file.Files.createDirectories(outDir)
+        var bad = 0
+        docs.foreach { d =>
+          jobs.ApiServerReconciler.parseSpec(d) match {
+            case Left(errs) =>
+              Console.err.println(s"invalid ${d.path("metadata").path("name").asText}: " +
+                errs.mkString("; "))
+              bad += 1
+            case Right(spec) =>
+              val opts = new org.yaml.snakeyaml.DumperOptions()
+              opts.setDefaultFlowStyle(
+                org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+              val yaml = new org.yaml.snakeyaml.Yaml(opts)
+              jobs.ApiServerReconciler.desired(spec).foreach { m =>
+                val kind = m.path("kind").asText.toLowerCase
+                val name = m.path("metadata").path("name").asText
+                val obj = mapper.convertValue(m, classOf[java.util.Map[String, Object]])
+                java.nio.file.Files.writeString(
+                  outDir.resolve(s"$name-$kind.yaml"), yaml.dump(obj))
+                println(s"rendered $name-$kind.yaml")
+              }
+          }
+        }
+        if (bad > 0) 1 else 0
       case other =>
         Console.err.println(s"unknown command: $other\n$usage"); 2
     }
@@ -539,6 +587,9 @@ object Cli {
       |  validate --jql <query>
       |  reconcile --source <sfDir> --repo <dir> --state <path>
       |           --resources <file.json> [--ticks N] [--step-ms MS]
+      |  render   --resources <graftapiserver.yaml> --out <dir>
+      |           (writes the CR's managed ConfigMap/Deployment/Service
+      |            as kubectl-appliable YAML)
       |  serve    --source <sfDir> --repo <dir> --state <path>
       |           [--host 127.0.0.1] [--port 8080] [--rate-limit N]
       |           [--auth-token T] [--reconcile <resources.json>]

@@ -142,6 +142,32 @@ class CliSpec extends AnyFunSuite {
       .foreach(p => assert(crdText.contains(p), s"CRD missing phase $p"))
   }
 
+  test("render: GraftApiServer CR -> kubectl-appliable trio; invalid spec exits 1") {
+    val out = java.nio.file.Files.createTempDirectory("graft-render").toString
+    val rc = Cli.run(Array("render",
+      "--resources", "deploy/examples/graftapiserver-example.yaml",
+      "--out", out))
+    assert(rc == 0)
+    val files = new java.io.File(out).list().toSet
+    assert(files == Set("graft-api-api-config-configmap.yaml",
+      "graft-api-api-deployment.yaml", "graft-api-api-service.yaml"),
+      s"rendered: $files")
+    // the rendered deployment round-trips as YAML and carries the CR's image
+    val dep = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out, "graft-api-api-deployment.yaml")))
+    assert(dep.get("kind") == "Deployment")
+    assert(dep.toString.contains("graft/api-server:v1.0.0"))
+    // a spec violating the CRD bounds fails the command, not silently renders
+    val bad = java.nio.file.Files.createTempFile("graft-badcr", ".yaml")
+    java.nio.file.Files.writeString(bad,
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "deploy/examples/graftapiserver-example.yaml"))
+        .replace("replicas: 2", "replicas: 99"))
+    assert(Cli.run(Array("render", "--resources", bad.toString, "--out", out)) == 1)
+    assert(Cli.run(Array("render", "--out", out)) == 2) // missing --resources
+  }
+
   test("validate: good JQL exits 0, bad JQL 1, missing args 2") {
     assert(Cli.run(Array("validate", "--jql", "project = P1 ORDER BY key ASC")) == 0)
     assert(Cli.run(Array("validate", "--jql", "project = ")) == 1)
