@@ -287,29 +287,34 @@ final class ApiServerReconciler(cluster: ApiServerReconciler.Cluster) {
       endpoint: Option[String],
       lastError: Option[String])
 
+  // keyed by namespace/name — the reference reconciles by NamespacedName,
+  // so same-named CRs in two namespaces are distinct resources
   private val resources = TrieMap.empty[String, (JsonNode, Status)]
+
+  private def keyOf(manifest: JsonNode): String =
+    manifest.path("metadata").path("namespace").asText("default") + "/" +
+      manifest.path("metadata").path("name").asText("(unnamed)")
 
   /** Register or update a CR manifest (create/update event). Parse errors
     * fail the RESOURCE (phase Failed + ValidationFailed condition), not the
     * loop.
     */
   def upsert(manifest: JsonNode, now: Timestamp): Status = {
-    val name = manifest.path("metadata").path("name").asText("(unnamed)")
     val st = parseSpec(manifest) match {
       case Right(spec) => Status(Some(spec), "Pending", Map.empty, 0, None, None)
       case Left(errs) => Status(None, "Failed",
         Map("ValidationFailed" -> (("True", errs.mkString("; "), now))),
         0, None, Some(errs.mkString("; ")))
     }
-    resources.put(name, (manifest, st))
+    resources.put(keyOf(manifest), (manifest, st))
     st
   }
 
   /** Deletion event: phase Deleting, owned trio removed (the ownership
     * cascade, reference handleDeletion :218-241), then the CR is gone.
     */
-  def delete(name: String, now: Timestamp): Unit = {
-    resources.remove(name).foreach { case (_, st) =>
+  def delete(name: String, now: Timestamp, namespace: String = "default"): Unit = {
+    resources.remove(s"$namespace/$name").foreach { case (_, st) =>
       st.spec.foreach { s =>
         cluster.delete("Deployment", s.namespace, s.deploymentName)
         cluster.delete("Service", s.namespace, s.serviceName)
@@ -318,7 +323,8 @@ final class ApiServerReconciler(cluster: ApiServerReconciler.Cluster) {
     }
   }
 
-  def status(name: String): Option[Status] = resources.get(name).map(_._2)
+  def status(name: String, namespace: String = "default"): Option[Status] =
+    resources.get(s"$namespace/$name").map(_._2)
 
   /** One reconcile pass at `now` over every registered resource:
     * render desired state, detect + repair drift, fold observed readiness

@@ -106,6 +106,15 @@ object StateScale {
     println(f"[state-scale] pruned(${segs.size} blocks, $prunedRows rows)=" +
       f"$tPruned%.2fs vs full=$tFull%.1fs")
 
+    // partition-incremental compaction: the 3 pending deltas touch block 0
+    // only, so the fold should rewrite ONE of the ~200 block dirs — the
+    // whole-table yardstick is the base generation write (gen_sec)
+    t0 = System.nanoTime()
+    StateStore.compactDeltas(spark, statePath)
+    val tCompact = (System.nanoTime() - t0) / 1e9
+    println(f"[state-scale] incremental compaction=$tCompact%.2fs " +
+      f"(whole-table write yardstick=$gen%.1fs)")
+
     def f2(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val json =
       s"""{"rows":$rows,"base_bytes":$baseBytes,"gen_sec":${f2(gen)},""" +
@@ -114,7 +123,8 @@ object StateScale {
       s""""auto_picked_split":$autoSplit,"always_picked_split":$alwaysSplit,""" +
       s""""convert_sec":${f2(convert)},"pruned_blocks":${segs.size},""" +
       s""""pruned_rows":$prunedRows,"pruned_sec":${f2(tPruned)},""" +
-      s""""full_resolve_after_convert_sec":${f2(tFull)}}"""
+      s""""full_resolve_after_convert_sec":${f2(tFull)},""" +
+      s""""compact_incremental_sec":${f2(tCompact)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()

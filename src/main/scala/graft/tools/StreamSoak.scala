@@ -143,6 +143,23 @@ object StreamSoak {
       sliced.filter(col("__s") === i).drop("__s").coalesce(1)
         .write.mode("append").parquet(srcDir)
     }
+    // updates=N: after the bulk replay, N micro-batches RE-SEND slice 0's
+    // rows — the steady-state shape (sparse re-syncs over an existing
+    // corpus) that the bulk phase never reaches: every bulk batch is
+    // all-new keys, so each compaction window touches ~40% of the state
+    // blocks and the incremental-compaction gate correctly stays on the
+    // full rewrite; the update phase touches only slice 0's blocks, which
+    // is where partition-incremental compaction and pruned reads show
+    // their steady-state cost. Files are written LAST so the file-source
+    // replays them after the bulk (mtime order).
+    val updates = args.collectFirst {
+      case a if a.startsWith("updates=") => a.stripPrefix("updates=").toInt
+    }.getOrElse(0)
+    (0 until updates).foreach { _ =>
+      Thread.sleep(1100) // distinct mtimes keep the replay order stable
+      sliced.filter(col("__s") === 0).drop("__s").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
     val srcStream = spark.readStream
       .schema(issues.schema)
       .option("maxFilesPerTrigger", "1")
@@ -212,6 +229,7 @@ object StreamSoak {
       s"""{"scale":"${new java.io.File(dir).getName}",
          |"cadence":$cadence,"sharded":$sharded,"slice":"${if (sliceRange) "range" else "mod"}",
          |"pstate":$pstate,"skew":"${skew.map(s => s"${s._1}:${s._2}").getOrElse("none")}",
+         |"update_batches":$updates,
          |"cdc":{"batches":${cdcCards.size},"rows":$nIssues,
          |  "p95_batch_ms":$cdcP95,"max_batch_ms":${(0L +: cdcDur).max},
          |  "batch_ms":${arr(cdcDur)},

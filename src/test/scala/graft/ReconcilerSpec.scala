@@ -136,7 +136,7 @@ class ReconcilerSpec extends AnyFunSuite {
     // create: CR registered, first tick applies the trio and sits Creating
     assert(rec.upsert(apiManifest(apiYaml), t0).phase == "Pending")
     rec.tick(t0)
-    val st1 = rec.status("demo").get
+    val st1 = rec.status("demo", "ns1").get
     assert(st1.phase == "Creating" && st1.endpoint.isEmpty)
     assert(cluster.get("ConfigMap", "ns1", "demo-api-config").isDefined)
     assert(cluster.get("Deployment", "ns1", "demo-api").isDefined)
@@ -153,7 +153,7 @@ class ReconcilerSpec extends AnyFunSuite {
     // readiness reaches desired → Running + endpoint published
     cluster.setReady("ns1", "demo-api", 2)
     rec.tick(ts("2024-01-01 00:01:00"))
-    val st2 = rec.status("demo").get
+    val st2 = rec.status("demo", "ns1").get
     assert(st2.phase == "Running" && st2.readyReplicas == 2)
     assert(st2.endpoint.contains("http://demo-api.ns1.svc:80"))
     assert(st2.conditions("Ready")._1 == "True")
@@ -164,10 +164,10 @@ class ReconcilerSpec extends AnyFunSuite {
     rec.tick(ts("2024-01-01 00:02:00"))
     assert(cluster.get("Deployment", "ns1", "demo-api").get
       .path("spec").path("replicas").asInt == 5)
-    assert(rec.status("demo").get.phase == "Creating")
+    assert(rec.status("demo", "ns1").get.phase == "Creating")
     cluster.setReady("ns1", "demo-api", 5)
     rec.tick(ts("2024-01-01 00:03:00"))
-    assert(rec.status("demo").get.phase == "Running")
+    assert(rec.status("demo", "ns1").get.phase == "Running")
     // drift: mutate the stored deployment out-of-band → next tick repairs
     // it and publishes ConfigurationSynced=False for that pass
     val broken = dep.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
@@ -175,14 +175,14 @@ class ReconcilerSpec extends AnyFunSuite {
       .put("replicas", 1)
     cluster.apply(broken)
     rec.tick(ts("2024-01-01 00:04:00"))
-    assert(rec.status("demo").get.conditions("ConfigurationSynced")._1 == "False")
+    assert(rec.status("demo", "ns1").get.conditions("ConfigurationSynced")._1 == "False")
     assert(cluster.get("Deployment", "ns1", "demo-api").get
       .path("spec").path("replicas").asInt == 5, "drift must be repaired")
     rec.tick(ts("2024-01-01 00:05:00"))
-    assert(rec.status("demo").get.conditions("ConfigurationSynced")._1 == "True")
+    assert(rec.status("demo", "ns1").get.conditions("ConfigurationSynced")._1 == "True")
     // delete: owned trio removed with the CR (ownership cascade)
-    rec.delete("demo", ts("2024-01-01 00:06:00"))
-    assert(rec.status("demo").isEmpty)
+    rec.delete("demo", ts("2024-01-01 00:06:00"), "ns1")
+    assert(rec.status("demo", "ns1").isEmpty)
     assert(cluster.get("Deployment", "ns1", "demo-api").isEmpty)
     assert(cluster.get("Service", "ns1", "demo-api").isEmpty)
     assert(cluster.get("ConfigMap", "ns1", "demo-api-config").isEmpty)
@@ -203,7 +203,7 @@ class ReconcilerSpec extends AnyFunSuite {
     assert(cluster.store.isEmpty)
     rec.upsert(apiManifest(apiYaml), ts("2024-01-01 00:02:00"))
     rec.tick(ts("2024-01-01 00:02:00"))
-    assert(rec.status("demo").get.phase == "Creating")
+    assert(rec.status("demo", "ns1").get.phase == "Creating")
   }
 
   test("apiserver rendered manifests validate as the CRD example's shape") {

@@ -392,6 +392,115 @@ class StateSpec extends AnyFunSuite {
     assert(StateStore.loadResolvedPruned(spark, path, Nil).count() == 0)
   }
 
+  // nine-block partitioned ledger + a delta touching blocks 0 (update) and
+  // 1 (insert) — the fixture for the incremental-compaction tests
+  private def nineBlockLedger(): (String, Seq[String]) = {
+    val dir = Files.createTempDirectory("graft-icompact").toString
+    val path = s"$dir/state"
+    StateStore.setPartitionedBase(spark, path)
+    val suffixes = Seq(5, 70000, 140000, 200000, 270000, 330000, 400000,
+      460000, 530000)
+    StateStore.save(StateStore.fromIssues(batchDf(
+      suffixes.map(n => (s"P1-$n", "P1", s"v$n", "2024-01-01 00:00:00"))),
+      ts("2024-01-02 00:00:00")), path)
+    val d = StateStore.fromIssues(batchDf(Seq(
+      ("P1-5", "P1", "v5b", "2024-02-01 00:00:00"),
+      ("P1-70001", "P1", "new", "2024-02-01 00:00:00"))),
+      ts("2024-02-02 00:00:00"))
+    StateStore.appendDelta(StateStore.merge(
+      StateStore.loadResolved(spark, path)
+        .join(d.select("key"), Seq("key"), "left_semi"), d), path)
+    (path, StateStore.touchedSegs(d.select("key")))
+  }
+
+  private def resolvedMap(path: String) =
+    StateStore.loadResolved(spark, path).collect().map(r =>
+      r.getAs[String]("key") -> (r.getAs[Timestamp]("last_updated"),
+        r.getAs[Int]("sync_count"))).toMap
+
+  test("incremental compaction rewrites ONLY the touched blocks") {
+    val (path, segs) = nineBlockLedger()
+    assert(segs.toSet == Set("00000", "00001"))
+    def blockFiles(seg: String) = {
+      val f = new java.io.File(s"$path/__seg=$seg")
+      if (!f.exists()) Map.empty[String, Long]
+      else f.listFiles().map(x => x.getName -> x.lastModified()).toMap
+    }
+    val untouchedBefore = (2 to 8).map(i => f"$i%05d").map(s => s -> blockFiles(s))
+    val expected = resolvedMap(path) // fold is idempotent: pre == post values
+    StateStore.compactDeltas(spark, path)
+    // deltas folded, scratch cleaned, untouched block dirs bit-untouched
+    assert(StateStore.deltaCount(spark, path) == 0)
+    assert(!new java.io.File(path + "__ctmp").exists())
+    assert(!new java.io.File(path + "__cold").exists())
+    untouchedBefore.foreach { case (s, before) =>
+      assert(blockFiles(s) == before, s"untouched block $s was rewritten")
+    }
+    // and the incremental fold equals the definitional resolution
+    val after = resolvedMap(path)
+    assert(after == expected)
+    assert(after("P1-5")._2 == 2 && after("P1-70001")._2 == 1 && after.size == 10)
+    // a wide backlog (touched >= 1/4 of blocks) falls back to the FULL
+    // rewrite: two-block ledger, both touched
+    val dir2 = Files.createTempDirectory("graft-icompact2").toString
+    val path2 = s"$dir2/state"
+    StateStore.setPartitionedBase(spark, path2)
+    StateStore.save(StateStore.fromIssues(batchDf(Seq(
+      ("P1-1", "P1", "a", "2024-01-01 00:00:00"),
+      ("P1-70000", "P1", "b", "2024-01-01 00:00:00"))),
+      ts("2024-01-02 00:00:00")), path2)
+    val d2 = StateStore.fromIssues(batchDf(Seq(
+      ("P1-1", "P1", "a2", "2024-02-01 00:00:00"),
+      ("P1-70000", "P1", "b2", "2024-02-01 00:00:00"))),
+      ts("2024-02-02 00:00:00"))
+    StateStore.appendDelta(StateStore.merge(
+      StateStore.loadResolved(spark, path2)
+        .join(d2.select("key"), Seq("key"), "left_semi"), d2), path2)
+    StateStore.compactDeltas(spark, path2)
+    assert(StateStore.deltaCount(spark, path2) == 0)
+    assert(new java.io.File(path2 + "__bak").exists(),
+      "wide backlog must take the whole-table save protocol")
+    assert(resolvedMap(path2)("P1-1")._2 == 2)
+  }
+
+  test("interrupted incremental compaction heals at the next read, every window") {
+    val (path, segs) = nineBlockLedger()
+    val expected = resolvedMap(path)
+    def deltas() = StateStore.deltaDirs(spark, path)
+    // A: the one unsafe window — block renamed OUT, not yet in. The block
+    // dir is genuinely absent until recovery rolls the new content forward.
+    intercept[StateStore.InjectedCrash] {
+      StateStore.compactTouched(spark, path, segs, deltas(),
+        Some(StateStore.AfterOut(0)))
+    }
+    assert(!new java.io.File(s"$path/__seg=00000").exists(),
+      "the crash must leave the unsafe state this test is about")
+    assert(resolvedMap(path) == expected, "read-time recovery must roll forward")
+    assert(new java.io.File(s"$path/__seg=00000").exists())
+    assert(!new java.io.File(path + "__cold").exists() &&
+      !new java.io.File(path + "__ctmp").exists())
+    assert(StateStore.deltaCount(spark, path) == 1, "deltas survive until folded")
+    // B: crash between swaps — block 0 new, block 1 still old
+    intercept[StateStore.InjectedCrash] {
+      StateStore.compactTouched(spark, path, segs, deltas(),
+        Some(StateStore.AfterSwap(0)))
+    }
+    assert(resolvedMap(path) == expected)
+    assert(StateStore.deltaCount(spark, path) == 1)
+    // C: crash after delta deletion, scratch left behind
+    intercept[StateStore.InjectedCrash] {
+      StateStore.compactTouched(spark, path, segs, deltas(),
+        Some(StateStore.AfterDeltas))
+    }
+    assert(StateStore.deltaCount(spark, path) == 0)
+    assert(resolvedMap(path) == expected)
+    assert(!new java.io.File(path + "__cold").exists() &&
+      !new java.io.File(path + "__ctmp").exists())
+    // and a rerun compaction on the healed ledger is a clean no-op
+    StateStore.compactDeltas(spark, path)
+    assert(resolvedMap(path) == expected)
+  }
+
   test("shardSegCol is a bit-exact twin of Yaml.shardSeg across the admitted suffix range") {
     import spark.implicits._
     // 2^58-1 is the trap: not double-representable, it rounds UP to 2^58 so
