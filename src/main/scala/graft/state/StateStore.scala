@@ -262,9 +262,10 @@ object StateStore {
   // the accumulated state was re-written every batch. The streaming path
   // instead APPENDS a delta of just the touched keys (atomic dir rename, the
   // same commit primitive) and folds deltas into the base every
-  // [[CompactEvery]] commits — LSM shape: per-batch cost is O(batch) plus an
-  // amortized 1/CompactEvery share of the base rewrite, never the whole
-  // table per batch. Readers resolve latest-per-key across base + deltas;
+  // [[CompactEvery]] commits — LSM shape: per-batch cost is O(batch) plus
+  // the amortized compaction share, which on a partitioned base is itself
+  // O(touched blocks) (partition-incremental fold), never the whole table
+  // per batch. Readers resolve latest-per-key across base + deltas;
   // re-applying an already-compacted delta is a no-op (rows identical), so a
   // crash between base promotion and delta cleanup stays correct.
 

@@ -50,8 +50,10 @@ object CdcStream {
     *               O(batch): the last O(corpus) term in the steady-state
     *               streaming path. Off by default only for layout stability
     *               of existing ledgers; it is THE setting for a long-running
-    *               stream. Compactions still rewrite the full base (that is
-    *               the amortized 1/CompactEvery share, unchanged).
+    *               stream. Compaction is partition-incremental on this
+    *               layout too (only delta-touched blocks rewrite, with a
+    *               wide-backlog fallback), so read, commit, AND compaction
+    *               are all O(batch) in the steady state.
     * @param commitEvery git-commit cadence in micro-batches (default 1 =
     *               every batch). Any commit touching a flat directory of N
     *               files must serialize an O(N) tree object — git's floor,
