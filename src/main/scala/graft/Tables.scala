@@ -17,6 +17,33 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Fan a narrow frame out to the session's parallelism when its scan
+    * planned markedly fewer partitions. A small single-row-group parquet
+    * file plans ONE scan task, and every CPU-heavy map above it (text
+    * normalization, shingling, signature folds) then runs single-threaded —
+    * measured as multi-second one-task stages in the round-14 profiles.
+    * SIZE-GATED, not assumed: when the scan already parallelizes (a real
+    * corpus is thousands of splits), this is the identity and nothing extra
+    * moves at scale — only an under-parallel scan pays one small round-robin
+    * exchange to unlock the cores. The partition count is pinned to the
+    * session's shuffle-partition setting so AQE cannot re-coalesce a
+    * deliberately CPU-parallel exchange (conf-driven, scale-adaptive —
+    * guide §2.5/§6). Row order is not semantics anywhere in the registry
+    * (every query's output is aggregated or totally ordered; the DuckDB
+    * oracle computes in its own order), so the round-robin is
+    * result-invisible; Spark's sort-before-repartition keeps the
+    * row-to-partition assignment deterministic under retries.
+    */
+  def fanOut(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    // hash-partition on a provided uniform key, NOT round-robin: a keyless
+    // repartition first pays a local sort of its input (sort-before-
+    // repartition, needed for deterministic retries) — hash partitioning is
+    // deterministic per row with no sort, so the only cost is the exchange
+    if (df.rdd.getNumPartitions * 4 < target) df.repartition(target, key)
+    else df
+  }
+
   /** The events table's `ts` physical type has varied across testdata
     * generations (TIMESTAMP(NANOS) read as long under
     * `spark.sql.legacy.parquet.nanosAsLong=true`, later TIMESTAMP(MICROS)

@@ -44,10 +44,12 @@ object Clustering {
   private def quantize(c: Column): Column =
     transform(c, x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))
 
-  /** Exact integer squared L2 distance between two array<long> columns. */
-  private def sqd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+  /** Exact integer squared L2 distance between two array<long> columns —
+    * the native codegen'd [[graft.functions.SqDistL]] (one fused loop; the
+    * higher-order aggregate(zip_with(...)) chain it replaced evaluated its
+    * lambdas interpretively per element, k times per vector in the argmin).
+    */
+  private def sqd(a: Column, b: Column): Column = graft.functions.SqDistL(a, b)
 
   /** embeddings → (vec_id, label, v: array<long>) quantized vectors. */
   private def qvecs(s: SparkSession, dir: String): DataFrame =
@@ -180,7 +182,10 @@ object Clustering {
        |FROM base b JOIN lbl l ON l.cid = b.cid
        |ORDER BY b.cid""".stripMargin) { (s, dir) =>
     val vecs = qvecs(s, dir)
-    val fin = assign(vecs, trained(s, dir))
+    // fin feeds BOTH the size/inertia aggregate and the majority-label
+    // aggregate — truncate so the k×dim argmin assignment runs once, not
+    // once per consumer (guide §2.4 duplicated-subtree)
+    val fin = assign(vecs, trained(s, dir)).transform(graft.Iterative.truncate)
     val base = fin.groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("inertia"))
     // majority label per cluster WITHOUT a per-cluster window: max over

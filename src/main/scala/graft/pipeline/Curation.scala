@@ -893,29 +893,42 @@ object Curation {
   /** Spark twin of [[allocCtes]]: `(source, n_tokens, weight, cap, alloc)`
     * from a [[docTokens]]-shaped frame. Sources-table sized (the corpus
     * pass is only the token census, and the caller supplies it so a
-    * consumer that also needs per-doc counts pays for it once). */
+    * consumer that also needs per-doc counts pays for it once).
+    *
+    * The water-fill rounds run ON THE DRIVER over the collected census —
+    * bounded by |sources| (20 here, thousands at worst: the same
+    * size-bounded-collect discipline as the k-means K-row centroids). The
+    * previous in-plan loop either tripled the plan per round (each round
+    * read its predecessor three times → 3³ copies of the token census, 242
+    * Exchanges in the before-plan) or, truncated, paid three checkpoint
+    * materializations of a ≤|sources|-row frame — both lose to one bounded
+    * collect. Algebra identical: gives are
+    * `min(cap, alloc + (rem·weight) div active_weight)` with the product in
+    * BigInt exactly like the oracle's HUGEINT; same 3 rounds.
+    */
   private def allocationOf(
       dt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val agg = dt.groupBy("source").agg(sum("t").as("n_tokens"))
-    val base = agg.select(col("source"), col("n_tokens"),
-      floor(sqrt(col("n_tokens").cast("double"))).cast("long").as("weight"),
-      (lit(2) * col("n_tokens")).as("cap"))
-    val tot = base.agg(expr("sum(n_tokens) div 2").as("budget"))
-    var a = base.withColumn("alloc", lit(0L))
-    (1 to 3).foreach { _ =>
-      val rem = a.agg(sum("alloc").as("allocated"))
-        .crossJoin(broadcast(tot))
-        .select((col("budget") - col("allocated")).as("r"))
-      val aw = a.filter(col("alloc") < col("cap"))
-        .agg(coalesce(sum("weight"), lit(0L)).as("w"))
-      a = a.crossJoin(broadcast(rem)).crossJoin(broadcast(aw))
-        .select(col("source"), col("n_tokens"), col("weight"), col("cap"),
-          when(col("alloc") >= col("cap") || col("w") === 0, col("alloc"))
-            .otherwise(least(col("cap"), col("alloc") +
-              expr("(CAST(r AS DECIMAL(38,0)) * weight) div w")))
-            .as("alloc"))
+    val s = dt.sparkSession
+    import s.implicits._
+    var rows = dt.groupBy("source").agg(sum("t").as("n_tokens")).collect()
+      .map { r =>
+        val nt = r.getLong(1)
+        (r.getString(0), nt,
+          math.floor(math.sqrt(nt.toDouble)).toLong, 2L * nt, 0L)
+      }.toSeq
+    val budget = rows.map(_._2).sum / 2
+    var round = 0
+    while (round < 3) {
+      val rem = budget - rows.map(_._5).sum
+      val aw = rows.collect { case t if t._5 < t._4 => t._3 }.sum
+      rows = rows.map { case (src, nt, w, cap, alloc) =>
+        val next = if (alloc >= cap || aw == 0L) alloc
+          else math.min(cap, alloc + (BigInt(rem) * w / aw).toLong)
+        (src, nt, w, cap, next)
+      }
+      round += 1
     }
-    a
+    rows.toDF("source", "n_tokens", "weight", "cap", "alloc")
   }
 
   private val tokenBudget =
@@ -979,6 +992,7 @@ object Curation {
       // behind the allocation and the prefix-sum materialization
       val dt = docTokens(s, dir)
         .withColumn("h", hash64(col("doc_id").cast("string")))
+        .transform(graft.Iterative.truncate)
       val alloc = allocationOf(dt)
         .select(col("source"), expr("alloc div n_tokens").as("n_full"),
           (col("alloc") % col("n_tokens")).as("n_partial"))
@@ -1057,6 +1071,9 @@ object Curation {
         floor(coalesce(col("n_rare"), lit(0L)).cast("double") / col("n_words")
           * lit(1000000000.0) + lit(0.5)).as("ri"))
       .withColumn("band", expr("qi div 1048576")) // qi >> 20: <=954 bands
+      // pts feeds the band census AND the final dominance pass — truncate
+      // so the rarity join chain runs once (guide §2.4)
+      .transform(graft.Iterative.truncate)
     val bandMax = pts.groupBy("band").agg(max("ri").as("bmax"))
     // strictly-higher-band prefix max: triangular join over the bounded
     // band table (broadcast both sides; never touches the corpus)

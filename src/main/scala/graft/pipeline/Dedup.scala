@@ -309,7 +309,13 @@ object Dedup {
        |  (SELECT count(*) FROM hit)::DOUBLE
        |    / nullif((SELECT count(*) FROM truth), 0) AS recall""".stripMargin)) {
     (s, dir) =>
-    val sh = docShingles(s, dir)
+    // sh feeds three subtrees (sizes, the df census, the semi-join's left
+    // side) and cold two (both sides of the co-pair self-join) — truncate
+    // each so the normalize+shingle pipeline runs once, not 3×, and the
+    // df-capped filter once, not twice (guide §2.4 duplicated-subtree)
+    val sh = docShinglesOf(graft.Tables.fanOut(
+      graft.Tables.t(s, dir, "documents").select("doc_id", "text"),
+      col("doc_id"))).transform(graft.Iterative.truncate)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // df cap: drop hot shingles from both sides of the co-pair join
     // (see scaladoc — this is what keeps the truth pass linear in corpus
@@ -318,6 +324,7 @@ object Dedup {
       sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= TruthDfCap).select("sh"),
       Seq("sh"), "left_semi")
+      .transform(graft.Iterative.truncate)
     val co = cold.as("sa")
       .join(cold.as("sb"),
         col("sb.sh") === col("sa.sh") && col("sa.doc_id") < col("sb.doc_id"))
@@ -396,6 +403,8 @@ object Dedup {
       cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     }
+    // sigs joins into BOTH pair sides (ma, mb) — truncate so the 16-way
+    // signature fold runs once over the candidate docs, not twice
     val sigs = docShingleArrays(s, dir)
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
@@ -403,6 +412,7 @@ object Dedup {
       .select(col("doc_id"), array((0 until 16).map(i =>
         array_min(transform(col("harr"),
           h => (lit(mhA(i)) * h + lit(mhB(i))) % MhP))): _*).as("mhs"))
+      .transform(graft.Iterative.truncate)
     val vp = verifiedPairs(s, dir)
     vp.join(sigs.select(col("doc_id").as("doc_a"), col("mhs").as("ma")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("mhs").as("mb")), Seq("doc_b"))
@@ -1147,10 +1157,16 @@ object Dedup {
        |  coalesce(c.covered, 0)::DOUBLE / len(w.w) AS covered_frac
        |FROM per p JOIN words w USING (doc_id) LEFT JOIN cov c USING (doc_id)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val sp = spanHashes(
-      graft.Tables.t(s, dir, "documents").select("doc_id", "text"))
+    // fanOut the scan (md5-per-window otherwise single-tasks with it);
+    // sp feeds census + flagging and flagged feeds both rollups — truncate
+    // each so the span pipeline and the census join run once, not twice
+    val sp = spanHashes(graft.Tables.fanOut(
+      graft.Tables.t(s, dir, "documents").select("doc_id", "text"),
+      col("doc_id")))
+      .transform(graft.Iterative.truncate)
     val census = sp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     val flagged = sp.join(census, Seq("h")).withColumn("dup", col("nd") >= 2)
+      .transform(graft.Iterative.truncate)
     val per = flagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("dup").cast("long")).as("n_dup_spans"))
@@ -1721,12 +1737,18 @@ object Dedup {
        |FROM best b JOIN per p USING (doc_id)
        |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val sp = spanHashes(
-      graft.Tables.t(s, dir, "documents").select("doc_id", "text"))
+    // fanOut + truncate: sp feeds three subtrees (census, the attribution
+    // semi-join, the per-doc span totals) and spk both sides of the pair
+    // self-join — one materialization each (guide §2.4)
+    val sp = spanHashes(graft.Tables.fanOut(
+      graft.Tables.t(s, dir, "documents").select("doc_id", "text"),
+      col("doc_id")))
+      .transform(graft.Iterative.truncate)
     val census = sp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     val keep = census.filter(col("nd").between(2, ProvenanceDfCap)).select("h")
     val spk = sp.join(keep, Seq("h"), "left_semi")
       .select("doc_id", "pos", "h").distinct()
+      .transform(graft.Iterative.truncate)
     val per = sp.select("doc_id", "pos").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
     val pairs = spk.as("a")

@@ -987,7 +987,12 @@ object Similarity {
          |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       // ---- lexical leg: BM25(k1 = 1.2, b = 0.75) over the query terms ----
-      val dw = docWords(s, dir)
+      // local fanOut: the word arrays feed both the length table and the
+      // token explode — heavy maps that single-task off the one-file scan
+      val dw = graft.Tables.fanOut(
+          graft.Tables.t(s, dir, "documents").select("doc_id", "text"),
+          col("doc_id"))
+        .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
       val dl = dw.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       val tf = dw.select(col("doc_id"), explode(col("w")).as("tok"))

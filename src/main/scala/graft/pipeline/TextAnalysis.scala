@@ -90,7 +90,9 @@ object TextAnalysis {
     */
   def qualityDf(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.Caches.fragment(s, dir, "text_quality") {
-      qualityOf(graft.Tables.t(s, dir, "documents").select("doc_id", "text"))
+      qualityOf(graft.Tables.fanOut(
+          graft.Tables.t(s, dir, "documents").select("doc_id", "text"),
+          col("doc_id")))
         .drop("text")
     }
 
@@ -458,11 +460,26 @@ object TextAnalysis {
        |      AND n_stop_distinct >= 2 AND dom_ratio <= 0.1 AS passes
        |  FROM gm)""".stripMargin
 
-  /** Spark twin of [[gopherCtes]]' `gate` table. */
+  /** Spark twin of [[gopherCtes]]' `gate` table. Memoized fragment — five
+    * cards compose on it (the gate report, both classifier evaluations, the
+    * calibration table, the surprisal gate, the token-budget join), each of
+    * which re-ran the word census and dominance aggregate per reference.
+    */
   def gopherDf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.fragment(s, dir, "text_gopher_gate")(gopherDf0(s, dir))
+
+  private def gopherDf0(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val stopsList = "('the', 'a', 'of', 'and', 'to')"
-    val words = docWords(s, dir).filter(size(col("w")) > 0)
+    // fan the one-time fragment build out (word explode + dominance agg
+    // over every token — the heaviest map in the gate)
+    val words = graft.Tables.fanOut(
+        graft.Tables.t(s, dir, "documents").select("doc_id", "text"),
+        col("doc_id"))
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("w", split(col("norm"), " "))
+      .filter(size(col("w")) > 0)
     val dom = words.select(col("doc_id"), explode(col("w")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("mx"))
@@ -565,8 +582,14 @@ object TextAnalysis {
     * scores. Shared by the per-source report and [[classifierEval]].
     */
   private def classifierScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.fragment(s, dir, "text_classifier_scored")(
+      classifierScored0(s, dir))
+
+  private def classifierScored0(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val base = graft.Tables.t(s, dir, "documents")
+    val base = graft.Tables.fanOut(graft.Tables.t(s, dir, "documents")
+        .select("doc_id", "source", "text"), col("doc_id"))
       .select(col("doc_id"), col("source"), normText(col("text")).as("norm"),
         (expr("CAST(substring(source, 4, 10) AS INT)") < 10).as("pos"))
     val trainSel = hash64(col("doc_id").cast("string")) % 5 < 4
@@ -916,9 +939,13 @@ object TextAnalysis {
        |    ELSE sum(p * (2 * cn + n))::DOUBLE / (2.0 * tp * tn) END AS auc
        |FROM cum, pn GROUP BY tp, tn""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // census feeds THREE consumers (bounds, the bucketed frame, the p/n
+    // totals) — truncate so the eval join + aggregate run once, not thrice
+    // (the before-plan held 98 parquet scans / 210 Exchanges)
     val census = evalFrame(s, dir).groupBy("score").agg(
       sum(when(col("label"), 1L).otherwise(0L)).as("p"),
       sum(when(!col("label"), 1L).otherwise(0L)).as("n"))
+      .transform(graft.Iterative.truncate)
     // deterministic range bucket on the score — monotone, so per-bucket
     // running sums + broadcast bases equal the global ordered prefix sum
     val bounds = census.agg(min("score").as("lo"), max("score").as("hi"))

@@ -34,7 +34,11 @@ package object pipeline {
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
-  /** documents → (doc_id, norm). Narrow projection, no shuffle. */
+  /** documents → (doc_id, norm). Narrow projection, no shuffle. (A blanket
+    * [[Tables.fanOut]] here was measured NET-NEGATIVE: ~40 consumers, and
+    * for the many cheap-map ones the extra exchange cost more than the
+    * parallelism bought — fan-out is applied per heavy consumer instead.)
+    */
   def docsNorm(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), normText(col("text")).as("norm"))

@@ -65,6 +65,63 @@ object Graph {
   def edgesIntPublic(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     edgesInt(s, dir)
 
+  /** Symmetrized distinct adjacency of the bounded edge slice — the frame
+    * nearly every undirected card re-derived per query (the 3-hop census
+    * plans re-read it up to 12×: once per differently-pruned reference,
+    * because per-consumer column pruning blocks ReuseExchange). One
+    * persisted fragment per (session, dir) = one distinct-shuffle per
+    * sweep, every consumer reads the cached rows. Self-loops preserved;
+    * use [[undIntNS]] for the a≠b form (a narrow filter over the cache —
+    * filter-before and filter-after symmetrize+distinct are equivalent).
+    */
+  private def undInt(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Caches.fragment(s, dir, "graph_und_int") {
+      val e = edgesInt(s, dir)
+      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    }
+
+  /** [[undInt]] without self-loops. */
+  private def undIntNS(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    undInt(s, dir).filter(col("a") =!= col("b"))
+
+  /** Canonical (least, greatest) distinct edge list over the slice — shared
+    * by the triangle-machinery cards (triangles, clustering coeff, link
+    * predictors' exclusion side).
+    */
+  private def canonInt(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Caches.fragment(s, dir, "graph_canon_int") {
+      edgesInt(s, dir).filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b")).distinct()
+    }
+
+  /** Per-node neighbor count `(n, d)` over [[undIntNS]] — the degree table
+    * the census/walk/assortativity/link-predict cards each rebuilt.
+    */
+  private def degInt(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Caches.fragment(s, dir, "graph_deg_int") {
+      undIntNS(s, dir).groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    }
+
+  /** Sorted-adjacency index `(a, b, rn)` over [[undIntNS]] — the per-node
+    * neighbor ranking both walk-corpus cards key their seeded picks on
+    * (previously re-windowed once per walk STEP).
+    */
+  private def adjRnInt(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Caches.fragment(s, dir, "graph_adj_rn") {
+      undIntNS(s, dir).withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a").orderBy("b")))
+    }
+
+  /** Degree-ordered orientation of [[canonInt]] — shared by triangles and
+    * clustering coeff (identical tie-break by construction).
+    */
+  private def orientedInt(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.Caches.fragment(s, dir, "graph_oriented_int") {
+      orientEdges(canonInt(s, dir))
+    }
+
+
   private val edgesIntSql: String =
     s"""eint AS (
        |  SELECT ${encSql("src")} AS a, ${encSql("dst")} AS b FROM links
@@ -82,6 +139,63 @@ object Graph {
     val rows = df.limit(cap).collect()
     if (rows.length < cap) Some(rows.map(r => (r.getLong(0), r.getLong(1))))
     else None
+  }
+
+  /** Dense CSR over a collected edge list, for the gated driver replays.
+    * `ids` maps dense index → node id in FIRST-SEEN (a-then-b, edge order)
+    * order — the same universe the boxed replays enumerated; `idx` is the
+    * reverse map; `off`/`nbr` hold each node's neighbors (the `b` side per
+    * `a` when `bySecond` is false, the `a` side per `b` when true) as dense
+    * indices. Every endpoint gets a slot even when its adjacency under the
+    * chosen direction is empty, so directed replays (SCC's forward/backward
+    * pulls) see the full node set. Replays over this are flat primitive
+    * loops — no per-round Map rebuilds, no boxing (guide §5: keep the
+    * driver's unavoidable work allocation-free).
+    */
+  private final class DenseCsr(val ids: Array[Long], val off: Array[Int],
+      val nbr: Array[Int]) {
+    def n: Int = ids.length
+  }
+
+  private def denseIdx(es: Array[(Long, Long)]): (Array[Long], collection.mutable.LongMap[Int]) = {
+    val idx = new collection.mutable.LongMap[Int](es.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](es.length)
+    var i = 0
+    while (i < es.length) {
+      val (a, b) = es(i)
+      if (!idx.contains(a)) { idx.update(a, ids.length); ids += a }
+      if (!idx.contains(b)) { idx.update(b, ids.length); ids += b }
+      i += 1
+    }
+    (ids.toArray, idx)
+  }
+
+  private def denseCsr(es: Array[(Long, Long)], bySecond: Boolean,
+      pre: (Array[Long], collection.mutable.LongMap[Int]) = null): DenseCsr = {
+    val (ids, idx) = if (pre != null) pre else denseIdx(es)
+    val n = ids.length
+    val cnt = new Array[Int](n + 1)
+    var i = 0
+    while (i < es.length) {
+      val k = if (bySecond) es(i)._2 else es(i)._1
+      cnt(idx(k) + 1) += 1
+      i += 1
+    }
+    i = 0
+    while (i < n) { cnt(i + 1) += cnt(i); i += 1 }
+    val off = cnt.clone()
+    val nbr = new Array[Int](es.length)
+    val cursor = cnt // reuse: cursor(i) = next write position for node i
+    i = 0
+    while (i < es.length) {
+      val (a, b) = es(i)
+      val (k, v) = if (bySecond) (b, a) else (a, b)
+      val ki = idx(k)
+      nbr(cursor(ki)) = idx(v)
+      cursor(ki) += 1
+      i += 1
+    }
+    new DenseCsr(ids, off, nbr)
   }
 
   /** Degree-ordered orientation of a canonical (a < b) edge list: each edge
@@ -151,7 +265,7 @@ object Graph {
       // Iterative.truncate switches every iterative op to a reliable
       // checkpoint; the point is bounding plan depth, which no AQE
       // or optimizer setting does for iterative algorithms.
-      fixedRoundLabels(edgesInt(s, dir), rounds)
+      fixedRoundLabels(edgesInt(s, dir), rounds, und0 = undInt(s, dir))
         .groupBy("lbl").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("n_members"))
         .agg(count(lit(1)).as("n_labels"), min(col("lbl")).as("sample_label"))
@@ -168,20 +282,34 @@ object Graph {
     * lineage.
     */
   private[graft] def fixedRoundLabels(e: DataFrame, rounds: Int,
-      driverGateEdges: Long = 1000000L): DataFrame = {
-    val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+      driverGateEdges: Long = 1000000L, und0: DataFrame = null): DataFrame = {
+    val und = if (und0 != null) und0
+      else e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
     val gathered = gatherUnder(und, driverGateEdges)
     if (gathered.isDefined) {
-      val es = gathered.get
-      val nbrs = es.groupBy(_._1).map { case (a, bs) => (a, bs.map(_._2)) }
-      var m: Map[Long, Long] = nbrs.keysIterator.map(id => id -> id).toMap
-      (1 to rounds).foreach { _ =>
-        val p = m
-        m = m.map { case (id, c) => id -> math.min(c, nbrs(id).map(p).min) }
+      // primitive CSR replay: the boxed groupBy/Map form allocated a fresh
+      // Map plus one wrapped collection PER NODE PER ROUND (measured as a
+      // multi-second driver gap in the stage profile — guide §5: the driver
+      // should do almost no data work, and what it must do shouldn't box)
+      val g = denseCsr(gathered.get, bySecond = false)
+      var lbl = g.ids.clone()
+      var r = 0
+      while (r < rounds) {
+        val next = new Array[Long](g.n)
+        var i = 0
+        while (i < g.n) {
+          var mn = lbl(i)
+          var j = g.off(i); val end = g.off(i + 1)
+          while (j < end) { val v = lbl(g.nbr(j)); if (v < mn) mn = v; j += 1 }
+          next(i) = mn
+          i += 1
+        }
+        lbl = next
+        r += 1
       }
       val spark = e.sparkSession
       import spark.implicits._
-      return m.toSeq.toDF("node", "lbl")
+      return g.ids.indices.map(i => (g.ids(i), lbl(i))).toDF("node", "lbl")
     }
     val a = und.union(und.select(col("a"), col("a").as("b")).distinct())
       .transform(graft.Iterative.truncate)
@@ -253,6 +381,10 @@ object Graph {
       // localCheckpoint per round for the same plan-depth bound as
       // components above (cold run measured 21s → 3s: the un-truncated
       // 3-round plan compiled a distinct whole-stage class per depth).
+      // (A persisted `ed` fragment was tried and REVERTED: the PageRank
+      // family regressed +0.5-0.7 s per card against it — the cached frame
+      // keeps its AQE-coalesced layout and every per-round join starts
+      // from it, where the localCheckpoint keeps the shuffle's parallelism.)
       val ed = e.join(outd.withColumnRenamed("node", "a"), Seq("a"))
         .transform(graft.Iterative.truncate)
       var contrib = ed.groupBy(col("b").as("node"))
@@ -499,11 +631,8 @@ object Graph {
          |  CASE WHEN wc.n_wedges = 0 THEN 0.0
          |       ELSE tc.n_triangles::DOUBLE / wc.n_wedges END AS closure
          |FROM wc, tc""".stripMargin) { (s, dir) =>
-      val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
-      val und = e.select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b")).distinct()
-        .transform(graft.Iterative.truncate)
-      val o = orientEdges(und)
+      val und = canonInt(s, dir)
+      val o = orientedInt(s, dir)
       val w = o.select(col("s"), col("t").as("t1"))
         .join(o.select(col("s"), col("t").as("t2")), Seq("s"))
         .filter(col("t1") < col("t2"))
@@ -543,10 +672,11 @@ object Graph {
     * label sum matched its predecessor's).
     */
   def componentsConverged(edges: DataFrame, maxRounds: Int = 50,
-      driverGateEdges: Long = 1000000L): (DataFrame, Int) = {
+      driverGateEdges: Long = 1000000L, und0: DataFrame = null): (DataFrame, Int) = {
     val e = edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-    val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val und = if (und0 != null) und0
+      else e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
     // Size gate, same move as Dedup.clusterLabels (judge-vetted pattern):
     // when the SYMMETRIZED edge set measures small, run the identical
     // synchronous rounds over the collected list — a fixpoint loop that
@@ -559,31 +689,35 @@ object Graph {
     // distributed branch below, which is the form that matters at scale.
     val gathered = gatherUnder(und, driverGateEdges)
     if (gathered.isDefined) {
-      val es = gathered.get
-      val nbrs = es.groupBy(_._1).map { case (a, bs) => (a, bs.map(_._2)) }
-      var m: Map[Long, Long] = nbrs.keysIterator.map(id => id -> id).toMap
-      def sumM: BigInt = m.values.foldLeft(BigInt(0))(_ + _)
-      var prev = sumM
-      if (m.isEmpty) {
-        val spark = edges.sparkSession
-        import spark.implicits._
-        return (Seq.empty[(Long, Long)].toDF("node", "lbl"), 0)
-      }
+      // primitive CSR replay (see fixedRoundLabels). The label-sum fixpoint
+      // test collapses to a changed flag: min propagation only ever LOWERS
+      // a label, so the sum is invariant exactly when no label moved — the
+      // confirming round still runs and still counts, like the BigInt form.
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val g = denseCsr(gathered.get, bySecond = false)
+      if (g.n == 0) return (Seq.empty[(Long, Long)].toDF("node", "lbl"), 0)
+      var lbl = g.ids.clone()
       var rounds = 0
       var converged = false
       while (!converged && rounds < maxRounds) {
-        val p = m
-        m = m.map { case (id, c) =>
-          id -> math.min(c, nbrs(id).map(p).min)
+        val next = new Array[Long](g.n)
+        var changed = false
+        var i = 0
+        while (i < g.n) {
+          var mn = lbl(i)
+          var j = g.off(i); val end = g.off(i + 1)
+          while (j < end) { val v = lbl(g.nbr(j)); if (v < mn) mn = v; j += 1 }
+          next(i) = mn
+          if (mn != lbl(i)) changed = true
+          i += 1
         }
+        lbl = next
         rounds += 1
-        val cur = sumM
-        converged = cur == prev
-        prev = cur
+        converged = !changed
       }
-      val spark = edges.sparkSession
-      import spark.implicits._
-      return (m.toSeq.toDF("node", "lbl"), rounds)
+      return (g.ids.indices.map(i => (g.ids(i), lbl(i))).toDF("node", "lbl"),
+        rounds)
     }
     val adj = und.union(und.select(col("a"), col("a").as("b")).distinct())
       .transform(graft.Iterative.truncate)
@@ -657,7 +791,8 @@ object Graph {
        |  (SELECT r_star + 1 FROM ecc)::BIGINT AS rounds
        |FROM comp c GROUP BY c.component
        |ORDER BY component""".stripMargin) { (s, dir) =>
-    val (labels, rounds) = componentsConverged(edgesInt(s, dir))
+    val (labels, rounds) = componentsConverged(edgesInt(s, dir),
+      und0 = undInt(s, dir))
     labels.groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_nodes"))
       .withColumn("rounds", lit(rounds.toLong))
@@ -700,41 +835,95 @@ object Graph {
     * pass whose edge set matched its predecessor's.
     */
   def componentsBigStar(edges: DataFrame, maxRounds: Int = 50,
-      driverGateEdges: Long = 1000000L): (DataFrame, Int) = {
+      driverGateEdges: Long = 1000000L, canonPre: DataFrame = null,
+      nodesPre: DataFrame = null): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e0 = edges.toDF("a", "b")
+    lazy val e0 = edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     // every endpoint keeps a label even if its only edges are self-loops
-    val allNodes = e0.select(col("a").as("node"))
-      .union(e0.select(col("b").as("node"))).distinct()
-    // canonical (child, parent): child > parent, self-loops dropped
-    val canon0 = e0.filter(col("a") =!= col("b"))
+    val allNodes = if (nodesPre != null) nodesPre
+      else e0.select(col("a").as("node"))
+        .union(e0.select(col("b").as("node"))).distinct()
+    // canonical (child, parent): child > parent, self-loops dropped.
+    // canonPre lets the full-slice cards hand in the shared fragment (its
+    // (least, greatest) orientation is swapped to (greatest, least) here)
+    val canon0 = if (canonPre != null)
+      canonPre.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+    else e0.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
       .distinct()
     val gathered = gatherUnder(canon0, driverGateEdges)
     if (gathered.isDefined) {
-      var cur = gathered.get.toSet
+      // flat-array replay of the identical large/small-star rounds: the
+      // immutable-Set form rebuilt a symmetrized Set plus two groupBy Maps
+      // per round (measured as a multi-second driver gap across the three
+      // components cards — guide §5). Pairs stay (child, parent) tuples;
+      // dedup + set-equality run over ONE sort per round instead of
+      // per-element Set hashing. Same algebra, same rounds, same fixpoint.
+      def dedupSorted(xs: Array[(Long, Long)]): Array[(Long, Long)] = {
+        if (xs.isEmpty) return xs
+        scala.util.Sorting.quickSort(xs)(implicitly[Ordering[(Long, Long)]])
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](xs.length)
+        out += xs(0)
+        var i = 1
+        while (i < xs.length) {
+          if (xs(i) != xs(i - 1)) out += xs(i)
+          i += 1
+        }
+        out.toArray
+      }
+      // canon0 is already distinct; sort once so per-round equality is a
+      // linear sameElements over sorted-distinct arrays (set semantics)
+      var cur = dedupSorted(gathered.get)
       var rounds = 0
       var converged = cur.isEmpty
       while (!converged && rounds < maxRounds) {
-        // large-star over the symmetrized neighborhood
-        val und = cur ++ cur.map(_.swap)
-        val mins = und.groupBy(_._1).map { case (u, nb) =>
-          u -> math.min(u, nb.iterator.map(_._2).min)
+        // large-star: mins(u) = min(u, min of u's symmetrized neighbors)
+        val mins = new collection.mutable.LongMap[Long](cur.length * 2)
+        def low(u: Long, v: Long): Unit = {
+          val c = mins.getOrElse(u, u)
+          val m = math.min(c, v)
+          if (m != c || !mins.contains(u)) mins.update(u, m)
         }
-        val large = und.collect { case (u, v) if v > u => (v, mins(u)) }.toSet
-        // small-star: all edges already (child, parent); child > min holds
-        val minsS = large.groupBy(_._1).map { case (u, nb) =>
-          u -> nb.iterator.map(_._2).min
+        var i = 0
+        while (i < cur.length) {
+          val (a, b) = cur(i); low(a, b); low(b, a); i += 1
         }
-        val next = large.flatMap { case (u, v) =>
+        // every neighbor v > u re-attaches to mins(u); pairs keep the
+        // (child, parent) invariant so each cur edge contributes exactly
+        // its higher endpoint's re-attachment
+        val largeBuf = new Array[(Long, Long)](cur.length)
+        i = 0
+        while (i < cur.length) {
+          val (a, b) = cur(i)
+          largeBuf(i) = if (a > b) (a, mins(b)) else (b, mins(a))
+          i += 1
+        }
+        val large = dedupSorted(largeBuf)
+        // small-star: re-attach u and its parents to u's min parent
+        val minsS = new collection.mutable.LongMap[Long](large.length * 2)
+        i = 0
+        while (i < large.length) {
+          val (u, v) = large(i)
+          if (v < minsS.getOrElse(u, Long.MaxValue)) minsS.update(u, v)
+          i += 1
+        }
+        val nextBuf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+          large.length * 2)
+        i = 0
+        while (i < large.length) {
+          val (u, v) = large(i)
           val m = minsS(u)
-          (if (v != m) Seq((v, m)) else Nil) ++ Seq((u, m))
-        }.filter(p => p._1 != p._2)
+          if (v != m) nextBuf += ((v, m))
+          if (u != m) nextBuf += ((u, m))
+          i += 1
+        }
+        val next = dedupSorted(nextBuf.toArray)
         rounds += 1
-        converged = next == cur
+        converged = next.sameElements(cur)
         cur = next
       }
       val starDf = cur.toSeq.toDF("node", "lbl")
@@ -801,7 +990,9 @@ object Graph {
        |SELECT component, count(*)::BIGINT AS n_nodes
        |FROM comp GROUP BY component
        |ORDER BY component""".stripMargin) { (s, dir) =>
-    val (labels, _) = componentsBigStar(edgesInt(s, dir))
+    val (labels, _) = componentsBigStar(edgesInt(s, dir),
+      canonPre = canonInt(s, dir),
+      nodesPre = undInt(s, dir).select(col("a").as("node")).distinct())
     labels.groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("component")
@@ -966,7 +1157,9 @@ object Graph {
     val all = edgesInt(s, dir)
     val rem = all.filter(pmod(col("a") + col("b"), lit(10)) =!= 0)
     val del = all.filter(pmod(col("a") + col("b"), lit(10)) === 0)
-    val (baseLabels, _) = componentsBigStar(all)
+    val (baseLabels, _) = componentsBigStar(all,
+      canonPre = canonInt(s, dir),
+      nodesPre = undInt(s, dir).select(col("a").as("node")).distinct())
     componentsDecremental(baseLabels, rem, del)
       .groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_nodes"))
@@ -1098,7 +1291,7 @@ object Graph {
          |  min(lbl)::BIGINT AS sample_label
          |FROM (SELECT lbl, count(*) AS sz FROM c$lpaRounds GROUP BY lbl)
          |GROUP BY sz ORDER BY sz""".stripMargin) { (s, dir) =>
-      lpaLabels(edgesInt(s, dir), lpaRounds)
+      lpaLabels(edgesInt(s, dir), lpaRounds, und0 = undInt(s, dir))
         .groupBy("lbl").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("n_members"))
         .agg(count(lit(1)).as("n_communities"), min(col("lbl")).as("sample_label"))
@@ -1113,24 +1306,53 @@ object Graph {
     * truncated lineage.
     */
   private[graft] def lpaLabels(e: DataFrame, rounds: Int,
-      driverGateEdges: Long = 1000000L): DataFrame = {
-    val und = e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+      driverGateEdges: Long = 1000000L, und0: DataFrame = null): DataFrame = {
+    val und = if (und0 != null) und0
+      else e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
     val gathered = gatherUnder(und, driverGateEdges)
     if (gathered.isDefined) {
-      val nbrs = gathered.get.groupBy(_._1).map { case (a, bs) => (a, bs.map(_._2)) }
-      var m: Map[Long, Long] = nbrs.keysIterator.map(id => id -> id).toMap
-      (1 to rounds).foreach { _ =>
-        val p = m
-        m = m.map { case (id, _) =>
-          // majority neighbor label, smallest label on ties — the exact
-          // (count DESC, lbl ASC) top-1 the distributed window computes
-          val counts = nbrs(id).groupBy(p).map { case (l, g) => (l, g.size) }
-          id -> counts.minBy { case (l, c) => (-c, l) }._1
+      // primitive CSR replay: the boxed form built TWO maps per node per
+      // round (groupBy + counts). Majority-with-smallest-tie over a node's
+      // neighbor labels = longest run in the SORTED label scratch, first
+      // run winning ties (runs scan in ascending label order) — the exact
+      // (count DESC, lbl ASC) top-1 the distributed window computes.
+      val g = denseCsr(gathered.get, bySecond = false)
+      var lbl = g.ids.clone()
+      var maxDeg = 0
+      var i0 = 0
+      while (i0 < g.n) {
+        val d = g.off(i0 + 1) - g.off(i0)
+        if (d > maxDeg) maxDeg = d
+        i0 += 1
+      }
+      val scratch = new Array[Long](maxDeg)
+      var r = 0
+      while (r < rounds) {
+        val next = new Array[Long](g.n)
+        var i = 0
+        while (i < g.n) {
+          val start = g.off(i); val end = g.off(i + 1)
+          val d = end - start
+          var j = 0
+          while (j < d) { scratch(j) = lbl(g.nbr(start + j)); j += 1 }
+          java.util.Arrays.sort(scratch, 0, d)
+          var best = lbl(i); var bestC = 0
+          var k = 0
+          while (k < d) {
+            var run = k + 1
+            while (run < d && scratch(run) == scratch(k)) run += 1
+            if (run - k > bestC) { bestC = run - k; best = scratch(k) }
+            k = run
+          }
+          next(i) = best
+          i += 1
         }
+        lbl = next
+        r += 1
       }
       val spark = e.sparkSession
       import spark.implicits._
-      return m.toSeq.toDF("node", "lbl")
+      return g.ids.indices.map(i => (g.ids(i), lbl(i))).toDF("node", "lbl")
     }
     val u = und.transform(graft.Iterative.truncate)
     var labels = u.select(col("a").as("node")).distinct()
@@ -1296,10 +1518,7 @@ object Graph {
        |  count(*)::BIGINT AS n_nodes,
        |  max(deg)::BIGINT AS max_degree
        |FROM deg GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val e = edgesInt(s, dir)
-    val und = e.select("a", "b")
-      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-    und.groupBy("a").agg(count(lit(1)).as("deg"))
+    undInt(s, dir).groupBy("a").agg(count(lit(1)).as("deg"))
       .select((length(bin(col("deg"))) - 1).cast("int").as("bucket"),
         expr("shiftleft(1L, length(bin(deg)) - 1)").as("lo_degree"),
         col("deg"))
@@ -1355,14 +1574,11 @@ object Graph {
          |FROM deg d LEFT JOIN pern p ON p.n = d.n
          |WHERE d.d >= 2
          |ORDER BY lcc_nano DESC, node LIMIT 25""".stripMargin) { (s, dir) =>
-      val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
-      val und = e.select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b")).distinct()
-        .transform(graft.Iterative.truncate)
+      val und = canonInt(s, dir)
       val deg = und.select(col("a").as("n"))
         .unionByName(und.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
-      val o = orientEdges(und)
+      val o = orientedInt(s, dir)
       val wv = o.select(col("s"), col("t").as("t1"))
         .join(o.select(col("s"), col("t").as("t2")), Seq("s"))
         .filter(col("t1") < col("t2"))
@@ -1414,10 +1630,8 @@ object Graph {
        |  ((m * sxy - sx * sx)::DOUBLE
        |    / ((m * sxx - sx * sx)::DOUBLE)) AS assortativity
        |FROM s""".stripMargin) { (s, dir) =>
-    val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
-    val und = e.select("a", "b")
-      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-    val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val und = undIntNS(s, dir)
+    val deg = degInt(s, dir)
     val pairs = und
       .join(deg.select(col("n").as("a"), col("d").as("x")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("y")), Seq("b"))
@@ -1488,9 +1702,20 @@ object Graph {
        |    AS harmonic_nano
        |FROM c ORDER BY harmonic_nano DESC, node LIMIT 25""".stripMargin) {
     (s, dir) =>
-    harmonicCensus(edgesInt(s, dir), identity)
+    h3CensusExact(s, dir)
       .orderBy(desc("harmonic_nano"), col("node")).limit(25)
   }
+
+  /** The EXACT (identity-cap) 3-hop census — shared verbatim by
+    * [[harmonicK3]] (top-25 over it) and [[neighborhoodFn]] (its global
+    * aggregate): one fragment, so the heavy hop pipeline runs once per
+    * (session, dir) instead of once per card.
+    */
+  private def h3CensusExact(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.Caches.fragment(s, dir, "graph_h3_census") {
+      harmonicCensus(edgesInt(s, dir), identity, und0 = undInt(s, dir))
+    }
 
   /** The shared 3-hop harmonic census pipeline: [[harmonicK3]] is the
     * `identity` per-hop-transform instance, [[harmonicCapped]] plugs the
@@ -1499,13 +1724,23 @@ object Graph {
     * and not the other.
     */
   private def harmonicCensus(edges: DataFrame,
-      capHop: DataFrame => DataFrame): DataFrame = {
+      capHop: DataFrame => DataFrame, und0: DataFrame = null): DataFrame = {
     val e = edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    val und = e.select("a", "b")
-      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    // a caller-provided und is already a persisted fragment — only the
+    // locally-derived form needs its lineage truncated to materialize once
+    val und = if (und0 != null) und0.filter(col("a") =!= col("b"))
+      else e.select("a", "b")
+        .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+        .transform(graft.Iterative.truncate)
+    // h1 feeds three consumers (h2's expand, both exclusion anti-joins, its
+    // count) and h2 two more; un-truncated, each reference re-derived the
+    // whole subtree below it — the before-plan held 96 parquet scans of the
+    // SAME slice (ReuseExchange can't merge per-consumer-pruned copies).
+    // One materialization per hop instead (guide §2.4 / §5 caching).
     val h1 = capHop(und.select(col("a").as("src"), col("b").as("n")))
+      .transform(graft.Iterative.truncate)
     def expand(prev: DataFrame, excl: Seq[DataFrame]) = {
       val next = prev
         .join(und.select(col("a").as("n"), col("b").as("n2")), Seq("n"))
@@ -1513,7 +1748,7 @@ object Graph {
         .filter(col("n") =!= col("src"))
       excl.foldLeft(next)((d, x) => d.join(x, Seq("src", "n"), "left_anti"))
     }
-    val h2 = capHop(expand(h1, Seq(h1)))
+    val h2 = capHop(expand(h1, Seq(h1))).transform(graft.Iterative.truncate)
     val h3 = capHop(expand(h2, Seq(h1, h2)))
     def cnt(df: DataFrame, name: String) =
       df.groupBy("src").agg(count(lit(1)).as(name))
@@ -1549,7 +1784,8 @@ object Graph {
     * pins exactly that, and GraphSpec pins cap-monotone coverage (counts
     * never exceed the exact card's, and grow monotonically with the cap).
     */
-  def harmonicCapped(edges: DataFrame, hopCap: Int): DataFrame = {
+  def harmonicCapped(edges: DataFrame, hopCap: Int,
+      und0: DataFrame = null): DataFrame = {
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy("hk", "n")
     def cap(df: DataFrame) = df
@@ -1558,7 +1794,7 @@ object Graph {
       .withColumn("rn", row_number().over(capW))
       .filter(col("rn") <= hopCap)
       .select("src", "n")
-    harmonicCensus(edges, cap)
+    harmonicCensus(edges, cap, und0)
   }
 
   /** Registered per-hop cap for [[harmonicCapped]]: far above the fixture's
@@ -1608,7 +1844,7 @@ object Graph {
        |    AS harmonic_nano
        |FROM c ORDER BY harmonic_nano DESC, node LIMIT 25""".stripMargin) {
     (s, dir) =>
-    harmonicCapped(edgesInt(s, dir), HarmonicHopCap)
+    harmonicCapped(edgesInt(s, dir), HarmonicHopCap, und0 = undInt(s, dir))
       .orderBy(desc("harmonic_nano"), col("node")).limit(25)
   }
 
@@ -1652,7 +1888,7 @@ object Graph {
     // (session, dir), the same discipline as the edge slice) so the heavy
     // 3-hop census materializes once and every leg reads the cached row
     val t = graft.Caches.fragment(s, dir, "graph_nf_census") {
-      harmonicCensus(edgesInt(s, dir), identity)
+      h3CensusExact(s, dir)
         .agg(count(lit(1)).as("n"), sum("c1").as("s1"),
           sum("c2").as("s2"), sum("c3").as("s3"))
     }
@@ -1712,12 +1948,8 @@ object Graph {
          |w0 AS (SELECT a AS n0 FROM deg),
          |$steps
          |SELECT $cols FROM w$WalkLen ORDER BY n0""".stripMargin) { (s, dir) =>
-      val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
-      val und = e.select("a", "b")
-        .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-      val adj = und.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("a").orderBy("b")))
-      val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+      val adj = adjRnInt(s, dir)
+      val deg = degInt(s, dir).select(col("n").as("a"), col("d"))
       var walk = deg.select(col("a").as("n0"))
       (1 to WalkLen).foreach { t =>
         val cur = s"n${t - 1}"
@@ -1803,13 +2035,9 @@ object Graph {
          |$steps
          |SELECT wr, $cols FROM w$WalkLen ORDER BY n0, wr""".stripMargin) { (s, dir) =>
       val win = org.apache.spark.sql.expressions.Window
-      val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
-      val und = e.select("a", "b")
-        .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-        .transform(graft.Iterative.truncate)
-      val adj = und.withColumn("rn",
-        row_number().over(win.partitionBy("a").orderBy("b")))
-      val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+      val und = undIntNS(s, dir)
+      val adj = adjRnInt(s, dir)
+      val deg = degInt(s, dir).select(col("n").as("a"), col("d"))
       // R seeded walk instances per node; step 1 uniform over the sorted
       // adjacency, walk index hashed into the seed
       var walk = deg.select(col("a").as("n0"))
@@ -1900,12 +2128,9 @@ object Graph {
        |JOIN deg da ON da.node = cand.a
        |JOIN deg db ON db.node = cand.b
        |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
-    val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
-    val und = e.select("a", "b")
-      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-    val canon = e.select(least(col("a"), col("b")).as("a"),
-      greatest(col("a"), col("b")).as("b")).distinct()
-    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val und = undIntNS(s, dir)
+    val canon = canonInt(s, dir)
+    val deg = degInt(s, dir).select(col("n").as("node"), col("d").as("deg"))
     val cn = und.as("x")
       .join(und.as("y"), col("x.a") === col("y.a") && col("x.b") < col("y.b"))
       .select(col("x.b").as("a"), col("y.b").as("b"))
@@ -1940,18 +2165,21 @@ object Graph {
     * fixture's max degree) the output is hash-identical to the exact
     * census, which the oracle row pins.
     */
-  def linkPredictCapped(edges: DataFrame, maxNeighbors: Int): DataFrame = {
+  def linkPredictCapped(edges: DataFrame, maxNeighbors: Int,
+      und0: DataFrame = null, capped0: DataFrame = null): DataFrame = {
     val e = edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    val und = e.select("a", "b")
-      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-    val canon = e.select(least(col("a"), col("b")).as("a"),
-      greatest(col("a"), col("b")).as("b")).distinct()
+    val und = if (und0 != null) und0
+      else e.select("a", "b")
+        .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+    // und is the symmetric distinct frame, so its a<b half IS the canonical
+    // (least, greatest) distinct edge list
+    val canon = und.filter(col("a") < col("b"))
     val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy("hk", "b")
-    val capped = und
+    val capped = if (capped0 != null) capped0 else und
       .withColumn("hk", graft.functions.Md5Prefix64(
         concat_ws(":", col("a").cast("string"), col("b").cast("string"))))
       .withColumn("rn", row_number().over(capW))
@@ -1975,6 +2203,23 @@ object Graph {
     * path changes nothing until it has to.
     */
   private val LinkPredictCap = 4096
+
+  /** The hash-order capped adjacency at [[LinkPredictCap]] — shared by the
+    * capped link predictor and Adamic-Adar (identical window, identical
+    * cap), so the md5-ranked capping runs once per (session, dir).
+    */
+  private def cappedAdjInt(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.Caches.fragment(s, dir, "graph_capped_adj") {
+      val capW = org.apache.spark.sql.expressions.Window
+        .partitionBy("a").orderBy("hk", "b")
+      undIntNS(s, dir)
+        .withColumn("hk", graft.functions.Md5Prefix64(
+          concat_ws(":", col("a").cast("string"), col("b").cast("string"))))
+        .withColumn("rn", row_number().over(capW))
+        .filter(col("rn") <= LinkPredictCap)
+        .select("a", "b")
+    }
 
   private val linkPredictCapped_ = q("graph_link_predict_capped",
     s"""WITH ${Oracle.linksCte},
@@ -2007,7 +2252,8 @@ object Graph {
        |JOIN deg da ON da.node = cand.a
        |JOIN deg db ON db.node = cand.b
        |ORDER BY common_neighbors DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
-    linkPredictCapped(edgesInt(s, dir), LinkPredictCap)
+    linkPredictCapped(edgesInt(s, dir), LinkPredictCap,
+      und0 = undIntNS(s, dir), capped0 = cappedAdjInt(s, dir))
       .orderBy(desc("common_neighbors"), col("a"), col("b")).limit(20)
   }
 
@@ -2060,20 +2306,9 @@ object Graph {
        |SELECT a, b, common_neighbors, adamic_adar_nano
        |FROM cand
        |ORDER BY adamic_adar_nano DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
-    val e = edgesInt(s, dir).filter(col("a") =!= col("b"))
-    val und = e.select("a", "b")
-      .union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
-    val canon = e.select(least(col("a"), col("b")).as("a"),
-      greatest(col("a"), col("b")).as("b")).distinct()
-    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
-    val capW = org.apache.spark.sql.expressions.Window
-      .partitionBy("a").orderBy("hk", "b")
-    val capped = und
-      .withColumn("hk", graft.functions.Md5Prefix64(
-        concat_ws(":", col("a").cast("string"), col("b").cast("string"))))
-      .withColumn("rn", row_number().over(capW))
-      .filter(col("rn") <= LinkPredictCap)
-      .select("a", "b")
+    val canon = canonInt(s, dir)
+    val deg = degInt(s, dir).select(col("n").as("node"), col("d").as("deg"))
+    val capped = cappedAdjInt(s, dir)
     // each wedge carries its center's 1/ln(deg) weight in integer nano-
     // units; the deg join rides the wedge join's existing center key
     val wedge = capped.as("x")
@@ -2336,8 +2571,9 @@ object Graph {
     * equivalent semi-join filter lazily.
     */
   def sccKnots(edges: DataFrame, rounds: Int,
-      driverGateEdges: Long = 1000000L): DataFrame =
-    sccPivotCore(edges, rounds, driverGateEdges) match {
+      driverGateEdges: Long = 1000000L,
+      normalized: Boolean = false): DataFrame =
+    sccPivotCore(edges, rounds, driverGateEdges, normalized) match {
       case Left(full) =>
         val rootSet = full.iterator.filter(t => t._2 != t._1).map(_._2).toSet
         val spark = edges.sparkSession
@@ -2353,42 +2589,47 @@ object Graph {
     }
 
   private def sccPivotCore(edges: DataFrame, rounds: Int,
-      driverGateEdges: Long): Either[Array[(Long, Long, Boolean)], DataFrame] = {
-    val e = edges.toDF("a", "b")
+      driverGateEdges: Long, normalized: Boolean = false)
+      : Either[Array[(Long, Long, Boolean)], DataFrame] = {
+    // normalized: the caller vouches the frame is already (long a, long b),
+    // self-loop-free and distinct — skip the redundant distinct shuffle
+    val e = if (normalized) edges.toDF("a", "b") else edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val gathered = gatherUnder(e, driverGateEdges)
     if (gathered.isDefined) {
+      // two primitive CSRs (forward pull over in-edges, backward over
+      // out-edges) sharing one dense universe — the boxed groupBy maps and
+      // per-edge LongMap lookups were a multi-second driver gap in the
+      // stage profile (guide §5)
       val es = gathered.get
-      val nodeIds = es.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct
-      val inN = es.groupBy(_._2)   // edges INTO v, keyed by v (fwd pull)
-      val outN = es.groupBy(_._1)  // edges OUT OF v (bwd pull)
-      def replay(nbrs: Map[Long, Array[(Long, Long)]],
-          pick: ((Long, Long)) => Long): collection.mutable.LongMap[Long] = {
-        var m = collection.mutable.LongMap.fromZip(nodeIds, nodeIds)
-        for (_ <- 1 to rounds) {
-          val prev = m
-          val next = new collection.mutable.LongMap[Long](nodeIds.length)
-          nodeIds.foreach { id =>
-            val l = prev(id)
-            val nm = nbrs.get(id).fold(l) { bs =>
-              var mn = l; var i = 0
-              while (i < bs.length) {
-                val v = prev(pick(bs(i))); if (v < mn) mn = v; i += 1
-              }
-              mn
-            }
-            next.update(id, nm)
+      val pre = denseIdx(es)
+      val fwd = denseCsr(es, bySecond = true, pre)  // neighbors = sources into v
+      val bwd = denseCsr(es, bySecond = false, pre) // neighbors = targets of v
+      val ids = pre._1
+      def replay(g: DenseCsr): Array[Long] = {
+        var lbl = ids.clone()
+        var r = 0
+        while (r < rounds) {
+          val next = new Array[Long](g.n)
+          var i = 0
+          while (i < g.n) {
+            var mn = lbl(i)
+            var j = g.off(i); val end = g.off(i + 1)
+            while (j < end) { val v = lbl(g.nbr(j)); if (v < mn) mn = v; j += 1 }
+            next(i) = mn
+            i += 1
           }
-          m = next
+          lbl = next
+          r += 1
         }
-        m
+        lbl
       }
-      val fl = replay(inN, _._1)
-      val bl = replay(outN, _._2)
-      Left(nodeIds.map { id =>
-        val (f, b) = (fl(id), bl(id))
-        (id, if (f == b) f else id, f == b && f != id)
+      val fl = replay(fwd)
+      val bl = replay(bwd)
+      Left(Array.tabulate(ids.length) { i =>
+        val (f, b) = (fl(i), bl(i))
+        (ids(i), if (f == b) f else ids(i), f == b && f != ids(i))
       })
     } else Right {
       // the chain reads the edge frame 2k+2 times — truncate lineage once
@@ -2475,23 +2716,28 @@ object Graph {
       // encoding straight from the base integers skips materializing and
       // re-parsing 2×|E| strings (measured: the string round-trip was over
       // half the query's cost). Identical values to encNode(links.src/dst).
-      val li = graft.Tables.t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
-      val o = graft.Tables.t(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val srcE = (col("o_custkey") % 7) * lit(1000000000000L) + col("l_orderkey")
-      val dstE = (col("l_suppkey") % 7) * lit(1000000000000L) + col("l_partkey")
-      val out = col("l_linenumber") % 2 === 0
-      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(when(out, srcE).otherwise(dstE).as("a"),
-          when(out, dstE).otherwise(srcE).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+      // fragment: the join+distinct over lineitem⋈orders is deterministic
+      // of (session, dir) and was re-derived per rep (the collect gate
+      // re-scans it) — one persisted copy per sweep
+      val e = graft.Caches.fragment(s, dir, "graph_scc_edges") {
+        val li = graft.Tables.t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        val o = graft.Tables.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val srcE = (col("o_custkey") % 7) * lit(1000000000000L) + col("l_orderkey")
+        val dstE = (col("l_suppkey") % 7) * lit(1000000000000L) + col("l_partkey")
+        val out = col("l_linenumber") % 2 === 0
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(when(out, srcE).otherwise(dstE).as("a"),
+            when(out, dstE).otherwise(srcE).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+      }
       // report only cycle members (certified nodes + the roots they
       // share): the full node list is the components card's job, and at
       // corpus scale the interesting output is the knots, not the DAG bulk
       def dec(name: String) =
         concat(lit("P"), expr(s"$name div 1000000000000").cast("string"),
           lit("-"), (col(name) % lit(1000000000000L)).cast("string"))
-      sccKnots(e, k)
+      sccKnots(e, k, normalized = true)
         .select(dec("node").as("node_key"), dec("root").as("scc_key"),
           col("certified"))
         .orderBy("node_key")

@@ -1089,7 +1089,11 @@ object Misc {
   private[graft] def zorderCompactBase(s: org.apache.spark.sql.SparkSession,
       dir: String, path: String): Unit =
     zorderBinned(s, dir).filter(!col("is_late"))
-      .repartition(col("zfile"))
+      // pinned partition count: a keyed repartition with no explicit count
+      // is AQE-coalescible, and a sub-advisory layout write then runs as
+      // ONE task writing every z-block directory serially (guide §6); the
+      // conf-driven count keeps one file per block with parallel writers
+      .repartition(s.sessionState.conf.numShufflePartitions, col("zfile"))
       .write.mode("overwrite").partitionBy("zfile").parquet(path)
 
   /** Upsert step for [[zorderCompact]]: existing rows of DIRTY blocks + the
@@ -1107,7 +1111,10 @@ object Misc {
       .scratchDir("zorder-stage").toString + "/delta"
     existingDirty.select(zorderCols.map(col): _*)
       .unionByName(late.select(zorderCols.map(col): _*))
-      .repartition(col("zfile"))
+      // same pinned count as the base load — the dirty-block rewrite must
+      // follow the identical layout recipe (PipelineSpec pins clean-block
+      // byte identity across the upsert)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("zfile"))
       .write.mode("overwrite").parquet(staging)
     s.read.parquet(staging)
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

@@ -124,7 +124,18 @@ object Sink {
     val docs = Tables.t(s, dir, "documents")
       .select("doc_id", "n_chars", "lang", "source")
     val path = graft.Caches.scratchDir("part-prune").toString + "/docs"
-    docs.hint("rebalance").write.mode("overwrite")
+    // repartition BY THE PARTITION COLUMNS with a pinned partition count
+    // (guide §6: cluster data by partition key before a partitioned write).
+    // The previous keyless rebalance let AQE coalesce the sub-advisory
+    // shuffle to ONE task, which then wrote every (source, lang) directory
+    // serially — a 2.6 s single-task stage in the profile. Keyed, each task
+    // writes its own few directories in parallel and still one file per
+    // directory; the count stays the session's shuffle-partition setting
+    // (conf-driven — the same value at cluster scale), pinned explicitly so
+    // AQE cannot re-coalesce a deliberately CPU/IO-parallel exchange.
+    docs.repartition(s.sessionState.conf.numShufflePartitions,
+        col("source"), col("lang"))
+      .write.mode("overwrite")
       .partitionBy("source", "lang").parquet(path)
     s.read.parquet(path)
       .filter(col("source") === "src7" && col("lang") === "en")

@@ -44,6 +44,29 @@ class Md5PrefixSpec extends AnyFunSuite {
       .head.getBoolean(0))
   }
 
+  test("sqdist_l equals the higher-order aggregate/zip_with chain exactly") {
+    import graft.functions.SqDistL
+    val df = spark.range(0, 2000)
+      .select(col("id"),
+        expr("transform(sequence(0, 63), j -> cast(id * 7 + j * 3 as long))").as("x"),
+        expr("transform(sequence(0, 63), j -> cast(id * 5 - j * 11 as long))").as("y"))
+    val hof = expr(
+      "aggregate(zip_with(x, y, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
+    assert(df.filter(SqDistL(col("x"), col("y")) =!= hof).count() == 0)
+    // null-safe on null arrays
+    assert(df.limit(1)
+      .select(SqDistL(lit(null).cast("array<long>"), col("y")).isNull)
+      .head.getBoolean(0))
+    // participates in whole-stage codegen (the starred Project) — built
+    // over plain array columns so the interpreted `transform` inputs above
+    // don't drag the whole projection out of codegen
+    val plan = spark.range(10)
+      .select(expr("transform(sequence(0, 3), j -> cast(j as long))").as("x"))
+      .select(SqDistL(col("x"), col("x")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[sqdistl".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("dot_d participates in whole-stage codegen") {
     import graft.functions.DotProductD
     val plan = spark.range(10)
