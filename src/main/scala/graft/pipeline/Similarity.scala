@@ -667,32 +667,43 @@ object Similarity {
         acc.withColumn(s"c$m", array_min(cands).getField("code"))
       }
 
-    /** The 32-row exact sub-distance lookup table for the query row `qv`
-      * (one column `qe`). */
-    def qlutDf(s: SparkSession, cl: Array[(Long, Seq[Double])],
-        qv: DataFrame): DataFrame = {
-      import s.implicits._
-      val cb = cl.flatMap { case (code, full) =>
-        (1 to M).map(m => (m, code, full.slice((m - 1) * Sub, m * Sub)))
-      }.toSeq.toDF("m", "code", "ce")
-      val qs = expr(s"slice(qe, (m-1)*$Sub+1, $Sub)")
-      cb.crossJoin(broadcast(qv))
-        .select(col("m"), col("code"),
-          (dotD(qs, qs) + dotD(col("ce"), col("ce"))
-            - lit(2.0) * dotD(qs, col("ce"))).as("d2"))
+    /** The M×K exact sub-distance lookup table for the query (codebook row
+      * 0), computed ON THE DRIVER from the already-collected codebook:
+      * `lut(m-1)(code)` = d2 between query sub-vector m and codeword
+      * `code`. Same sequential-fold dot products the previous in-plan qlut
+      * ran (bit-identical doubles), but as a LITERAL — the 32-entry table
+      * inlines into the scan projection as `element_at` lookups, replacing
+      * FOUR broadcast-join stages per PQ card with map-side arithmetic
+      * (guide §3.1: the cheapest join is the one that isn't planned).
+      */
+    def qlutLocal(cl: Array[(Long, Seq[Double])]): Array[Array[Double]] = {
+      def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val q = cl.find(_._1 == 0L).get._2
+      Array.tabulate(M) { mi =>
+        val qs = q.slice(mi * Sub, (mi + 1) * Sub)
+        val byCode = new Array[Double](K)
+        cl.foreach { case (code, full) =>
+          val ce = full.slice(mi * Sub, (mi + 1) * Sub)
+          byCode(code.toInt) =
+            sdot(qs, qs) + sdot(ce, ce) - 2.0 * sdot(qs, ce)
+        }
+        byCode
+      }
     }
 
-    /** Rank codes by ADC from the broadcast lut: one join per sub-space,
-      * the parenthesized 4-term sum, global top-k. */
-    def adcTopK(codes: DataFrame, qlut: DataFrame, k: Int): DataFrame = {
-      val joined = (1 to M).foldLeft(codes) { (df, m) =>
-        df.join(broadcast(qlut.filter(col("m") === m)
-            .select(col("code").as(s"c$m"), col("d2").as(s"d$m"))),
-          Seq(s"c$m"))
-      }
-      joined.filter(col("vec_id") =!= 0)
+    /** Rank codes by ADC from the literal lut: one element_at per
+      * sub-space, the parenthesized 4-term sum, global top-k (folds to
+      * TakeOrderedAndProject — no exchange, no broadcast). */
+    def adcTopK(codes: DataFrame, lut: Array[Array[Double]], k: Int): DataFrame = {
+      def d(m: Int): Column =
+        element_at(typedLit(lut(m - 1).toSeq), col(s"c$m").cast("int") + 1)
+      codes.filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          (((col("d1") + col("d2")) + col("d3")) + col("d4")).as("adc"))
+          (((d(1) + d(2)) + d(3)) + d(4)).as("adc"))
         .orderBy(col("adc"), col("vec_id")).limit(k)
     }
   }
@@ -709,8 +720,7 @@ object Similarity {
     val cl = Pq.codebook(e)
     val codes = Pq.encode(e, cl)
       .select(col("vec_id") +: (1 to Pq.M).map(m => col(s"c$m")): _*)
-    val qv = e.filter(col("vec_id") === 0).select(col("e").as("qe"))
-    Pq.adcTopK(codes, Pq.qlutDf(s, cl, qv), 10)
+    Pq.adcTopK(codes, Pq.qlutLocal(cl), 10)
   }
 
   /** IVF-PQ — the production composition: the IVF cell id prunes partitions
@@ -754,7 +764,7 @@ object Similarity {
 
     /** Spark twin: `(pruned codes, query lut, query vector (qe, qn))`. */
     def prunedCodes(s: org.apache.spark.sql.SparkSession, dir: String):
-        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        (org.apache.spark.sql.DataFrame, Array[Array[Double]],
          org.apache.spark.sql.DataFrame) = {
       val en = embDN(s, dir)
       val e = en.select("vec_id", "e")
@@ -783,7 +793,7 @@ object Similarity {
       val encoded = Pq.encode(assignMapSide(en, cents), cl)
         .select(col("vec_id") +: col("cid") +: (1 to M).map(m => col(s"c$m")): _*)
       val pruned = encoded.filter(col("cid").isin(probeCids: _*))
-      (pruned, Pq.qlutDf(s, cl, qv.select("qe")), qv)
+      (pruned, Pq.qlutLocal(cl), qv)
     }
   }
 

@@ -75,9 +75,16 @@ object Graph {
     * filter-before and filter-after symmetrize+distinct are equivalent).
     */
   private def undInt(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.Caches.fragment(s, dir, "graph_und_int") {
+    // persisted = false + truncate (here and in the canon/adj/capped
+    // siblings below): these frames are re-read several times PER QUERY
+    // (census hops, walk steps, wedge legs), and a persisted fragment pays
+    // columnar decode on every read — row-format localCheckpoint blocks
+    // don't, while the memoized handle still shares one materialization
+    // across the sweep (measured on the wedge cards: −0.3 s/query).
+    graft.Caches.fragment(s, dir, "graph_und_int", persisted = false) {
       val e = edgesInt(s, dir)
       e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
+        .transform(graft.Iterative.truncate)
     }
 
   /** [[undInt]] without self-loops. */
@@ -89,10 +96,11 @@ object Graph {
     * predictors' exclusion side).
     */
   private def canonInt(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.Caches.fragment(s, dir, "graph_canon_int") {
+    graft.Caches.fragment(s, dir, "graph_canon_int", persisted = false) {
       edgesInt(s, dir).filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b")).distinct()
+        .transform(graft.Iterative.truncate)
     }
 
   /** Per-node neighbor count `(n, d)` over [[undIntNS]] — the degree table
@@ -108,17 +116,22 @@ object Graph {
     * (previously re-windowed once per walk STEP).
     */
   private def adjRnInt(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.Caches.fragment(s, dir, "graph_adj_rn") {
+    graft.Caches.fragment(s, dir, "graph_adj_rn", persisted = false) {
       undIntNS(s, dir).withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("a").orderBy("b")))
+        .transform(graft.Iterative.truncate)
     }
 
   /** Degree-ordered orientation of [[canonInt]] — shared by triangles and
     * clustering coeff (identical tie-break by construction).
     */
   private def orientedInt(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    graft.Caches.fragment(s, dir, "graph_oriented_int") {
-      orientEdges(canonInt(s, dir))
+    // persisted = false + truncate: the wedge self-join reads this frame
+    // twice per query — localCheckpoint blocks are row-format (no columnar
+    // decode per read like a persisted fragment), and the memoized handle
+    // still shares the one materialization across queries
+    graft.Caches.fragment(s, dir, "graph_oriented_int", persisted = false) {
+      orientEdges(canonInt(s, dir)).transform(graft.Iterative.truncate)
     }
 
 
@@ -1225,22 +1238,52 @@ object Graph {
          |$steps
          |SELECT a AS node, count(*)::BIGINT AS core_degree
          |FROM e$peels GROUP BY a ORDER BY node""".stripMargin) { (s, dir) =>
-      val e = edgesInt(s, dir)
-      var und = e.union(e.select(col("b").as("a"), col("a").as("b")))
-        .distinct().transform(graft.Iterative.truncate)
-      (1 to peels).foreach { _ =>
-        val keep = und.groupBy(col("a").as("node"))
-          .agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k).select("node")
-        und = und
-          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .select("a", "b")
-          .transform(graft.Iterative.truncate)
-      }
-      und.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
-        .orderBy("node")
+      kcoreOf(s, dir, k, peels)
     }
+  }
+
+  /** [[kcore]]'s engine body — size-gated like the components/LPA/SCC
+    * replays: the distributed loop is `peels` rounds of one aggregate + two
+    * semi-joins over sub-MB frames, pure scheduler overhead on a
+    * broadcast-sized graph (profiled: 0.36 s of stage time inside 0.87 s
+    * wall). The driver replay peels loop-for-loop the identical algebra:
+    * per round drop every edge with an endpoint of degree < k, then report
+    * survivors with their within-core degree.
+    */
+  private def kcoreOf(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, peels: Int): DataFrame = {
+    val gathered = gatherUnder(undInt(s, dir), 1000000L)
+    if (gathered.isDefined) {
+      import s.implicits._
+      var es = gathered.get
+      def degrees(xs: Array[(Long, Long)]): collection.mutable.LongMap[Long] = {
+        val deg = new collection.mutable.LongMap[Long](xs.length)
+        xs.foreach { case (a, _) => deg.update(a, deg.getOrElse(a, 0L) + 1L) }
+        deg
+      }
+      var round = 0
+      while (round < peels) {
+        val deg = degrees(es)
+        es = es.filter(t =>
+          deg.getOrElse(t._1, 0L) >= k && deg.getOrElse(t._2, 0L) >= k)
+        round += 1
+      }
+      return degrees(es).toSeq.map { case (n, d) => (n, d) }
+        .toDF("node", "core_degree").orderBy("node")
+    }
+    var und = undInt(s, dir)
+    (1 to peels).foreach { _ =>
+      val keep = und.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+      und = und
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .transform(graft.Iterative.truncate)
+    }
+    und.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
   }
 
   /** Label-propagation communities (synchronous LPA, fixed rounds) — the
@@ -2210,7 +2253,7 @@ object Graph {
     */
   private def cappedAdjInt(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    graft.Caches.fragment(s, dir, "graph_capped_adj") {
+    graft.Caches.fragment(s, dir, "graph_capped_adj", persisted = false) {
       val capW = org.apache.spark.sql.expressions.Window
         .partitionBy("a").orderBy("hk", "b")
       undIntNS(s, dir)
@@ -2219,6 +2262,7 @@ object Graph {
         .withColumn("rn", row_number().over(capW))
         .filter(col("rn") <= LinkPredictCap)
         .select("a", "b")
+        .transform(graft.Iterative.truncate)
     }
 
   private val linkPredictCapped_ = q("graph_link_predict_capped",

@@ -209,8 +209,12 @@ class ExplainAudit extends AnyFunSuite {
     // the probe is a literal IN filter on the (inlined) cell-id expression,
     // pushed into the scan-stage Filter — never a join against a probe table
     assert(p.contains("IN ("), "cell probe must be a literal IN filter")
-    assert("BroadcastHashJoin".r.findAllIn(p).size == 4,
-      "exactly the four lut joins expected")
+    // the ADC lookup table is computed on the driver from the collected
+    // codebook and inlined as element_at literals — the four broadcast lut
+    // joins this card used to plan are gone, and nothing may bring a join
+    // back into the cell-pruned scan stage
+    assert(!p.contains("Join"), s"ivfpq must plan no join:\n${p.take(2000)}")
+    assert(p.contains("element_at"), "lut must be inlined literals")
     assert(p.contains("TakeOrderedAndProject"))
   }
 
