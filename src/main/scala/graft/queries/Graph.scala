@@ -2107,6 +2107,14 @@ object Graph {
           .drop("__pa", "__pb", "__common")
         val byWalk = win.partitionBy("n0", "wr")
         val picked = cand
+          // pinned keyed repartition: the window's own exchange is
+          // AQE-coalescible and the ~2 MB candidate frame collapsed to TWO
+          // tasks, serializing the md5-per-candidate pick 16× (profiled:
+          // two 0.36 s near-serial stages per step). The explicit count
+          // satisfies the window's required distribution, so no second
+          // exchange is added — it only pins the parallelism (guide §2.5).
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("n0"), col("wr"))
           .withColumn("cum", sum("wt").over(byWalk.orderBy("cand")))
           .withColumn("tot", sum("wt").over(byWalk))
           .withColumn("r", graft.functions.Md5Prefix64(
