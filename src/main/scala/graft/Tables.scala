@@ -18,30 +18,61 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Fan a narrow frame out to the session's parallelism when its scan
-    * planned markedly fewer partitions. A small single-row-group parquet
+    * plans markedly fewer partitions. A small single-row-group parquet
     * file plans ONE scan task, and every CPU-heavy map above it (text
     * normalization, shingling, signature folds) then runs single-threaded —
     * measured as multi-second one-task stages in the round-14 profiles.
     * SIZE-GATED, not assumed: when the scan already parallelizes (a real
     * corpus is thousands of splits), this is the identity and nothing extra
-    * moves at scale — only an under-parallel scan pays one small round-robin
-    * exchange to unlock the cores. The partition count is pinned to the
-    * session's shuffle-partition setting so AQE cannot re-coalesce a
-    * deliberately CPU-parallel exchange (conf-driven, scale-adaptive —
-    * guide §2.5/§6). Row order is not semantics anywhere in the registry
-    * (every query's output is aggregated or totally ordered; the DuckDB
-    * oracle computes in its own order), so the round-robin is
-    * result-invisible; Spark's sort-before-repartition keeps the
-    * row-to-partition assignment deterministic under retries.
+    * moves at scale — only an under-parallel scan pays one small
+    * HASH-PARTITIONED exchange on the provided uniform key to unlock the
+    * cores (hash, NOT round-robin: a keyless `repartition(n)` first pays a
+    * local sort of its input — sort-before-repartition, needed for
+    * deterministic retries — while hash partitioning is deterministic per
+    * row with no sort, so the only cost is the exchange). The partition
+    * count is pinned to the session's shuffle-partition setting so AQE
+    * cannot re-coalesce a deliberately CPU-parallel exchange (conf-driven,
+    * scale-adaptive — guide §2.5/§6). Row order is not semantics anywhere
+    * in the registry (every query's output is aggregated or totally
+    * ordered; the DuckDB oracle computes in its own order), so the
+    * repartition is result-invisible.
+    *
+    * The gate reads the leaf relations' FILE METADATA (bytes + file count,
+    * already listed on the driver at read time) and reproduces Spark's
+    * split-sizing arithmetic, instead of `df.rdd.getNumPartitions`: the RDD
+    * conversion forced a second full physical plan + RDD DAG per call site
+    * (bypassing AQE's view of the query) just to read a partition count —
+    * the probe itself is now free.
     */
   def fanOut(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    // hash-partition on a provided uniform key, NOT round-robin: a keyless
-    // repartition first pays a local sort of its input (sort-before-
-    // repartition, needed for deterministic retries) — hash partitioning is
-    // deterministic per row with no sort, so the only cost is the exchange
-    if (df.rdd.getNumPartitions * 4 < target) df.repartition(target, key)
-    else df
+    val s = df.sparkSession
+    val conf = s.sessionState.conf
+    val target = conf.numShufflePartitions
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val rels = leaves.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+    }.collect {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation => h
+    }
+    // unknown shape (non-file leaves): stay the identity — every call site
+    // hands in a narrow map over a parquet scan
+    if (rels.isEmpty || rels.size != leaves.size) return df
+    val openCost = conf.filesOpenCostInBytes
+    val maxSplit = conf.filesMaxPartitionBytes
+    val minPartitionNum = conf.filesMinPartitionNum
+      .getOrElse(s.sparkContext.defaultParallelism)
+    // FilePartition.maxSplitBytes arithmetic: split = min(maxPartitionBytes,
+    // max(openCost, totalBytes/minPartitionNum)); planned tasks ≈
+    // ceil(totalBytes/split) after bin packing — exact enough for a 4x gate
+    val planned = rels.map { h =>
+      val totalBytes =
+        h.location.sizeInBytes + h.location.inputFiles.length.toLong * openCost
+      val bytesPerCore = totalBytes / math.max(1, minPartitionNum)
+      val split = math.min(maxSplit, math.max(openCost, bytesPerCore))
+      math.max(1L, (totalBytes + split - 1) / split)
+    }.sum
+    if (planned * 4 < target) df.repartition(target, key) else df
   }
 
   /** The events table's `ts` physical type has varied across testdata

@@ -890,45 +890,84 @@ object Curation {
         size(org.apache.spark.sql.functions.split(normText(col("text")), " "))
           .cast("long").as("t"))
 
+  /** Conf key: max census rows [[allocationOf]] collects for the driver
+    * water-fill; a larger census takes the truncated in-plan rounds. */
+  private[pipeline] val AllocSourceGateKey = "spark.graft.allocSourceGate"
+  private val DefaultAllocSourceGate = 65536
+
   /** Spark twin of [[allocCtes]]: `(source, n_tokens, weight, cap, alloc)`
     * from a [[docTokens]]-shaped frame. Sources-table sized (the corpus
     * pass is only the token census, and the caller supplies it so a
     * consumer that also needs per-doc counts pays for it once).
     *
     * The water-fill rounds run ON THE DRIVER over the collected census —
-    * bounded by |sources| (20 here, thousands at worst: the same
-    * size-bounded-collect discipline as the k-means K-row centroids). The
-    * previous in-plan loop either tripled the plan per round (each round
-    * read its predecessor three times → 3³ copies of the token census, 242
-    * Exchanges in the before-plan) or, truncated, paid three checkpoint
-    * materializations of a ≤|sources|-row frame — both lose to one bounded
-    * collect. Algebra identical: gives are
-    * `min(cap, alloc + (rem·weight) div active_weight)` with the product in
-    * BigInt exactly like the oracle's HUGEINT; same 3 rounds.
+    * but the collect is GATED, not assumed (the gatherUnder discipline):
+    * one bounded job pulls at most gate+1 census rows; a clipped result
+    * means the source dimension outgrew the bound, and the identical
+    * rounds run distributed instead — per round one aggregate for
+    * (remaining budget, active weight), broadcast back into the ≤|sources|
+    * frame, lineage truncated per round so the plan cannot triple
+    * (the 242-Exchange disease the driver loop originally replaced).
+    * Sources are a dimension table (20 here, thousands at worst), so the
+    * driver path is the one that runs in practice; the gate makes the
+    * 100 TB claim mechanical instead of rhetorical. NOTE the gate probe is
+    * eager (a bounded census job at DataFrame-construction time) — plan
+    * audits on the token-budget cards execute the census to build the plan.
+    *
+    * Algebra identical on both paths: gives are
+    * `min(cap, alloc + (rem·weight) div active_weight)` with the product
+    * exact — BigInt on the driver, DECIMAL(38,0) with integral `DIV` in
+    * plan — matching the oracle's HUGEINT; same 3 rounds.
     */
   private def allocationOf(
       dt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = dt.sparkSession
     import s.implicits._
-    var rows = dt.groupBy("source").agg(sum("t").as("n_tokens")).collect()
-      .map { r =>
+    val census = dt.groupBy("source").agg(sum("t").as("n_tokens"))
+    val gate = s.conf.getOption(AllocSourceGateKey).flatMap(_.toIntOption)
+      .getOrElse(DefaultAllocSourceGate)
+    val head = census.limit(gate + 1).collect()
+    if (head.length <= gate) {
+      var rows = head.map { r =>
         val nt = r.getLong(1)
         (r.getString(0), nt,
           math.floor(math.sqrt(nt.toDouble)).toLong, 2L * nt, 0L)
       }.toSeq
-    val budget = rows.map(_._2).sum / 2
-    var round = 0
-    while (round < 3) {
-      val rem = budget - rows.map(_._5).sum
-      val aw = rows.collect { case t if t._5 < t._4 => t._3 }.sum
-      rows = rows.map { case (src, nt, w, cap, alloc) =>
-        val next = if (alloc >= cap || aw == 0L) alloc
-          else math.min(cap, alloc + (BigInt(rem) * w / aw).toLong)
-        (src, nt, w, cap, next)
+      val budget = rows.map(_._2).sum / 2
+      var round = 0
+      while (round < 3) {
+        val rem = budget - rows.map(_._5).sum
+        val aw = rows.collect { case t if t._5 < t._4 => t._3 }.sum
+        rows = rows.map { case (src, nt, w, cap, alloc) =>
+          val next = if (alloc >= cap || aw == 0L) alloc
+            else math.min(cap, alloc + (BigInt(rem) * w / aw).toLong)
+          (src, nt, w, cap, next)
+        }
+        round += 1
       }
-      round += 1
+      rows.toDF("source", "n_tokens", "weight", "cap", "alloc")
+    } else {
+      var a = census.select(col("source"), col("n_tokens"),
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long").as("weight"),
+        (col("n_tokens") * 2).as("cap"))
+        .withColumn("alloc", lit(0L))
+      var round = 0
+      while (round < 3) {
+        val t = graft.Iterative.truncate(a)
+        val stats = t.agg(
+          expr("sum(n_tokens) div 2 - sum(alloc)").as("rem"),
+          coalesce(sum(when(col("alloc") < col("cap"), col("weight"))), lit(0L))
+            .as("aw"))
+        a = t.crossJoin(broadcast(stats)).select(
+          col("source"), col("n_tokens"), col("weight"), col("cap"),
+          when(col("alloc") >= col("cap") || col("aw") === 0L, col("alloc"))
+            .otherwise(least(col("cap"), col("alloc") +
+              expr("CAST((CAST(rem AS DECIMAL(38,0)) * weight) DIV aw AS BIGINT)")))
+            .as("alloc"))
+        round += 1
+      }
+      a
     }
-    rows.toDF("source", "n_tokens", "weight", "cap", "alloc")
   }
 
   private val tokenBudget =

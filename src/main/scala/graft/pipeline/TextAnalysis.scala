@@ -1019,7 +1019,7 @@ object TextAnalysis {
     * Engine API rather than a registered query: DuckDB exposes no DEFLATE
     * surface, so no cross-engine oracle exists; the determinism contract
     * (fixed level, fresh Deflater, JDK-pinned zlib) is spec-pinned instead
-    * (Md5PrefixSpec).
+    * (NativeFunctionsSpec).
     */
   def compressionSignal(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.filter(length(col("text")) > 0)

@@ -140,18 +140,49 @@ object Graph {
        |  SELECT ${encSql("src")} AS a, ${encSql("dst")} AS b FROM links
        |  WHERE link_type = 'blocks' AND project_key = 'P1')""".stripMargin
 
-  /** One-action size gate shared by the iterative operators: pull at most
-    * `gate` edge rows — a result shorter than the cap IS the whole graph
-    * (take the driver replay), a clipped one means "too big, go
-    * distributed". Replaces the count-then-collect pair with a single
-    * bounded scan job; the driver never holds more than `gate` rows either
-    * way.
+  /** Default edge-count gate below which the iterative operators replay on
+    * the driver — ONE constant shared by every size-gated replay (components,
+    * LPA, SCC, k-core) so a tuning change cannot silently leave one gate
+    * behind.
+    */
+  private[graft] val DriverGateEdges = 1000000L
+
+  // memoized gate probes, keyed by (DataFrame handle, gate): the gated slices
+  // the cards pass in are Caches.fragment handles — ONE DataFrame object per
+  // (session, dir) — so the probe below runs once per fragment per session,
+  // not once per operator execution. Inline-built frames (engine-API callers)
+  // get fresh keys and probe fresh, exactly as before. Bounded LRU; stopped-
+  // session entries are pruned on access.
+  private val gatherMemo =
+    new java.util.LinkedHashMap[(DataFrame, Long), Option[Array[(Long, Long)]]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(DataFrame, Long), Option[Array[(Long, Long)]]])
+          : Boolean = size() > 4
+    }
+
+  /** Size gate shared by the iterative operators: when the edge frame counts
+    * under `gate`, collect it for the driver replay; otherwise return None
+    * ("too big, go distributed"). The probe is a DISTRIBUTED count — a
+    * partial aggregate shipping one long per task — never a
+    * `limit(gate).collect()`: the old probe funneled up to `gate` rows
+    * through a global limit to the driver on every execution of every gated
+    * operator over a large graph just to learn "too big" (minor at sf0.1,
+    * real at 100 TB). The driver still never holds more than `gate` rows.
     */
   private def gatherUnder(df: DataFrame, gate: Long): Option[Array[(Long, Long)]] = {
-    val cap = math.min(gate, Int.MaxValue.toLong - 1).toInt
-    val rows = df.limit(cap).collect()
-    if (rows.length < cap) Some(rows.map(r => (r.getLong(0), r.getLong(1))))
-    else None
+    def probe(): Option[Array[(Long, Long)]] =
+      if (df.count() < gate) Some(df.collect().map(r => (r.getLong(0), r.getLong(1))))
+      else None
+    if (graft.Caches.disabled(df.sparkSession)) return probe()
+    gatherMemo.synchronized {
+      val it = gatherMemo.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkSession.sparkContext.isStopped) it.remove()
+      val key = (df, gate)
+      val hit = gatherMemo.get(key)
+      if (hit != null) hit
+      else { val v = probe(); gatherMemo.put(key, v); v }
+    }
   }
 
   /** Dense CSR over a collected edge list, for the gated driver replays.
@@ -295,7 +326,7 @@ object Graph {
     * lineage.
     */
   private[graft] def fixedRoundLabels(e: DataFrame, rounds: Int,
-      driverGateEdges: Long = 1000000L, und0: DataFrame = null): DataFrame = {
+      driverGateEdges: Long = DriverGateEdges, und0: DataFrame = null): DataFrame = {
     val und = if (und0 != null) und0
       else e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
     val gathered = gatherUnder(und, driverGateEdges)
@@ -685,7 +716,7 @@ object Graph {
     * label sum matched its predecessor's).
     */
   def componentsConverged(edges: DataFrame, maxRounds: Int = 50,
-      driverGateEdges: Long = 1000000L, und0: DataFrame = null): (DataFrame, Int) = {
+      driverGateEdges: Long = DriverGateEdges, und0: DataFrame = null): (DataFrame, Int) = {
     val e = edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val und = if (und0 != null) und0
@@ -848,7 +879,7 @@ object Graph {
     * pass whose edge set matched its predecessor's.
     */
   def componentsBigStar(edges: DataFrame, maxRounds: Int = 50,
-      driverGateEdges: Long = 1000000L, canonPre: DataFrame = null,
+      driverGateEdges: Long = DriverGateEdges, canonPre: DataFrame = null,
       nodesPre: DataFrame = null): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -1252,7 +1283,7 @@ object Graph {
     */
   private def kcoreOf(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Int, peels: Int): DataFrame = {
-    val gathered = gatherUnder(undInt(s, dir), 1000000L)
+    val gathered = gatherUnder(undInt(s, dir), DriverGateEdges)
     if (gathered.isDefined) {
       import s.implicits._
       var es = gathered.get
@@ -1349,7 +1380,7 @@ object Graph {
     * truncated lineage.
     */
   private[graft] def lpaLabels(e: DataFrame, rounds: Int,
-      driverGateEdges: Long = 1000000L, und0: DataFrame = null): DataFrame = {
+      driverGateEdges: Long = DriverGateEdges, und0: DataFrame = null): DataFrame = {
     val und = if (und0 != null) und0
       else e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct()
     val gathered = gatherUnder(und, driverGateEdges)
@@ -2606,7 +2637,7 @@ object Graph {
     * over residual color regions; each phase's certificates are final.
     */
   def sccPivot(edges: DataFrame, rounds: Int,
-      driverGateEdges: Long = 1000000L): DataFrame =
+      driverGateEdges: Long = DriverGateEdges): DataFrame =
     sccPivotCore(edges, rounds, driverGateEdges) match {
       case Left(full) =>
         val spark = edges.sparkSession
@@ -2623,7 +2654,7 @@ object Graph {
     * equivalent semi-join filter lazily.
     */
   def sccKnots(edges: DataFrame, rounds: Int,
-      driverGateEdges: Long = 1000000L,
+      driverGateEdges: Long = DriverGateEdges,
       normalized: Boolean = false): DataFrame =
     sccPivotCore(edges, rounds, driverGateEdges, normalized) match {
       case Left(full) =>

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Md5Prefix64
 
-class Md5PrefixSpec extends AnyFunSuite {
+class NativeFunctionsSpec extends AnyFunSuite {
   import TestSpark._
 
   test("native expression equals the built-in conv(md5) chain on random strings") {
