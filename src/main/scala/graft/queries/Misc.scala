@@ -628,14 +628,24 @@ object Misc {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-    val mx = p.agg(max("ts").as("corpus_max"))
-    val u = p.groupBy("user_id")
+    // ONE pass over the purchase stream: the per-user aggregate is truncated
+    // (users-dimension-sized — it is the frame being ranked anyway) because
+    // it is referenced by all three rank passes, the census and the final
+    // join; un-truncated, each reference replays the events scan+aggregate
+    // (the before-plan carried 108 Exchanges / 44 parquet scans). corpus_max
+    // is max(umax) — max of per-user maxes IS the global max, so the
+    // separate whole-stream max pass is gone too. The recency projection is
+    // truncated again so the 1-row max and its broadcast run once, not once
+    // per rank pass (guide §2.4).
+    val u0 = graft.Iterative.truncate(p.groupBy("user_id")
       .agg(max("ts").as("umax"), count(lit(1)).as("frequency"),
-        sum("cents").as("monetary_cents"))
+        sum("cents").as("monetary_cents")))
+    val mx = u0.agg(max("umax").as("corpus_max"))
+    val u = graft.Iterative.truncate(u0
       .crossJoin(broadcast(mx))
       .select(col("user_id"),
         datediff(col("corpus_max"), col("umax")).cast("long").as("recency_days"),
-        col("frequency"), col("monetary_cents"))
+        col("frequency"), col("monetary_cents")))
     val n = u.agg(count(lit(1)).as("nu"))
     // exact global rank of `metric` without a global window: log2-bucketed
     // local ranks + broadcast triangular bucket bases (the pipe_shuffle
@@ -712,13 +722,17 @@ object Misc {
         get_json_object(col("props"), "$.k").cast("int").as("item"))
       .distinct()
     val capW = Window.partitionBy("user_id").orderBy("hk", "item")
-    val capped = v
+    // the capped item-set frame feeds the item census, the user census and
+    // BOTH self-join sides — truncated so the JSON parse + distinct + md5
+    // cap window run once, not four times (before-plan: 36 Exchanges / 10
+    // scans / 30 Window nodes; guide §2.4)
+    val capped = graft.Iterative.truncate(v
       .withColumn("hk", graft.functions.Md5Prefix64(
         concat_ws(":", col("user_id").cast("string"),
           col("item").cast("string"))))
       .withColumn("rn", row_number().over(capW))
       .filter(col("rn") <= CovisitCap)
-      .select("user_id", "item")
+      .select("user_id", "item"))
     val ci = capped.groupBy("item").agg(count(lit(1)).as("c"))
     val n = capped.agg(countDistinct("user_id").as("nu"))
     val pairs = capped.as("a")
@@ -1191,11 +1205,15 @@ object Misc {
          |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_events
          |FROM h ORDER BY bucket""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, dir)
+      // the three-long projection is read by the bounds pass, the per-bucket
+      // max census and the windowed prev-max pass — truncated so the parquet
+      // scan runs once and the re-reads are row-format block reads
+      // (before-plan: 26 Exchanges / 12 scans; guide §2.4)
+      val ev = graft.Iterative.truncate(Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts").cast("timestamp")).as("tus"))
         .withColumn("arr", col("tus") + (col("user_id") % 7) * lit(180000000L))
-        .drop("user_id")
+        .drop("user_id"))
       val bounds = ev.agg(min("arr").as("lo"), max("arr").as("hi"))
       val bucketed = ev.crossJoin(broadcast(bounds))
         .withColumn("pid",
@@ -1571,10 +1589,16 @@ object Misc {
       |JOIN n na ON na.event_type = p.type_a
       |JOIN n nb ON nb.event_type = p.type_b, tot
       |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
-    val ev = Tables.events(s, dir).select("user_id", "event_type").distinct()
+    // the deduped (user, type) frame is referenced three times (census +
+    // both self-join sides) — truncate it so the events scan + distinct run
+    // once, not per reference (before-plan: 28 Exchanges / 10 scans). The
+    // user census reads the SAME frame: a user with any event has a row in
+    // ev, so countDistinct(user_id) over ev equals it over raw events —
+    // that removes the fourth full pass outright (guide §2.4).
+    val ev = graft.Iterative.truncate(
+      Tables.events(s, dir).select("user_id", "event_type").distinct())
     val n = ev.groupBy("event_type").agg(count(lit(1)).as("nu"))
-    val tot = Tables.events(s, dir).agg(
-      countDistinct("user_id").as("nus"))
+    val tot = ev.agg(countDistinct("user_id").as("nus"))
     val pairs = ev.as("a")
       .join(ev.as("b"), col("a.user_id") === col("b.user_id")
         && col("a.event_type") < col("b.event_type"))
@@ -1662,8 +1686,12 @@ object Misc {
     val per = m.groupBy("user_id", "sid")
       .agg(count(lit(1)).as("n_events"),
         (unix_micros(max("ts")) - unix_micros(min("ts"))).as("dur_us"))
-    val tot = per.agg(count(lit(1)).as("n"))
-    per
+    // every session lands in exactly one bucket, so the session total is
+    // Σ n_sessions over the ≤~40-bucket rollup — deriving it there (from the
+    // truncated bucket frame) removes the second full sessionization pass
+    // the separate per-count used to replay (before-plan: 12 Exchanges / 4
+    // scans / 8 Window nodes; guide §2.4)
+    val h = graft.Iterative.truncate(per
       .select(
         when(col("dur_us") === 0, lit(-1L))
           .otherwise((length(bin(expr("dur_us div 1000000"))) - 1)
@@ -1671,7 +1699,9 @@ object Misc {
         col("n_events"), col("dur_us"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"),
-        max("dur_us").as("max_dur_us"))
+        max("dur_us").as("max_dur_us")))
+    val tot = h.agg(sum("n_sessions").as("n"))
+    h
       .crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_sessions"), col("n_events"),
         col("max_dur_us"),
@@ -1723,8 +1753,13 @@ object Misc {
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(rk, event_type))), x -> x.event_type)"),
         ">").as("path"))
-    val c = p.groupBy("path").agg(count(lit(1)).as("n_sessions"))
-    val tot = p.agg(count(lit(1)).as("n"))
+    // every session has exactly one path row in c, so the session total is
+    // Σ n_sessions over the ≤|types|³ path counts — deriving it from the
+    // truncated count frame removes the second full sessionization pass
+    // (before-plan: 10 Exchanges / 4 scans / 16 Window nodes; guide §2.4)
+    val c = graft.Iterative.truncate(
+      p.groupBy("path").agg(count(lit(1)).as("n_sessions")))
+    val tot = c.agg(sum("n_sessions").as("n"))
     c.crossJoin(broadcast(tot))
       .select(col("path"), col("n_sessions"),
         (col("n_sessions").cast("double") / col("n")).as("share"))
@@ -1760,12 +1795,15 @@ object Misc {
       |ORDER BY src, dst""".stripMargin) { (s, dir) =>
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
-    val t = Tables.events(s, dir)
+    // the ≤|types|² matrix feeds both the output rows and the per-src
+    // normalizer — truncated so the lead() window pass over the events runs
+    // once, not twice (before-plan: 14 Exchanges / 4 scans; guide §2.4)
+    val t = graft.Iterative.truncate(Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .select(col("event_type").as("src"),
         lead("event_type", 1).over(byUser).as("dst"))
       .filter(col("dst").isNotNull)
-      .groupBy("src", "dst").agg(count(lit(1)).as("n_transitions"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_transitions")))
     val tot = t.groupBy("src").agg(sum("n_transitions").as("out_n"))
     t.join(broadcast(tot), Seq("src"))
       .select(col("src"), col("dst"), col("n_transitions"),
@@ -1982,9 +2020,12 @@ object Misc {
       |FROM base b JOIN wau w ON w.day = b.day
       |ORDER BY day_s""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val ud = Tables.events(s, dir)
+    // the (user, day) dedup feeds DAU, the first-day census and the WAU
+    // explode — truncated so the events scan + distinct run once, not three
+    // times (before-plan: 20 Exchanges / 6 scans; guide §2.4)
+    val ud = graft.Iterative.truncate(Tables.events(s, dir)
       .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
-      .distinct()
+      .distinct())
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val nu = ud.groupBy("user_id").agg(min("day").as("day"))
       .groupBy("day").agg(count(lit(1)).as("new_users"))
