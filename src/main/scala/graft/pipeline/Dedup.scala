@@ -126,33 +126,44 @@ object Dedup {
       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
       |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
 
+  /** The `minhash_cand_sets` fragment: `(doc_id, shs, n)` shingle arrays
+    * pruned to docs that appear in a banded candidate pair. Shared by the
+    * verify join ([[verifiedPairs]]) AND the estimator's signature fold
+    * ([[minhashEst]]) so the corpus shingle pass behind it runs once per
+    * (session, dir), not once per consumer. persisted = false + truncate:
+    * every consumer reads this frame TWICE (doc_a and doc_b pair sides) —
+    * a row-format localCheckpoint block skips the per-read columnar decode
+    * a persisted fragment pays (the graph_und_int discipline, guide §2.4).
+    */
+  private def candSets(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.fragment(s, dir, "minhash_cand_sets", persisted = false) {
+      val cand = minhashCandidates(s, dir)
+      // only docs that appear in a candidate pair need their shingle set —
+      // near-dup candidates are orders of magnitude fewer than the corpus.
+      // The semi-join broadcasts when the candidate-doc set is genuinely
+      // small (size-gated, not assumed).
+      val candDocs = graft.Caches.fragment(s, dir, "minhash_cand_docs") {
+        cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      }
+      val cd = if (candDocs.count() < 1000000) broadcast(candDocs) else candDocs
+      // verify on per-doc shingle ARRAYS (bounded: shingles ∝ doc length), so
+      // the intersection is one array_intersect per candidate pair — the set
+      // is already an array row, no collect_list rebuild needed
+      graft.Iterative.truncate(
+        docShingleArrays(s, dir).join(cd, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("shs"),
+            size(col("shs")).cast("long").as("n")))
+    }
+
   /** Spark twin of [[pairCtes]]: banded candidate pairs with exact shingle
     * intersection and set sizes — `(doc_a, doc_b, i, na, nb)`.
     */
   private def verifiedPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    // the rolled-up shingle arrays feed the minhash candidate pipeline AND
-    // the verify step. NOT cached: since signatures fold per row the
-    // array build is a cheap map-only pass, and caching 100+ MB of string
-    // arrays costs more than the second scan it saves.
-    val sh = docShingleArrays(s, dir)
     val cand = minhashCandidates(s, dir)
-    // only docs that appear in a candidate pair need their shingle set in
-    // the verify join — near-dup candidates are orders of magnitude fewer
-    // than the corpus. The semi-join broadcasts when the candidate-doc set
-    // is genuinely small (size-gated, not assumed).
-    val candDocs = graft.Caches.fragment(s, dir, "minhash_cand_docs") {
-      cand.select(col("doc_a").as("doc_id"))
-        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    }
-    val cd = if (candDocs.count() < 1000000) broadcast(candDocs) else candDocs
-    // verify on per-doc shingle ARRAYS (bounded: shingles ∝ doc length), so
-    // the intersection is one array_intersect per candidate pair — the set
-    // is already an array row, no collect_list rebuild needed
-    val sets = graft.Caches.fragment(s, dir, "minhash_cand_sets") {
-      sh.join(cd, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("n"))
-    }
+    val sets = candSets(s, dir)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
         col("n").as("na")), Seq("doc_a"))
@@ -396,17 +407,12 @@ object Dedup {
        |JOIN sizes nb ON nb.doc_id = g.doc_b
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
     // per-doc 16-value signature array, folded in the row off the shingle
-    // set (the same zero-explode shape as minhashBands), pruned to docs
-    // that appear in a candidate pair
-    val candDocs = graft.Caches.fragment(s, dir, "minhash_cand_docs") {
-      val cand = minhashCandidates(s, dir)
-      cand.select(col("doc_a").as("doc_id"))
-        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-    }
-    // sigs joins into BOTH pair sides (ma, mb) — truncate so the 16-way
-    // signature fold runs once over the candidate docs, not twice
-    val sigs = docShingleArrays(s, dir)
-      .join(candDocs, Seq("doc_id"), "left_semi")
+    // set (the same zero-explode shape as minhashBands). Built from the
+    // shared candidate-pruned [[candSets]] fragment — the verify join next
+    // to it reads the same sets, so the corpus shingle pass behind them
+    // runs once, not once per consumer (guide §2.4). sigs joins into BOTH
+    // pair sides (ma, mb) — truncate so the 16-way fold runs once.
+    val sigs = candSets(s, dir)
       .select(col("doc_id"),
         transform(col("shs"), sh => hash64(sh) % MhP).as("harr"))
       .select(col("doc_id"), array((0 until 16).map(i =>

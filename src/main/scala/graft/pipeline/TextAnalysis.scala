@@ -362,11 +362,17 @@ object TextAnalysis {
     val wx = docWords(s, dir).filter(size(col("w")) > 0)
       .select(col("doc_id"), size(col("w")).as("n_words"),
         explode(col("w")).as("word"))
-    val tf = wx.groupBy("doc_id", "word")
-      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("c"))
-    val df = wx.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
-    val nDocs = docWords(s, dir).filter(size(col("w")) > 0)
-      .agg(count(lit(1)).as("n_docs"))
+    // ONE pass over the occurrence stream: tf has exactly one row per
+    // (doc, word), so the document frequency IS count(*) per word over tf
+    // and the doc census IS countDistinct(doc_id) over tf (a doc with
+    // len(w) > 0 always lands in tf) — both previously replayed the full
+    // normalize + explode pass (before-plan: 16 Exchanges / 6 scans). tf is
+    // truncated because it feeds the df census, the doc census and the
+    // score join (guide §2.4).
+    val tf = graft.Iterative.truncate(wx.groupBy("doc_id", "word")
+      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("c")))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("c").desc, col("df").asc, col("word").asc)
     tf.join(df, Seq("word")).crossJoin(broadcast(nDocs))
