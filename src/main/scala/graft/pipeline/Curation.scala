@@ -1106,7 +1106,10 @@ object Curation {
           .as("w"))
     val wx = dw.select(col("doc_id"), explode(col("w")).as("word"))
       .transform(graft.Iterative.truncate)
+    // freq feeds the mean threshold AND the rare-word list — truncate so
+    // the corpus-wide word census aggregates once, not twice (guide §2.4)
     val freq = wx.groupBy("word").agg(count(lit(1)).as("f"))
+      .transform(graft.Iterative.truncate)
     val thr = freq.agg(expr("sum(f) div count(1)").as("mean_f"))
     val rare = freq.crossJoin(broadcast(thr))
       .filter(col("f") < col("mean_f")).select("word")
@@ -1123,7 +1126,10 @@ object Curation {
       // pts feeds the band census AND the final dominance pass — truncate
       // so the rarity join chain runs once (guide §2.4)
       .transform(graft.Iterative.truncate)
+    // both sides of the triangular prefix-max join read this ≤954-row
+    // rollup — truncate so the corpus-sized pts pass aggregates once
     val bandMax = pts.groupBy("band").agg(max("ri").as("bmax"))
+      .transform(graft.Iterative.truncate)
     // strictly-higher-band prefix max: triangular join over the bounded
     // band table (broadcast both sides; never touches the corpus)
     val hi = bandMax.as("a")

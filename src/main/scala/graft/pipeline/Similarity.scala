@@ -999,6 +999,11 @@ object Similarity {
       // ---- lexical leg: BM25(k1 = 1.2, b = 0.75) over the query terms ----
       // local fanOut: the word arrays feed both the length table and the
       // token explode — heavy maps that single-task off the one-file scan
+      // NOT truncated/shared, deliberately: dl and tf replay the split
+      // pass per consumer (4 subtree executions), but those replays run as
+      // concurrent stages of ONE job; both checkpointed rewrites measured
+      // worse (one shared split checkpoint 0.89 → 1.45s, narrow dl/tf
+      // checkpoints 0.89 → 1.23s — the eager builds serialize, r15)
       val dw = graft.Tables.fanOut(
           graft.Tables.t(s, dir, "documents").select("doc_id", "text"),
           col("doc_id"))

@@ -1072,12 +1072,16 @@ object Graph {
       .transform(graft.Iterative.truncate)
     val lab = baseLabels.toDF("node", "lbl")
       .transform(graft.Iterative.truncate)
+    // truncated: the contraction reads this tree from three angles (the
+    // size-gate's count probe, the gathered collect / distinct canon, and
+    // the label plan's endpoint census) — one materialization serves all
     val resolved = e
       .join(lab.select(col("node").as("a"), col("lbl").as("la")), Seq("a"), "left")
       .join(lab.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"), "left")
       .select(coalesce(col("la"), col("a")).as("a"),
         coalesce(col("lb"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
+      .transform(graft.Iterative.truncate)
     val (merge, _) = componentsBigStar(resolved)
     val root = merge.select(col("node").as("lbl"), col("lbl").as("root"))
     // re-root existing labels, then add nodes the delta introduced
@@ -1160,11 +1164,15 @@ object Graph {
       .select(col("lbl")).distinct()
     // every remaining edge is intra-component under the OLD labeling, so
     // one endpoint's label decides membership in the affected subgraph
+    // truncated for the same reason as componentsIncremental's resolved
+    // frame: the relabel's size-gate probe, the gathered collect and the
+    // relabeled plan's node census each re-run this join tree otherwise
     val subEdges = rem
       .join(lab.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
       .join(broadcast(affected.withColumnRenamed("lbl", "la")), Seq("la"),
         "left_semi")
       .select("a", "b")
+      .transform(graft.Iterative.truncate)
     val (relabeled, _) = componentsBigStar(subEdges)
     val untouched = lab
       .join(broadcast(affected), Seq("lbl"), "left_anti")
@@ -3004,6 +3012,10 @@ object Graph {
           coalesce(col("sd"), lit(0L)).as("sdown"))
     }
     val s3 = f3.withColumn("sdown", lit(0L))
+    // s2 is read twice (next backward step + final σ·S union) but NOT
+    // truncated: the two replays run as concurrent stages of one job over
+    // checkpointed inputs, while an eager checkpoint serializes them —
+    // measured +0.4s on both stress cards when tried (r15)
     val s2 = backward(f2, s3)
     val s1 = backward(f1, s2)
     s1.unionByName(s2.select("s", "v", "sigma", "sdown"))
