@@ -407,14 +407,22 @@ object TextAnalysis {
        |  sum(c.c)::DOUBLE / count(*) AS familiarity
        |FROM bgs b JOIN cnt c USING (bg)
        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val bgs = docWords(s, dir).filter(size(col("w")) >= 2)
+    // ONE explode pass: aggregate to (doc, bg) partials, take the global
+    // bigram count as a window sum over bg (exactly Σ partials — the same
+    // BIGINT the join-back against a separate census produced), then fold
+    // per doc: n_bigrams = Σ ci, sum_freq = Σ ci·c. The census+join-back
+    // form ran the explode twice and shuffled the full instance stream
+    // into the join (guide §2.4/§3.3)
+    val bct = docWords(s, dir).filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
         .as("bg"))
-    val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c"))
-    bgs.join(cnt, Seq("bg"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("ci"))
+      .withColumn("c", sum(col("ci")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bg")))
+    bct.groupBy("doc_id")
+      .agg(sum(col("ci")).as("n_bigrams"),
+        sum(col("ci") * col("c")).as("sum_freq"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_freq"),
         (col("sum_freq").cast("double") / col("n_bigrams")).as("familiarity"))
       .orderBy("doc_id")
@@ -753,12 +761,17 @@ object TextAnalysis {
        |  sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS novelty
        |FROM shingles s JOIN dfc d USING (sh)
        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-    val sh = docShingles(s, dir)
-    val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(dfc, Seq("sh"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    // ONE shingle pass (same rewrite as pipe_text_bigram_lm): (doc, sh)
+    // partials, global df as a window sum over sh, per-doc fold. df = 1
+    // implies the shingle's single instance lives in this doc, so
+    // n_unique = Σ ci·[df = 1] is exactly the join-back's count
+    val sct = docShingles(s, dir)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("ci"))
+      .withColumn("df", sum(col("ci")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+    sct.groupBy("doc_id")
+      .agg(sum(col("ci")).as("n_shingles"),
+        sum(when(col("df") === 1, col("ci")).otherwise(0L)).as("n_unique"))
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
         (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
       .orderBy("doc_id")

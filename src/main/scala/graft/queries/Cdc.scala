@@ -86,6 +86,20 @@ object Cdc {
       .orderBy("key")
   }
 
+  /** The W-state ⊕ W2-batch merge both [[upsert]] and [[stats]] rank over —
+    * identical construction in the two cards, so memoize it like
+    * cdc_validate_state: one checksum-bearing merge per (session, dir)
+    * instead of one per card (guide §2.4; plan audits bypass and still see
+    * the raw construction).
+    */
+  private def mergedState(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.fragment(s, dir, "cdc_merged_state") {
+      val issues = Tables.issues(s, dir)
+      val state = StateStore.fromIssues(issues.filter(col("updated") <= lit(W)), W)
+      val batch = StateStore.fromIssues(incoming(s, dir), W2)
+      StateStore.merge(state, batch)
+    }
+
   /** C2: upsert-on-newer merge of the second run's batch into first-run
     * state. Exercises all three merge branches: batch-newer (edited rows →
     * sync_count bumps), idempotent re-sync (equal timestamps → state kept),
@@ -112,10 +126,7 @@ object Cdc {
          |  FROM state s FULL JOIN batch b ON s.key = b.key)
          |SELECT key, project_key, last_synced, last_updated, checksum, sync_count
          |FROM merged ORDER BY key""".stripMargin)) { (s, dir) =>
-    val issues = Tables.issues(s, dir)
-    val state = StateStore.fromIssues(issues.filter(col("updated") <= lit(W)), W)
-    val batch = StateStore.fromIssues(incoming(s, dir), W2)
-    StateStore.merge(state, batch)
+    mergedState(s, dir)
       .select("key", "project_key", "last_synced", "last_updated", "checksum",
         "sync_count")
       .orderBy("key")
@@ -143,10 +154,7 @@ object Cdc {
          |  round(avg(sync_count), 4) AS avg_sync_count,
          |  array_to_string(list_sort(list(DISTINCT project_key)), ',') AS projects
          |FROM merged""".stripMargin)) { (s, dir) =>
-    val issues = Tables.issues(s, dir)
-    val state = StateStore.fromIssues(issues.filter(col("updated") <= lit(W)), W)
-    val batch = StateStore.fromIssues(incoming(s, dir), W2)
-    StateStore.stats(StateStore.merge(state, batch))
+    StateStore.stats(mergedState(s, dir))
   }
 
   /** J7: issue⇄state enrichment — every current issue joined with its sync
