@@ -318,7 +318,12 @@ final class JqlCompiler(
             .select(col("key").as("__k"))
         case "linkedissues" =>
           // keys compare case-insensitively everywhere in JQL — the edge
-          // endpoints are no exception
+          // endpoints are no exception. Deliberately TWO union branches,
+          // not one disjunctive pass: each branch's equality filter sits
+          // on a single endpoint, so it pushes BELOW the link-derivation
+          // join and prunes that side before joining; a `src = k OR
+          // dst = k` filter can only run above the unfiltered join
+          // (measured 1.19 -> 1.50 s on jql_linked when tried, r15)
           val k = args.head.toLowerCase
           subqueries += links.filter(lower(col("src")) === k)
             .select(col("dst").as("__k"))
