@@ -44,6 +44,14 @@ object Epic {
     var frontier = roots
     var all = roots
     for (d <- 1 to MaxDepth) {
+      // deliberately NOT truncated, unlike the other frontier loops: depth
+      // d's plan does replay the d-1 shallower joins (the dump shows 42
+      // scans over 5 levels), but each replay is a broadcast probe over
+      // the cached issues fragment whose BroadcastExchange is reused
+      // across the union branches — per-depth localCheckpoints measured
+      // SLOWER (0.69 -> 0.89 s best-of-4, r15): five serial checkpoint
+      // jobs cost more than the nearly-free concurrent replays, the same
+      // trade stressCensus's s2 and search_hybrid documented
       frontier = issues
         .join(frontier.select(col("key").as("pkey")),
           col("parent_issue") === col("pkey"))
